@@ -15,10 +15,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Joins.queries ++
+      operators.Aggregations.queries ++
+      operators.Windows.queries ++
+      operators.SortsSetOps.queries ++
+      functions.Udafs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle
+    operators.Relational.oracle ++
+      operators.Joins.oracle ++
+      operators.Aggregations.oracle ++
+      operators.Windows.oracle ++
+      operators.SortsSetOps.oracle ++
+      functions.Udafs.oracle
 }

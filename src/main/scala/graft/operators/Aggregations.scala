@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.D aggregations beyond the flagship (SURVEY.md §2.1 D).
+  *
+  * Scale posture: every aggregate here is a partial+final hash aggregate —
+  * map-side combine happens before the shuffle, so the shuffle volume is
+  * O(groups), not O(rows). `agg_count_distinct` shuffles by
+  * (event_type, user_id) first (Spark's two-phase exact distinct);
+  * `agg_approx_distinct` replaces that with a mergeable HLL sketch — the
+  * 100 TB answer when exactness isn't required.
+  */
+object Aggregations {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "agg_global" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    "agg_count_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))),
+
+    // Approximate (HLL) — deterministic for fixed input but not
+    // SQL-reproducible in DuckDB: rows-only check + ScalaTest ±5% bound.
+    "agg_approx_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    "agg_rollup" -> ((s, d) =>
+      orders(s, d)
+        .select(year(col("o_orderdate")).cast("int").as("o_year"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .rollup(col("o_year"), col("o_orderpriority"))
+        .agg(grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("g_year"), col("g_prio"),
+          asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))),
+
+    "agg_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("g_status"), col("g_prio"),
+          asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    "agg_having" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("spend"))
+        .filter(col("n_orders") > 12)
+        .orderBy(col("o_custkey"))),
+
+    "agg_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // Spark pivot yields NULL for absent (user, type) combos; the oracle's
+      // count(CASE ...) yields 0 — align on 0.
+      pivoted.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_global" ->
+      """SELECT count(*) AS n_rows,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price,
+                min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         FROM lineitem""",
+
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+                CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                count(*) AS cnt,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+         FROM orders
+         GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+         ORDER BY g_year, g_prio, o_year NULLS FIRST,
+                  o_orderpriority NULLS FIRST""",
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                count(*) AS cnt,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+                  o_orderpriority NULLS FIRST""",
+
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+         FROM orders GROUP BY 1 HAVING count(*) > 12 ORDER BY 1""",
+
+    "agg_pivot" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

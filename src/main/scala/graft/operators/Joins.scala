@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.C joins (SURVEY.md §2.1 C) — all join shapes the engine supports.
+  *
+  * Scale posture per join:
+  *  - dim⋈dim (`join_broadcast`, `join_cross`): explicit `broadcast()` hint
+  *    so no shuffle happens regardless of statistics.
+  *  - fact⋈fact (`join_shuffle_inner`, `join_theta_range`): equi-keys drive
+  *    a shuffled sort-merge/hash join; the θ part rides the equi-key as a
+  *    post-join filter, so there is never an unbounded range scan.
+  *  - `join_asof` is the Spark-native as-of form: equi-join on the user key
+  *    + time predicate, then `row_number` per left row — shuffles once by
+  *    key; no driver-side state (Spark has no native ASOF join).
+  */
+object Joins {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, d) =>
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))),
+
+    "join_shuffle_inner" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "inner")
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"),
+          col("l_quantity"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))),
+
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"),
+          coalesce(dec(col("o_totalprice")), dec(lit(0))).as("price_or_zero"))
+        .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))),
+
+    "join_right_outer" -> ((s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("c_custkey") === col("o_custkey"), "right")
+        .select(col("c_custkey"), col("o_orderkey"),
+          coalesce(dec(col("o_totalprice")), dec(lit(0))).as("price_or_zero"))
+        .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))),
+
+    "join_full_outer" -> ((s, d) => {
+      val su = supplier(s, d).filter(col("s_acctbal") > 8000)
+      val cu = customer(s, d).filter(col("c_acctbal") > 9000)
+      su.join(cu, col("s_nationkey") === col("c_nationkey"), "full")
+        .groupBy(coalesce(col("s_nationkey"), col("c_nationkey"))
+          .as("nationkey"))
+        .agg(count(col("s_suppkey")).as("n_supp"),
+          count(col("c_custkey")).as("n_cust"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "join_left_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "join_left_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(broadcast(nation(s, d)))
+        .select(col("r_regionkey"), col("n_nationkey"), col("r_name"),
+          col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))),
+
+    "join_theta_range" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")).between(0, 90),
+          "inner")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "join_self_agg" -> ((s, d) => {
+      val a = part(s, d).select(col("p_brand"), col("p_partkey"))
+      val b = part(s, d).select(col("p_brand").as("b_brand"),
+        col("p_partkey").as("b_partkey"))
+      a.join(b, col("p_brand") === col("b_brand") &&
+          col("p_partkey") < col("b_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "join_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(desc_nulls_last("c_ts"), desc_nulls_last("c_id"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
+        .orderBy(col("p_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+
+    "join_shuffle_inner" ->
+      """SELECT o_orderkey, l_linenumber, o_orderdate, l_quantity, o_orderstatus
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey, l_linenumber""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey,
+                coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
+                         CAST(0 AS DECIMAL(38,6))) AS price_or_zero
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_right_outer" ->
+      """SELECT c_custkey, o_orderkey,
+                coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
+                         CAST(0 AS DECIMAL(38,6))) AS price_or_zero
+         FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_full_outer" ->
+      """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+                count(s_suppkey) AS n_supp, count(c_custkey) AS n_cust
+         FROM (SELECT * FROM supplier WHERE s_acctbal > 8000) s
+         FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+           ON s_nationkey = c_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
+
+    "join_theta_range" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS lag_days
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 90
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "join_self_agg" ->
+      """SELECT a.p_brand AS p_brand, count(*) AS n_pairs
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "join_asof" ->
+      """SELECT p.event_id AS p_id, CAST(p.ts AS TIMESTAMP) AS p_ts,
+                c.event_id AS c_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+           ORDER BY CAST(c.ts AS TIMESTAMP) DESC NULLS LAST,
+                    c.event_id DESC NULLS LAST) = 1
+         ORDER BY p_id"""
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.E analytic window functions (SURVEY.md §2.1 E).
+  *
+  * Every window is partitioned by a key (customer/brand/user) so state per
+  * partition is bounded and the single shuffle is by that key — the same
+  * plan a 1000-executor cluster runs. All orderings carry a unique pk
+  * tie-break (D1) so ranks and frames are deterministic.
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "window_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc)
+      part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+    }),
+
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_utc"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"))).over(w).as("run_spend"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    "window_range_frame" -> ((s, d) => {
+      // 30-day trailing spend: RANGE frame over an integer day number —
+      // numeric on both sides so Spark and DuckDB agree on frame bounds.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-30, 0)
+      orders(s, d)
+        .withColumn("day_num",
+          datediff(col("o_orderdate"), lit("1995-01-01")))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+          sum(dec(col("o_totalprice"))).over(w).as("trail_spend"))
+        .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
+    }),
+
+    "window_ntile_pctrank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      part(s, d)
+        .select(col("p_partkey"), col("p_brand"),
+          first(col("p_name")).over(w).as("cheapest"),
+          last(col("p_name")).over(w).as("priciest"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "window_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+                rank() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC) AS drnk
+         FROM part
+         ORDER BY p_brand, p_retailprice DESC, p_partkey""",
+
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+                lag(value, 1) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+                lead(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+         FROM events
+         ORDER BY user_id, event_id""",
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS run_spend
+         FROM orders
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_num,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                  PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                ) AS trail_spend
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS day_num
+               FROM orders)
+         ORDER BY o_custkey, day_num, o_orderkey""",
+
+    "window_ntile_pctrank" ->
+      """SELECT c_custkey, c_mktsegment,
+                ntile(4) OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+                round(percent_rank() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank
+         FROM customer
+         ORDER BY c_custkey""",
+
+    "window_first_last" ->
+      """SELECT p_partkey, p_brand,
+                first_value(p_name) OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                ) AS cheapest,
+                last_value(p_name) OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                ) AS priciest
+         FROM part
+         ORDER BY p_partkey"""
+  )
+}
