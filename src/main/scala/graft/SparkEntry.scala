@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Aggregations.queries ++
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
-      functions.Udafs.queries
+      functions.Udafs.queries ++
+      functions.ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       operators.Aggregations.oracle ++
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
-      functions.Udafs.oracle
+      functions.Udafs.oracle ++
+      functions.ScalarQueries.oracle
 }

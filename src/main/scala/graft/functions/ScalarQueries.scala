@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** §2.H scalar function families + §2.A `events_ingest` (SURVEY.md §2.1).
+  *
+  * One composite query per family, all built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in these paths — whole-stage
+  * codegen keeps them pipelined with the scan). Cross-engine determinism:
+  * regex restricted to the Java∩RE2 subset (D5), transcendental outputs
+  * rounded (D4), integer-typed outputs cast identically on both sides.
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "events_ingest" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("ts_utc"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    "fn_string" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        length(col("p_name")).as("len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+        lpad(col("p_size").cast("string"), 3, "0").as("lp"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("rep"),
+        instr(col("p_name"), "a").as("pos"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_regex" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+        col("p_brand").rlike("Brand#1[0-9]").as("is_teen_brand"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_wordcount" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))),
+
+    "fn_date" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dd"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("int")
+          .as("days_since"),
+        last_day(col("o_orderdate")).as("ldom"))
+        .orderBy(col("o_orderkey"))),
+
+    "fn_math" -> ((s, d) =>
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        floor(col("l_extendedprice")).cast("bigint").as("fl"),
+        ceil(col("l_extendedprice")).cast("bigint").as("ce"),
+        pow(col("l_quantity"), 2).as("pw"),
+        round(sqrt(col("l_extendedprice")), 6).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln_val"),
+        round(log10(col("l_extendedprice")), 6).as("lg"),
+        pmod(col("l_orderkey"), lit(7L)).as("pm"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "fn_conditional" -> ((s, d) =>
+      customer(s, d).select(
+        col("c_custkey"),
+        when(col("c_acctbal") > 8000, lit("high"))
+          .when(col("c_acctbal") > 3000, lit("mid"))
+          .otherwise(lit("low")).as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+          .as("seg_or_none"),
+        greatest(col("c_acctbal"), lit(5000.0)).as("gr"),
+        least(col("c_acctbal"), lit(5000.0)).as("le"))
+        .orderBy(col("c_custkey"))),
+
+    "fn_array" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        transform(slice(col("embedding"), 1, 3), x => x.cast("double"))
+          .as("head3"),
+        array_position(col("embedding"), element_at(col("embedding"), 3))
+          .cast("bigint").as("pos3"))
+        .orderBy(col("vec_id"))),
+
+    "fn_array_hof" -> ((s, d) =>
+      embeddings(s, d).select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0.0f)).cast("int")
+          .as("n_pos"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 4)
+          .as("sum_sq"))
+        .orderBy(col("vec_id"))),
+
+    "fn_json" -> ((s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        map_keys(from_json(col("props"), lit("map<string,int>"))).as("keys"),
+        size(map_keys(from_json(col("props"), lit("map<string,int>"))))
+          .cast("int").as("n_keys"))
+        .orderBy(col("event_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_ingest" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_utc, user_id,
+                event_type, value
+         FROM events ORDER BY event_id""",
+
+    "fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                lower(p_type) AS lo,
+                substring(p_name, 1, 5) AS sub,
+                CAST(length(p_name) AS INT) AS len,
+                concat_ws('-', p_brand, p_type) AS cw,
+                lpad(CAST(p_size AS VARCHAR), 3, '0') AS lp,
+                replace(p_type, ' ', '_') AS rep,
+                CAST(instr(p_name, 'a') AS INT) AS pos
+         FROM part ORDER BY p_partkey""",
+
+    "fn_regex" ->
+      """SELECT p_partkey,
+                regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+                regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+                regexp_matches(p_brand, 'Brand#1[0-9]') AS is_teen_brand
+         FROM part ORDER BY p_partkey""",
+
+    "fn_wordcount" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS dd,
+                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+                o_orderdate + INTERVAL 30 DAY AS plus30,
+                CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+                last_day(o_orderdate) AS ldom
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                abs(l_discount - 0.05) AS ab,
+                CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+                pow(l_quantity, 2) AS pw,
+                round(sqrt(l_extendedprice), 6) AS sq,
+                round(ln(l_extendedprice), 6) AS ln_val,
+                round(log10(l_extendedprice), 6) AS lg,
+                l_orderkey % 7 AS pm
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_conditional" ->
+      """SELECT c_custkey,
+                CASE WHEN c_acctbal > 8000 THEN 'high'
+                     WHEN c_acctbal > 3000 THEN 'mid'
+                     ELSE 'low' END AS tier,
+                coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+                greatest(c_acctbal, 5000.0) AS gr,
+                least(c_acctbal, 5000.0) AS le
+         FROM customer ORDER BY c_custkey""",
+
+    "fn_array" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INT) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS first_val,
+                list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+                CAST(list_position(embedding, embedding[3]) AS BIGINT) AS pos3
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_array_hof" ->
+      """SELECT vec_id,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+                round(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_json" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                json_keys(props) AS keys,
+                CAST(len(json_keys(props)) AS INT) AS n_keys
+         FROM events ORDER BY event_id"""
+  )
+}
