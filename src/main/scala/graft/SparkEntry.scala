@@ -21,7 +21,9 @@ object SparkEntry {
       operators.Windows.queries ++
       operators.SortsSetOps.queries ++
       functions.Udafs.queries ++
-      functions.ScalarQueries.queries
+      functions.ScalarQueries.queries ++
+      operators.LlmOps.queries ++
+      streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +34,7 @@ object SparkEntry {
       operators.Windows.oracle ++
       operators.SortsSetOps.oracle ++
       functions.Udafs.oracle ++
-      functions.ScalarQueries.oracle
+      functions.ScalarQueries.oracle ++
+      operators.LlmOps.oracle ++
+      streaming.StreamingOps.oracle
 }

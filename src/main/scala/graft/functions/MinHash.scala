@@ -1,0 +1,68 @@
+package graft.functions
+
+import scala.util.hashing.MurmurHash3
+
+/** MinHash sketching for approximate near-duplicate detection
+  * (SURVEY.md §2.1 J `llm_minhash_lsh`).
+  *
+  * 128 permutations h_i(t) = (a_i·m(t) + b_i) mod p over murmur3 token
+  * hashes, banded 32×4 for LSH. All seeds fixed ⇒ fully deterministic.
+  * The sketch is built in one pass per document (no shuffle); candidate
+  * generation then shuffles only (band, signature, doc_id) tuples and
+  * joins within buckets — the standard scale-out LSH plan, never a
+  * cross join.
+  */
+object MinHash {
+
+  val NumPerms = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumPerms / Bands
+
+  private val MersennePrime = (1L << 61) - 1
+
+  // Fixed-seed affine coefficients (deterministic across runs/JVMs).
+  private val coeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Array.fill(NumPerms) {
+      (math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+        math.abs(rnd.nextLong()) % MersennePrime)
+    }
+  }
+
+  /** 128-value sketch of a token set. Empty input → MaxValue sentinels. */
+  def sketch(tokens: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    tokens.foreach { t =>
+      val h = MurmurHash3.stringHash(t).toLong & 0xffffffffL
+      var i = 0
+      while (i < NumPerms) {
+        val (a, b) = coeffs(i)
+        // multiplyHigh-free modular arithmetic via BigInt would be slow;
+        // 32-bit h keeps a*h below 93 bits — use Math.multiplyHigh-safe
+        // path: (a % p) * h fits in ~92 bits, so reduce via % on the
+        // 128-bit product emulated with unsigned ops. Simpler: a,h < 2^61
+        // and h < 2^32 ⇒ split a = a1·2^31 + a0.
+        val a1 = a >>> 31
+        val a0 = a & 0x7fffffffL
+        val hi = (a1 * h) % MersennePrime
+        val v = ((hi << 31) % MersennePrime + a0 * h + b) % MersennePrime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Band signatures: hash of each 4-row slice of the sketch. */
+  def bandSignatures(sig: Array[Long]): Array[Long] = {
+    Array.tabulate(Bands) { b =>
+      var acc = MurmurHash3.arraySeed
+      var i = b * RowsPerBand
+      while (i < (b + 1) * RowsPerBand) {
+        acc = MurmurHash3.mix(acc, (sig(i) ^ (sig(i) >>> 32)).toInt)
+        i += 1
+      }
+      ((b.toLong << 32) | (MurmurHash3.finalizeHash(acc, RowsPerBand).toLong & 0xffffffffL))
+    }
+  }
+}

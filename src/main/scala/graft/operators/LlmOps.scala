@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.MinHash
+
+/** §2.J LLM-data-pipeline operators (SURVEY.md §2.1 J) — dedup,
+  * similarity, text analysis over the documents/embeddings corpus.
+  *
+  * Scale posture (the north star is 100 TB of documents):
+  *  - exact dedup: shuffle by text hash, min-id per group — O(rows) shuffle
+  *    of (hash, id), no comparison matrix.
+  *  - jaccard: *blocked* candidate join — equi-key (lang, n_chars bucket)
+  *    with neighbor-bucket explosion on one side, so candidates are only
+  *    generated inside |Δn_chars| ≤ 10 blocks; never a cross join.
+  *  - minhash LSH: one-pass sketch per doc, then shuffle only
+  *    (band, signature) tuples; bucket equi-join yields candidates.
+  *  - cosine top-k: the tiny query side is broadcast; per-partition
+  *    scoring + TakeOrdered per query key.
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct whitespace tokens of `text` (FIXTURES.md: space-separated). */
+  private def toks = array_distinct(split(col("text"), " "))
+
+  val queries: Map[String, Q] = Map(
+    "llm_exact_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    "llm_jaccard_pairs" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          toks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
+      val left = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("toks"), col("bucket"))
+      // Right side exploded to its bucket ± 1 so every |Δn_chars| ≤ 10 pair
+      // meets on exactly one equi-key — the blocked (never cross) join.
+      val right = docs
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("toks").as("toks2"),
+          col("bucket"))
+      left.join(right,
+          col("lang") === col("lang2") && left("bucket") === right("bucket") &&
+            col("doc_id") < col("doc_id2") &&
+            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .withColumn("inter",
+          size(array_intersect(col("toks"), col("toks2"))))
+        .withColumn("j",
+          col("inter") / (size(col("toks")) + size(col("toks2")) - col("inter")))
+        .filter(col("j") >= 0.5)
+        .select(col("doc_id"), col("doc_id2"), round(col("j"), 6).as("j"))
+        .orderBy(col("doc_id"), col("doc_id2"))
+    }),
+
+    // Approximate near-dup candidates — no SQL oracle (ScalaTest asserts
+    // recall against llm_jaccard_pairs ground truth instead).
+    "llm_minhash_lsh" -> ((s, d) => {
+      val bandsUdf = udf((tokens: Seq[String]) =>
+        MinHash.bandSignatures(MinHash.sketch(tokens)))
+      val banded = documents(s, d)
+        .select(col("doc_id"), explode(bandsUdf(toks)).as("band_sig"))
+      val a = banded
+      val b = banded.select(col("doc_id").as("doc_id2"),
+        col("band_sig").as("band_sig2"))
+      a.join(b, col("band_sig") === col("band_sig2") &&
+          col("doc_id") < col("doc_id2"), "inner")
+        .select(col("doc_id"), col("doc_id2"))
+        .distinct()
+        .orderBy(col("doc_id"), col("doc_id2"))
+    }),
+
+    "llm_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val withDot = emb.withColumn("self_dot",
+        aggregate(zip_with(col("vec"), col("vec"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      val q = withDot.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+          col("self_dot").as("q_dot"))
+      val c = withDot.select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+        col("self_dot").as("c_dot"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"), "inner")
+        .withColumn("dot",
+          aggregate(zip_with(col("q_vec"), col("c_vec"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim",
+          round(col("dot") / (sqrt(col("q_dot")) * sqrt(col("c_dot"))), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("vec_id"), col("c_id").as("vec_id2"),
+          col("sim"), col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
+    }),
+
+    "llm_text_stats" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"),
+        size(toks).cast("int").as("n_distinct"),
+        round(
+          aggregate(transform(split(col("text"), " "),
+            w => length(w).cast("double")), lit(0.0), (acc, x) => acc + x)
+            / size(split(col("text"), " ")), 4).as("avg_token_len"),
+        (col("n_chars") === length(col("text"))).as("valid"))
+        .orderBy(col("doc_id"))),
+
+    "llm_tfidf_topterms" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy(col("lang"), col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val byTerm = tf.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("sum_tf"))
+      val n = documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val scored = byTerm.join(n, "lang")
+        .withColumn("score",
+          round(col("sum_tf") *
+            round(log(col("n_docs").cast("double") / col("df")), 6), 6))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("term"), col("score"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT lang, count(*) AS n_docs FROM (
+           SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
+
+    "llm_jaccard_pairs" ->
+      """WITH tok AS (SELECT DISTINCT * FROM (
+             SELECT doc_id, lang, n_chars,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents)),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+                     count(*) AS inter
+              FROM tok a JOIN tok b
+                ON a.w = b.w AND a.lang = b.lang
+               AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 10
+              GROUP BY 1, 2)
+       SELECT p.doc_id, p.doc_id2,
+              round(inter / (ca.nt + cb.nt - inter), 6) AS j
+       FROM pair p
+       JOIN card ca ON ca.doc_id = p.doc_id
+       JOIN card cb ON cb.doc_id = p.doc_id2
+       WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+       ORDER BY 1, 2""",
+
+    "llm_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                    FROM embeddings),
+            d AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS self_dot
+                  FROM e),
+            s AS (SELECT q.vec_id AS vec_id, c.vec_id AS vec_id2,
+                         round(list_dot_product(q.vec, c.vec)
+                           / (sqrt(q.self_dot) * sqrt(c.self_dot)), 6) AS sim
+                  FROM d q JOIN d c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+       SELECT vec_id, vec_id2, sim, rn FROM (
+         SELECT vec_id, vec_id2, sim,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, vec_id2) AS rn
+         FROM s) WHERE rn <= 5
+       ORDER BY vec_id, rn""",
+
+    "llm_text_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                round(list_sum(list_transform(string_split(text, ' '),
+                  w -> CAST(len(w) AS DOUBLE))) / len(string_split(text, ' ')), 4)
+                  AS avg_token_len,
+                n_chars = length(text) AS valid
+         FROM documents ORDER BY doc_id""",
+
+    "llm_tfidf_topterms" ->
+      """WITH tok AS (SELECT lang, doc_id,
+                        unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+            tf AS (SELECT lang, doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2, 3),
+            agg AS (SELECT lang, term, count(*) AS df, sum(tf) AS sum_tf
+                    FROM tf GROUP BY 1, 2),
+            n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1)
+       SELECT lang, term, score, rn FROM (
+         SELECT a.lang AS lang, term,
+                round(sum_tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6)
+                  AS score,
+                row_number() OVER (PARTITION BY a.lang
+                  ORDER BY round(sum_tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) DESC,
+                           term) AS rn
+         FROM agg a JOIN n ON a.lang = n.lang)
+       WHERE rn <= 5 ORDER BY lang, rn"""
+  )
+}

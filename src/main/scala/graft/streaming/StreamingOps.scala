@@ -1,0 +1,244 @@
+package graft.streaming
+
+import java.math.RoundingMode
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import graft.Tables._
+
+/** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
+  *
+  * Execution discipline (D7): every oracle-checked op replays the events
+  * parquet through a *real* streaming query under `Trigger.AvailableNow`
+  * (micro-batch engine, checkpoint + state store, memory sink), then
+  * returns the final result as a batch DataFrame. The single input file
+  * ⇒ one micro-batch ⇒ output equals the equivalent batch computation,
+  * which is exactly what the DuckDB oracle recomputes. Arrival-order
+  * dependent behaviors (late-data drops) live in ScalaTest instead.
+  *
+  * Scale posture: all stateful ops are keyed (window/session/user), so
+  * state partitions across executors via the shuffle; watermarks bound
+  * state for the stream-stream join and would bound window state in a
+  * true unbounded run.
+  */
+object StreamingOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val counter = new AtomicInteger(0)
+
+  // The file-stream source requires its path to be a directory; the sf dir
+  // holds every table, so stage a one-symlink directory per events file.
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def eventsDir(d: String): String =
+    stagedDirs.computeIfAbsent(d, { _ =>
+      val dir = Files.createTempDirectory("graft_events_")
+      Files.createSymbolicLink(dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      dir.toString
+    })
+
+  /** Streaming view of the events table with event-time restored. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(eventsDir(d))
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a finite streaming query (AvailableNow) into a memory sink and
+    * return its content. Unique sink name + throwaway checkpoint per call
+    * so Verify/Bench can invoke the same op repeatedly in one session. */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${counter.incrementAndGet()}"
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "stream_session" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .groupBy(session_window(col("ts_utc"), "10 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+      runToMemory(agg, "complete")
+        .select(col("user_id"), col("sw.start").as("s_start"),
+          col("sw.end").as("s_end"), col("cnt"), col("sum_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    "stream_dedup" -> ((s, d) => {
+      val deduped = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .dropDuplicates("event_id")
+      runToMemory(deduped, "append").orderBy(col("event_id"))
+    }),
+
+    "stream_stateful_agg" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val out = ev.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[(Long, Double)],
+           state: org.apache.spark.sql.streaming.GroupState[(Long, BigDecimal)]) => {
+            var (n, acc) = state.getOption.getOrElse(
+              (0L, BigDecimal(java.math.BigDecimal.ZERO)))
+            rows.foreach { case (_, v) =>
+              n += 1
+              // round each value to 6 dp on entry = CAST(v AS DECIMAL(38,6))
+              acc += BigDecimal(
+                java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+            }
+            state.update((n, acc))
+            (uid, n, acc)
+          })
+        .toDF("user_id", "n_events", "total_value")
+      runToMemory(out, "update")
+        .select(col("user_id"), col("n_events"),
+          dec(col("total_value")).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "stream_stream_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "1 hour")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "inner")
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+    }),
+
+    "stream_static_join" -> ((s, d) => {
+      val enriched = eventsStream(s, d)
+        .join(broadcast(customer(s, d)),
+          col("user_id") === col("c_custkey"), "inner")
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"))
+      runToMemory(enriched, "append").orderBy(col("event_id"))
+    }),
+
+    "sink_foreachBatch" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft_fb_").toString
+      val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
+      val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+      val q = ev.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dir))
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
+                event_type, count(*) AS cnt,
+                sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+
+    "stream_sliding" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes',
+                      CAST(ts AS TIMESTAMP)) AS b, event_type, value
+                    FROM events),
+              x AS (SELECT b AS w_start, event_type, value FROM e
+                    UNION ALL
+                    SELECT b - INTERVAL 30 MINUTE, event_type, value FROM e)
+         SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+                count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+         FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+
+    "stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+                    FROM events),
+              o AS (SELECT user_id, t, value,
+                      CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                             <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+                    FROM e),
+              g AS (SELECT user_id, t, value,
+                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+                    FROM o)
+         SELECT user_id, min(t) AS s_start,
+                max(t) + INTERVAL 10 MINUTE AS s_end,
+                count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+         FROM g GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
+
+    "stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type
+         FROM events ORDER BY event_id""",
+
+    "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(38,6))) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+                p.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         ORDER BY p_id, c_id""",
+
+    "stream_static_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
+
+    "sink_foreachBatch" ->
+      """SELECT event_type, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** L1 unit coverage for batch operators: every registered query runs on
+  * sf0.001 and returns a sane shape; targeted semantic checks on tiny
+  * hand-computed inputs. (Cross-engine value equality is covered by the
+  * DuckDB oracle preflight — SURVEY.md §5 L2.)
+  */
+class OperatorSpec extends GraftSpec {
+
+  test("every registered query executes and matches its oracle registration") {
+    val qs = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    assert(oracles.keySet.subsetOf(qs.keySet),
+      s"oracle keys without query: ${oracles.keySet -- qs.keySet}")
+    // Non-oracle ops are intentional and enumerated (D8):
+    assert((qs.keySet -- oracles.keySet) ==
+      Set("agg_approx_distinct", "llm_minhash_lsh"))
+  }
+
+  test("flagship entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("weighted avg aggregator matches hand computation") {
+    import spark.implicits._
+    val df = Seq((2.0, 10.0, "a"), (3.0, 20.0, "a"), (1.0, 7.0, "b"))
+      .toDF("w", "x", "g")
+    val wavg = udaf(functions.WeightedAvgAggregator)
+    val out = df.groupBy($"g").agg(wavg($"w", $"x").as("v"))
+      .orderBy($"g").collect()
+    // a: (2*10 + 3*20) / 5 = 16 ; b: 7
+    assert(out(0).getDecimal(1).doubleValue() === 16.0)
+    assert(out(1).getDecimal(1).doubleValue() === 7.0)
+  }
+
+  test("approx_count_distinct within 5% of exact (SURVEY §2.1 D)") {
+    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$k: approx=$ap exact=$ex off by >5%")
+    }
+  }
+
+  test("minhash LSH candidates recall >= 0.7 vs exact jaccard truth") {
+    val truth = SparkEntry.queries("llm_jaccard_pairs")(spark, sf)
+      .select("doc_id", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = SparkEntry.queries("llm_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "jaccard ground truth is empty — test data changed?")
+    val recall = truth.count(cands.contains).toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("topk_global is the true global top-100") {
+    val got = SparkEntry.queries("topk_global")(spark, sf).collect()
+    assert(got.length == 100)
+    val maxPrice = Tables.lineitem(spark, sf)
+      .agg(max(col("l_extendedprice"))).head().getDouble(0)
+    assert(got.head.getDouble(2) === maxPrice)
+    assert(got.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** L4 streaming semantics (SURVEY.md §5): the arrival-order-dependent
+  * behaviors that the DuckDB oracle cannot check, plus the single-batch
+  * guard that the D7 oracle discipline depends on.
+  */
+class StreamingSpec extends GraftSpec {
+
+  private def ckpt = Files.createTempDirectory("graft_test_ckpt_").toString
+
+  test("stream_watermark_late: late rows behind the watermark are dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+
+    def t(s: String) = Timestamp.valueOf(s)
+    def stage(rows: Seq[(Timestamp, String)]): Unit =
+      rows.toDF("ts", "k").repartition(1).write.mode("append").parquet(in)
+
+    // Two *separate* AvailableNow runs over a shared checkpoint = two
+    // micro-batches with a real watermark carried across the restart.
+    // (memory sink can't recover a checkpoint — collect via foreachBatch.)
+    val emittedRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(sch).parquet(in)
+        .withWatermark("ts", "15 minutes")
+        .groupBy(window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").cast("string").as("ws"), $"cnt")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            emittedRows.add(r.getString(0) -> r.getLong(1)))
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: two rows in the 10:00 window + 12:00 row → watermark 11:45
+    stage(Seq((t("2024-01-01 10:05:00"), "a"),
+      (t("2024-01-01 10:10:00"), "a"), (t("2024-01-01 12:00:00"), "b")))
+    runOnce()
+    // batch 2: LATE row for the closed 10:00 window + a fresh 13:00 row
+    stage(Seq((t("2024-01-01 10:20:00"), "a"),
+      (t("2024-01-01 13:00:00"), "c")))
+    runOnce()
+
+    import scala.jdk.CollectionConverters._
+    val emitted = emittedRows.asScala.toMap
+    assert(emitted.get("2024-01-01 10:00:00").contains(2L),
+      s"late row leaked into closed window: $emitted")
+  }
+
+  test("source_rate_smoke: rate source produces rows") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").option("numPartitions", "1").load()
+      .writeStream.format("memory").queryName("rate_smoke")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      eventually(20, 500) { spark.table("rate_smoke").count() > 0 }
+      assert(spark.table("rate_smoke").count() > 0)
+    } finally q.stop()
+  }
+
+  test("events replay is a single micro-batch (guards D7 oracle discipline)") {
+    val sch = spark.read.parquet(s"$sf/events.parquet").schema
+    val dir = Files.createTempDirectory("graft_single_").toString
+    Files.createSymbolicLink(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val q = spark.readStream.schema(sch).parquet(dir)
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("single_batch")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches == 1, s"expected 1 data batch, saw $dataBatches")
+    val total = q.recentProgress.map(_.numInputRows).sum
+    assert(total == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("stream_tumbling equals the engine's own batch computation") {
+    val streamed = SparkEntry.queries("stream_tumbling")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("value"))).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  test("stream_session equals batch session_window computation") {
+    val streamed = SparkEntry.queries("stream_session")(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(session_window(col("ts_utc"), "10 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("value"))).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("cnt"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+    assert(streamed.collect().toSeq == batch.collect().toSeq)
+  }
+
+  private def eventually(tries: Int, sleepMs: Long)(cond: => Boolean): Unit = {
+    var i = 0
+    while (i < tries && !cond) { Thread.sleep(sleepMs); i += 1 }
+  }
+}
