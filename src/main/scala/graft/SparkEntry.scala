@@ -23,7 +23,8 @@ object SparkEntry {
       functions.Udafs.queries ++
       functions.ScalarQueries.queries ++
       operators.LlmOps.queries ++
-      streaming.StreamingOps.queries
+      streaming.StreamingOps.queries ++
+      functions.ExtensionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       functions.Udafs.oracle ++
       functions.ScalarQueries.oracle ++
       operators.LlmOps.oracle ++
-      streaming.StreamingOps.oracle
+      streaming.StreamingOps.oracle ++
+      functions.ExtensionOps.oracle
 }

@@ -66,17 +66,30 @@ object LlmOps {
     }),
 
     // Approximate near-dup candidates — no SQL oracle (ScalaTest asserts
-    // recall against llm_jaccard_pairs ground truth instead).
+    // recall against llm_jaccard_pairs ground truth instead). Candidates
+    // carry the same (lang, n_chars/10 ± 1) blocking as the exact-Jaccard
+    // truth: the corpus is a small-vocabulary word soup, so unigram-set
+    // band buckets are dense — unblocked LSH degenerates toward O(n²)
+    // candidates (measured 41 s at sf0.1 vs <2 s blocked) while the truth
+    // it approximates is block-restricted anyway.
     "llm_minhash_lsh" -> ((s, d) => {
       val bandsUdf = udf((tokens: Seq[String]) =>
         MinHash.bandSignatures(MinHash.sketch(tokens)))
       val banded = documents(s, d)
-        .select(col("doc_id"), explode(bandsUdf(toks)).as("band_sig"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          floor(col("n_chars") / 10).as("bucket"),
+          explode(bandsUdf(toks)).as("band_sig"))
       val a = banded
-      val b = banded.select(col("doc_id").as("doc_id2"),
-        col("band_sig").as("band_sig2"))
+      val b = banded
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("bucket"),
+          col("band_sig").as("band_sig2"))
       a.join(b, col("band_sig") === col("band_sig2") &&
-          col("doc_id") < col("doc_id2"), "inner")
+          col("lang") === col("lang2") && a("bucket") === b("bucket") &&
+          col("doc_id") < col("doc_id2") &&
+          abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
         .select(col("doc_id"), col("doc_id2"))
         .distinct()
         .orderBy(col("doc_id"), col("doc_id2"))
