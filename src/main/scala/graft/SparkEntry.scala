@@ -24,7 +24,10 @@ object SparkEntry {
       functions.ScalarQueries.queries ++
       operators.LlmOps.queries ++
       streaming.StreamingOps.queries ++
-      functions.ExtensionOps.queries
+      functions.ExtensionOps.queries ++
+      operators.TrainingDataOps.queries ++
+      operators.AnnOps.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +41,8 @@ object SparkEntry {
       functions.ScalarQueries.oracle ++
       operators.LlmOps.oracle ++
       streaming.StreamingOps.oracle ++
-      functions.ExtensionOps.oracle
+      functions.ExtensionOps.oracle ++
+      operators.TrainingDataOps.oracle ++
+      operators.AnnOps.oracle ++
+      operators.Multimodal.oracle
 }

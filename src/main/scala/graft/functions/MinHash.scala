@@ -66,3 +66,75 @@ object MinHash {
     }
   }
 }
+
+/** Term-frequency-weighted 64-bit SimHash (`llm_simhash_dedup`): each
+  * token votes ±1 per bit of its 64-bit murmur hash; the sign vector is
+  * the fingerprint. Hamming distance approximates cosine distance of the
+  * tf vectors. Deterministic (fixed seeds, order-free: votes commute).
+  */
+object SimHash {
+
+  val Blocks = 4 // 16-bit blocks: hamming ≤ 3 ⇒ ≥ 1 identical block
+
+  def fingerprint(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** (blockIdx << 16 | 16-bit slice) keys — pigeonhole blocking for
+    * hamming ≤ Blocks-1 candidate generation. */
+  def blockKeys(fp: Long): Array[Long] =
+    Array.tabulate(Blocks)(i => (i.toLong << 16) | ((fp >>> (16 * i)) & 0xffffL))
+}
+
+/** Karp-Rabin document fingerprints (`llm_fingerprint`): a whole-text
+  * rolling polynomial hash plus a winnowing-style minimum over 16-char
+  * window hashes (MOSS-like). Both deterministic and order-sensitive —
+  * complements the order-free set sketches above.
+  */
+object RollingHash {
+
+  private val Base = 1000003L
+  private val Mod = (1L << 61) - 1
+
+  private def mulmod(a: Long, b: Long): Long =
+    (BigInt(a) * b % Mod).toLong // 61-bit operands: exact via BigInt
+
+  def full(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) { h = (mulmod(h, Base) + text.charAt(i)) % Mod; i += 1 }
+    h
+  }
+
+  /** Minimum rolling hash over all k-char windows (k=16); whole-text hash
+    * when the text is shorter. */
+  def windowMin(text: String, k: Int = 16): Long = {
+    if (text.length <= k) return full(text)
+    var bk = 1L
+    (1 to k).foreach(_ => bk = mulmod(bk, Base))
+    var h = 0L
+    var min = Long.MaxValue
+    var i = 0
+    while (i < text.length) {
+      h = (mulmod(h, Base) + text.charAt(i)) % Mod
+      if (i >= k) h = ((h - mulmod(bk, text.charAt(i - k))) % Mod + Mod) % Mod
+      if (i >= k - 1 && h < min) min = h
+      i += 1
+    }
+    min
+  }
+}

@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.{CosineSimilarity, RollingHash, SimHash}
+
+/** Training-data-pipeline operators beyond SURVEY §2.J: the dedup /
+  * similarity / text-quality toolkit a 100 TB corpus pipeline needs
+  * (builder brief: SimHash, n-gram Jaccard, embedding near-dup, quality
+  * scoring, token counting, fingerprinting, language ID).
+  *
+  * Scale posture mirrors §2.J: every candidate-pair generator is blocked
+  * (lang × n_chars bucket, simhash pigeonhole blocks, LSH bands) — no op
+  * here materialises an unblocked n² pair set at corpus scale. The only
+  * deliberate exception is `llm_embedding_topk_pairs`, the *exact*
+  * all-pairs baseline at test scale; its scale path is `llm_ann_ivf`.
+  */
+object TrainingDataOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DecimalType38_6 = org.apache.spark.sql.types.DecimalType(38, 6)
+  // narrow enough that decimal +/*/least never exceed precision 38
+  // (Spark would otherwise round intermediates — observed 1e-6 drift)
+  private val DecimalTypeNarrow = org.apache.spark.sql.types.DecimalType(12, 6)
+
+  private def ws = split(col("text"), " ")
+
+  /** Word 3-gram shingles (order-sensitive, vs the set-based unigram toks). */
+  private def shingles: Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  val queries: Map[String, Q] = Map(
+    // SimHash near-dup candidates: 4×16-bit pigeonhole blocks (hamming ≤ 3
+    // ⇒ at least one identical block) + the corpus (lang, size) blocking.
+    // Rows-only: the fingerprint isn't SQL-expressible (ScalaTest covers
+    // the dup-pair invariant).
+    "llm_simhash_dedup" -> ((s, d) => {
+      val fpU = udf((ts: Seq[String]) => SimHash.fingerprint(ts))
+      val bkU = udf((fp: Long) => SimHash.blockKeys(fp))
+      val base = documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"), floor(col("n_chars") / 10).as("bucket"),
+        fpU(ws).as("fp"))
+      val a = base.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("bucket"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val b = base
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("bucket"),
+          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      a.join(b, col("bk") === col("bk2") && col("lang") === col("lang2") &&
+          a("bucket") === b("bucket") && col("doc_id") < col("doc_id2") &&
+          abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .withColumn("hamming",
+          expr("bit_count(fp ^ fp2)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_id"), col("doc_id2"), col("hamming"))
+        .distinct()
+        .orderBy(col("doc_id"), col("doc_id2"))
+    }),
+
+    // Order-sensitive near-dup: top-20 blocked pairs by 3-gram-shingle
+    // Jaccard (complements the order-free unigram llm_jaccard_pairs).
+    "llm_ngram_jaccard" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          shingles.as("sh"), floor(col("n_chars") / 10).as("bucket"))
+      val left = docs
+      val right = docs
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("sh").as("sh2"), col("bucket"))
+      left.join(right,
+          col("lang") === col("lang2") && left("bucket") === right("bucket") &&
+            col("doc_id") < col("doc_id2") &&
+            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .withColumn("inter", size(array_intersect(col("sh"), col("sh2"))))
+        .withColumn("j", round(col("inter") /
+          (size(col("sh")) + size(col("sh2")) - col("inter")), 6))
+        .filter(col("j") > 0)
+        .select(col("doc_id"), col("doc_id2"), col("j"))
+        .orderBy(col("j").desc, col("doc_id"), col("doc_id2"))
+        .limit(20)
+    }),
+
+    // Exact all-pairs embedding similarity baseline: top-20 closest pairs
+    // by cosine via the native codegen'd expression. Deliberately O(n²) at
+    // test scale (2k vectors); the corpus-scale path is llm_ann_ivf.
+    "llm_embedding_topk_pairs" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e1 = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v1"))
+      val e2 = embeddings(s, d)
+        .select(col("vec_id").as("vec_id2"), col("embedding").as("v2"))
+      e1.join(broadcast(e2), col("vec_id") < col("vec_id2"), "inner")
+        .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
+        .select(col("vec_id"), col("vec_id2"), col("sim"))
+        .orderBy(col("sim").desc, col("vec_id"), col("vec_id2"))
+        .limit(20)
+    }),
+
+    // The composite runs in exact decimal arithmetic (weights 0.5/0.3/0.2
+    // and /8 as ×0.125 are finite decimals): double rounding at 6 dp hits
+    // real half-ties here (observed 0.8664635) where Spark and DuckDB
+    // disagree — decimal math makes the tie round identically (D4).
+    "llm_quality_score" -> ((s, d) => {
+      val stopD = round(size(filter(ws, w =>
+        w === "the" || w === "a" || w === "of")) / size(ws), 6)
+        .cast(DecimalTypeNarrow)
+      val shortD = round(size(filter(ws, w => length(w) <= 2)) / size(ws), 6)
+        .cast(DecimalTypeNarrow)
+      val avgD = round(col("n_chars") / size(ws), 4)
+        .cast(org.apache.spark.sql.types.DecimalType(10, 4))
+      documents(s, d).select(
+        col("doc_id"),
+        size(ws).cast("int").as("n_tokens"),
+        stopD.cast("double").as("stop_ratio"),
+        shortD.cast("double").as("short_ratio"),
+        avgD.cast("double").as("avg_chars_per_token"),
+        (lit(BigDecimal("0.5")) * (lit(1) - stopD) +
+          lit(BigDecimal("0.3")) *
+            least(avgD * lit(BigDecimal("0.125")), lit(BigDecimal("1.0"))) +
+          lit(BigDecimal("0.2")) * (lit(1) - shortD))
+          .cast(DecimalType38_6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "llm_token_count" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(ws).cast("int").as("ws_tokens"),
+        aggregate(transform(ws, w => ceil(length(w) / lit(4.0))),
+          lit(0L), (acc, x) => acc + x).as("subword_units"),
+        round(col("n_chars") / size(ws), 4).as("chars_per_token"))
+        .orderBy(col("doc_id"))),
+
+    // Rows-only: Karp-Rabin rolling hashes aren't SQL-expressible.
+    "llm_fingerprint" -> ((s, d) => {
+      val fullU = udf((t: String) => RollingHash.full(t))
+      val winU = udf((t: String) => RollingHash.windowMin(t, 16))
+      documents(s, d)
+        .select(col("doc_id"), fullU(col("text")).as("fp64"),
+          winU(col("text")).as("win_min"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unigram naive-Bayes language ID trained on the corpus itself
+    // (add-1 smoothing, ln-probabilities rounded to 6 dp, decimal-exact
+    // score accumulation so partition order can't flip an argmax).
+    "llm_lang_id" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(ws).as("w"))
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val cnts = tok.groupBy(col("lang").as("m_lang"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tok.groupBy(col("lang").as("m_lang"))
+        .agg(count(lit(1)).as("tot"))
+      val vocab = tok.select(col("w")).distinct()
+      val vsize = tok.agg(countDistinct(col("w")).as("v"))
+      val langs = tok.select(col("lang").as("m_lang")).distinct()
+      val grid = vocab.crossJoin(langs)
+        .join(cnts, Seq("m_lang", "w"), "left")
+        .join(tot, Seq("m_lang"))
+        .crossJoin(vsize)
+        .withColumn("lp", round(log(
+          (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("tot") + col("v"))), 6))
+      val scores = tf.join(grid, Seq("w"))
+        .withColumn("c", (col("tf") * col("lp")).cast(Money))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(sum(col("c")).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("m_lang"))
+      val pred = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("m_lang").as("predicted"))
+      docs.select(col("doc_id"), col("lang").as("actual"))
+        .join(pred, "doc_id")
+        .withColumn("correct", col("actual") === col("predicted"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+                      string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT DISTINCT doc_id, lang, n_chars,
+                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                  FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+            card AS (SELECT doc_id, count(*) AS nt FROM g GROUP BY 1),
+            pair AS (SELECT a.doc_id AS doc_id, b.doc_id AS doc_id2,
+                       count(*) AS inter
+                     FROM g a JOIN g b ON a.sh = b.sh AND a.lang = b.lang
+                      AND a.doc_id < b.doc_id
+                      AND abs(a.n_chars - b.n_chars) <= 10
+                     GROUP BY 1, 2)
+       SELECT p.doc_id, p.doc_id2,
+              round(inter / (ca.nt + cb.nt - inter), 6) AS j
+       FROM pair p
+       JOIN card ca ON ca.doc_id = p.doc_id
+       JOIN card cb ON cb.doc_id = p.doc_id2
+       ORDER BY j DESC, 1, 2 LIMIT 20""",
+
+    "llm_embedding_topk_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                    FROM embeddings),
+            d AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS sd
+                  FROM e)
+       SELECT a.vec_id AS vec_id, b.vec_id AS vec_id2,
+              round(list_dot_product(a.vec, b.vec)
+                / (sqrt(a.sd) * sqrt(b.sd)), 6) AS sim
+       FROM d a JOIN d b ON a.vec_id < b.vec_id
+       ORDER BY sim DESC, 1, 2 LIMIT 20""",
+
+    "llm_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                  CAST(round(len(list_filter(string_split(text, ' '),
+                      w -> w = 'the' OR w = 'a' OR w = 'of'))
+                    / len(string_split(text, ' ')), 6) AS DECIMAL(12,6)) AS stop_d,
+                  CAST(round(len(list_filter(string_split(text, ' '),
+                      w -> len(w) <= 2))
+                    / len(string_split(text, ' ')), 6) AS DECIMAL(12,6)) AS short_d,
+                  CAST(round(n_chars / len(string_split(text, ' ')), 4)
+                    AS DECIMAL(10,4)) AS avg_d
+           FROM documents)
+         SELECT doc_id, n_tokens,
+                CAST(stop_d AS DOUBLE) AS stop_ratio,
+                CAST(short_d AS DOUBLE) AS short_ratio,
+                CAST(avg_d AS DOUBLE) AS avg_chars_per_token,
+                CAST(0.5 * (1 - stop_d) +
+                     0.3 * least(avg_d * 0.125, CAST(1.0 AS DECIMAL(12,6))) +
+                     0.2 * (1 - short_d) AS DECIMAL(38,6)) AS quality
+         FROM base ORDER BY doc_id""",
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT)
+                  AS subword_units,
+                round(n_chars / len(string_split(text, ' ')), 4)
+                  AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+
+    "llm_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+            cnts AS (SELECT lang AS m_lang, w, count(*) AS cnt
+                     FROM tok GROUP BY 1, 2),
+            tot AS (SELECT lang AS m_lang, count(*) AS tot
+                    FROM tok GROUP BY 1),
+            vocab AS (SELECT DISTINCT w FROM tok),
+            vsize AS (SELECT count(DISTINCT w) AS v FROM tok),
+            langs AS (SELECT DISTINCT lang AS m_lang FROM tok),
+            grid AS (SELECT l.m_lang, vo.w,
+                       round(ln((coalesce(c.cnt, 0) + 1)
+                         / CAST(t.tot + vs.v AS DOUBLE)), 6) AS lp
+                     FROM vocab vo
+                     CROSS JOIN langs l
+                     LEFT JOIN cnts c ON c.m_lang = l.m_lang AND c.w = vo.w
+                     JOIN tot t ON t.m_lang = l.m_lang
+                     CROSS JOIN vsize vs),
+            scores AS (SELECT tf.doc_id, g.m_lang,
+                         sum(CAST(tf.tf * g.lp AS DECIMAL(38,6))) AS score
+                       FROM tf JOIN grid g ON g.w = tf.w
+                       GROUP BY 1, 2),
+            pred AS (SELECT doc_id, m_lang AS predicted FROM (
+                       SELECT doc_id, m_lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, m_lang) AS rn
+                       FROM scores) WHERE rn = 1)
+       SELECT d.doc_id, d.lang AS actual, p.predicted,
+              d.lang = p.predicted AS correct
+       FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  )
+}

@@ -16,7 +16,8 @@ class OperatorSpec extends GraftSpec {
       s"oracle keys without query: ${oracles.keySet -- qs.keySet}")
     // Non-oracle ops are intentional and enumerated (D8):
     assert((qs.keySet -- oracles.keySet) ==
-      Set("agg_approx_distinct", "llm_minhash_lsh"))
+      Set("agg_approx_distinct", "llm_minhash_lsh", "llm_simhash_dedup",
+        "llm_fingerprint", "llm_ann_ivf", "mm_decode_features"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

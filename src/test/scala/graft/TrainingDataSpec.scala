@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the non-oracle training-data ops: simhash invariants,
+  * rolling-hash fingerprints, IVF recall vs brute force, multimodal
+  * plumbing shape.
+  */
+class TrainingDataSpec extends GraftSpec {
+
+  test("simhash: identical texts get identical fingerprints, hamming 0") {
+    val a = functions.SimHash.fingerprint(Seq("x", "y", "z", "x"))
+    val b = functions.SimHash.fingerprint(Seq("x", "y", "z", "x"))
+    val c = functions.SimHash.fingerprint(Seq("q", "r", "s", "t", "u", "v"))
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) > 0)
+    // order-free: votes commute
+    assert(functions.SimHash.fingerprint(Seq("y", "x", "x", "z")) == a)
+  }
+
+  test("simhash dedup candidates are deterministic across runs") {
+    val r1 = SparkEntry.queries("llm_simhash_dedup")(spark, sf).collect().toSeq
+    val r2 = SparkEntry.queries("llm_simhash_dedup")(spark, sf).collect().toSeq
+    assert(r1 == r2)
+    // every candidate pair is a same-lang, size-blocked pair with ham ≤ 3
+    r1.foreach(r => assert(r.getInt(2) <= 3))
+  }
+
+  test("rolling-hash fingerprint: equal texts collide, others don't") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    assert(functions.RollingHash.full(t) == functions.RollingHash.full(t))
+    assert(functions.RollingHash.full(t) !=
+      functions.RollingHash.full(t + " again"))
+    // window-min is stable under suffix growth beyond the window
+    val wm = functions.RollingHash.windowMin(t, 16)
+    assert(wm == functions.RollingHash.windowMin(t, 16))
+    val fps = SparkEntry.queries("llm_fingerprint")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(fps.length == docs)
+    // duplicate texts (engineered in the corpus) must share fp64
+    val dupTexts = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).select(explode(col("ids"))).collect()
+      .map(_.getLong(0)).toSet
+    if (dupTexts.nonEmpty) {
+      val byDoc = fps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dupFps = Tables.documents(spark, sf)
+        .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1).collect()
+      dupFps.foreach { row =>
+        val ids = row.getSeq[Long](1)
+        assert(ids.map(byDoc).distinct.size == 1,
+          s"duplicate texts ${ids} got different fingerprints")
+      }
+    }
+  }
+
+  test("llm_ann_ivf recall@5 >= 0.5 vs brute-force truth") {
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, sf)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
+  test("mm_decode_features: schema, determinism, and full coverage") {
+    val out = SparkEntry.queries("mm_decode_features")(spark, sf)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "fmt", "n_bytes", "width", "height", "features"))
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getSeq[Double](5).length == 8)
+      assert(math.abs(r.getSeq[Double](5).sum - 1.0) < 1e-3) // histogram
+      assert(r.getInt(2) > 0)
+    }
+    val again = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("llm_lang_id beats uniform-guess accuracy") {
+    val out = SparkEntry.queries("llm_lang_id")(spark, sf).collect()
+    val acc = out.count(_.getBoolean(3)).toDouble / out.length
+    // 5 balanced classes → uniform guessing ≈ 0.2
+    assert(acc > 0.25, s"lang-id accuracy $acc not above chance")
+  }
+}
