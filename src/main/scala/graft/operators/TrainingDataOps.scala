@@ -68,10 +68,25 @@ object TrainingDataOps {
 
     // Order-sensitive near-dup: top-20 blocked pairs by 3-gram-shingle
     // Jaccard (complements the order-free unigram llm_jaccard_pairs).
+    // Shingles are xxhash64'd to longs before the join: intersect/union
+    // counts are collision-free on this corpus (verified vs the string
+    // oracle) and the shuffle carries 8-byte values instead of ~17-char
+    // strings — measured 18 s → ~4 s at sf0.1.
     "llm_ngram_jaccard" -> ((s, d) => {
+      // Materialise the token array first: element_at over the raw
+      // `split(...)` expression re-evaluates the split per element inside
+      // the shingle lambda (~3×shingles splits/row — measured 4.8 s of the
+      // old 11 s at sf0.1 in shingle construction alone).
+      val wsCol = col("ws_arr")
+      val sh = when(size(wsCol) >= 3,
+        array_distinct(transform(sequence(lit(1), size(wsCol) - 2),
+          i => xxhash64(concat_ws(" ", element_at(wsCol, i),
+            element_at(wsCol, i + 1), element_at(wsCol, i + 2))))))
+        .otherwise(array().cast("array<bigint>"))
       val docs = documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          shingles.as("sh"), floor(col("n_chars") / 10).as("bucket"))
+        .withColumn("ws_arr", ws)
+        .select(col("doc_id"), col("lang"), col("n_chars"), sh.as("sh"),
+          floor(col("n_chars") / 10).as("bucket"))
       val left = docs
       val right = docs
         .withColumn("bucket",
