@@ -178,11 +178,14 @@ object TrainingDataOps {
         .agg(count(lit(1)).as("tf"))
       val cnts = tok.groupBy(col("lang").as("m_lang"), col("w"))
         .agg(count(lit(1)).as("cnt"))
-      val tot = tok.groupBy(col("lang").as("m_lang"))
-        .agg(count(lit(1)).as("tot"))
-      val vocab = tok.select(col("w")).distinct()
-      val vsize = tok.agg(countDistinct(col("w")).as("v"))
-      val langs = tok.select(col("lang").as("m_lang")).distinct()
+      // Model-side statistics all derive from the (lang, word) count table,
+      // not from re-scanning the exploded corpus: at 100 TB `tok` is
+      // corpus-sized while `cnts` is vocabulary-sized (|V|·|L| rows), so
+      // this turns four extra corpus scans into reuses of one aggregate.
+      val tot = cnts.groupBy(col("m_lang")).agg(sum(col("cnt")).as("tot"))
+      val vocab = cnts.select(col("w")).distinct()
+      val vsize = vocab.agg(count(lit(1)).as("v"))
+      val langs = cnts.select(col("m_lang")).distinct()
       val grid = vocab.crossJoin(langs)
         .join(cnts, Seq("m_lang", "w"), "left")
         .join(tot, Seq("m_lang"))

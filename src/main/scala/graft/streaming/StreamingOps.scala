@@ -30,6 +30,19 @@ object StreamingOps {
 
   private val counter = new AtomicInteger(0)
 
+  /** Throwaway checkpoint dirs: WAL + offset log + state snapshots are many
+    * small fsync'd files, so put them on tmpfs when available. These
+    * checkpoints are single-run by design (unique per call); a production
+    * deployment would point `checkpointLocation` at durable shared storage
+    * instead — this helper is harness-local plumbing, not the durability
+    * story. */
+  private def tempCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, "graft_ckpt_").toString
+    else Files.createTempDirectory("graft_ckpt_").toString
+  }
+
   // The file-stream source requires its path to be a directory; the sf dir
   // holds every table, so stage a one-symlink directory per events file.
   private val stagedDirs =
@@ -51,18 +64,40 @@ object StreamingOps {
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** State partition count for stateful streaming queries. Spark pins the
+    * number of state-store partitions at the query's FIRST checkpoint, so
+    * this is a deliberate deployment knob, not a tuning afterthought:
+    * each partition is a state-store instance paying per-micro-batch
+    * snapshot/commit I/O. On a real cluster set
+    * `spark.graft.streaming.statePartitions` to a multiple of the executor
+    * core count (it bounds max parallelism of stateful stages for the
+    * lifetime of the checkpoint). The default, 8, favors the single-node
+    * harness where per-store commit overhead dominates tiny inputs.
+    */
+  private def statePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8")
+
   /** Run a finite streaming query (AvailableNow) into a memory sink and
     * return its content. Unique sink name + throwaway checkpoint per call
-    * so Verify/Bench can invoke the same op repeatedly in one session. */
+    * so Verify/Bench can invoke the same op repeatedly in one session.
+    * Shuffle partitions are narrowed to [[statePartitions]] only while the
+    * query starts (the engine captures the value at stream planning time)
+    * and restored after, so batch queries in the same session keep the
+    * session-level setting. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val s = df.sparkSession
     val name = s"graft_mem_${counter.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val ckpt = tempCheckpointDir()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   val queries: Map[String, Q] = Map(
@@ -163,7 +198,7 @@ object StreamingOps {
     "sink_foreachBatch" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_fb_").toString
       val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
-      val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+      val ckpt = tempCheckpointDir()
       val q = ev.writeStream
         .foreachBatch((batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dir))
