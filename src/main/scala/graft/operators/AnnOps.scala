@@ -60,7 +60,10 @@ object AnnOps {
         col("label").as("c_label"), col("embedding").as("c_vec"))
       val wr = Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("vec_id2"))
-      probed.join(cells, Seq("c_label"))
+      // The probe set (nqueries × nprobe rows) is broadcast so the corpus
+      // side never shuffles — each cell partition scores its residents
+      // against the probes that mapped to it.
+      cells.join(broadcast(probed), Seq("c_label"))
         .filter(col("q_id") =!= col("vec_id2"))
         .withColumn("sim", round(expr("cosine_sim(q_vec, c_vec)"), 6))
         .withColumn("rn", row_number().over(wr))

@@ -27,6 +27,11 @@ object LlmOps {
   /** Distinct whitespace tokens of `text` (FIXTURES.md: space-separated). */
   private def toks = array_distinct(split(col("text"), " "))
 
+  /** Sorted variant — precondition of the native merge-scan intersection
+    * kernel ([[graft.functions.SortedIntersectSize]]); sorted once per doc
+    * BEFORE the candidate join, amortized over all pairs the doc is in. */
+  private def sortedToks = sort_array(toks)
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
@@ -39,9 +44,10 @@ object LlmOps {
     }),
 
     "llm_jaccard_pairs" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          toks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
+          sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
       val left = docs.select(col("doc_id"), col("lang"), col("n_chars"),
         col("toks"), col("bucket"))
       // Right side exploded to its bucket ± 1 so every |Δn_chars| ≤ 10 pair
@@ -56,8 +62,7 @@ object LlmOps {
           col("lang") === col("lang2") && left("bucket") === right("bucket") &&
             col("doc_id") < col("doc_id2") &&
             abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
-        .withColumn("inter",
-          size(array_intersect(col("toks"), col("toks2"))))
+        .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
         .withColumn("j",
           col("inter") / (size(col("toks")) + size(col("toks2")) - col("inter")))
         .filter(col("j") >= 0.5)

@@ -77,11 +77,14 @@ object TrainingDataOps {
       // `split(...)` expression re-evaluates the split per element inside
       // the shingle lambda (~3×shingles splits/row — measured 4.8 s of the
       // old 11 s at sf0.1 in shingle construction alone).
+      graft.functions.SortedIntersectSize.register(s)
       val wsCol = col("ws_arr")
+      // Sorted so the per-pair intersection below is a native merge scan
+      // (sorted_intersect_size) instead of a hash build per candidate pair.
       val sh = when(size(wsCol) >= 3,
-        array_distinct(transform(sequence(lit(1), size(wsCol) - 2),
+        sort_array(array_distinct(transform(sequence(lit(1), size(wsCol) - 2),
           i => xxhash64(concat_ws(" ", element_at(wsCol, i),
-            element_at(wsCol, i + 1), element_at(wsCol, i + 2))))))
+            element_at(wsCol, i + 1), element_at(wsCol, i + 2)))))))
         .otherwise(array().cast("array<bigint>"))
       val docs = documents(s, d)
         .withColumn("ws_arr", ws)
@@ -97,7 +100,7 @@ object TrainingDataOps {
           col("lang") === col("lang2") && left("bucket") === right("bucket") &&
             col("doc_id") < col("doc_id2") &&
             abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
-        .withColumn("inter", size(array_intersect(col("sh"), col("sh2"))))
+        .withColumn("inter", expr("sorted_intersect_size(sh, sh2)"))
         .withColumn("j", round(col("inter") /
           (size(col("sh")) + size(col("sh2")) - col("inter")), 6))
         .filter(col("j") > 0)
