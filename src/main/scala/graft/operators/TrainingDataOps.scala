@@ -125,6 +125,29 @@ object TrainingDataOps {
         .limit(20)
     }),
 
+    // Embedding-cosine near-duplicate DEDUP (completes the dedup family:
+    // exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
+    // Rule: vector x is a duplicate iff some y < x has round(cos,6) ≥ 0.4
+    // (threshold tuned to this corpus's similarity range; max pairwise
+    // cosine in the synthetic embeddings is ~0.6). `dup_of` is the least
+    // such y — a deterministic keep-first representative, no transitive
+    // closure. Exact all-pairs with the corpus side streaming past a
+    // broadcast copy; at 100 TB the pair generator swaps to IVF-cell
+    // blocking (llm_ann_ivf) with identical per-pair semantics.
+    "llm_embedding_neardup" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e1 = embeddings(s, d).select(col("vec_id"), col("embedding").as("v1"))
+      val e2 = embeddings(s, d)
+        .select(col("vec_id").as("vec_id2"), col("embedding").as("v2"))
+      val dups = e1.join(broadcast(e2), col("vec_id2") < col("vec_id"), "inner")
+        .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
+        .groupBy(col("vec_id")).agg(min(col("vec_id2")).as("dup_of"))
+      embeddings(s, d).select(col("vec_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of").isNull.as("kept"), col("dup_of"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The composite runs in exact decimal arithmetic (weights 0.5/0.3/0.2
     // and /8 as ×0.125 are finite decimals): double rounding at 6 dp hits
     // real half-ties here (observed 0.8664635) where Spark and DuckDB
@@ -243,6 +266,20 @@ object TrainingDataOps {
                 / (sqrt(a.sd) * sqrt(b.sd)), 6) AS sim
        FROM d a JOIN d b ON a.vec_id < b.vec_id
        ORDER BY sim DESC, 1, 2 LIMIT 20""",
+
+    "llm_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                    FROM embeddings),
+            d AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS sd
+                  FROM e),
+            dup AS (SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+                    FROM d a JOIN d b ON b.vec_id < a.vec_id
+                    WHERE round(list_dot_product(a.vec, b.vec)
+                      / (sqrt(a.sd) * sqrt(b.sd)), 6) >= 0.4
+                    GROUP BY 1)
+       SELECT e.vec_id, dup.dup_of IS NULL AS kept, dup.dup_of
+       FROM e LEFT JOIN dup ON dup.vec_id = e.vec_id
+       ORDER BY e.vec_id""",
 
     "llm_quality_score" ->
       """WITH base AS (

@@ -55,6 +55,20 @@ class TrainingDataSpec extends GraftSpec {
     }
   }
 
+  test("llm_embedding_neardup: keep-first invariants hold") {
+    val rows = SparkEntry.queries("llm_embedding_neardup")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val kept = r.getBoolean(1)
+      // kept ⇔ no representative; a representative always has a smaller id
+      assert(kept == r.isNullAt(2))
+      if (!kept) assert(r.getLong(2) < r.getLong(0))
+    }
+    // the least vec_id can never be dropped (nothing precedes it)
+    val minId = rows.map(_.getLong(0)).min
+    assert(rows.find(_.getLong(0) == minId).get.getBoolean(1))
+  }
+
   test("llm_ann_ivf recall@5 >= 0.5 vs brute-force truth") {
     val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf)
       .select("vec_id", "vec_id2").collect()
