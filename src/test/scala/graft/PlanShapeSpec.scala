@@ -54,4 +54,39 @@ class PlanShapeSpec extends GraftSpec {
     val plan = finalPlan("llm_jaccard_pairs")
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
+
+  test("blocked similarity ops shuffle on equi-keys, never cartesian") {
+    Seq("llm_ngram_jaccard", "llm_simhash_dedup", "llm_minhash_lsh")
+      .foreach { q =>
+        val plan = finalPlan(q)
+        assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q nested-loop over the corpus:\n$plan")
+      }
+  }
+
+  test("all-pairs embedding ops broadcast one side (corpus never shuffles)") {
+    // These are the deliberate exact baselines: the pair generator must be
+    // a broadcast nested-loop (small side shipped once), NOT a cartesian
+    // product (which would shuffle-split the corpus side).
+    Seq("llm_embedding_topk_pairs", "llm_embedding_neardup").foreach { q =>
+      val plan = finalPlan(q)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$q does not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+  }
+
+  test("llm_ann_ivf broadcasts probes and centroids, never the corpus") {
+    val plan = finalPlan("llm_ann_ivf")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+  }
+
+  test("window ops sort within partitions only (no global Sort/Exchange after window)") {
+    val plan = finalPlan("window_running_sum")
+    // one hash-partitioned exchange feeding the window, sort is per-partition
+    assert(plan.contains("Window"), s"no window op:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"window not key-partitioned:\n$plan")
+  }
 }
