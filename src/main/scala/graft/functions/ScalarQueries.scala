@@ -65,7 +65,12 @@ object ScalarQueries {
         .orderBy(col("o_orderkey"))),
 
     "fn_math" -> ((s, d) =>
-      lineitem(s, d).select(
+      lineitem(s, d)
+        // D1: (l_orderkey, l_linenumber) alone is not unique in this data;
+        // sort on the unique triple before the projection drops the price.
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .select(
         col("l_orderkey"), col("l_linenumber"),
         abs(col("l_discount") - 0.05).as("ab"),
         floor(col("l_extendedprice")).cast("bigint").as("fl"),
@@ -74,8 +79,7 @@ object ScalarQueries {
         round(sqrt(col("l_extendedprice")), 6).as("sq"),
         round(log(col("l_extendedprice")), 6).as("ln_val"),
         round(log10(col("l_extendedprice")), 6).as("lg"),
-        pmod(col("l_orderkey"), lit(7L)).as("pm"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        pmod(col("l_orderkey"), lit(7L)).as("pm"))),
 
     "fn_conditional" -> ((s, d) =>
       customer(s, d).select(
@@ -171,7 +175,7 @@ object ScalarQueries {
                 round(ln(l_extendedprice), 6) AS ln_val,
                 round(log10(l_extendedprice), 6) AS lg,
                 l_orderkey % 7 AS pm
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
 
     "fn_conditional" ->
       """SELECT c_custkey,

@@ -29,12 +29,16 @@ object Joins {
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
         .orderBy(col("n_nationkey"))),
 
+    // D1: (l_orderkey, l_linenumber) is not unique (see Relational); the
+    // lineitem-grain join results tie-break on l_extendedprice before the
+    // final projection drops it.
     "join_shuffle_inner" -> ((s, d) =>
       orders(s, d)
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "inner")
+        .orderBy(col("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"),
-          col("l_quantity"), col("o_orderstatus"))
-        .orderBy(col("o_orderkey"), col("l_linenumber"))),
+          col("l_quantity"), col("o_orderstatus"))),
 
     "join_left_outer" -> ((s, d) =>
       customer(s, d)
@@ -84,9 +88,10 @@ object Joins {
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey") &&
           datediff(col("l_shipdate"), col("o_orderdate")).between(0, 90),
           "inner")
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))),
 
     "join_self_agg" -> ((s, d) => {
       val a = part(s, d).select(col("p_brand"), col("p_partkey"))
@@ -127,7 +132,7 @@ object Joins {
     "join_shuffle_inner" ->
       """SELECT o_orderkey, l_linenumber, o_orderdate, l_quantity, o_orderstatus
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         ORDER BY o_orderkey, l_linenumber""",
+         ORDER BY o_orderkey, l_linenumber, l_extendedprice""",
 
     "join_left_outer" ->
       """SELECT c_custkey, o_orderkey,
@@ -171,7 +176,7 @@ object Joins {
                 CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS lag_days
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 0 AND 90
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
 
     "join_self_agg" ->
       """SELECT a.p_brand AS p_brand, count(*) AS n_pairs

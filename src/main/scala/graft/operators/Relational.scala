@@ -36,20 +36,27 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val queries: Map[String, Q] = Map(
+    // D1 note: (l_orderkey, l_linenumber) is NOT unique in this corpus
+    // (verified: 1161/11785/118144 duplicate groups at sf0.001/0.01/0.1);
+    // (l_orderkey, l_linenumber, l_extendedprice) IS unique at every SF, so
+    // every lineitem-grain result sorts on that triple for a total order.
     "scan_parquet" -> ((s, d) =>
-      lineitem(s, d).orderBy(col("l_orderkey"), col("l_linenumber"))),
+      lineitem(s, d).orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))),
 
     "scan_pruned" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))),
 
     "filter_comparison" -> ((s, d) =>
       lineitem(s, d)
         .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+          col("l_discount"))),
 
     "filter_in_between_like" -> ((s, d) =>
       orders(s, d)
@@ -72,30 +79,31 @@ object Relational {
 
     "project_expressions" -> ((s, d) =>
       lineitem(s, d)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"),
           when(col("l_returnflag") === "R", lit("returned"))
             .when(col("l_linestatus") === "O", lit("open"))
-            .otherwise(lit("done")).as("status_label"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+            .otherwise(lit("done")).as("status_label"))),
 
     "agg_groupby_pricing" -> (aggGroupbyPricing _)
   )
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice",
 
     "scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
 
     "filter_comparison" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
          FROM lineitem WHERE l_quantity > 30 AND l_discount <= 0.05
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
 
     "filter_in_between_like" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority, o_orderstatus
@@ -121,7 +129,7 @@ object Relational {
                 CASE WHEN l_returnflag = 'R' THEN 'returned'
                      WHEN l_linestatus = 'O' THEN 'open'
                      ELSE 'done' END AS status_label
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
 
     "agg_groupby_pricing" ->
       """SELECT l_returnflag, l_linestatus,
