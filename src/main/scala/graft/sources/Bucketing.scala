@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table plumbing: the shuffle-free co-located join path.
+  *
+  * At 100 TB the dominant cost of a fact⋈fact join (`orders ⋈ lineitem`)
+  * is the shuffle of both sides on the join key. Hash-bucketing both
+  * tables on that key at WRITE time moves the shuffle out of the query
+  * and into ingestion, paid once: every subsequent join (or groupBy) on
+  * the bucket key reads co-located buckets and Catalyst elides the
+  * exchange entirely (`spark.sql.sources.bucketing.enabled`, on by
+  * default). `sortBy` within buckets additionally lets sort-merge join
+  * skip its per-partition sort.
+  *
+  * Pick the bucket count once per table family: it bounds the join's max
+  * parallelism (one task per bucket) and should be sized so a bucket of
+  * the LARGEST co-bucketed table fits an executor's task memory — for a
+  * 100 TB lineitem at 256 MB/bucket-file target that is O(100k) buckets,
+  * NOT the 8 used in tests. Both sides of a co-located join must use the
+  * same count (Spark otherwise shuffles the mismatched side).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted parquet table in the session catalog.
+    * Bucketing metadata lives in the catalog, so this goes through
+    * `saveAsTable` (a plain `.parquet(path)` write cannot record it). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val s = df.sparkSession
+    // Overwrite mode alone won't reclaim an orphaned managed-table
+    // location (e.g. from a killed run): drop + clear it explicitly.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.net.URI(s"$warehouse/$table".replace(" ", "%20"))
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.write.format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Co-located equi-join of two same-bucket-count tables on the bucket
+    * key. The returned plan contains NO shuffle exchange for either side
+    * (asserted in `BucketingSpec`). */
+  def bucketedJoin(s: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    s.table(left).join(s.table(right),
+      s.table(left)(leftKey) === s.table(right)(rightKey), "inner")
+}
