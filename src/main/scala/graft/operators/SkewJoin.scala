@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join: the manual skew weapon for when AQE's runtime
+  * skew-split (`spark.sql.adaptive.skewJoin.enabled`, on by default) can't
+  * help — e.g. a hot key whose rows exceed one executor's memory even
+  * after AQE splits, or a build side that must stay shuffled.
+  *
+  * Mechanics: each fact row gets a deterministic salt in `[0, salts)`
+  * derived by hashing the whole row (xxhash64 over all columns — no
+  * `rand()`, so replays and retries stay consistent), widening the hot
+  * key into `salts` distinct shuffle keys. The dimension side is
+  * replicated `salts` times via `explode(sequence(...))` — its shuffle
+  * volume grows ×salts, which is why this targets fact⋈dim or
+  * fact⋈medium joins, with `salts` sized to the observed skew ratio
+  * (hot-key rows / average-key rows), not to the cluster size.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `fact` and `dim` on `key`, salted `salts` ways.
+    * Result equals `fact.join(dim, key)` exactly; only the physical key
+    * distribution differs. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int): DataFrame = {
+    val allCols: Array[Column] = fact.columns.map(col)
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(allCols: _*), lit(salts.toLong)).cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted(factKey) === replicated(dimKey) &&
+          salted("_salt") === replicated("_salt"), "inner")
+      .drop("_salt")
+  }
+}
