@@ -4,9 +4,9 @@ import java.math.RoundingMode
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger}
 import graft.Tables._
 
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
@@ -167,6 +167,34 @@ object StreamingOps {
         .orderBy(col("user_id"))
     }),
 
+    // Same per-user running aggregate as stream_stateful_agg, but through
+    // Spark 4's transformWithState — the full KeyedProcessFunction analog
+    // (typed per-key state handles, timer/TTL support, state-schema
+    // evolution). Requires the RocksDB state store provider; restores the
+    // session's provider after the run so sibling queries keep the default.
+    "stream_stateful_tws" -> ((s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new RunningAggProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "total_value")
+        runToMemory(out, "update")
+          .select(col("user_id"), col("n_events"),
+            dec(col("total_value")).as("total_value"))
+          .orderBy(col("user_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -213,6 +241,33 @@ object StreamingOps {
     })
   )
 
+  /** Per-user running (count, decimal sum) on the transformWithState API.
+    * Each input value is rounded to 6 dp on entry (≡ CAST(v AS
+    * DECIMAL(38,6)) in the oracle); decimal addition keeps the running
+    * total partition-order independent (D2). */
+  private class RunningAggProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] {
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[(Long, BigDecimal)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, BigDecimal)]("agg",
+        Encoders.product[(Long, BigDecimal)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, BigDecimal)] = {
+      var (n, acc) = Option(agg.get()).getOrElse(
+        (0L, BigDecimal(java.math.BigDecimal.ZERO)))
+      rows.foreach { case (_, v) =>
+        n += 1
+        acc += BigDecimal(
+          java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+      }
+      agg.update((n, acc))
+      Iterator.single((key, n, acc))
+    }
+  }
+
   val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
@@ -253,6 +308,11 @@ object StreamingOps {
          FROM events ORDER BY event_id""",
 
     "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+                sum(CAST(value AS DECIMAL(38,6))) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "stream_stateful_tws" ->
       """SELECT user_id, count(*) AS n_events,
                 sum(CAST(value AS DECIMAL(38,6))) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
