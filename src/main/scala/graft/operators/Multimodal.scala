@@ -40,16 +40,66 @@ object Multimodal {
       16 + (bytes.length % 64), 16 + ((bytes.length / 64) % 64), features)
   }
 
+  case class MmFrame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** STUB: deterministic "resize" — rescales the fake dimensions and
+    * renormalizes features to the new pixel count. Replace the arithmetic
+    * with a real resampling kernel in production; the signature (pure
+    * row-level function, partition-mapped) is the production shape. */
+  def resize(f: MmFeatures, w: Int, h: Int): MmFeatures = {
+    val scale = (w.toLong * h) / math.max(f.width.toLong * f.height, 1L).toDouble
+    f.copy(width = w, height = h,
+      features = f.features.map(v =>
+        java.math.BigDecimal.valueOf(v * scale)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue()))
+  }
+
+  /** STUB frame sampler: every `stride`-th 16-byte window of the payload
+    * is one "frame", fingerprinted with a rolling polynomial hash — the
+    * video analog of sampling one frame per second. Emits (doc, frame)
+    * rows via a partition-mapped flatMap, so a 2-hour video fans out to
+    * its sampled frames without any driver involvement. */
+  def frameSample(a: MmAsset, stride: Int): Iterator[MmFrame] = {
+    val bytes = a.payload
+    Iterator.range(0, math.max(bytes.length - 16, 0), 16 * stride)
+      .zipWithIndex.map { case (off, idx) =>
+        var h = 1125899906842597L
+        var i = off
+        while (i < off + 16) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+        MmFrame(a.doc_id, idx, h)
+      }
+  }
+
+  private def assets(s: SparkSession, d: String) = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("source").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MmAsset]
+  }
+
   val queries: Map[String, Q] = Map(
     // Rows-only (stubbed decode has no SQL oracle); MultimodalSpec checks
     // schema, determinism, and partition-parallel execution.
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
-      val assets = graft.Tables.documents(s, d)
-        .select(col("doc_id"), col("source").as("fmt"),
-          col("text").cast("binary").as("payload"))
-        .as[MmAsset]
-      assets.mapPartitions(_.map(decode)).toDF().orderBy(col("doc_id"))
+      assets(s, d).mapPartitions(_.map(decode)).toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // decode → resize to a fixed 32×32 thumbnail grid, one fused
+    // partition-mapped stage (no shuffle between the two steps).
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      assets(s, d).mapPartitions(_.map(a => resize(decode(a), 32, 32)))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // payload → sampled frame fingerprints (1 row per sampled frame).
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      assets(s, d).mapPartitions(_.flatMap(a => frameSample(a, 4)))
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 

@@ -96,6 +96,39 @@ class TrainingDataSpec extends GraftSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("mm_resize: fixed output dims, renormalized features, deterministic") {
+    val out = SparkEntry.queries("mm_resize")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      assert(r.getInt(3) == 32 && r.getInt(4) == 32)
+      assert(r.getSeq[Double](5).length == 8)
+    }
+    val again = SparkEntry.queries("mm_resize")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("mm_frame_sample: stride coverage, contiguous indices, deterministic") {
+    val out = SparkEntry.queries("mm_frame_sample")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-doc frame indices are 0..n-1 with no gaps
+    out.groupBy(_.getLong(0)).foreach { case (_, frames) =>
+      val idx = frames.map(_.getInt(1)).sorted.toSeq
+      assert(idx == (0 until idx.length))
+    }
+    // a doc's frame count matches its payload length and the stride
+    val lens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "length(text) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.groupBy(_.getLong(0)).foreach { case (doc, frames) =>
+      val expected = math.ceil(
+        math.max(lens(doc) - 16, 0) / (16.0 * 4)).toInt
+      assert(frames.length == expected,
+        s"doc $doc: ${frames.length} frames, expected $expected")
+    }
+    val again = SparkEntry.queries("mm_frame_sample")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("llm_lang_id beats uniform-guess accuracy") {
     val out = SparkEntry.queries("llm_lang_id")(spark, sf).collect()
     val acc = out.count(_.getBoolean(3)).toDouble / out.length
