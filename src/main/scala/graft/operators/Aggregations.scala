@@ -64,6 +64,38 @@ object Aggregations {
           asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))),
 
+    // Exact interpolated percentiles (sort-based inside the aggregate, so
+    // the result is partition-order independent even though the output is
+    // double; rounded to 6 dp on both sides). The 100 TB variant swaps in
+    // approx_percentile's mergeable sketch, mirroring agg_approx_distinct.
+    "agg_percentile" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9D)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Dispersion statistics computed from exact decimal moments (D2):
+    // sum(x) and sum(x²) accumulate as DECIMAL(38,6) — associative, so
+    // partition order can't drift them — and only the final
+    // variance/stddev arithmetic runs in double, as the identical
+    // expression on both engines.
+    "agg_stats_exact" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_quantity") * col("l_quantity"))).cast("double")
+            .as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("sx") / col("n"), 6).as("mean_qty"),
+          round((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1), 6).as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_qty"))
+        .orderBy(col("l_returnflag"))),
+
     "agg_having" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_custkey"))
@@ -97,6 +129,25 @@ object Aggregations {
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_percentile" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_stats_exact" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round(sx / n, 6) AS mean_qty,
+                round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+                round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+         FROM m ORDER BY l_returnflag""",
 
     "agg_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
