@@ -54,6 +54,40 @@ class PropertySpec extends GraftSpec {
     assert(checked.filter($"rnk" < 1 || $"rnk" > $"n").count() == 0)
   }
 
+  test("sorted_intersect_size == |distinct intersection| on random arrays") {
+    import spark.implicits._
+    functions.SortedIntersectSize.register(spark)
+    val arrs = sample(for {
+      a <- Gen.listOfN(20, Gen.choose(0, 30))
+      b <- Gen.listOfN(20, Gen.choose(0, 30))
+    } yield (a.map(_.toLong), b.map(_.toLong)), 200)
+    val df = arrs.toDF("a", "b").select(
+      sort_array(array_distinct($"a")).as("sa"),
+      sort_array(array_distinct($"b")).as("sb"))
+    val bad = df.filter(
+      expr("sorted_intersect_size(sa, sb)") =!=
+        size(array_intersect($"sa", $"sb")))
+    assert(bad.count() == 0)
+  }
+
+  test("cosine_sim stays in [-1, 1] and is 1 on itself") {
+    import spark.implicits._
+    functions.CosineSimilarity.register(spark)
+    val vecs = sample(
+      Gen.listOfN(16, Gen.choose(-10.0, 10.0).map(_.toFloat))
+        .suchThat(_.exists(_ != 0f)), 200)
+    val df = vecs.toDF("v")
+    val bad = df.filter(
+      expr("cosine_sim(v, v)") < 0.999999 ||
+        expr("cosine_sim(v, v)") > 1.000001)
+    assert(bad.count() == 0)
+    val pairs = vecs.zip(vecs.reverse).toDF("a", "b")
+    val oob = pairs.filter(
+      expr("cosine_sim(a, b)") < -1.000001 ||
+        expr("cosine_sim(a, b)") > 1.000001)
+    assert(oob.count() == 0)
+  }
+
   test("decimal sum is invariant under repartitioning (D2 rationale)") {
     import spark.implicits._
     val xs = sample(Gen.choose(-1.0e6, 1.0e6), 400)
