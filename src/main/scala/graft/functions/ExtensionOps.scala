@@ -34,6 +34,18 @@ object ExtensionOps {
             expr("INTERVAL 1 MONTH"))).as("month_start"))
         .orderBy(col("o_orderkey"), col("month_start"))),
 
+    // The native-Generator form of the UDTF surface: index_sequence is a
+    // custom Catalyst Generator (graft.functions.IndexSequence), planned
+    // as a Generate node like the built-in explode — per-partition
+    // fan-out, no shuffle.
+    "udtf_native_generate" -> ((s, d) => {
+      IndexSequence.register(s)
+      orders(s, d)
+        .selectExpr("o_orderkey",
+          "index_sequence(CAST(o_orderkey % 4 AS INT) + 1) AS idx")
+        .orderBy(col("o_orderkey"), col("idx"))
+    }),
+
     "expr_native_cosine" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = embeddings(s, d)
@@ -66,6 +78,12 @@ object ExtensionOps {
                   CAST(date_trunc('month', o_orderdate + INTERVAL 3 MONTH) AS TIMESTAMP),
                   INTERVAL 1 MONTH)) AS month_start
          FROM orders ORDER BY o_orderkey, month_start""",
+
+    "udtf_native_generate" ->
+      """SELECT o_orderkey, u.i AS idx
+         FROM orders, unnest(generate_series(0,
+           CAST(o_orderkey % 4 AS INT))) AS u(i)
+         ORDER BY o_orderkey, idx""",
 
     // Same kernel semantics as llm_cosine_topk (SURVEY §2.1 K): the native
     // expression computes dot/(sqrt(na)*sqrt(nb)) in identical element order.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, IndexSequence, SortedIntersectSize}
 
 /** Cluster-wide injection point for graft's native Catalyst expressions.
   *
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_size"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("index_sequence"),
+      new ExpressionInfo(classOf[IndexSequence].getName, "index_sequence"),
+      (children: Seq[Expression]) => IndexSequence(children.head)))
   }
 }

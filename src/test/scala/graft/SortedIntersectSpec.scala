@@ -46,7 +46,17 @@ class SortedIntersectSpec extends GraftSpec {
       s"sorted_intersect_size not in a codegen span:\n$plan")
   }
 
-  test("GraftExtensions injects both native functions into a new session") {
+  test("index_sequence plans as a Generate node and fans out correctly") {
+    functions.IndexSequence.register(spark)
+    import spark.implicits._
+    val df = Seq(0, 1, 3).toDF("n")
+      .selectExpr("n", "index_sequence(n) AS idx")
+    assert(df.queryExecution.executedPlan.toString.contains("Generate"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows.sorted == Seq((1, 0), (3, 0), (3, 1), (3, 2)))
+  }
+
+  test("GraftExtensions injects all native functions into a new session") {
     import org.apache.spark.sql.SparkSession
     spark // force fixture init so the shared SparkContext exists
     // getOrCreate() would hand back the fixture session (and silently skip
@@ -66,6 +76,7 @@ class SortedIntersectSpec extends GraftSpec {
       val row = one.selectExpr("sorted_intersect_size(x, y) AS n",
         "cosine_sim(u, v) AS c").head()
       assert(row.getInt(0) == 1 && math.abs(row.getDouble(1) - 1.0) < 1e-12)
+      assert(ext.sql("SELECT index_sequence(3) AS i").count() == 3)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
