@@ -39,7 +39,9 @@ case class IndexSequence(child: Expression)
     else {
       val n = v match {
         case i: java.lang.Integer => i.intValue()
-        case l: java.lang.Long => l.intValue()
+        // refuse to truncate: a BIGINT count past Int.MaxValue would
+        // silently wrap to a wrong (possibly zero) row count
+        case l: java.lang.Long => Math.toIntExact(l.longValue())
       }
       if (n <= 0) Nil else (0 until n).map(i => InternalRow(i))
     }

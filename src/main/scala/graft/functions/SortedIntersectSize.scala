@@ -33,16 +33,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(StringType, _) | ArrayType(LongType, _) => true
-      case _ => false
+    def elem(t: DataType): Option[DataType] = t match {
+      case ArrayType(e @ (StringType | LongType), _) => Some(e)
+      case _ => None
     }
-    if (ok(left.dataType) && left.dataType == right.dataType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<string> or two array<bigint> " +
-        s"arguments, got ${left.dataType.catalogString} / " +
-        s"${right.dataType.catalogString}")
+    // compare element types only — containsNull may differ between a
+    // split()-derived array and one read from parquet, and the no-null-
+    // element precondition is the caller's contract either way
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> or two array<bigint> " +
+          s"arguments, got ${left.dataType.catalogString} / " +
+          s"${right.dataType.catalogString}")
+    }
   }
 
   override def dataType: DataType = IntegerType

@@ -61,7 +61,9 @@ object Multimodal {
     * its sampled frames without any driver involvement. */
   def frameSample(a: MmAsset, stride: Int): Iterator[MmFrame] = {
     val bytes = a.payload
-    Iterator.range(0, math.max(bytes.length - 16, 0), 16 * stride)
+    // a window starting at `off` reads bytes [off, off+16), so the last
+    // valid start is length-16 ⇒ exclusive bound length-15
+    Iterator.range(0, math.max(bytes.length - 15, 0), 16 * stride)
       .zipWithIndex.map { case (off, idx) =>
         var h = 1125899906842597L
         var i = off

@@ -19,14 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The salt expression `saltedJoin` assigns to fact rows: a
+    * deterministic hash of the whole row reduced mod `salts`. Exposed so
+    * tests exercise the production formula rather than a copy. */
+  def saltColumn(fact: DataFrame, salts: Int): Column =
+    pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
+      lit(salts.toLong)).cast("int")
+
   /** Inner equi-join of `fact` and `dim` on `key`, salted `salts` ways.
     * Result equals `fact.join(dim, key)` exactly; only the physical key
     * distribution differs. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, salts: Int): DataFrame = {
-    val allCols: Array[Column] = fact.columns.map(col)
-    val salted = fact.withColumn("_salt",
-      pmod(xxhash64(allCols: _*), lit(salts.toLong)).cast("int"))
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
+    val salted = fact.withColumn("_salt", saltColumn(fact, salts))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,

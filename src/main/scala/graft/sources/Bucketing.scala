@@ -28,12 +28,16 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val s = df.sparkSession
+    require(!table.contains("."),
+      "pass an unqualified table name (default database assumed)")
     // Overwrite mode alone won't reclaim an orphaned managed-table
     // location (e.g. from a killed run): drop + clear it explicitly.
+    // The catalog lowercases table names, so the managed location under
+    // the warehouse dir is the lowercased name.
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = s.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.net.URI(s"$warehouse/$table".replace(" ", "%20"))
-    val p = new org.apache.hadoop.fs.Path(loc)
+    val p = new org.apache.hadoop.fs.Path(warehouse,
+      table.toLowerCase(java.util.Locale.ROOT))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     df.write.format("parquet")
@@ -47,7 +51,12 @@ object Bucketing {
     * key. The returned plan contains NO shuffle exchange for either side
     * (asserted in `BucketingSpec`). */
   def bucketedJoin(s: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    s.table(left).join(s.table(right),
-      s.table(left)(leftKey) === s.table(right)(rightKey), "inner")
+      leftKey: String, rightKey: String): DataFrame = {
+    // bind each side once: the join condition must reference the SAME
+    // Dataset instances as the operands (expression IDs), not fresh
+    // s.table() lookups that only resolve while the relation cache is warm
+    val l = s.table(left)
+    val r = s.table(right)
+    l.join(r, l(leftKey) === r(rightKey), "inner")
+  }
 }

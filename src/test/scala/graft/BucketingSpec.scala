@@ -39,6 +39,9 @@ class BucketingSpec extends GraftSpec {
   }
 
   test("groupBy on the bucket key also avoids the exchange") {
+    if (!spark.catalog.tableExists("b_lineitem"))
+      sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf), "b_lineitem", "l_orderkey", 8)
     val agg = spark.table("b_lineitem")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))

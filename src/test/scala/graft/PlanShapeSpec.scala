@@ -84,9 +84,21 @@ class PlanShapeSpec extends GraftSpec {
   }
 
   test("window ops sort within partitions only (no global Sort/Exchange after window)") {
-    val plan = finalPlan("window_running_sum")
-    // one hash-partitioned exchange feeding the window, sort is per-partition
+    // The registered window_* queries end in a total-order sort for the
+    // oracle (D1), which legitimately range-partitions — so build the raw
+    // window shape here, without that final sort, and pin ITS plan.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = Tables.orders(spark, sf)
+      .withColumn("run", sum(Tables.dec(col("o_totalprice"))).over(w))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"no window op:\n$plan")
-    assert(plan.contains("hashpartitioning"), s"window not key-partitioned:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      s"window not key-partitioned:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"window shape globally sorts:\n$plan")
   }
 }

@@ -26,20 +26,31 @@ class SkewJoinSpec extends GraftSpec {
   test("salting spreads the hot key over multiple salt values") {
     import spark.implicits._
     val fact = (1 to 1000).map(i => (1, i)).toDF("k", "payload")
-    val allCols = fact.columns.map(col)
     val saltCard = fact
-      .withColumn("_salt", pmod(xxhash64(allCols: _*), lit(8L)).cast("int"))
+      .withColumn("_salt", operators.SkewJoin.saltColumn(fact, 8))
       .select(countDistinct(col("_salt"))).as[Long].head()
     assert(saltCard >= 6, s"hot key only spread over $saltCard salts")
   }
 
   test("salt is deterministic across evaluations") {
     val fact = Tables.orders(spark, sf)
-    val allCols = fact.columns.map(col)
     val salted = fact.withColumn("_salt",
-      pmod(xxhash64(allCols: _*), lit(8L)).cast("int"))
+      operators.SkewJoin.saltColumn(fact, 8))
     val a = salted.groupBy(col("_salt")).count().collect().toSet
     val b = salted.groupBy(col("_salt")).count().collect().toSet
     assert(a == b)
+  }
+
+  test("saltedJoin rejects misconfiguration instead of corrupting results") {
+    import spark.implicits._
+    val fact = Seq((1, 2)).toDF("k", "payload")
+    val dim = Seq((1, "x")).toDF("dk", "name")
+    intercept[IllegalArgumentException] {
+      operators.SkewJoin.saltedJoin(fact, dim, "k", "dk", 0)
+    }
+    intercept[IllegalArgumentException] {
+      operators.SkewJoin.saltedJoin(
+        fact.withColumn("_salt", lit(1)), dim, "k", "dk", 4)
+    }
   }
 }

@@ -121,7 +121,7 @@ class TrainingDataSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     out.groupBy(_.getLong(0)).foreach { case (doc, frames) =>
       val expected = math.ceil(
-        math.max(lens(doc) - 16, 0) / (16.0 * 4)).toInt
+        math.max(lens(doc) - 15, 0) / (16.0 * 4)).toInt
       assert(frames.length == expected,
         s"doc $doc: ${frames.length} frames, expected $expected")
     }
