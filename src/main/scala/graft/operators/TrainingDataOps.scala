@@ -125,6 +125,48 @@ object TrainingDataOps {
         .limit(20)
     }),
 
+    // Deterministic stratified sampling: the 100 TB sampling pattern is a
+    // pure function of a stable key (NEVER rand() — retries, speculative
+    // tasks and re-runs must agree), here doc_id mod 10 per language
+    // stratum. Swap the mod for xxhash64(id) % k when ids are not
+    // uniformly distributed.
+    "llm_sample_stratified" -> ((s, d) =>
+      documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Train/val/test split assignment, same determinism rule: 80/10/10 by
+    // doc_id mod 100, summarized per (lang, split).
+    "llm_split_assign" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
+            .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // Sequence packing: assign docs to fixed-budget context windows by a
+    // running token count per language (streaming fill — each doc lands in
+    // the bin its cumulative prefix starts in). One window shuffle keyed
+    // by lang; at corpus scale key by (lang, shard) to bound partition
+    // size, bins then number per shard.
+    "llm_pack_sequences" -> ((s, d) => {
+      val toksN = size(split(col("text"), " "))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), toksN.as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")) / 512).cast("bigint"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-duplicate DEDUP (completes the dedup family:
     // exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
     // Rule: vector x is a duplicate iff some y < x has round(cos,6) ≥ 0.4
@@ -266,6 +308,30 @@ object TrainingDataOps {
                 / (sqrt(a.sd) * sqrt(b.sd)), 6) AS sim
        FROM d a JOIN d b ON a.vec_id < b.vec_id
        ORDER BY sim DESC, 1, 2 LIMIT 20""",
+
+    "llm_sample_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+
+    "llm_split_assign" ->
+      """SELECT lang,
+                CASE WHEN doc_id % 100 < 80 THEN 'train'
+                     WHEN doc_id % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tokens
+                    FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+         SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+                CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""",
 
     "llm_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
