@@ -242,10 +242,14 @@ object TrainingDataOps {
       val docs = documents(s, d)
       val tok = docs.select(col("doc_id"), col("lang"),
         explode(ws).as("w"))
-      val tf = tok.groupBy(col("doc_id"), col("w"))
+      // One corpus-sized aggregation; the model-side (lang, word) counts
+      // roll up from it (lang is functionally dependent on doc_id), so the
+      // exploded corpus is shuffled ONCE — Catalyst's ReuseExchange shares
+      // the tf exchange between both consumers instead of re-exploding.
+      val tf = tok.groupBy(col("doc_id"), col("lang"), col("w"))
         .agg(count(lit(1)).as("tf"))
-      val cnts = tok.groupBy(col("lang").as("m_lang"), col("w"))
-        .agg(count(lit(1)).as("cnt"))
+      val cnts = tf.groupBy(col("lang").as("m_lang"), col("w"))
+        .agg(sum(col("tf")).as("cnt"))
       // Model-side statistics all derive from the (lang, word) count table,
       // not from re-scanning the exploded corpus: at 100 TB `tok` is
       // corpus-sized while `cnts` is vocabulary-sized (|V|·|L| rows), so
