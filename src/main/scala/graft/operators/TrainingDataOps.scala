@@ -167,6 +167,39 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Capacity-aware greedy packing (vs llm_pack_sequences' streaming
+    // fill): a doc starts a new bin when it would overflow the 512-token
+    // budget. The running-total-with-reset is not a SQL window function,
+    // so this uses Spark's secondary-sort idiom — repartition by lang,
+    // sortWithinPartitions(lang, doc_id), then one pass per partition with
+    // O(1) state. Scales: each partition streams its languages in order,
+    // no driver involvement, no groupBy materialization. Rows-only
+    // (ScalaTest asserts capacity + determinism; no SQL oracle since
+    // DuckDB would need a recursive CTE).
+    "llm_pack_greedy" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .as[(Long, String, Int)]
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .mapPartitions { rows =>
+          var lang = ""; var bin = -1L; var used = 0
+          rows.map { case (id, l, n) =>
+            if (l != lang || used + n > budget) {
+              bin = if (l != lang) 0L else bin + 1L
+              lang = l; used = 0
+            }
+            used += n
+            (id, l, n, bin)
+          }
+        }
+        .toDF("doc_id", "lang", "n_tokens", "bin")
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-duplicate DEDUP (completes the dedup family:
     // exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
     // Rule: vector x is a duplicate iff some y < x has round(cos,6) ≥ 0.4

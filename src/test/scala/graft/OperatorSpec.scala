@@ -18,7 +18,7 @@ class OperatorSpec extends GraftSpec {
     assert((qs.keySet -- oracles.keySet) ==
       Set("agg_approx_distinct", "llm_minhash_lsh", "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "mm_decode_features",
-        "mm_resize", "mm_frame_sample"))
+        "mm_resize", "mm_frame_sample", "llm_pack_greedy"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

@@ -129,6 +129,30 @@ class TrainingDataSpec extends GraftSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("llm_pack_greedy: bins respect the budget and the greedy order") {
+    val rows = SparkEntry.queries("llm_pack_greedy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val byBin = docs.groupBy(_._4)
+      // capacity: a bin only exceeds 512 if it is a single oversized doc
+      byBin.foreach { case (_, ds) =>
+        val total = ds.map(_._3).sum
+        assert(total <= 512 || ds.length == 1, s"overfull bin: $ds")
+      }
+      // greedy order: bins numbered contiguously from 0 in doc_id order
+      val binSeq = docs.sortBy(_._1).map(_._4).toSeq
+      assert(binSeq.head == 0L)
+      binSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b == a || b == a + 1, s"bin jump $a -> $b")
+        case _ => ()
+      }
+    }
+    val again = SparkEntry.queries("llm_pack_greedy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("llm_lang_id beats uniform-guess accuracy") {
     val out = SparkEntry.queries("llm_lang_id")(spark, sf).collect()
     val acc = out.count(_.getBoolean(3)).toDouble / out.length
