@@ -72,6 +72,48 @@ object LlmOps {
 
     // Approximate near-dup candidates — no SQL oracle (ScalaTest asserts
     // recall against llm_jaccard_pairs ground truth instead). Candidates
+    // End-to-end dedup pipeline (composition showcase): stage 1 exact
+    // dedup (keep min doc_id per identical text), stage 2 near-dup drop
+    // among the survivors — x is dropped iff an earlier survivor y has
+    // token-set Jaccard ≥ 0.5 under the standard (lang, |Δn_chars| ≤ 10)
+    // blocking. Emits every doc with its verdict + representative, so the
+    // output is both the kept corpus (stage='kept') and the dedup audit
+    // trail. One-hop keep-first (no transitive closure) — deterministic
+    // and SQL-expressible for the oracle.
+    "llm_dedup_pipeline" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val base = documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"), sortedToks.as("toks"),
+        floor(col("n_chars") / 10).as("bucket"))
+      val keyed = base.withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      val surv = keyed.filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+          col("bucket"))
+      val right = surv
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("toks").as("toks2"),
+          col("bucket"))
+      val nd = surv.join(right,
+          col("lang") === col("lang2") && surv("bucket") === right("bucket") &&
+            col("doc_id2") < col("doc_id") &&
+            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
+        .filter(col("inter") /
+          (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
+        .groupBy(col("doc_id")).agg(min(col("doc_id2")).as("nd_of"))
+      keyed.join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
+            .when(col("nd_of").isNotNull, lit("near_dup"))
+            .otherwise(lit("kept")).as("stage"),
+          when(col("doc_id") =!= col("keeper"), col("keeper"))
+            .otherwise(col("nd_of")).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     // carry the same (lang, n_chars/10 ± 1) blocking as the exact-Jaccard
     // truth: the corpus is a small-vocabulary word soup, so unigram-set
     // band buckets are dense — unblocked LSH degenerates toward O(n²)
@@ -167,6 +209,39 @@ object LlmOps {
            SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+
+    "llm_dedup_pipeline" ->
+      """WITH keep AS (SELECT doc_id, lang, n_chars, text,
+                         min(doc_id) OVER (PARTITION BY text) AS keeper
+                       FROM documents),
+            surv AS (SELECT * FROM keep WHERE doc_id = keeper),
+            tok AS (SELECT DISTINCT doc_id,
+                      unnest(string_split(text, ' ')) AS w
+                    FROM surv),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+                       count(*) AS inter
+                     FROM tok a
+                     JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                     JOIN surv sa ON sa.doc_id = a.doc_id
+                     JOIN surv sb ON sb.doc_id = b.doc_id
+                     WHERE sa.lang = sb.lang
+                       AND abs(sa.n_chars - sb.n_chars) <= 10
+                     GROUP BY 1, 2),
+            nd AS (SELECT p.doc_id, min(cand) AS nd_of
+                   FROM pair p
+                   JOIN card ca ON ca.doc_id = p.cand
+                   JOIN card cb ON cb.doc_id = p.doc_id
+                   WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+                   GROUP BY 1)
+       SELECT k.doc_id, k.lang,
+              CASE WHEN k.doc_id != k.keeper THEN 'exact_dup'
+                   WHEN nd.nd_of IS NOT NULL THEN 'near_dup'
+                   ELSE 'kept' END AS stage,
+              CASE WHEN k.doc_id != k.keeper THEN k.keeper
+                   ELSE nd.nd_of END AS dup_of
+       FROM keep k LEFT JOIN nd ON nd.doc_id = k.doc_id
+       ORDER BY k.doc_id""",
 
     "llm_jaccard_pairs" ->
       """WITH tok AS (SELECT DISTINCT * FROM (

@@ -115,6 +115,14 @@ class StreamingSpec extends GraftSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("transformWithState agrees with the mapGroupsWithState path") {
+    val tws = SparkEntry.queries("stream_stateful_tws")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val mgs = SparkEntry.queries("stream_stateful_agg")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(tws == mgs)
+  }
+
   private def eventually(tries: Int, sleepMs: Long)(cond: => Boolean): Unit = {
     var i = 0
     while (i < tries && !cond) { Thread.sleep(sleepMs); i += 1 }
