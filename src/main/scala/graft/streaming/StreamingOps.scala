@@ -96,9 +96,23 @@ object StreamingOps {
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(ckpt)
+    }
     s.table(name)
   }
+
+  /** Remove a throwaway checkpoint once its query has terminated — these
+    * are single-run by design (unique dir per call), so leaving them
+    * would grow tmpfs without bound across many harness invocations. */
+  private def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) => {
@@ -234,6 +248,7 @@ object StreamingOps {
         .option("checkpointLocation", ckpt)
         .start()
       q.awaitTermination()
+      deleteRecursively(ckpt)
       s.read.parquet(dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
