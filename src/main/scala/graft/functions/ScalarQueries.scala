@@ -23,6 +23,28 @@ object ScalarQueries {
           col("event_type"), col("value"))
         .orderBy(col("event_id"))),
 
+    // Time-series densification: every hourly bucket between each key's
+    // first and last event, zeros where nothing happened. The grid
+    // generates from the tiny per-key bounds aggregate (O(keys) rows
+    // exploding to O(keys × spans)), NOT from the event stream — so the
+    // corpus is scanned once and the gap fill itself never shuffles
+    // corpus-sized data.
+    "ts_gapfill" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts_utc")).as("hb"))
+        .agg(count(lit(1)).as("cnt"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("hb")).as("mn"), max(col("hb")).as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 HOUR"))).as("hb"))
+      grid.join(hourly, Seq("event_type", "hb"), "left")
+        .select(col("event_type"), col("hb"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy(col("event_type"), col("hb"))
+    }),
+
     "fn_string" -> ((s, d) =>
       part(s, d).select(
         col("p_partkey"),
@@ -129,6 +151,21 @@ object ScalarQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_utc, user_id,
                 event_type, value
          FROM events ORDER BY event_id""",
+
+    "ts_gapfill" ->
+      """WITH h AS (SELECT event_type,
+                      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb,
+                      count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+            bounds AS (SELECT event_type, min(hb) AS mn, max(hb) AS mx
+                       FROM h GROUP BY 1),
+            grid AS (SELECT event_type,
+                       unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hb
+                     FROM bounds)
+       SELECT g.event_type, g.hb, coalesce(h.cnt, 0) AS cnt
+       FROM grid g LEFT JOIN h ON h.event_type = g.event_type
+         AND h.hb = g.hb
+       ORDER BY g.event_type, g.hb""",
 
     "fn_string" ->
       """SELECT p_partkey,
