@@ -115,6 +115,33 @@ class StreamingSpec extends GraftSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    // The 100 TB streaming dedup: plain dropDuplicates keeps every key
+    // forever; the within-watermark variant evicts state once the
+    // watermark passes, at the cost of only deduplicating within the
+    // watermark window — verify the dedup semantics on crafted dupes.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wmdedup_").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq((t("2024-01-01 10:00:00"), 1L, "a"),
+      (t("2024-01-01 10:01:00"), 1L, "b"), // dup id within window
+      (t("2024-01-01 10:02:00"), 2L, "c"))
+      .toDF("ts", "id", "payload")
+      .repartition(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("wm_dedup").collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("transformWithState agrees with the mapGroupsWithState path") {
     val tws = SparkEntry.queries("stream_stateful_tws")(spark, sf)
       .collect().map(_.toString).toSeq
