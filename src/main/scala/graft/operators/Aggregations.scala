@@ -76,6 +76,18 @@ object Aggregations {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // The mergeable-sketch percentile (KLL-style): one pass, bounded
+    // memory per group, sketches merge associatively across partitions —
+    // the 100 TB form of agg_percentile. Approximate ⇒ no oracle;
+    // ScalaTest bounds it against the exact op.
+    "agg_approx_percentile" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // Dispersion statistics computed from exact decimal moments (D2):
     // sum(x) and sum(x²) accumulate as DECIMAL(38,6) — associative, so
     // partition order can't drift them — and only the final

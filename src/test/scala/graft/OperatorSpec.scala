@@ -18,7 +18,8 @@ class OperatorSpec extends GraftSpec {
     assert((qs.keySet -- oracles.keySet) ==
       Set("agg_approx_distinct", "llm_minhash_lsh", "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "mm_decode_features",
-        "mm_resize", "mm_frame_sample", "llm_pack_greedy"))
+        "mm_resize", "mm_frame_sample", "llm_pack_greedy",
+        "agg_approx_percentile"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {
@@ -47,6 +48,23 @@ class OperatorSpec extends GraftSpec {
       val ap = approx(k)
       assert(math.abs(ap - ex).toDouble / ex <= 0.05,
         s"$k: approx=$ap exact=$ex off by >5%")
+    }
+  }
+
+  test("approx_percentile within 5% of the exact interpolated percentile") {
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / math.abs(e50) <= 0.05,
+        s"$k p50: approx=$a50 exact=$e50")
+      assert(math.abs(a90 - e90) / math.abs(e90) <= 0.05,
+        s"$k p90: approx=$a90 exact=$e90")
     }
   }
 
