@@ -136,6 +136,20 @@ object TrainingDataOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Uniform k-sample without a full sort: order by a multiplicative hash
+    // of the id (Knuth's 2654435761 — computable identically in any
+    // engine, unlike xxhash64) and take the first k. Compiles to
+    // TakeOrderedAndProject: each partition keeps its local top-k by hash,
+    // the driver merges k×partitions rows — no corpus-wide shuffle or
+    // sort, the scale shape of "give me 100 uniformly random docs".
+    "llm_sample_topk_hash" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("h",
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("h"))),
+
     // Train/val/test split assignment, same determinism rule: 80/10/10 by
     // doc_id mod 100, summarized per (lang, split).
     "llm_split_assign" -> ((s, d) =>
@@ -349,6 +363,12 @@ object TrainingDataOps {
     "llm_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+
+    "llm_sample_topk_hash" ->
+      """SELECT doc_id, lang,
+                (doc_id * 2654435761) % 4294967296 AS h
+         FROM documents
+         ORDER BY h, doc_id LIMIT 100""",
 
     "llm_split_assign" ->
       """SELECT lang,
