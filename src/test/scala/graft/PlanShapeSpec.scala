@@ -41,6 +41,11 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort used:\n$plan")
   }
 
+  test("hash-ordered sampling compiles to TakeOrderedAndProject") {
+    val plan = finalPlan("llm_sample_topk_hash")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort used:\n$plan")
+  }
+
   test("agg_groupby_pricing is a partial+final hash aggregate") {
     val plan = finalPlan("agg_groupby_pricing")
     assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
