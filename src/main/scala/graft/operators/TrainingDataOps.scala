@@ -136,6 +136,25 @@ object TrainingDataOps {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // PII redaction: email and long-digit-run scrubbing with patterns from
+    // the Java∩RE2 regex subset (D5 — char classes, +, bounded repeats; no
+    // lookaround). The corpus has no real PII, so deterministic synthetic
+    // PII is appended per doc before redaction — the assertion is that
+    // both engines scrub the same spans, not that the corpus is dirty.
+    "llm_redact" -> ((s, d) => {
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+      val phoneRe = "[0-9]{7,}"
+      documents(s, d)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555"), col("doc_id"),
+            lit("0000 now")))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Uniform k-sample without a full sort: order by a multiplicative hash
     // of the id (Knuth's 2654435761 — computable identically in any
     // engine, unlike xxhash64) and take the first k. Compiles to
@@ -363,6 +382,17 @@ object TrainingDataOps {
     "llm_sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+
+    "llm_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    text || ' contact user' || doc_id ||
+                      '@example.com or call 555' || doc_id || '0000 now',
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+',
+                    '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<PHONE>', 'g') AS clean
+         FROM documents ORDER BY doc_id""",
 
     "llm_sample_topk_hash" ->
       """SELECT doc_id, lang,
