@@ -32,6 +32,44 @@ object LlmOps {
     * BEFORE the candidate join, amortized over all pairs the doc is in. */
   private def sortedToks = sort_array(toks)
 
+  /** Per-doc dedup verdict (doc_id, lang, stage, dup_of): stage 1 exact
+    * dedup keeps the min doc_id per identical text; stage 2 drops a
+    * survivor iff an earlier survivor has token-set Jaccard ≥ 0.5 under
+    * the (lang, |Δn_chars| ≤ 10) blocking. `dup_of` < doc_id always, so
+    * the edges form a forest — which llm_dedup_clusters exploits. */
+  private def dedupVerdicts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectSize.register(s)
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"), sortedToks.as("toks"),
+      floor(col("n_chars") / 10).as("bucket"))
+    val keyed = base.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val surv = keyed.filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bucket"))
+    val right = surv
+      .withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+        col("n_chars").as("n_chars2"), col("toks").as("toks2"),
+        col("bucket"))
+    val nd = surv.join(right,
+        col("lang") === col("lang2") && surv("bucket") === right("bucket") &&
+          col("doc_id2") < col("doc_id") &&
+          abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+      .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
+      .filter(col("inter") /
+        (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
+      .groupBy(col("doc_id")).agg(min(col("doc_id2")).as("nd_of"))
+    keyed.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
+          .when(col("nd_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("doc_id") =!= col("keeper"), col("keeper"))
+          .otherwise(col("nd_of")).as("dup_of"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
@@ -80,37 +118,42 @@ object LlmOps {
     // output is both the kept corpus (stage='kept') and the dedup audit
     // trail. One-hop keep-first (no transitive closure) — deterministic
     // and SQL-expressible for the oracle.
-    "llm_dedup_pipeline" -> ((s, d) => {
-      graft.functions.SortedIntersectSize.register(s)
-      val base = documents(s, d).select(col("doc_id"), col("lang"),
-        col("n_chars"), col("text"), sortedToks.as("toks"),
-        floor(col("n_chars") / 10).as("bucket"))
-      val keyed = base.withColumn("keeper",
-        min(col("doc_id")).over(Window.partitionBy(col("text"))))
-      val surv = keyed.filter(col("doc_id") === col("keeper"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-          col("bucket"))
-      val right = surv
-        .withColumn("bucket",
-          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
-          col("n_chars").as("n_chars2"), col("toks").as("toks2"),
-          col("bucket"))
-      val nd = surv.join(right,
-          col("lang") === col("lang2") && surv("bucket") === right("bucket") &&
-            col("doc_id2") < col("doc_id") &&
-            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
-        .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
-        .filter(col("inter") /
-          (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
-        .groupBy(col("doc_id")).agg(min(col("doc_id2")).as("nd_of"))
-      keyed.join(nd, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"),
-          when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
-            .when(col("nd_of").isNotNull, lit("near_dup"))
-            .otherwise(lit("kept")).as("stage"),
-          when(col("doc_id") =!= col("keeper"), col("keeper"))
-            .otherwise(col("nd_of")).as("dup_of"))
+    "llm_dedup_pipeline" -> ((s, d) =>
+      dedupVerdicts(s, d).orderBy(col("doc_id"))),
+
+    // Transitive dedup clustering — the iterative-graph capability. The
+    // pipeline's `dup_of` edges form a forest (every edge points to a
+    // strictly smaller id); the cluster id of a doc is the root of its
+    // chain. Computed by POINTER JUMPING: each round replaces every
+    // node's label with its label's label (one self-join), halving chain
+    // depth — fixpoint in ceil(log2(depth)) rounds. The driver loop only
+    // checks a convergence flag (isEmpty); all data stays distributed —
+    // the same driver-coordinated shape GraphX/connected-components uses.
+    "llm_dedup_clusters" -> ((s, d) => {
+      // localCheckpoint (eager) truncates lineage each round — without it
+      // iteration k re-runs the whole verdict DAG k times and the loop
+      // goes quadratic (measured: sf0.1 ran past 10 min; with
+      // checkpointing it's seconds). On a cluster use a reliable
+      // checkpoint dir instead (localCheckpoint pins to executor storage).
+      var cur = dedupVerdicts(s, d)
+        .select(col("doc_id"),
+          coalesce(col("dup_of"), col("doc_id")).as("root"))
+        .localCheckpoint()
+      var done = false
+      while (!done) {
+        val parents = cur.select(col("doc_id").as("p_id"),
+          col("root").as("p_root"))
+        val next = cur.join(parents, col("root") === col("p_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("p_root"), col("root")).as("root"))
+          .localCheckpoint()
+        // converged when no label changed this round
+        val renamed = next.select(col("doc_id"), col("root").as("new_root"))
+        done = cur.join(renamed, "doc_id")
+          .filter(col("root") =!= col("new_root")).isEmpty
+        cur = next
+      }
+      cur.select(col("doc_id"), col("root").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -209,6 +252,50 @@ object LlmOps {
            SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
            FROM documents) WHERE rn = 1
          GROUP BY 1 ORDER BY 1""",
+
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE
+            keep AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                     FROM documents),
+            surv AS MATERIALIZED (SELECT * FROM keep WHERE doc_id = keeper),
+            tok AS MATERIALIZED (SELECT DISTINCT doc_id,
+                      unnest(string_split(text, ' ')) AS w
+                    FROM surv),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+                       count(*) AS inter
+                     FROM tok a
+                     JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                     JOIN surv sa ON sa.doc_id = a.doc_id
+                     JOIN surv sb ON sb.doc_id = b.doc_id
+                     WHERE sa.lang = sb.lang
+                       AND abs(sa.n_chars - sb.n_chars) <= 10
+                     GROUP BY 1, 2),
+            nd AS (SELECT p.doc_id, min(cand) AS nd_of
+                   FROM pair p
+                   JOIN card ca ON ca.doc_id = p.cand
+                   JOIN card cb ON cb.doc_id = p.doc_id
+                   WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+                   GROUP BY 1),
+            v AS MATERIALIZED (SELECT k.doc_id,
+                    CASE WHEN k.doc_id != k.keeper THEN k.keeper
+                         ELSE nd.nd_of END AS dup_of
+                  FROM keep k LEFT JOIN nd ON nd.doc_id = k.doc_id),
+            -- MATERIALIZED is load-bearing: `v` is referenced from the
+            -- recursive arm, and without it DuckDB re-evaluates the whole
+            -- quadratic token join once per recursion step.
+            walk(doc_id, cur) AS (
+              SELECT doc_id, dup_of FROM v WHERE dup_of IS NOT NULL
+              UNION ALL
+              SELECT w.doc_id, v2.dup_of
+              FROM walk w JOIN v v2 ON v2.doc_id = w.cur
+              WHERE v2.dup_of IS NOT NULL),
+            roots AS (SELECT doc_id, min(cur) AS root
+                      FROM walk GROUP BY 1)
+       SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
+       FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id
+       ORDER BY v.doc_id""",
 
     "llm_dedup_pipeline" ->
       """WITH keep AS (SELECT doc_id, lang, n_chars, text,
