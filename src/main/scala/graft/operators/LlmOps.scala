@@ -143,15 +143,16 @@ object LlmOps {
       while (!done) {
         val parents = cur.select(col("doc_id").as("p_id"),
           col("root").as("p_root"))
+        // the jump and the convergence flag come out of the same join —
+        // one checkpointed pass per round, no second comparison join
         val next = cur.join(parents, col("root") === col("p_id"), "left")
           .select(col("doc_id"),
-            coalesce(col("p_root"), col("root")).as("root"))
+            coalesce(col("p_root"), col("root")).as("root"),
+            (col("p_root").isNotNull && col("p_root") =!= col("root"))
+              .as("changed"))
           .localCheckpoint()
-        // converged when no label changed this round
-        val renamed = next.select(col("doc_id"), col("root").as("new_root"))
-        done = cur.join(renamed, "doc_id")
-          .filter(col("root") =!= col("new_root")).isEmpty
-        cur = next
+        done = next.filter(col("changed")).isEmpty
+        cur = next.select(col("doc_id"), col("root"))
       }
       cur.select(col("doc_id"), col("root").as("cluster_id"))
         .orderBy(col("doc_id"))
