@@ -129,6 +129,25 @@ class TrainingDataSpec extends GraftSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("llm_dedup_clusters: roots are self-labeled, labels never exceed ids") {
+    val rows = SparkEntry.queries("llm_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val label = rows.toMap
+    rows.foreach { case (doc, cl) =>
+      assert(cl <= doc, s"cluster id $cl exceeds doc $doc")
+      assert(label(cl) == cl, s"root $cl of $doc is not self-labeled")
+    }
+    // exact duplicates (identical text) must land in the same cluster
+    val sameText = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+    sameText.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      assert(ids.map(label).distinct.size == 1,
+        s"identical texts $ids split across clusters")
+    }
+  }
+
   test("llm_pack_greedy: bins respect the budget and the greedy order") {
     val rows = SparkEntry.queries("llm_pack_greedy")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
