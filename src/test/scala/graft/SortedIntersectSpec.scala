@@ -56,6 +56,11 @@ class SortedIntersectSpec extends GraftSpec {
     assert(rows.sorted == Seq((1, 0), (3, 0), (3, 1), (3, 2)))
   }
 
+  // NOTE: the `spark.sql.extensions=graft.plans.GraftExtensions` config
+  // string (the spark-submit deployment path) is applied when the
+  // SparkContext is created, so it can't be exercised against this
+  // suite's shared context — the withExtensions test below covers the
+  // same injector code path.
   test("GraftExtensions injects all native functions into a new session") {
     import org.apache.spark.sql.SparkSession
     spark // force fixture init so the shared SparkContext exists
