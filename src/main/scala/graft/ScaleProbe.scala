@@ -46,16 +46,25 @@ object ScaleProbe {
 
     factors.foreach { k =>
       val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
-      stage(spark, baseSf, dir, k)
-      println(s"[scaleprobe] === ${k}x corpus staged at $dir ===")
-      ProbeQueries.foreach { name =>
-        val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(name)(spark, dir).count()
-        catch { case e: Throwable =>
-          println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L
+      try {
+        stage(spark, baseSf, dir, k)
+        println(s"[scaleprobe] === ${k}x corpus staged at $dir ===")
+        ProbeQueries.foreach { name =>
+          val t0 = System.nanoTime()
+          val n = try SparkEntry.queries(name)(spark, dir).count()
+          catch { case e: Throwable =>
+            println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L
+          }
+          println(f"[scaleprobe] ${k}x $name: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
         }
-        println(f"[scaleprobe] ${k}x $name: " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      } finally {
+        // staged corpora are k× the base tables — reclaim them per factor
+        import scala.jdk.CollectionConverters._
+        val stream = java.nio.file.Files.walk(Paths.get(dir))
+        try stream.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally stream.close()
       }
     }
     spark.stop()

@@ -47,16 +47,7 @@ object LlmOps {
     val surv = keyed.filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
         col("bucket"))
-    val right = surv
-      .withColumn("bucket",
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-      .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
-        col("n_chars").as("n_chars2"), col("toks").as("toks2"),
-        col("bucket"))
-    val nd = surv.join(right,
-        col("lang") === col("lang2") && surv("bucket") === right("bucket") &&
-          col("doc_id2") < col("doc_id") &&
-          abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+    val nd = Blocking.sizeBlockedPairs(surv, "toks", smallerRight = true)
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
       .filter(col("inter") /
         (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
@@ -86,20 +77,7 @@ object LlmOps {
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
-      val left = docs.select(col("doc_id"), col("lang"), col("n_chars"),
-        col("toks"), col("bucket"))
-      // Right side exploded to its bucket ± 1 so every |Δn_chars| ≤ 10 pair
-      // meets on exactly one equi-key — the blocked (never cross) join.
-      val right = docs
-        .withColumn("bucket",
-          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
-          col("n_chars").as("n_chars2"), col("toks").as("toks2"),
-          col("bucket"))
-      left.join(right,
-          col("lang") === col("lang2") && left("bucket") === right("bucket") &&
-            col("doc_id") < col("doc_id2") &&
-            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+      Blocking.sizeBlockedPairs(docs, "toks")
         .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
         .withColumn("j",
           col("inter") / (size(col("toks")) + size(col("toks2")) - col("inter")))
@@ -135,6 +113,10 @@ object LlmOps {
       // goes quadratic (measured: sf0.1 ran past 10 min; with
       // checkpointing it's seconds). On a cluster use a reliable
       // checkpoint dir instead (localCheckpoint pins to executor storage).
+      // Superseded rounds' blocks are reclaimed by Spark's ContextCleaner
+      // once the discarded DataFrames are GC'd (referenceTracking is on
+      // by default) — no explicit unpersist, which would also have to
+      // reach through the checkpointed plan's RDD.
       var cur = dedupVerdicts(s, d)
         .select(col("doc_id"),
           coalesce(col("dup_of"), col("doc_id")).as("root"))

@@ -90,16 +90,7 @@ object TrainingDataOps {
         .withColumn("ws_arr", ws)
         .select(col("doc_id"), col("lang"), col("n_chars"), sh.as("sh"),
           floor(col("n_chars") / 10).as("bucket"))
-      val left = docs
-      val right = docs
-        .withColumn("bucket",
-          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
-          col("n_chars").as("n_chars2"), col("sh").as("sh2"), col("bucket"))
-      left.join(right,
-          col("lang") === col("lang2") && left("bucket") === right("bucket") &&
-            col("doc_id") < col("doc_id2") &&
-            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+      Blocking.sizeBlockedPairs(docs, "sh")
         .withColumn("inter", expr("sorted_intersect_size(sh, sh2)"))
         .withColumn("j", round(col("inter") /
           (size(col("sh")) + size(col("sh2")) - col("inter")), 6))
@@ -161,10 +152,15 @@ object TrainingDataOps {
     // TakeOrderedAndProject: each partition keeps its local top-k by hash,
     // the driver merges k×partitions rows — no corpus-wide shuffle or
     // sort, the scale shape of "give me 100 uniformly random docs".
+    // doc_id is reduced mod 2^28 BEFORE the multiply so the product stays
+    // under 2^63 for any id — doc_id * K directly would overflow Long
+    // (throw under ANSI, wrap otherwise) past ~3.5e9 docs. Ids sharing a
+    // residue share a hash; the doc_id tie-break keeps the order total.
     "llm_sample_topk_hash" -> ((s, d) =>
       documents(s, d)
         .withColumn("h",
-          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
+            lit(4294967296L)))
         .orderBy(col("h"), col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("lang"), col("h"))),
@@ -396,7 +392,7 @@ object TrainingDataOps {
 
     "llm_sample_topk_hash" ->
       """SELECT doc_id, lang,
-                (doc_id * 2654435761) % 4294967296 AS h
+                ((doc_id % 268435456) * 2654435761) % 4294967296 AS h
          FROM documents
          ORDER BY h, doc_id LIMIT 100""",
 

@@ -110,8 +110,10 @@ object StreamingOps {
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      val stream = Files.walk(root)
+      try stream.iterator().asScala.toSeq.reverseIterator
         .foreach(p => Files.deleteIfExists(p))
+      finally stream.close()
     } catch { case _: Throwable => () }
 
   val queries: Map[String, Q] = Map(
@@ -241,14 +243,15 @@ object StreamingOps {
       val dir = Files.createTempDirectory("graft_fb_").toString
       val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
       val ckpt = tempCheckpointDir()
-      val q = ev.writeStream
-        .foreachBatch((batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(dir))
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      deleteRecursively(ckpt)
+      try {
+        val q = ev.writeStream
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(dir))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      } finally deleteRecursively(ckpt)
       s.read.parquet(dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))

@@ -61,9 +61,10 @@ class OperatorSpec extends GraftSpec {
     assert(exact.keySet == approx.keySet)
     exact.foreach { case (k, (e50, e90)) =>
       val (a50, a90) = approx(k)
-      assert(math.abs(a50 - e50) / math.abs(e50) <= 0.05,
+      // absolute-or-relative: a zero exact value must not divide to NaN
+      assert(math.abs(a50 - e50) <= 0.05 * math.max(1.0, math.abs(e50)),
         s"$k p50: approx=$a50 exact=$e50")
-      assert(math.abs(a90 - e90) / math.abs(e90) <= 0.05,
+      assert(math.abs(a90 - e90) <= 0.05 * math.max(1.0, math.abs(e90)),
         s"$k p90: approx=$a90 exact=$e90")
     }
   }
