@@ -115,6 +115,57 @@ class StreamingSpec extends GraftSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("session windows merge across micro-batch restarts via state recovery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+
+    def t(s: String) = Timestamp.valueOf(s)
+    def stage(rows: Seq[(Timestamp, Long)]): Unit =
+      rows.toDF("ts", "uid").repartition(1).write.mode("append").parquet(in)
+
+    val emitted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(sch).parquet(in)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window($"ts", "10 minutes").as("sw"), $"uid")
+        .agg(count(lit(1)).as("cnt"))
+        .select($"uid", col("sw.start").cast("string").as("ss"), $"cnt")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: user 1 opens a session at 10:00/10:05 — still open (no
+    // event advances the watermark past its 10:15 close)
+    stage(Seq((t("2024-01-01 10:00:00"), 1L),
+      (t("2024-01-01 10:05:00"), 1L)))
+    runOnce()
+    // batch 2 after restart: 10:08 extends the RECOVERED session (within
+    // the 10-min gap of 10:05); 12:00 advances the watermark past the
+    // extended close (10:18) so the merged session finalizes
+    stage(Seq((t("2024-01-01 10:08:00"), 1L),
+      (t("2024-01-01 12:00:00"), 2L)))
+    runOnce()
+    // batch 3: sentinel far ahead finalizes user 2's session too
+    stage(Seq((t("2024-01-01 23:00:00"), 3L)))
+    runOnce()
+
+    import scala.jdk.CollectionConverters._
+    val sessions = emitted.asScala.toSeq
+    val u1 = sessions.filter(_._1 == 1L)
+    assert(u1 == Seq((1L, "2024-01-01 10:00:00", 3L)),
+      s"expected one merged 3-event session for user 1, got $sessions")
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     // The 100 TB streaming dedup: plain dropDuplicates keeps every key
     // forever; the within-watermark variant evicts state once the
