@@ -166,6 +166,55 @@ class StreamingSpec extends GraftSpec {
       s"expected one merged 3-event session for user 1, got $sessions")
   }
 
+  test("stream-stream join matches rows buffered before a restart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ssj_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+
+    def t(s: String) = Timestamp.valueOf(s)
+    def stage(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "uid", "kind").repartition(1)
+        .write.mode("append").parquet(in)
+
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      val sch = spark.read.parquet(in).schema
+      val src = spark.readStream.schema(sch).parquet(in)
+      val p = src.filter($"kind" === "p")
+        .select($"uid".as("p_uid"), $"ts".as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = src.filter($"kind" === "c")
+        .select($"uid".as("c_uid"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val q = p.join(c,
+          $"p_uid" === $"c_uid" &&
+            $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES") &&
+            $"c_ts" <= $"p_ts", "inner")
+        .select($"p_uid")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emitted.add(r.getLong(0)))
+        }
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: a click for user 7, no purchase yet — nothing joins, but
+    // the click must be buffered in join state
+    stage(Seq((t("2024-01-01 10:00:00"), 7L, "c")))
+    runOnce()
+    assert(emitted.isEmpty)
+    // batch 2 after restart: the purchase arrives 10 min later — it must
+    // match the click RECOVERED from the checkpointed join state
+    stage(Seq((t("2024-01-01 10:10:00"), 7L, "p")))
+    runOnce()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq == Seq(7L),
+      s"buffered click not matched after restart: ${emitted.asScala.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
     // The 100 TB streaming dedup: plain dropDuplicates keeps every key
     // forever; the within-watermark variant evicts state once the
