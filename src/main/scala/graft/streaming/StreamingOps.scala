@@ -286,6 +286,11 @@ object StreamingOps {
     }
   }
 
+  /** Test hook: the running-aggregate processor (class is private). */
+  private[graft] def runningAggForTest():
+      StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =
+    new RunningAggProcessor()
+
   val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -6,6 +6,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.streaming.StreamingOps
+
 /** L4 streaming semantics (SURVEY.md §5): the arrival-order-dependent
   * behaviors that the DuckDB oracle cannot check, plus the single-batch
   * guard that the D7 oracle discipline depends on.
@@ -213,6 +215,56 @@ class StreamingSpec extends GraftSpec {
     import scala.jdk.CollectionConverters._
     assert(emitted.asScala.toSeq == Seq(7L),
       s"buffered click not matched after restart: ${emitted.asScala.toSeq}")
+  }
+
+  test("transformWithState recovers RocksDB state across restarts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tws_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def stage(rows: Seq[(Long, Double)]): Unit =
+        rows.toDF("user_id", "value").repartition(1)
+          .write.mode("append").parquet(in)
+
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def runOnce(): Unit = {
+        val sch = spark.read.parquet(in).schema
+        val q = spark.readStream.schema(sch).parquet(in)
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(StreamingOps.runningAggForTest(),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events", "total_value")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r =>
+              emitted.add(r.getLong(0) -> r.getLong(1)))
+          }
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint).start()
+        q.awaitTermination()
+      }
+
+      stage(Seq((1L, 1.5), (1L, 2.5)))
+      runOnce()
+      stage(Seq((1L, 3.0)))
+      runOnce()
+      import scala.jdk.CollectionConverters._
+      // run 1 emitted (1, 2); run 2 must CONTINUE from recovered state
+      // and emit (1, 3), not restart at (1, 1)
+      assert(emitted.asScala.toSeq.sorted == Seq(1L -> 2L, 1L -> 3L),
+        s"state not recovered: ${emitted.asScala.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   test("dropDuplicatesWithinWatermark dedups with bounded state") {
