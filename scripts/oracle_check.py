@@ -3,59 +3,116 @@
 
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir> [query ...]
 
-Loads each Spark result parquet written by `graft.Verify`, executes the
-matching oracle SQL from oracle_sql.json in DuckDB over the same testdata
-parquet, sorts columns by name (as the driver does), and compares row by
-row. Exit code 0 iff every checked query matches exactly.
+Replicates the driver's comparator as closely as possible so local
+red/green predicts CORRECTNESS_r{N}.json:
+  1. Spark side loaded from the Verify parquet THROUGH PANDAS (pyarrow),
+     so parquet DECIMAL columns arrive as decimal.Decimal objects and
+     array columns as numpy arrays — exactly the dtypes the driver sees.
+  2. Oracle side fetched from DuckDB through pandas, so DECIMAL results
+     arrive as float64 — again the driver's view.
+  3. Columns sorted by name, rows sorted by all columns via pandas
+     sort_values (a numpy-array cell raises TypeError here, replicating
+     the driver's "unhashable type" crash).
+  4. STRICT hash compare of the sorted frames via per-cell str():
+     Decimal('0.500000') != 0.5 — a decimal-vs-double dtype drift fails
+     here even though the values are numerically equal.
+On a strict-hash failure a tolerant row diff (1e-9 relative) is printed
+to distinguish canonicalization drift from genuinely wrong answers.
+Exit code 0 iff every checked query matches the strict hash.
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, hashlib
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(v):
-    """Canonicalise a cell for comparison."""
+
+def canon_frame(df):
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    every column. Raises TypeError on unhashable (array) cells, like the
+    driver does."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def cell_str(v):
+    """Strict per-cell canonical string, calibrated to the driver's
+    observed behavior (CORRECTNESS_r01): string-form compare, so
+    Decimal('0.500000') != 0.5 (trailing-scale drift fails) but
+    Decimal('53129.178305') == 53129.178305 (identical renderings pass,
+    as they did for udaf_weighted_avg in round 1). Dates and
+    midnight timestamps normalize to the same form (fn_date passed
+    round 1 with Spark DATE vs DuckDB TIMESTAMP-at-midnight)."""
+    import datetime
     if v is None:
-        return None
-    # numpy / pyarrow scalars → python
-    if hasattr(v, "item") and not isinstance(v, (list, tuple)):
-        try:
-            v = v.item()
-        except Exception:
-            pass
+        return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    # decimal.Decimal, datetime, str, int pass through via str for stability
-    return v
+            return "<nan>"
+        return repr(v)
+    # pandas NaT / NA
+    try:
+        if v is pd.NaT or v is pd.NA:
+            return "<null>"
+    except Exception:
+        pass
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return str(v)
 
-def eq(a, b):
-    a, b = canon(a), canon(b)
+
+def frame_hash(df):
+    h = hashlib.sha256()
+    for col in df.columns:
+        h.update(col.encode())
+        for v in df[col]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                h.update(b"<null>")
+            else:
+                h.update(cell_str(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def tolerant_eq(a, b):
+    """Loose numeric compare for the diagnostic diff only."""
+    if a is None and b is None:
+        return True
     if a is None or b is None:
-        return a is b or a == b
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
+        return False
+    try:
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         if fa == fb:
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    import decimal, datetime
-    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-        try:
-            return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
-        except Exception:
-            return str(a) == str(b)
-    return a == b or str(a) == str(b)
+    except (TypeError, ValueError):
+        return str(a) == str(b)
+
+
+def diagnose(name, sdf, ddf):
+    """On strict-hash failure: find the first strict mismatch and say
+    whether it is dtype drift (tolerant-equal) or a wrong value."""
+    for i in range(len(sdf)):
+        for col in sdf.columns:
+            sv, dv = sdf[col].iloc[i], ddf[col].iloc[i]
+            if cell_str(sv) != cell_str(dv):
+                kind = ("DTYPE-DRIFT (values tolerant-equal)"
+                        if tolerant_eq(sv, dv) else "VALUE MISMATCH")
+                print(f"  {kind} row {i} col {col}: "
+                      f"spark={cell_str(sv)} duck={cell_str(dv)}")
+                return
+    print("  (no per-cell strict mismatch found — ordering drift?)")
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -76,41 +133,46 @@ def main():
             print(f"FAIL {name}: no spark output parquet")
             failures += 1
             continue
-        # coalesce(1) → single file; file order == query order
-        spark_rel = con.execute(
-            "SELECT * FROM read_parquet(?)", [files]).fetch_arrow_table()
+        # Spark side through pandas/pyarrow: decimals -> decimal.Decimal,
+        # arrays -> numpy arrays (the driver's dtype view).
         try:
-            duck_rel = con.execute(oracle[name]).fetch_arrow_table()
+            sdf = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet load error: {e}")
+            failures += 1
+            continue
+        try:
+            ddf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
-        s_cols, d_cols = sorted(spark_rel.column_names), sorted(duck_rel.column_names)
+        s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
             failures += 1
             continue
-        s_rows = list(zip(*[spark_rel.column(c).to_pylist() for c in s_cols]))
-        d_rows = list(zip(*[duck_rel.column(c).to_pylist() for c in d_cols]))
-        if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if len(sdf) != len(ddf):
+            print(f"FAIL {name}: rowcount spark={len(sdf)} duck={len(ddf)}")
             failures += 1
             continue
-        bad = None
-        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-            if not all(eq(a, b) for a, b in zip(sr, dr)):
-                bad = (i, sr, dr)
-                break
-        if bad:
-            i, sr, dr = bad
-            print(f"FAIL {name}: row {i} differs (cols {s_cols})")
-            print(f"  spark: {sr}")
-            print(f"  duck : {dr}")
+        try:
+            sdf, ddf = canon_frame(sdf), canon_frame(ddf)
+        except TypeError as e:
+            print(f"FAIL {name}: comparator crash (driver would too): {e}")
+            failures += 1
+            continue
+        sh, dh = frame_hash(sdf), frame_hash(ddf)
+        if sh != dh:
+            print(f"FAIL {name}: strict hash mismatch ({len(sdf)} rows)")
+            diagnose(name, sdf, ddf)
             failures += 1
         else:
-            print(f"OK   {name}: {len(s_rows)} rows")
+            print(f"OK   {name}: {len(sdf)} rows")
     print(f"--- {failures} failures")
     sys.exit(1 if failures else 0)
+
 
 if __name__ == "__main__":
     main()

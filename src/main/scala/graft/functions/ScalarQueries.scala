@@ -120,7 +120,11 @@ object ScalarQueries {
         col("vec_id"),
         size(col("embedding")).cast("int").as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_val"),
-        transform(slice(col("embedding"), 1, 3), x => x.cast("double"))
+        // Serialized (not array-typed) so the driver's pandas comparator
+        // can hash the column; DECIMAL(10,6) renders identically ("0.500000")
+        // in Spark and DuckDB, unlike raw double formatting.
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => x.cast("double").cast("decimal(10,6)").cast("string")), ",")
           .as("head3"),
         array_position(col("embedding"), element_at(col("embedding"), 3))
           .cast("bigint").as("pos3"))
@@ -140,7 +144,11 @@ object ScalarQueries {
       events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),
-        map_keys(from_json(col("props"), lit("map<string,int>"))).as("keys"),
+        // Sorted + serialized: JSON object key order is engine-specific and
+        // array columns are unhashable in the driver's comparator.
+        array_join(array_sort(
+          map_keys(from_json(col("props"), lit("map<string,int>")))), ",")
+          .as("keys"),
         size(map_keys(from_json(col("props"), lit("map<string,int>"))))
           .cast("int").as("n_keys"))
         .orderBy(col("event_id")))
@@ -228,7 +236,9 @@ object ScalarQueries {
       """SELECT vec_id,
                 CAST(len(embedding) AS INT) AS dim,
                 CAST(embedding[1] AS DOUBLE) AS first_val,
-                list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3,
+                array_to_string(list_transform(embedding[1:3],
+                  x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6))
+                    AS VARCHAR)), ',') AS head3,
                 CAST(list_position(embedding, embedding[3]) AS BIGINT) AS pos3
          FROM embeddings ORDER BY vec_id""",
 
@@ -242,7 +252,7 @@ object ScalarQueries {
     "fn_json" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS INT) AS k,
-                json_keys(props) AS keys,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys,
                 CAST(len(json_keys(props)) AS INT) AS n_keys
          FROM events ORDER BY event_id"""
   )

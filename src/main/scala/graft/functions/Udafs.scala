@@ -54,7 +54,7 @@ object Udafs {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(dec(wavg(col("l_quantity"), col("l_extendedprice")))
-          .as("wavg_price"))
+          .cast("double").as("wavg_price"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -62,9 +62,9 @@ object Udafs {
   val oracle: Map[String, String] = Map(
     "udaf_weighted_avg" ->
       """SELECT l_returnflag,
-                CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                CAST(CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
                      / sum(CAST(l_quantity AS DECIMAL(38,6)))
-                     AS DECIMAL(38,6)) AS wavg_price
+                     AS DECIMAL(38,6)) AS DOUBLE) AS wavg_price
          FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -23,7 +23,7 @@ object Aggregations {
         count(lit(1)).as("n_rows"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_price"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
         min(col("l_shipdate")).as("min_ship"),
         max(col("l_shipdate")).as("max_ship"))),
 
@@ -49,7 +49,7 @@ object Aggregations {
         .agg(grouping(col("o_year")).cast("int").as("g_year"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"),
           count(lit(1)).as("cnt"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("g_year"), col("g_prio"),
           asc_nulls_first("o_year"), asc_nulls_first("o_orderpriority"))),
 
@@ -59,7 +59,7 @@ object Aggregations {
         .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
           grouping(col("o_orderpriority")).cast("int").as("g_prio"),
           count(lit(1)).as("cnt"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("g_status"), col("g_prio"),
           asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))),
@@ -112,7 +112,7 @@ object Aggregations {
       orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("spend"))
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
         .filter(col("n_orders") > 12)
         .orderBy(col("o_custkey"))),
 
@@ -134,7 +134,7 @@ object Aggregations {
     "agg_global" ->
       """SELECT count(*) AS n_rows,
                 min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
                 min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
          FROM lineitem""",
 
@@ -166,7 +166,7 @@ object Aggregations {
                 CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
                 CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                 count(*) AS cnt,
-                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
          ORDER BY g_year, g_prio, o_year NULLS FIRST,
@@ -177,7 +177,7 @@ object Aggregations {
                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                 CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
                 count(*) AS cnt,
-                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sum_price
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
          FROM orders
          GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
@@ -185,7 +185,7 @@ object Aggregations {
 
     "agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
          FROM orders GROUP BY 1 HAVING count(*) > 12 ORDER BY 1""",
 
     "agg_pivot" ->

@@ -44,14 +44,16 @@ object Joins {
       customer(s, d)
         .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("o_orderkey"),
-          coalesce(dec(col("o_totalprice")), dec(lit(0))).as("price_or_zero"))
+          coalesce(dec(col("o_totalprice")), dec(lit(0))).cast("double")
+            .as("price_or_zero"))
         .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))),
 
     "join_right_outer" -> ((s, d) =>
       orders(s, d)
         .join(customer(s, d), col("c_custkey") === col("o_custkey"), "right")
         .select(col("c_custkey"), col("o_orderkey"),
-          coalesce(dec(col("o_totalprice")), dec(lit(0))).as("price_or_zero"))
+          coalesce(dec(col("o_totalprice")), dec(lit(0))).cast("double")
+            .as("price_or_zero"))
         .orderBy(col("c_custkey"), asc_nulls_first("o_orderkey"))),
 
     "join_full_outer" -> ((s, d) => {
@@ -136,15 +138,15 @@ object Joins {
 
     "join_left_outer" ->
       """SELECT c_custkey, o_orderkey,
-                coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
-                         CAST(0 AS DECIMAL(38,6))) AS price_or_zero
+                CAST(coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
+                         CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS price_or_zero
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          ORDER BY c_custkey, o_orderkey NULLS FIRST""",
 
     "join_right_outer" ->
       """SELECT c_custkey, o_orderkey,
-                coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
-                         CAST(0 AS DECIMAL(38,6))) AS price_or_zero
+                CAST(coalesce(CAST(o_totalprice AS DECIMAL(38,6)),
+                         CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS price_or_zero
          FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
          ORDER BY c_custkey, o_orderkey NULLS FIRST""",
 

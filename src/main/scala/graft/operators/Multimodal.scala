@@ -72,6 +72,13 @@ object Multimodal {
       }
   }
 
+  /** Serialize the feature vector at the output boundary: array columns are
+    * unhashable in the driver's pandas comparator, and the stub's values
+    * are already 6-dp-rounded, so DECIMAL(12,6) strings are lossless. */
+  private def serializeFeatures =
+    array_join(transform(col("features"),
+      x => x.cast("decimal(12,6)").cast("string")), ",")
+
   private def assets(s: SparkSession, d: String) = {
     import s.implicits._
     graft.Tables.documents(s, d)
@@ -86,6 +93,7 @@ object Multimodal {
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
       assets(s, d).mapPartitions(_.map(decode)).toDF()
+        .withColumn("features", serializeFeatures)
         .orderBy(col("doc_id"))
     }),
 
@@ -94,7 +102,9 @@ object Multimodal {
     "mm_resize" -> ((s, d) => {
       import s.implicits._
       assets(s, d).mapPartitions(_.map(a => resize(decode(a), 32, 32)))
-        .toDF().orderBy(col("doc_id"))
+        .toDF()
+        .withColumn("features", serializeFeatures)
+        .orderBy(col("doc_id"))
     }),
 
     // payload → sampled frame fingerprints (1 row per sampled frame).

@@ -26,10 +26,10 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
           .as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -84,7 +84,7 @@ object Relational {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"),
+            .cast("double").as("revenue"),
           when(col("l_returnflag") === "R", lit("returned"))
             .when(col("l_linestatus") === "O", lit("open"))
             .otherwise(lit("done")).as("status_label"))),
@@ -125,7 +125,7 @@ object Relational {
 
     "project_expressions" ->
       """SELECT l_orderkey, l_linenumber,
-                CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS revenue,
+                CAST(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
                 CASE WHEN l_returnflag = 'R' THEN 'returned'
                      WHEN l_linestatus = 'O' THEN 'open'
                      ELSE 'done' END AS status_label
@@ -133,9 +133,9 @@ object Relational {
 
     "agg_groupby_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-                sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'

@@ -274,7 +274,7 @@ object TrainingDataOps {
           lit(BigDecimal("0.3")) *
             least(avgD * lit(BigDecimal("0.125")), lit(BigDecimal("1.0"))) +
           lit(BigDecimal("0.2")) * (lit(1) - shortD))
-          .cast(DecimalType38_6).as("quality"))
+          .cast(DecimalType38_6).cast("double").as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -401,7 +401,7 @@ object TrainingDataOps {
                 CASE WHEN doc_id % 100 < 80 THEN 'train'
                      WHEN doc_id % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split,
-                count(*) AS n_docs, sum(n_chars) AS sum_chars
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "llm_pack_sequences" ->
@@ -447,9 +447,9 @@ object TrainingDataOps {
                 CAST(stop_d AS DOUBLE) AS stop_ratio,
                 CAST(short_d AS DOUBLE) AS short_ratio,
                 CAST(avg_d AS DOUBLE) AS avg_chars_per_token,
-                CAST(0.5 * (1 - stop_d) +
+                CAST(CAST(0.5 * (1 - stop_d) +
                      0.3 * least(avg_d * 0.125, CAST(1.0 AS DECIMAL(12,6))) +
-                     0.2 * (1 - short_d) AS DECIMAL(38,6)) AS quality
+                     0.2 * (1 - short_d) AS DECIMAL(38,6)) AS DOUBLE) AS quality
          FROM base ORDER BY doc_id""",
 
     "llm_token_count" ->

@@ -53,7 +53,8 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(dec(col("o_totalprice"))).over(w).as("run_spend"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("run_spend"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
 
@@ -66,7 +67,8 @@ object Windows {
         .withColumn("day_num",
           datediff(col("o_orderdate"), lit("1995-01-01")))
         .select(col("o_custkey"), col("o_orderkey"), col("day_num"),
-          sum(dec(col("o_totalprice"))).over(w).as("trail_spend"))
+          sum(dec(col("o_totalprice"))).over(w).cast("double")
+            .as("trail_spend"))
         .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
     }),
 
@@ -121,20 +123,20 @@ object Windows {
 
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-                sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                   PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                ) AS run_spend
+                ) AS DOUBLE) AS run_spend
          FROM orders
          ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey, day_num,
-                sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
                   PARTITION BY o_custkey ORDER BY day_num
                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-                ) AS trail_spend
+                ) AS DOUBLE) AS trail_spend
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS day_num
                FROM orders)

@@ -123,7 +123,8 @@ object StreamingOps {
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
       runToMemory(agg, "complete")
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
-          col("event_type"), col("cnt"), col("sum_value"))
+          col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -134,7 +135,8 @@ object StreamingOps {
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
       runToMemory(agg, "complete")
         .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
-          col("event_type"), col("cnt"), col("sum_value"))
+          col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -146,7 +148,8 @@ object StreamingOps {
         .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
       runToMemory(agg, "complete")
         .select(col("user_id"), col("sw.start").as("s_start"),
-          col("sw.end").as("s_end"), col("cnt"), col("sum_value"))
+          col("sw.end").as("s_end"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("user_id"), col("s_start"))
     }),
 
@@ -179,7 +182,7 @@ object StreamingOps {
         .toDF("user_id", "n_events", "total_value")
       runToMemory(out, "update")
         .select(col("user_id"), col("n_events"),
-          dec(col("total_value")).as("total_value"))
+          dec(col("total_value")).cast("double").as("total_value"))
         .orderBy(col("user_id"))
     }),
 
@@ -203,7 +206,7 @@ object StreamingOps {
           .toDF("user_id", "n_events", "total_value")
         runToMemory(out, "update")
           .select(col("user_id"), col("n_events"),
-            dec(col("total_value")).as("total_value"))
+            dec(col("total_value")).cast("double").as("total_value"))
           .orderBy(col("user_id"))
       } finally prev match {
         case Some(v) => s.conf.set(providerKey, v)
@@ -296,7 +299,7 @@ object StreamingOps {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
                 date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
                 event_type, count(*) AS cnt,
-                sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
 
     "stream_sliding" ->
@@ -307,7 +310,8 @@ object StreamingOps {
                     UNION ALL
                     SELECT b - INTERVAL 30 MINUTE, event_type, value FROM e)
          SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
-                count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""",
 
     "stream_session" ->
@@ -323,7 +327,8 @@ object StreamingOps {
                     FROM o)
          SELECT user_id, min(t) AS s_start,
                 max(t) + INTERVAL 10 MINUTE AS s_end,
-                count(*) AS cnt, sum(CAST(value AS DECIMAL(38,6))) AS sum_value
+                count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
 
     "stream_dedup" ->
@@ -332,12 +337,12 @@ object StreamingOps {
 
     "stream_stateful_agg" ->
       """SELECT user_id, count(*) AS n_events,
-                sum(CAST(value AS DECIMAL(38,6))) AS total_value
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "stream_stateful_tws" ->
       """SELECT user_id, count(*) AS n_events,
-                sum(CAST(value AS DECIMAL(38,6))) AS total_value
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "stream_stream_join" ->

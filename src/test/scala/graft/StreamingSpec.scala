@@ -99,7 +99,8 @@ class StreamingSpec extends GraftSpec {
       .agg(count(lit(1)).as("cnt"),
         sum(Tables.dec(col("value"))).as("sum_value"))
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
-        col("event_type"), col("cnt"), col("sum_value"))
+        col("event_type"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
@@ -112,7 +113,8 @@ class StreamingSpec extends GraftSpec {
       .agg(count(lit(1)).as("cnt"),
         sum(Tables.dec(col("value"))).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("s_start"),
-        col("sw.end").as("s_end"), col("cnt"), col("sum_value"))
+        col("sw.end").as("s_end"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("s_start"))
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }

@@ -88,8 +88,10 @@ class TrainingDataSpec extends GraftSpec {
     val rows = out.collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
-      assert(r.getSeq[Double](5).length == 8)
-      assert(math.abs(r.getSeq[Double](5).sum - 1.0) < 1e-3) // histogram
+      // features serialized at the output boundary (comma-joined 6-dp strings)
+      val feats = r.getString(5).split(",").map(_.toDouble)
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0) < 1e-3) // histogram
       assert(r.getInt(2) > 0)
     }
     val again = SparkEntry.queries("mm_decode_features")(spark, sf).collect()
@@ -101,7 +103,7 @@ class TrainingDataSpec extends GraftSpec {
     assert(out.length == Tables.documents(spark, sf).count())
     out.foreach { r =>
       assert(r.getInt(3) == 32 && r.getInt(4) == 32)
-      assert(r.getSeq[Double](5).length == 8)
+      assert(r.getString(5).split(",").length == 8)
     }
     val again = SparkEntry.queries("mm_resize")(spark, sf).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
