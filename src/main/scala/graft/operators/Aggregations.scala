@@ -102,10 +102,16 @@ object Aggregations {
             .as("sxx"))
         .select(col("l_returnflag"), col("n"),
           round(col("sx") / col("n"), 6).as("mean_qty"),
-          round((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1), 6).as("var_qty"),
-          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1)), 6).as("stddev_qty"))
+          // n=1 guard: Spark's double 0/0 is NaN while DuckDB's default
+          // (ieee_floating_point_ops) also yields NaN/inf but not always
+          // identically — both sides agree on NULL for degenerate groups
+          // (when() here, NULLIF(n-1,0) in the oracle).
+          when(col("n") > 1,
+            round((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1), 6)).as("var_qty"),
+          when(col("n") > 1,
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+              (col("n") - 1)), 6)).as("stddev_qty"))
         .orderBy(col("l_returnflag"))),
 
     "agg_having" -> ((s, d) =>
@@ -157,8 +163,9 @@ object Aggregations {
                     FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
                 round(sx / n, 6) AS mean_qty,
-                round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-                round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+                round((sxx - sx * sx / n) / NULLIF(n - 1, 0), 6) AS var_qty,
+                round(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)), 6)
+                  AS stddev_qty
          FROM m ORDER BY l_returnflag""",
 
     "agg_rollup" ->

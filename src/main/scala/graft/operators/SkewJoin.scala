@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** The salt expression `saltedJoin` assigns to fact rows: a
-    * deterministic hash of the whole row reduced mod `salts`. Exposed so
-    * tests exercise the production formula rather than a copy. */
+  /** The salt expression `saltedJoin` assigns to fact rows: a hash of the
+    * whole row MIXED WITH a per-partition row index
+    * (`monotonically_increasing_id` = partition id ‖ local counter), so
+    * exactly-duplicate rows of a hot key still spread across salts —
+    * hashing the row alone would pin them all to one shuffle key. Still
+    * no `rand()`: for a fixed input partitioning the id sequence is
+    * reproducible, so task retries and speculative attempts agree.
+    * Exposed so tests exercise the production formula rather than a
+    * copy. */
   def saltColumn(fact: DataFrame, salts: Int): Column =
-    pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
+    pmod(xxhash64(monotonically_increasing_id() +:
+        fact.columns.map(col).toIndexedSeq: _*),
       lit(salts.toLong)).cast("int")
 
   /** Inner equi-join of `fact` and `dim` on `key`, salted `salts` ways.

@@ -26,6 +26,12 @@ object TrainingDataOps {
   // (Spark would otherwise round intermediates — observed 1e-6 drift)
   private val DecimalTypeNarrow = org.apache.spark.sql.types.DecimalType(12, 6)
 
+  /** Window-shard count for llm_pack_sequences: parallelism of the packing
+    * shuffle is |langs| × PackShards. 8 suits the local harness; a real
+    * deployment sizes it so corpus/(langs×shards) rows fit one partition.
+    * Mirrored literally (doc_id % 8) in the oracle SQL. */
+  val PackShards = 8
+
   private def ws = split(col("text"), " ")
 
   /** Word 3-gram shingles (order-sensitive, vs the set-based unigram toks). */
@@ -178,21 +184,24 @@ object TrainingDataOps {
         .orderBy(col("lang"), col("split"))),
 
     // Sequence packing: assign docs to fixed-budget context windows by a
-    // running token count per language (streaming fill — each doc lands in
-    // the bin its cumulative prefix starts in). One window shuffle keyed
-    // by lang; at corpus scale key by (lang, shard) to bound partition
-    // size, bins then number per shard.
+    // running token count per (lang, shard) — keying the window by lang
+    // alone would put a language's entire corpus in ONE partition at
+    // 100 TB. The shard is a deterministic hash of doc_id, so parallelism
+    // is langs × PackShards regardless of language skew; bins number
+    // independently per shard (bin identity is (lang, shard, bin)).
     "llm_pack_sequences" -> ((s, d) => {
       val toksN = size(split(col("text"), " "))
-      val w = Window.partitionBy(col("lang"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       documents(s, d)
-        .select(col("doc_id"), col("lang"), toksN.as("n_tokens"))
+        .select(col("doc_id"), col("lang"), toksN.as("n_tokens"),
+          pmod(col("doc_id"), lit(PackShards.toLong)).cast("int").as("shard"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("bin",
           floor((col("cum") - col("n_tokens")) / 512).cast("bigint"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+          col("bin"))
         .orderBy(col("doc_id"))
     }),
 
@@ -235,18 +244,52 @@ object TrainingDataOps {
     // (threshold tuned to this corpus's similarity range; max pairwise
     // cosine in the synthetic embeddings is ~0.6). `dup_of` is the least
     // such y — a deterministic keep-first representative, no transitive
-    // closure. Exact all-pairs with the corpus side streaming past a
-    // broadcast copy; at 100 TB the pair generator swaps to IVF-cell
-    // blocking (llm_ann_ivf) with identical per-pair semantics.
+    // closure.
+    //
+    // Pair generation is EXACT IVF-cell-pair pruning, not all-pairs: each
+    // cell (the pretrained label; offline k-means at real scale) gets an
+    // angular radius r = max angle(member, centroid). By the spherical
+    // triangle inequality a pair (x, y) with angle ≤ θ can only live in
+    // cells whose centroid angle ≤ θ + r_x + r_y, so non-candidate cell
+    // pairs are provably empty of matches — the result equals the
+    // all-pairs oracle. The corpus is never broadcast: vectors ship to
+    // candidate cell pairs via a broadcast of the TINY cell-pair list and
+    // one equi-join keyed by cell id. At 100 TB, ncells ~ √n keeps both
+    // the replication factor (candidate partners per cell) and per-cell
+    // populations bounded; loose test-scale clusters keep most cell pairs
+    // candidate here, but the pruning bound — not the data — is the design.
     "llm_embedding_neardup" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val e1 = embeddings(s, d).select(col("vec_id"), col("embedding").as("v1"))
-      val e2 = embeddings(s, d)
-        .select(col("vec_id").as("vec_id2"), col("embedding").as("v2"))
-      val dups = e1.join(broadcast(e2), col("vec_id2") < col("vec_id"), "inner")
+      val emb = embeddings(s, d)
+      def clampAcos(c: Column): Column =
+        acos(least(lit(1.0), greatest(lit(-1.0), c)))
+      val cent = AnnOps.centroids(emb)
+      val radii = emb.join(broadcast(cent), col("label") === col("c_label"))
+        .withColumn("ang", clampAcos(expr("cosine_sim(embedding, centroid)")))
+        .groupBy(col("label")).agg(max(col("ang")).as("r"))
+      val cells = cent.join(radii, col("c_label") === col("label"))
+        .select(col("c_label"), col("centroid"), col("r"))
+      // raw cosine as low as 0.3999995 still rounds to the 0.4 cutoff, so
+      // the pruning angle uses a slightly looser threshold (safe side).
+      val theta = math.acos(0.399999)
+      val cellPairs = cells
+        .select(col("c_label").as("la"), col("centroid").as("ca"),
+          col("r").as("ra"))
+        .crossJoin(broadcast(cells.select(col("c_label").as("lb"),
+          col("centroid").as("cb"), col("r").as("rb"))))
+        .withColumn("cang", clampAcos(expr("cosine_sim(ca, cb)")))
+        .filter(col("cang") <= lit(theta) + col("ra") + col("rb") + lit(1e-9))
+        .select(col("la"), col("lb"))
+      val e1 = emb.select(col("vec_id"), col("embedding").as("v1"),
+        col("label").as("la"))
+      val e2 = emb.select(col("vec_id").as("vec_id2"),
+        col("embedding").as("v2"), col("label").as("lb"))
+      val dups = e1.join(broadcast(cellPairs), Seq("la"))
+        .join(e2, Seq("lb"))
+        .filter(col("vec_id2") < col("vec_id"))
         .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
         .groupBy(col("vec_id")).agg(min(col("vec_id2")).as("dup_of"))
-      embeddings(s, d).select(col("vec_id"))
+      emb.select(col("vec_id"))
         .join(dups, Seq("vec_id"), "left")
         .select(col("vec_id"), col("dup_of").isNull.as("kept"), col("dup_of"))
         .orderBy(col("vec_id"))
@@ -405,14 +448,15 @@ object TrainingDataOps {
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "llm_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang,
+      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
                       len(string_split(text, ' ')) AS n_tokens
                     FROM documents),
-            c AS (SELECT doc_id, lang, n_tokens,
-                    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            c AS (SELECT doc_id, lang, shard, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY lang, shard
+                      ORDER BY doc_id
                       ROWS UNBOUNDED PRECEDING) AS cum
                   FROM t)
-         SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+         SELECT doc_id, lang, shard, CAST(n_tokens AS INT) AS n_tokens,
                 CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin
          FROM c ORDER BY doc_id""",
 

@@ -77,29 +77,36 @@ object StreamingOps {
   private def statePartitions(s: SparkSession): String =
     s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8")
 
+  /** Serializes the narrow-conf window in [[runToMemory]]: the shuffle
+    * partition setting is session-global, so set→start→restore must be
+    * atomic or a concurrently planned query (parallel suites, future
+    * concurrent bench) could capture the narrowed value or clobber the
+    * restore. The query itself runs outside the lock. */
+  private val confLock = new Object
+
   /** Run a finite streaming query (AvailableNow) into a memory sink and
     * return its content. Unique sink name + throwaway checkpoint per call
     * so Verify/Bench can invoke the same op repeatedly in one session.
     * Shuffle partitions are narrowed to [[statePartitions]] only while the
     * query starts (the engine captures the value at stream planning time)
-    * and restored after, so batch queries in the same session keep the
-    * session-level setting. */
+    * and restored immediately after `start()` under [[confLock]], so
+    * sibling queries in the same session keep the session-level setting. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val s = df.sparkSession
     val name = s"graft_mem_${counter.incrementAndGet()}"
     val ckpt = tempCheckpointDir()
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
     try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        try df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      deleteRecursively(ckpt)
-    }
+    } finally deleteRecursively(ckpt)
     s.table(name)
   }
 
@@ -115,6 +122,20 @@ object StreamingOps {
         .foreach(p => Files.deleteIfExists(p))
       finally stream.close()
     } catch { case _: Throwable => () }
+
+  /** An update-mode memory sink appends one row per key per micro-batch;
+    * with a single AvailableNow batch that is one row per key, but if the
+    * file source ever splits the input (more files, maxFilesPerTrigger)
+    * each key carries its intermediate updates too. Keep only the LAST
+    * update per user — the running (n_events, total_value) is monotone in
+    * n_events, so max_by(n_events) is exactly the final state. */
+  private def collapseUpdates(mem: DataFrame): DataFrame =
+    mem.groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("total_value")),
+        col("n_events")).as("st"))
+      .select(col("user_id"), col("st.n_events").as("n_events"),
+        dec(col("st.total_value")).cast("double").as("total_value"))
+      .orderBy(col("user_id"))
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) => {
@@ -180,10 +201,7 @@ object StreamingOps {
             (uid, n, acc)
           })
         .toDF("user_id", "n_events", "total_value")
-      runToMemory(out, "update")
-        .select(col("user_id"), col("n_events"),
-          dec(col("total_value")).cast("double").as("total_value"))
-        .orderBy(col("user_id"))
+      collapseUpdates(runToMemory(out, "update"))
     }),
 
     // Same per-user running aggregate as stream_stateful_agg, but through
@@ -204,10 +222,7 @@ object StreamingOps {
           .transformWithState(new RunningAggProcessor(),
             TimeMode.None(), OutputMode.Update())
           .toDF("user_id", "n_events", "total_value")
-        runToMemory(out, "update")
-          .select(col("user_id"), col("n_events"),
-            dec(col("total_value")).cast("double").as("total_value"))
-          .orderBy(col("user_id"))
+        collapseUpdates(runToMemory(out, "update"))
       } finally prev match {
         case Some(v) => s.conf.set(providerKey, v)
         case None => s.conf.unset(providerKey)

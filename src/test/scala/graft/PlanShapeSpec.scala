@@ -70,22 +70,41 @@ class PlanShapeSpec extends GraftSpec {
       }
   }
 
-  test("all-pairs embedding ops broadcast one side (corpus never shuffles)") {
-    // These are the deliberate exact baselines: the pair generator must be
-    // a broadcast nested-loop (small side shipped once), NOT a cartesian
+  test("all-pairs embedding baseline broadcasts one side (corpus never shuffles)") {
+    // The deliberate exact baseline: the pair generator must be a
+    // broadcast nested-loop (small side shipped once), NOT a cartesian
     // product (which would shuffle-split the corpus side).
-    Seq("llm_embedding_topk_pairs", "llm_embedding_neardup").foreach { q =>
-      val plan = finalPlan(q)
-      assert(plan.contains("BroadcastNestedLoopJoin"),
-        s"$q does not broadcast:\n$plan")
-      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
-    }
+    val plan = finalPlan("llm_embedding_topk_pairs")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"does not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("llm_embedding_neardup never broadcasts the corpus") {
+    // The scale path: pair generation is an equi-join keyed by cell id;
+    // only the tiny cell-pair list and centroid table broadcast. The
+    // corpus appears solely under shuffle (hashpartitioning) joins.
+    val plan = finalPlan("llm_embedding_neardup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("hashpartitioning(lb") ||
+      plan.contains("hashpartitioning(la"),
+      s"pair join not keyed by cell id:\n$plan")
   }
 
   test("llm_ann_ivf broadcasts probes and centroids, never the corpus") {
     val plan = finalPlan("llm_ann_ivf")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+  }
+
+  test("llm_pack_sequences windows by (lang, shard), not lang alone") {
+    // Keyed by lang alone, one partition would hold a language's whole
+    // corpus at scale; the shard key multiplies parallelism by PackShards.
+    val plan = finalPlan("llm_pack_sequences")
+    val hp = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hp.exists(k => k.contains("lang") && k.contains("shard")),
+      s"packing window not sharded:\n$plan")
   }
 
   test("window ops sort within partitions only (no global Sort/Exchange after window)") {

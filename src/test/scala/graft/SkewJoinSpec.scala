@@ -23,9 +23,10 @@ class SkewJoinSpec extends GraftSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
-  test("salting spreads the hot key over multiple salt values") {
+  test("salting spreads a hot key of EXACT-DUPLICATE rows over salts") {
     import spark.implicits._
-    val fact = (1 to 1000).map(i => (1, i)).toDF("k", "payload")
+    // identical rows: a row-content hash alone would map all to one salt
+    val fact = (1 to 1000).map(_ => (1, 0)).toDF("k", "payload")
     val saltCard = fact
       .withColumn("_salt", operators.SkewJoin.saltColumn(fact, 8))
       .select(countDistinct(col("_salt"))).as[Long].head()

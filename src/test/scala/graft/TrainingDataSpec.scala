@@ -69,6 +69,22 @@ class TrainingDataSpec extends GraftSpec {
     assert(rows.find(_.getLong(0) == minId).get.getBoolean(1))
   }
 
+  test("llm_embedding_neardup: 0.4 cutoff sits off-grid of observed cosines") {
+    // A pair whose cosine differs by ~1e-6 between engines AT the cutoff
+    // would flip kept/dup status; assert no pairwise cosine lands within
+    // 1e-4 of 0.4 at this SF, so the equality-at-boundary tie can't occur.
+    graft.functions.CosineSimilarity.register(spark)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val margin = emb.select(col("vec_id"), col("embedding").as("v1"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("vec_id2"),
+        col("embedding").as("v2"))))
+      .filter(col("vec_id") < col("vec_id2"))
+      .select(min(abs(round(expr("cosine_sim(v1, v2)"), 6) - 0.4)).as("m"))
+      .head().getDouble(0)
+    assert(margin >= 1e-4, s"a pairwise cosine is within $margin of the cutoff")
+  }
+
   test("llm_ann_ivf recall@5 >= 0.5 vs brute-force truth") {
     val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf)
       .select("vec_id", "vec_id2").collect()
