@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -140,6 +140,35 @@ object ScalarQueries {
           .as("sum_sq"))
         .orderBy(col("vec_id"))),
 
+    // Map-typed family: construction (map_from_entries / create_map),
+    // lookup (element_at, map_contains_key), HOFs (map_filter,
+    // transform_values), merge (map_concat). Map outputs serialize to
+    // sorted "k=v" strings at the boundary (maps are unhashable in the
+    // driver's comparator, and map iteration order is engine-specific);
+    // numeric values render via fixed-scale decimal strings. The
+    // transform multiplies by 2 (exact in doubles) so no cross-engine
+    // rounding tie can arise.
+    "fn_map" -> ((s, d) => {
+      val m = map_from_entries(array(
+        struct(lit("bal"), col("c_acctbal").cast("double")),
+        struct(lit("key"), col("c_custkey").cast("double")),
+        struct(lit("nat"), col("c_nationkey").cast("double"))))
+      def ser(mc: Column): Column =
+        array_join(array_sort(transform(map_entries(mc),
+          e => concat(e.getField("key"), lit("="),
+            e.getField("value").cast("decimal(14,2)").cast("string")))), ";")
+      customer(s, d).select(
+        col("c_custkey"),
+        size(m).cast("int").as("m_size"),
+        element_at(m, "bal").cast("decimal(14,2)").cast("string").as("bal"),
+        ser(map_filter(m, (_, v) => v >= 1000.0)).as("big_entries"),
+        ser(transform_values(m, (_, v) => v * 2)).as("doubled"),
+        ser(map_concat(m, map(lit("one"), lit(1.0)))).as("merged"),
+        array_join(map_keys(m), ",").as("mkeys"),
+        map_contains_key(m, "nat").as("has_nat"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "fn_json" -> ((s, d) =>
       events(s, d).select(
         col("event_id"),
@@ -248,6 +277,35 @@ object ScalarQueries {
                 round(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
          FROM embeddings ORDER BY vec_id""",
+
+    "fn_map" ->
+      """WITH b AS (
+           SELECT c_custkey,
+                  [struct_pack(k := 'bal', v := CAST(c_acctbal AS DOUBLE)),
+                   struct_pack(k := 'key', v := CAST(c_custkey AS DOUBLE)),
+                   struct_pack(k := 'nat', v := CAST(c_nationkey AS DOUBLE))]
+                    AS ents
+           FROM customer)
+         SELECT c_custkey,
+                CAST(len(ents) AS INT) AS m_size,
+                CAST(CAST(ents[1].v AS DECIMAL(14,2)) AS VARCHAR) AS bal,
+                coalesce(array_to_string(list_sort(list_transform(
+                  list_filter(ents, e -> e.v >= 1000),
+                  e -> e.k || '=' ||
+                    CAST(CAST(e.v AS DECIMAL(14,2)) AS VARCHAR))), ';'), '')
+                  AS big_entries,
+                array_to_string(list_sort(list_transform(ents,
+                  e -> e.k || '=' ||
+                    CAST(CAST(e.v * 2 AS DECIMAL(14,2)) AS VARCHAR))), ';')
+                  AS doubled,
+                array_to_string(list_sort(list_transform(
+                  ents || [struct_pack(k := 'one', v := CAST(1.0 AS DOUBLE))],
+                  e -> e.k || '=' ||
+                    CAST(CAST(e.v AS DECIMAL(14,2)) AS VARCHAR))), ';')
+                  AS merged,
+                'bal,key,nat' AS mkeys,
+                TRUE AS has_nat
+         FROM b ORDER BY c_custkey""",
 
     "fn_json" ->
       """SELECT event_id,
