@@ -17,11 +17,12 @@ object Blocking {
 
   /** Blocked candidate pairs. `docs` must carry `doc_id, lang, n_chars,
     * bucket` plus the `payload` column; the result holds the left columns
-    * and `doc_id2/lang2/n_chars2/<payload>2`, restricted to same-lang,
-    * |Δn_chars| ≤ 10 pairs ordered by id (`smallerRight` picks which side
-    * has the lower id). */
+    * and `doc_id2/lang2/n_chars2/<payload>2`, restricted to same-lang
+    * (unless `langBlocked = false` — coarser blocks for cross-language
+    * matching; the size bucket stays the equi-key), |Δn_chars| ≤ 10 pairs
+    * ordered by id (`smallerRight` picks which side has the lower id). */
   def sizeBlockedPairs(docs: DataFrame, payload: String,
-      smallerRight: Boolean = false): DataFrame = {
+      smallerRight: Boolean = false, langBlocked: Boolean = true): DataFrame = {
     val right = docs
       .withColumn("bucket",
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
@@ -31,8 +32,10 @@ object Blocking {
     val idCond =
       if (smallerRight) col("doc_id2") < col("doc_id")
       else col("doc_id") < col("doc_id2")
+    val langCond =
+      if (langBlocked) col("lang") === col("lang2") else lit(true)
     docs.join(right,
-      col("lang") === col("lang2") && docs("bucket") === right("bucket") &&
+      langCond && docs("bucket") === right("bucket") &&
         idCond && abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
   }
 }

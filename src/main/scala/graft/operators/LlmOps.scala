@@ -86,6 +86,28 @@ object LlmOps {
         .orderBy(col("doc_id"), col("doc_id2"))
     }),
 
+    // Cross-language near-dup (round-2 add): the same text copied under a
+    // different lang tag escapes every lang-blocked dedup stage above.
+    // Blocking drops the lang equi-key — the size bucket alone carries the
+    // join (same shuffled equi-join shape, coarser blocks; per-block
+    // density is the documented scale lever) — and only cross-lang pairs
+    // survive.
+    "llm_neardup_crosslang" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
+      Blocking.sizeBlockedPairs(docs, "toks", langBlocked = false)
+        .filter(col("lang") =!= col("lang2"))
+        .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
+        .withColumn("j",
+          col("inter") / (size(col("toks")) + size(col("toks2")) - col("inter")))
+        .filter(col("j") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("doc_id2"), col("lang2"),
+          round(col("j"), 6).as("j"))
+        .orderBy(col("doc_id"), col("doc_id2"))
+    }),
+
     // Approximate near-dup candidates — no SQL oracle (ScalaTest asserts
     // recall against llm_jaccard_pairs ground truth instead). Candidates
     // End-to-end dedup pipeline (composition showcase): stage 1 exact
@@ -312,6 +334,29 @@ object LlmOps {
                    ELSE nd.nd_of END AS dup_of
        FROM keep k LEFT JOIN nd ON nd.doc_id = k.doc_id
        ORDER BY k.doc_id""",
+
+    "llm_neardup_crosslang" ->
+      """WITH tok AS (SELECT DISTINCT * FROM (
+             SELECT doc_id, lang, n_chars,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents)),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (
+              SELECT a.doc_id AS doc_id, a.lang AS lang,
+                     b.doc_id AS doc_id2, b.lang AS lang2,
+                     count(*) AS inter
+              FROM tok a JOIN tok b
+                ON a.w = b.w AND a.lang <> b.lang
+               AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 10
+              GROUP BY 1, 2, 3, 4)
+       SELECT p.doc_id, p.lang, p.doc_id2, p.lang2,
+              round(inter / (ca.nt + cb.nt - inter), 6) AS j
+       FROM pair p
+       JOIN card ca ON ca.doc_id = p.doc_id
+       JOIN card cb ON cb.doc_id = p.doc_id2
+       WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+       ORDER BY 1, 3""",
 
     "llm_jaccard_pairs" ->
       """WITH tok AS (SELECT DISTINCT * FROM (

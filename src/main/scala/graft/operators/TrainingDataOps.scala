@@ -171,6 +171,26 @@ object TrainingDataOps {
         .limit(100)
         .select(col("doc_id"), col("lang"), col("h"))),
 
+    // Per-stratum uniform k-sample — the distributed reservoir shape
+    // (round-2 add): rank each language's docs by the multiplicative id
+    // hash and keep the k smallest. Deterministic (no rand(): replays,
+    // retries and incremental refreshes agree on the sample), one shuffle
+    // keyed by stratum, and the hash order makes the sample stable under
+    // row arrival order — exactly what a reservoir guarantees, without
+    // sequential state.
+    "llm_sample_reservoir" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("h"), col("doc_id"))
+      documents(s, d)
+        .withColumn("h",
+          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
+            lit(4294967296L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Train/val/test split assignment, same determinism rule: 80/10/10 by
     // doc_id mod 100, summarized per (lang, split).
     "llm_split_assign" -> ((s, d) =>
@@ -438,6 +458,15 @@ object TrainingDataOps {
                 ((doc_id % 268435456) * 2654435761) % 4294967296 AS h
          FROM documents
          ORDER BY h, doc_id LIMIT 100""",
+
+    "llm_sample_reservoir" ->
+      """SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY ((doc_id % 268435456) * 2654435761) % 4294967296,
+                           doc_id) AS INT) AS rn
+         FROM documents
+         QUALIFY rn <= 20
+         ORDER BY lang, rn""",
 
     "llm_split_assign" ->
       """SELECT lang,
