@@ -27,8 +27,9 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
     "llm_minhash_lsh", "llm_simhash_dedup", "llm_dedup_pipeline",
-    "llm_embedding_topk_pairs", "llm_ann_ivf", "llm_lang_id",
-    "llm_tfidf_topterms")
+    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_ann_ivf",
+    "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
+    "llm_sample_reservoir")
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4)

@@ -304,6 +304,10 @@ object StreamingOps {
     }
   }
 
+  /** Test hook: the update-collapse step (method is private). */
+  private[graft] def collapseUpdatesForTest(mem: DataFrame): DataFrame =
+    collapseUpdates(mem)
+
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
       StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =

@@ -63,6 +63,45 @@ class StreamingSpec extends GraftSpec {
       s"late row leaked into closed window: $emitted")
   }
 
+  test("update-mode collapse survives multi-micro-batch runs") {
+    // The registered stateful ops read ONE staged file (single batch), but
+    // their memory-sink read goes through collapseUpdates so a split input
+    // (more files / maxFilesPerTrigger) stays correct. Force a real 2-batch
+    // update-mode run and assert the collapse recovers the final state.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val dir = Files.createTempDirectory("graft_multi_").toString
+    Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "value")
+      .repartition(1).write.mode("append").parquet(dir)
+    Seq((1L, 7.0), (2L, 1.0)).toDF("user_id", "value")
+      .repartition(1).write.mode("append").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val out = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double)],
+         st: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) => {
+          var (n, acc) = st.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; acc += v }
+          st.update((n, acc))
+          (uid, n, acc)
+        })
+      .toDF("user_id", "n_events", "total_value")
+    val q = out.writeStream.format("memory").queryName("multi_upd")
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val raw = spark.table("multi_upd")
+    // precondition: the sink really holds intermediate updates
+    assert(raw.count() > 2, s"expected >1 update per user, got ${raw.count()}")
+    val collapsed = StreamingOps.collapseUpdatesForTest(raw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed == Set((1L, 2L, 17.0), (2L, 2L, 6.0)),
+      s"collapse wrong: $collapsed")
+  }
+
   test("source_rate_smoke: rate source produces rows") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50").option("numPartitions", "1").load()
