@@ -1,6 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Force FULL evaluation: hash every output column of every row into a
+    * per-row xxhash64 and XOR-fold (never overflows). `count()` is NOT a
+    * fair forcing function — a parquet count reads no column data, and
+    * Catalyst legitimately eliminates unique-key outer joins whose output
+    * a count never references — so counting under-times queries whose
+    * output is the point. */
+  def force(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head().getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,7 +32,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { force(fn(spark, sfDir)) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }

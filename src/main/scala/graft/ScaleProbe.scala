@@ -52,7 +52,9 @@ object ScaleProbe {
         println(s"[scaleprobe] === ${k}x corpus staged at $dir ===")
         ProbeQueries.foreach { name =>
           val t0 = System.nanoTime()
-          val n = try SparkEntry.queries(name)(spark, dir).count()
+          // full-evaluation force (see Bench.force): count() would let the
+          // optimizer skip column reads and unique-key join work entirely.
+          val n = try Bench.force(SparkEntry.queries(name)(spark, dir))
           catch { case e: Throwable =>
             println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L
           }

@@ -12,10 +12,11 @@ import graft.functions.{CosineSimilarity, RollingHash, SimHash}
   * scoring, token counting, fingerprinting, language ID).
   *
   * Scale posture mirrors §2.J: every candidate-pair generator is blocked
-  * (lang × n_chars bucket, simhash pigeonhole blocks, LSH bands) — no op
-  * here materialises an unblocked n² pair set at corpus scale. The only
-  * deliberate exception is `llm_embedding_topk_pairs`, the *exact*
-  * all-pairs baseline at test scale; its scale path is `llm_ann_ivf`.
+  * (lang × n_chars bucket, simhash pigeonhole blocks, LSH bands, IVF
+  * cell pairs) — no op here materialises an unblocked n² pair set at
+  * corpus scale, and (since round 2) none broadcasts the corpus: the
+  * exact embedding ops generate pairs through cell-keyed equi-joins with
+  * provably-sound cell-pair pruning.
   */
 object TrainingDataOps {
 
@@ -33,6 +34,22 @@ object TrainingDataOps {
   val PackShards = 8
 
   private def ws = split(col("text"), " ")
+
+  private def clampAcos(c: Column): Column =
+    acos(least(lit(1.0), greatest(lit(-1.0), c)))
+
+  /** IVF cells with angular radii — (c_label, centroid, r) where r is the
+    * max angle from a member to its own centroid. Shared by the exact
+    * cell-pair-pruned embedding ops (neardup, topk pairs); requires
+    * [[CosineSimilarity]] registered on the session. */
+  private def ivfCells(emb: DataFrame): DataFrame = {
+    val cent = AnnOps.centroids(emb)
+    val radii = emb.join(broadcast(cent), col("label") === col("c_label"))
+      .withColumn("ang", clampAcos(expr("cosine_sim(embedding, centroid)")))
+      .groupBy(col("label")).agg(max(col("ang")).as("r"))
+    cent.join(radii, col("c_label") === col("label"))
+      .select(col("c_label"), col("centroid"), col("r"))
+  }
 
   /** Word 3-gram shingles (order-sensitive, vs the set-based unigram toks). */
   private def shingles: Column =
@@ -106,20 +123,57 @@ object TrainingDataOps {
         .limit(20)
     }),
 
-    // Exact all-pairs embedding similarity baseline: top-20 closest pairs
-    // by cosine via the native codegen'd expression. Deliberately O(n²) at
-    // test scale (2k vectors); the corpus-scale path is llm_ann_ivf.
+    // Exact top-20 closest embedding pairs by cosine — round-2 rework from
+    // the broadcast all-pairs baseline to the cell-pair equi-join shape
+    // (same machinery as llm_embedding_neardup), with an exact top-k
+    // admission bound:
+    //   phase 1: same-cell pairs exactly; the 20th-best same-cell sim is a
+    //            lower bound b on the global 20th-best (computed as a
+    //            1-row DataFrame — no driver collect);
+    //   phase 2: a cross-cell pair's sim is ≤ cos(max(0, cang − ra − rb)),
+    //            so cell pairs whose best case can't reach b are provably
+    //            outside the top 20 and are pruned before any pair forms.
+    // Candidate pairs materialize through codegen'd hash equi-joins keyed
+    // by cell id — the corpus is never broadcast and never meets a
+    // nested-loop operator. Loose test-scale clusters keep most cell pairs
+    // candidate; tight corpus-scale cells make the bound bite.
     "llm_embedding_topk_pairs" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val e1 = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").as("v1"))
-      val e2 = embeddings(s, d)
-        .select(col("vec_id").as("vec_id2"), col("embedding").as("v2"))
-      e1.join(broadcast(e2), col("vec_id") < col("vec_id2"), "inner")
+      val emb = embeddings(s, d)
+      val k = 20
+      val e1 = emb.select(col("label").as("la"), col("vec_id"),
+        col("embedding").as("v1"))
+      val e2 = emb.select(col("label").as("lb"), col("vec_id").as("vec_id2"),
+        col("embedding").as("v2"))
+      val sameCell = e1
+        .join(e2, col("la") === col("lb") && col("vec_id") < col("vec_id2"),
+          "inner")
         .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
         .select(col("vec_id"), col("vec_id2"), col("sim"))
+      val bound = sameCell.select(col("sim"))
+        .orderBy(col("sim").desc).limit(k)
+        .agg(coalesce(when(count(lit(1)) === k, min(col("sim"))), lit(-1.0))
+          .as("b"))
+      val cells = ivfCells(emb)
+      val cellPairs = cells
+        .select(col("c_label").as("la"), col("centroid").as("ca"),
+          col("r").as("ra"))
+        .crossJoin(broadcast(cells.select(col("c_label").as("lb"),
+          col("centroid").as("cb"), col("r").as("rb"))))
+        .filter(col("la") =!= col("lb"))
+        .withColumn("cang", clampAcos(expr("cosine_sim(ca, cb)")))
+        .crossJoin(broadcast(bound))
+        .filter(cos(greatest(lit(0.0),
+          col("cang") - col("ra") - col("rb"))) >= col("b") - 1e-6)
+        .select(col("la"), col("lb"))
+      val crossCell = e1.join(broadcast(cellPairs), Seq("la"))
+        .join(e2, Seq("lb"))
+        .filter(col("vec_id") < col("vec_id2"))
+        .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
+        .select(col("vec_id"), col("vec_id2"), col("sim"))
+      sameCell.unionByName(crossCell)
         .orderBy(col("sim").desc, col("vec_id"), col("vec_id2"))
-        .limit(20)
+        .limit(k)
     }),
 
     // Deterministic stratified sampling: the 100 TB sampling pattern is a
@@ -281,14 +335,7 @@ object TrainingDataOps {
     "llm_embedding_neardup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = embeddings(s, d)
-      def clampAcos(c: Column): Column =
-        acos(least(lit(1.0), greatest(lit(-1.0), c)))
-      val cent = AnnOps.centroids(emb)
-      val radii = emb.join(broadcast(cent), col("label") === col("c_label"))
-        .withColumn("ang", clampAcos(expr("cosine_sim(embedding, centroid)")))
-        .groupBy(col("label")).agg(max(col("ang")).as("r"))
-      val cells = cent.join(radii, col("c_label") === col("label"))
-        .select(col("c_label"), col("centroid"), col("r"))
+      val cells = ivfCells(emb)
       // raw cosine as low as 0.3999995 still rounds to the 0.4 cutoff, so
       // the pruning angle uses a slightly looser threshold (safe side).
       val theta = math.acos(0.399999)

@@ -70,25 +70,18 @@ class PlanShapeSpec extends GraftSpec {
       }
   }
 
-  test("all-pairs embedding baseline broadcasts one side (corpus never shuffles)") {
-    // The deliberate exact baseline: the pair generator must be a
-    // broadcast nested-loop (small side shipped once), NOT a cartesian
-    // product (which would shuffle-split the corpus side).
-    val plan = finalPlan("llm_embedding_topk_pairs")
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"does not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-  }
-
-  test("llm_embedding_neardup never broadcasts the corpus") {
-    // The scale path: pair generation is an equi-join keyed by cell id;
-    // only the tiny cell-pair list and centroid table broadcast. The
-    // corpus appears solely under shuffle (hashpartitioning) joins.
-    val plan = finalPlan("llm_embedding_neardup")
-    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-    assert(plan.contains("hashpartitioning(lb") ||
-      plan.contains("hashpartitioning(la"),
-      s"pair join not keyed by cell id:\n$plan")
+  test("exact embedding pair ops generate pairs via cell-keyed equi-joins") {
+    // Round-2 shape for BOTH exact embedding ops: pair generation is an
+    // equi-join keyed by cell id; only the tiny cell-pair list, centroid
+    // table, and (for top-k) the 1-row admission bound broadcast. The
+    // corpus never meets a nested-loop operator.
+    Seq("llm_embedding_topk_pairs", "llm_embedding_neardup").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(plan.contains("hashpartitioning(lb") ||
+        plan.contains("hashpartitioning(la"),
+        s"$q pair join not keyed by cell id:\n$plan")
+    }
   }
 
   test("llm_ann_ivf broadcasts probes and centroids, never the corpus") {
