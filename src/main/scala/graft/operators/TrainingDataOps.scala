@@ -245,6 +245,69 @@ object TrainingDataOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Test-set decontamination (round-2 add): a test doc is contaminated
+    // if it shares any word 8-gram with the train split — the standard
+    // n-gram-overlap decontamination pass run before training. Shingles
+    // are xxhash64'd (8-byte shuffle keys; collision-free on this corpus,
+    // same argument as llm_ngram_jaccard) and the check is one equi-join
+    // on the shingle hash against the DISTINCT train shingle set — no
+    // pair enumeration, O(corpus shingles) shuffle, the shape that holds
+    // at 100 TB. Split rule matches llm_split_assign (doc_id mod 100).
+    "llm_decontaminate" -> ((s, d) => {
+      val wsArr = col("ws_arr")
+      val gram8 = when(size(wsArr) >= 8,
+        array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
+          i => xxhash64(concat_ws(" ",
+            (0 to 7).map(o => element_at(wsArr, i + lit(o))): _*)))))
+        .otherwise(array().cast("array<bigint>"))
+      val docs = documents(s, d)
+        .withColumn("ws_arr", ws)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
+            .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
+            .otherwise(lit("test")))
+        .withColumn("g8", gram8)
+      val trainGrams = docs.filter(col("split") === "train")
+        .select(explode(col("g8")).as("g")).distinct()
+      val testGrams = docs.filter(col("split") === "test")
+        .select(col("doc_id"), explode(col("g8")).as("g"))
+      val shared = testGrams.join(trainGrams, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+      docs.filter(col("split") === "test").select(col("doc_id"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping token-window chunking (round-2 add): fixed 32-token
+    // windows with stride 24 (8-token overlap; sized to this corpus's
+    // ~54-token docs so the fan-out is real) — the doc→context-window
+    // fan-out a pretraining tokenizer pipeline runs. Pure per-row
+    // explode: no shuffle at all until the output sort; chunk count and
+    // content are a deterministic function of the doc.
+    "llm_chunk_windows" -> ((s, d) => {
+      val nt = size(ws)
+      val win = 32
+      val stride = 24
+      val nChunks = when(nt <= win, lit(1L))
+        .otherwise(ceil((nt - lit(win)).cast("double") / stride)
+          .cast("bigint") + 1)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), nt.as("n_tokens"),
+          col("text"))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), nChunks - 1)))
+        .select(col("doc_id"), col("lang"), col("chunk_idx"),
+          least(col("n_tokens") - col("chunk_idx") * stride, lit(win))
+            .cast("int").as("chunk_len"),
+          element_at(split(col("text"), " "),
+            (col("chunk_idx") * stride + 1).cast("int")).as("head_token"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Train/val/test split assignment, same determinism rule: 80/10/10 by
     // doc_id mod 100, summarized per (lang, split).
     "llm_split_assign" -> ((s, d) =>
@@ -505,6 +568,43 @@ object TrainingDataOps {
                 ((doc_id % 268435456) * 2654435761) % 4294967296 AS h
          FROM documents
          ORDER BY h, doc_id LIMIT 100""",
+
+    "llm_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+                      CASE WHEN doc_id % 100 < 80 THEN 'train'
+                           WHEN doc_id % 100 < 90 THEN 'val'
+                           ELSE 'test' END AS split,
+                      string_split(text, ' ') AS ws
+                    FROM documents),
+            g AS (SELECT DISTINCT doc_id, split,
+                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                    ws[i+6] || ' ' || ws[i+7] AS g8
+                  FROM t, unnest(generate_series(1, len(ws) - 7)) AS u(i)
+                  WHERE len(ws) >= 8),
+            tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
+            sh AS (SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+                   FROM g JOIN tr ON g.g8 = tr.g8 WHERE g.split = 'test'
+                   GROUP BY 1)
+         SELECT te.doc_id,
+                coalesce(sh.n_shared, 0) AS n_shared,
+                coalesce(sh.n_shared, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM t WHERE split = 'test') te
+         LEFT JOIN sh ON sh.doc_id = te.doc_id
+         ORDER BY te.doc_id""",
+
+    "llm_chunk_windows" ->
+      """WITH n AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                           ELSE CAST(ceil((len(string_split(text, ' ')) - 32)
+                                  / 24.0) AS BIGINT) + 1 END AS n_chunks
+                    FROM documents)
+         SELECT doc_id, lang, u.k AS chunk_idx,
+                CAST(least(n_tokens - u.k * 24, 32) AS INT) AS chunk_len,
+                ws[CAST(u.k * 24 + 1 AS INT)] AS head_token
+         FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+         ORDER BY doc_id, chunk_idx""",
 
     "llm_sample_reservoir" ->
       """SELECT doc_id, lang,
