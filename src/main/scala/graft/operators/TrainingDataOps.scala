@@ -245,6 +245,35 @@ object TrainingDataOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Domain-mixture rebalancing (round-2 add): given per-source target
+    // weights (odd-numbered sources weighted 3×), compute the max-volume
+    // per-source keep rates that realize the target distribution
+    // (rate_s = w_s·k / n_s, k = min_t n_t/w_t), then gate each doc by
+    // the deterministic multiplicative id hash — no rand(), so retries,
+    // speculation and incremental re-runs keep the same mixture. Source
+    // stats are one tiny aggregate broadcast back over the corpus: one
+    // corpus scan, no corpus shuffle.
+    "llm_mix_weights" -> ((s, d) => {
+      val w = when(substring(col("source"), 4, 10).cast("int") % 2 === 1,
+        lit(3.0)).otherwise(lit(1.0))
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("w", w)
+      val perSrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n_s"), min(col("w")).as("w_s"))
+      val kRow = perSrc.agg(min(col("n_s") / col("w_s")).as("k"))
+      val rates = perSrc.crossJoin(broadcast(kRow))
+        .withColumn("rate", least(lit(1.0), col("w_s") * col("k") / col("n_s")))
+        .select(col("source"), col("rate"))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("h",
+          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
+            lit(1000000L)))
+        .select(col("doc_id"), col("source"),
+          round(col("rate"), 6).as("rate"),
+          (col("h") < col("rate") * 1000000).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Test-set decontamination (round-2 add): a test doc is contaminated
     // if it shares any word 8-gram with the train split — the standard
     // n-gram-overlap decontamination pass run before training. Shingles
@@ -568,6 +597,24 @@ object TrainingDataOps {
                 ((doc_id % 268435456) * 2654435761) % 4294967296 AS h
          FROM documents
          ORDER BY h, doc_id LIMIT 100""",
+
+    "llm_mix_weights" ->
+      """WITH d AS (SELECT doc_id, source,
+                      CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+                           THEN 3.0 ELSE 1.0 END AS w
+                    FROM documents),
+            p AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s,
+                    min(w) AS w_s
+                  FROM d GROUP BY 1),
+            kk AS (SELECT min(n_s / w_s) AS k FROM p),
+            r AS (SELECT source,
+                    least(CAST(1.0 AS DOUBLE), w_s * k / n_s) AS rate
+                  FROM p, kk)
+         SELECT d.doc_id, d.source, round(r.rate, 6) AS rate,
+                ((d.doc_id % 268435456) * 2654435761) % 1000000
+                  < r.rate * 1000000 AS kept
+         FROM d JOIN r USING (source)
+         ORDER BY d.doc_id""",
 
     "llm_decontaminate" ->
       """WITH t AS (SELECT doc_id,
