@@ -174,6 +174,28 @@ object StreamingOps {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // Chained stateful aggregation (round-2 add): hourly tumbling counts
+    // re-windowed into daily rollups INSIDE one streaming query — two
+    // stateful operators back to back in append mode (Flink's chained
+    // window topology; Spark 4 re-windows the window column directly).
+    // Append emission: a window emits once its end ≤ the watermark, so
+    // with delay 0 the final watermark (= max event time) releases every
+    // complete day except the last partial one — exactly what the oracle
+    // recomputes with the same cutoff.
+    "stream_windowed_rollup" -> ((s, d) => {
+      val hourly = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val daily = hourly
+        .groupBy(window(col("w"), "1 day").as("dw"))
+        .agg(sum(col("cnt")).as("n_events"), count(lit(1)).as("n_hours"))
+      runToMemory(daily, "append")
+        .select(col("dw.start").as("d_start"), col("n_events"),
+          col("n_hours"))
+        .orderBy(col("d_start"))
+    }),
+
     "stream_dedup" -> ((s, d) => {
       val deduped = eventsStream(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -349,6 +371,18 @@ object StreamingOps {
                 count(*) AS cnt,
                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
+
+    "stream_windowed_rollup" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb,
+                      count(*) AS cnt
+                    FROM events GROUP BY 1),
+            mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+         SELECT date_trunc('day', hb) AS d_start,
+                CAST(sum(cnt) AS BIGINT) AS n_events,
+                count(*) AS n_hours
+         FROM h, mx
+         WHERE date_trunc('day', hb) + INTERVAL 1 DAY <= m
+         GROUP BY 1 ORDER BY 1""",
 
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type
