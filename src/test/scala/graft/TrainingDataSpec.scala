@@ -196,4 +196,61 @@ class TrainingDataSpec extends GraftSpec {
     // 5 balanced classes → uniform guessing ≈ 0.2
     assert(acc > 0.25, s"lang-id accuracy $acc not above chance")
   }
+
+  test("llm_chunk_windows: chunk count, lengths, and coverage per doc") {
+    val chunks = SparkEntry.queries("llm_chunk_windows")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getString(4)))
+    val nTokens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val nt = nTokens(doc)
+      val expected = if (nt <= 32) 1L else math.ceil((nt - 32) / 24.0).toLong + 1
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, want $expected")
+      // indices contiguous from 0; every chunk non-empty; window arithmetic
+      assert(cs.map(_._2).sorted.toSeq == (0L until expected))
+      cs.foreach { case (_, k, len, head) =>
+        assert(len > 0 && len <= 32)
+        assert(len == math.min(nt - k * 24, 32), s"doc $doc chunk $k len $len")
+        assert(head != null)
+      }
+    }
+  }
+
+  test("llm_mix_weights: rates realize the 3:1 target and gating is exact") {
+    val rows = SparkEntry.queries("llm_mix_weights")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    // sources are uniform 25-doc domains: odd-numbered keep everything
+    // (rate 1), even-numbered keep at rate 1/3
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val odd = src.stripPrefix("src").toInt % 2 == 1
+      val rate = docs.head._3
+      assert(docs.forall(_._3 == rate))
+      if (odd) {
+        assert(rate == 1.0 && docs.forall(_._4), s"$src should keep all")
+      } else {
+        assert(math.abs(rate - 1.0 / 3) < 1e-6, s"$src rate $rate")
+        assert(docs.exists(_._4) && docs.exists(!_._4), s"$src gating degenerate")
+      }
+    }
+  }
+
+  test("llm_decontaminate: contaminated docs really share an 8-gram with train") {
+    val out = SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, c) => assert(c == (n > 0)) }
+    // recompute ground truth in-memory at this tiny SF
+    def grams(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(8).filter(_.length == 8).map(_.toSeq).toSet
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val train = docs.filter(_._1 % 100 < 80).flatMap(d => grams(d._2)).toSet
+    val truth = docs.filter(_._1 % 100 >= 90)
+      .map { case (id, t) => id -> grams(t).exists(train.contains) }.toMap
+    out.foreach { case (id, _, c) =>
+      assert(c == truth(id), s"doc $id contamination verdict mismatch")
+    }
+  }
 }
