@@ -316,6 +316,50 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-pruned decontamination (round-2 add): same contract and SAME
+    // ORACLE as llm_decontaminate, but the test-shingle stream is
+    // pre-filtered through a Bloom sketch of the train shingle set before
+    // the exact join — the sketch-pruned-join pattern that matters at
+    // 100 TB, where the train shingle set is far too large to hash-join
+    // casually but its Bloom filter (~1 byte/item) broadcasts fine. False
+    // positives only ever ADD candidates to the exact join, so the output
+    // is provably identical; the filter prunes the shuffle, not the
+    // semantics. (The sketch builds distributed and merges to a compact
+    // driver-side structure — the "tiny broadcast" exception, like dims.)
+    "llm_decontaminate_bloom" -> ((s, d) => {
+      val wsArr = col("ws_arr")
+      val gram8 = when(size(wsArr) >= 8,
+        array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
+          i => xxhash64(slice(wsArr, i, lit(8))))))
+        .otherwise(array().cast("array<bigint>"))
+      val docs = documents(s, d)
+        .withColumn("ws_arr", ws)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
+            .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
+            .otherwise(lit("test")))
+        .withColumn("g8", gram8)
+      // cached: the distinct train shingle set feeds BOTH the sketch build
+      // (an eager action) and the exact join — without the cache the
+      // shingle explode+distinct runs twice (~8 bytes/shingle in memory)
+      val trainGrams = docs.filter(col("split") === "train")
+        .select(explode(col("g8")).as("g")).distinct().persist()
+      val bloom = trainGrams.stat.bloomFilter("g", 300000L, 0.01)
+      val mightContain = udf((g: Long) => bloom.mightContainLong(g))
+      val testGrams = docs.filter(col("split") === "test")
+        .select(col("doc_id"), explode(col("g8")).as("g"))
+        .filter(mightContain(col("g")))
+      val shared = testGrams.join(trainGrams, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+      docs.filter(col("split") === "test").select(col("doc_id"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Overlapping token-window chunking (round-2 add): fixed 32-token
     // windows with stride 24 (8-token overlap; sized to this corpus's
     // ~54-token docs so the fan-out is real) — the doc→context-window
@@ -620,6 +664,31 @@ object TrainingDataOps {
                   < r.rate * 1000000 AS kept
          FROM d JOIN r USING (source)
          ORDER BY d.doc_id""",
+
+    // identical oracle: the Bloom pre-filter provably preserves output
+    "llm_decontaminate_bloom" ->
+      """WITH t AS (SELECT doc_id,
+                      CASE WHEN doc_id % 100 < 80 THEN 'train'
+                           WHEN doc_id % 100 < 90 THEN 'val'
+                           ELSE 'test' END AS split,
+                      string_split(text, ' ') AS ws
+                    FROM documents),
+            g AS (SELECT DISTINCT doc_id, split,
+                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                    ws[i+6] || ' ' || ws[i+7] AS g8
+                  FROM t, unnest(generate_series(1, len(ws) - 7)) AS u(i)
+                  WHERE len(ws) >= 8),
+            tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
+            sh AS (SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+                   FROM g JOIN tr ON g.g8 = tr.g8 WHERE g.split = 'test'
+                   GROUP BY 1)
+         SELECT te.doc_id,
+                coalesce(sh.n_shared, 0) AS n_shared,
+                coalesce(sh.n_shared, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM t WHERE split = 'test') te
+         LEFT JOIN sh ON sh.doc_id = te.doc_id
+         ORDER BY te.doc_id""",
 
     "llm_decontaminate" ->
       """WITH t AS (SELECT doc_id,

@@ -196,6 +196,23 @@ object StreamingOps {
         .orderBy(col("d_start"))
     }),
 
+    // Mergeable-sketch aggregation in streaming state (round-2 add):
+    // approx_count_distinct's HLL buffer lives in the state store per
+    // window, merging partials across micro-batches and partitions — the
+    // 100 TB form of windowed distinct-user counting (exact distinct
+    // would hold every user id in state). Approximate ⇒ rows-only +
+    // ScalaTest bound vs the exact batch computation.
+    "stream_approx_distinct" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts_utc"), "1 day").as("w"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("cnt"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("w_start"), col("approx_users"),
+          col("cnt"))
+        .orderBy(col("w_start"))
+    }),
+
     "stream_dedup" -> ((s, d) => {
       val deduped = eventsStream(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))

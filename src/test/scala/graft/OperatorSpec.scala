@@ -19,7 +19,7 @@ class OperatorSpec extends GraftSpec {
       Set("agg_approx_distinct", "llm_minhash_lsh", "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "mm_decode_features",
         "mm_resize", "mm_frame_sample", "llm_pack_greedy",
-        "agg_approx_percentile"))
+        "agg_approx_percentile", "stream_approx_distinct"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

@@ -102,6 +102,21 @@ class StreamingSpec extends GraftSpec {
       s"collapse wrong: $collapsed")
   }
 
+  test("stream_approx_distinct within 5% of exact per-window distincts") {
+    val approx = SparkEntry.queries("stream_approx_distinct")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts_utc")).as("d"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, ex) =>
+      val ap = approx(d)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$d: approx=$ap exact=$ex off by >5%")
+    }
+  }
+
   test("source_rate_smoke: rate source produces rows") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50").option("numPartitions", "1").load()
