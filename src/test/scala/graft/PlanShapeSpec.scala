@@ -100,6 +100,22 @@ class PlanShapeSpec extends GraftSpec {
       s"packing window not sharded:\n$plan")
   }
 
+  test("llm_decontaminate joins shingle sets on equi-keys, never cartesian") {
+    val plan = finalPlan("llm_decontaminate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+    assert(plan.contains("hashpartitioning(g"),
+      s"shingle join not keyed on the shingle hash:\n$plan")
+  }
+
+  test("llm_chunk_windows fans out with no shuffle before the output sort") {
+    val plan = finalPlan("llm_chunk_windows")
+    assert(plan.contains("Generate"), s"no explode fan-out:\n$plan")
+    // the only exchange is the final total-order sort (rangepartitioning)
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected shuffle in a per-row op:\n$plan")
+  }
+
   test("window ops sort within partitions only (no global Sort/Exchange after window)") {
     // The registered window_* queries end in a total-order sort for the
     // oracle (D1), which legitimately range-partitions — so build the raw
