@@ -69,14 +69,14 @@ def cell_str(v):
 
 
 def frame_hash(df):
+    # cell_str distinguishes NaN ("<nan>") from NULL ("<null>") — NaN-vs-NULL
+    # drift between engines must FAIL the hash, and diagnose() must agree
+    # with the hash about every cell.
     h = hashlib.sha256()
     for col in df.columns:
         h.update(col.encode())
         for v in df[col]:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                h.update(b"<null>")
-            else:
-                h.update(cell_str(v).encode())
+            h.update(cell_str(v).encode())
             h.update(b"\x1f")
         h.update(b"\x1e")
     return h.hexdigest()

@@ -51,6 +51,72 @@ object TrainingDataOps {
       .select(col("c_label"), col("centroid"), col("r"))
   }
 
+  /** Knuth multiplicative id hash reduced mod `m` — the shared
+    * deterministic sampling/gating key (llm_sample_topk_hash,
+    * llm_sample_reservoir, llm_mix_weights). doc_id is reduced mod 2^28
+    * BEFORE the multiply so the product stays under 2^63 for any id.
+    * Mirrored literally as `((doc_id % 268435456) * 2654435761) % m`
+    * in the oracles. */
+  private def multHash(m: Long): Column =
+    pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L), lit(m))
+
+  /** Shared decontamination body (llm_decontaminate and its Bloom-pruned
+    * variant — one implementation, one oracle, so the split rule, 8-gram
+    * definition, and output contract cannot diverge). The 8-gram hashes
+    * the 8-token slice STRUCTURALLY (xxhash64 over the subarray) rather
+    * than concat-then-hash: one array op per shingle instead of 8
+    * element_ats + a string build — measured 14 s → 2 s at sf0.1. The
+    * oracle compares literal string 8-grams, which agrees with any
+    * injective shingle hash (collision-free here, same argument as
+    * llm_ngram_jaccard).
+    *
+    * With `bloom = true`, test shingles pre-filter through a Bloom sketch
+    * of the train shingle set before the exact join — the
+    * sketch-pruned-join pattern that matters at 100 TB, where the train
+    * shingle set is far too large to hash-join casually but its Bloom
+    * filter (~1 byte/item) broadcasts fine. False positives only ever ADD
+    * candidates to the exact join, so the output is provably identical.
+    * (The sketch builds distributed and merges to a compact driver-side
+    * structure — the "tiny broadcast" exception, like dims.) */
+  private def decontaminate(s: SparkSession, d: String,
+      bloom: Boolean): DataFrame = {
+    val wsArr = col("ws_arr")
+    val gram8 = when(size(wsArr) >= 8,
+      array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
+        i => xxhash64(slice(wsArr, i, lit(8))))))
+      .otherwise(array().cast("array<bigint>"))
+    val docs = documents(s, d)
+      .withColumn("ws_arr", ws)
+      .withColumn("split",
+        when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
+          .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("g8", gram8)
+    // persisted only on the bloom path: the distinct train shingle set
+    // feeds BOTH the sketch build (an eager action) and the exact join.
+    // The cache is ~8 bytes/shingle, MEMORY-evictable, and bounded by the
+    // train vocabulary — an accepted small per-invocation residency.
+    val trainBase = docs.filter(col("split") === "train")
+      .select(explode(col("g8")).as("g")).distinct()
+    val trainGrams = if (bloom) trainBase.persist() else trainBase
+    val testGramsAll = docs.filter(col("split") === "test")
+      .select(col("doc_id"), explode(col("g8")).as("g"))
+    val testGrams = if (bloom) {
+      val sketch = trainGrams.stat.bloomFilter("g", 300000L, 0.01)
+      val mightContain = udf((g: Long) => sketch.mightContainLong(g))
+      testGramsAll.filter(mightContain(col("g")))
+    } else testGramsAll
+    val shared = testGrams.join(trainGrams, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    docs.filter(col("split") === "test").select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Word 3-gram shingles (order-sensitive, vs the set-based unigram toks). */
   private def shingles: Column =
     when(size(ws) >= 3,
@@ -145,6 +211,13 @@ object TrainingDataOps {
         col("embedding").as("v1"))
       val e2 = emb.select(col("label").as("lb"), col("vec_id").as("vec_id2"),
         col("embedding").as("v2"))
+      // NOTE: the sameCell subtree evaluates twice — once to derive the
+      // admission bound, once in the final union. That is the deliberate
+      // price of two-phase top-k pruning: at corpus scale same-cell pair
+      // volume is bounded by cell size (small) while the bound prunes the
+      // cross-cell quadratic (large), so 2× the small part buys skipping
+      // most of the big part. Caching is wrong here — same-cell pairs can
+      // be arbitrarily large in aggregate and would pin executor memory.
       val sameCell = e1
         .join(e2, col("la") === col("lb") && col("vec_id") < col("vec_id2"),
           "inner")
@@ -218,9 +291,7 @@ object TrainingDataOps {
     // residue share a hash; the doc_id tie-break keeps the order total.
     "llm_sample_topk_hash" -> ((s, d) =>
       documents(s, d)
-        .withColumn("h",
-          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
-            lit(4294967296L)))
+        .withColumn("h", multHash(4294967296L))
         .orderBy(col("h"), col("doc_id"))
         .limit(100)
         .select(col("doc_id"), col("lang"), col("h"))),
@@ -236,9 +307,7 @@ object TrainingDataOps {
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("h"), col("doc_id"))
       documents(s, d)
-        .withColumn("h",
-          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
-            lit(4294967296L)))
+        .withColumn("h", multHash(4294967296L))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .select(col("doc_id"), col("lang"), col("rn"))
@@ -265,9 +334,7 @@ object TrainingDataOps {
         .withColumn("rate", least(lit(1.0), col("w_s") * col("k") / col("n_s")))
         .select(col("source"), col("rate"))
       docs.join(broadcast(rates), Seq("source"))
-        .withColumn("h",
-          pmod(pmod(col("doc_id"), lit(268435456L)) * lit(2654435761L),
-            lit(1000000L)))
+        .withColumn("h", multHash(1000000L))
         .select(col("doc_id"), col("source"),
           round(col("rate"), 6).as("rate"),
           (col("h") < col("rate") * 1000000).as("kept"))
@@ -288,33 +355,7 @@ object TrainingDataOps {
     // sf0.1. The oracle compares literal string 8-grams, which agrees
     // with any injective shingle hash (collision-free here, same
     // argument as llm_ngram_jaccard).
-    "llm_decontaminate" -> ((s, d) => {
-      val wsArr = col("ws_arr")
-      val gram8 = when(size(wsArr) >= 8,
-        array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
-          i => xxhash64(slice(wsArr, i, lit(8))))))
-        .otherwise(array().cast("array<bigint>"))
-      val docs = documents(s, d)
-        .withColumn("ws_arr", ws)
-        .withColumn("split",
-          when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
-            .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
-            .otherwise(lit("test")))
-        .withColumn("g8", gram8)
-      val trainGrams = docs.filter(col("split") === "train")
-        .select(explode(col("g8")).as("g")).distinct()
-      val testGrams = docs.filter(col("split") === "test")
-        .select(col("doc_id"), explode(col("g8")).as("g"))
-      val shared = testGrams.join(trainGrams, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_shared"))
-      docs.filter(col("split") === "test").select(col("doc_id"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        .orderBy(col("doc_id"))
-    }),
+    "llm_decontaminate" -> ((s, d) => decontaminate(s, d, bloom = false)),
 
     // Bloom-pruned decontamination (round-2 add): same contract and SAME
     // ORACLE as llm_decontaminate, but the test-shingle stream is
@@ -326,39 +367,7 @@ object TrainingDataOps {
     // is provably identical; the filter prunes the shuffle, not the
     // semantics. (The sketch builds distributed and merges to a compact
     // driver-side structure — the "tiny broadcast" exception, like dims.)
-    "llm_decontaminate_bloom" -> ((s, d) => {
-      val wsArr = col("ws_arr")
-      val gram8 = when(size(wsArr) >= 8,
-        array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
-          i => xxhash64(slice(wsArr, i, lit(8))))))
-        .otherwise(array().cast("array<bigint>"))
-      val docs = documents(s, d)
-        .withColumn("ws_arr", ws)
-        .withColumn("split",
-          when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
-            .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
-            .otherwise(lit("test")))
-        .withColumn("g8", gram8)
-      // cached: the distinct train shingle set feeds BOTH the sketch build
-      // (an eager action) and the exact join — without the cache the
-      // shingle explode+distinct runs twice (~8 bytes/shingle in memory)
-      val trainGrams = docs.filter(col("split") === "train")
-        .select(explode(col("g8")).as("g")).distinct().persist()
-      val bloom = trainGrams.stat.bloomFilter("g", 300000L, 0.01)
-      val mightContain = udf((g: Long) => bloom.mightContainLong(g))
-      val testGrams = docs.filter(col("split") === "test")
-        .select(col("doc_id"), explode(col("g8")).as("g"))
-        .filter(mightContain(col("g")))
-      val shared = testGrams.join(trainGrams, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_shared"))
-      docs.filter(col("split") === "test").select(col("doc_id"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-        .orderBy(col("doc_id"))
-    }),
+    "llm_decontaminate_bloom" -> ((s, d) => decontaminate(s, d, bloom = true)),
 
     // Overlapping token-window chunking (round-2 add): fixed 32-token
     // windows with stride 24 (8-token overlap; sized to this corpus's
@@ -594,6 +603,33 @@ object TrainingDataOps {
     })
   )
 
+  /** One oracle for llm_decontaminate AND llm_decontaminate_bloom — the
+    * Bloom pre-filter cannot change the output (false positives only add
+    * exact-join candidates), so both keys share this SQL. */
+  private val DecontaminateOracle =
+    """WITH t AS (SELECT doc_id,
+                    CASE WHEN doc_id % 100 < 80 THEN 'train'
+                         WHEN doc_id % 100 < 90 THEN 'val'
+                         ELSE 'test' END AS split,
+                    string_split(text, ' ') AS ws
+                  FROM documents),
+          g AS (SELECT DISTINCT doc_id, split,
+                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+                  ws[i+6] || ' ' || ws[i+7] AS g8
+                FROM t, unnest(generate_series(1, len(ws) - 7)) AS u(i)
+                WHERE len(ws) >= 8),
+          tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
+          sh AS (SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+                 FROM g JOIN tr ON g.g8 = tr.g8 WHERE g.split = 'test'
+                 GROUP BY 1)
+       SELECT te.doc_id,
+              coalesce(sh.n_shared, 0) AS n_shared,
+              coalesce(sh.n_shared, 0) > 0 AS contaminated
+       FROM (SELECT doc_id FROM t WHERE split = 'test') te
+       LEFT JOIN sh ON sh.doc_id = te.doc_id
+       ORDER BY te.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
@@ -665,54 +701,10 @@ object TrainingDataOps {
          FROM d JOIN r USING (source)
          ORDER BY d.doc_id""",
 
-    // identical oracle: the Bloom pre-filter provably preserves output
-    "llm_decontaminate_bloom" ->
-      """WITH t AS (SELECT doc_id,
-                      CASE WHEN doc_id % 100 < 80 THEN 'train'
-                           WHEN doc_id % 100 < 90 THEN 'val'
-                           ELSE 'test' END AS split,
-                      string_split(text, ' ') AS ws
-                    FROM documents),
-            g AS (SELECT DISTINCT doc_id, split,
-                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-                    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
-                    ws[i+6] || ' ' || ws[i+7] AS g8
-                  FROM t, unnest(generate_series(1, len(ws) - 7)) AS u(i)
-                  WHERE len(ws) >= 8),
-            tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
-            sh AS (SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
-                   FROM g JOIN tr ON g.g8 = tr.g8 WHERE g.split = 'test'
-                   GROUP BY 1)
-         SELECT te.doc_id,
-                coalesce(sh.n_shared, 0) AS n_shared,
-                coalesce(sh.n_shared, 0) > 0 AS contaminated
-         FROM (SELECT doc_id FROM t WHERE split = 'test') te
-         LEFT JOIN sh ON sh.doc_id = te.doc_id
-         ORDER BY te.doc_id""",
-
-    "llm_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-                      CASE WHEN doc_id % 100 < 80 THEN 'train'
-                           WHEN doc_id % 100 < 90 THEN 'val'
-                           ELSE 'test' END AS split,
-                      string_split(text, ' ') AS ws
-                    FROM documents),
-            g AS (SELECT DISTINCT doc_id, split,
-                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
-                    ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
-                    ws[i+6] || ' ' || ws[i+7] AS g8
-                  FROM t, unnest(generate_series(1, len(ws) - 7)) AS u(i)
-                  WHERE len(ws) >= 8),
-            tr AS (SELECT DISTINCT g8 FROM g WHERE split = 'train'),
-            sh AS (SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
-                   FROM g JOIN tr ON g.g8 = tr.g8 WHERE g.split = 'test'
-                   GROUP BY 1)
-         SELECT te.doc_id,
-                coalesce(sh.n_shared, 0) AS n_shared,
-                coalesce(sh.n_shared, 0) > 0 AS contaminated
-         FROM (SELECT doc_id FROM t WHERE split = 'test') te
-         LEFT JOIN sh ON sh.doc_id = te.doc_id
-         ORDER BY te.doc_id""",
+    // identical oracle for both: the Bloom pre-filter provably preserves
+    // the output, so a single SQL constant serves both keys
+    "llm_decontaminate" -> DecontaminateOracle,
+    "llm_decontaminate_bloom" -> DecontaminateOracle,
 
     "llm_chunk_windows" ->
       """WITH n AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,

@@ -77,11 +77,16 @@ object StreamingOps {
   private def statePartitions(s: SparkSession): String =
     s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8")
 
-  /** Serializes the narrow-conf window in [[runToMemory]]: the shuffle
-    * partition setting is session-global, so set→start→restore must be
-    * atomic or a concurrently planned query (parallel suites, future
-    * concurrent bench) could capture the narrowed value or clobber the
-    * restore. The query itself runs outside the lock. */
+  /** Serializes the narrow-conf window ACROSS [[runToMemory]] callers:
+    * without it, two concurrent streaming starts could interleave their
+    * set→start→restore sequences and clobber each other's restore,
+    * leaving the session permanently narrowed. It does NOT shield
+    * arbitrary batch queries planned on other threads during the window —
+    * a batch query that never takes this lock can still capture the
+    * narrowed value for its own plan. The harness (Verify/Bench/specs)
+    * runs queries sequentially, so the exposure is streaming-vs-streaming
+    * only; a fully concurrent deployment should plan streaming queries on
+    * a cloned session instead. The query itself runs outside the lock. */
   private val confLock = new Object
 
   /** Run a finite streaming query (AvailableNow) into a memory sink and

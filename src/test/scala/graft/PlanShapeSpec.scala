@@ -12,7 +12,12 @@ class PlanShapeSpec extends GraftSpec {
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect()
-    df.queryExecution.executedPlan.toString
+    // AQE plans print "== Final Plan ==" followed by "== Initial Plan ==";
+    // assertions must see only the plan that actually EXECUTED, or a
+    // contains() check is satisfiable by pre-AQE text alone.
+    val s = df.queryExecution.executedPlan.toString
+    val init = s.indexOf("== Initial Plan ==")
+    if (init >= 0) s.substring(0, init) else s
   }
 
   test("filter_comparison pushes predicates into the parquet scan") {
@@ -72,15 +77,26 @@ class PlanShapeSpec extends GraftSpec {
 
   test("exact embedding pair ops generate pairs via cell-keyed equi-joins") {
     // Round-2 shape for BOTH exact embedding ops: pair generation is an
-    // equi-join keyed by cell id; only the tiny cell-pair list, centroid
-    // table, and (for top-k) the 1-row admission bound broadcast. The
-    // corpus never meets a nested-loop operator.
+    // EQUI-join keyed by cell id — never a cartesian or nested-loop
+    // operator over the corpus. (At test scale Spark may still execute
+    // the equi-join as a broadcast HASH join because the 2k-row corpus
+    // is under the size threshold — that is size-based adaptivity doing
+    // its job; at real scale statistics exceed the threshold and the
+    // same plan shuffles. The invariant worth pinning is the equi-key,
+    // which survives either physical choice.)
+    // (A BroadcastNestedLoopJoin DOES legitimately appear for the
+    // ncells×ncells cell-pair cross — a deliberately tiny product; the
+    // prohibition is on the CORPUS pair join, pinned as an equi-join on
+    // the cell id below.)
     Seq("llm_embedding_topk_pairs", "llm_embedding_neardup").foreach { q =>
       val plan = finalPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
-      assert(plan.contains("hashpartitioning(lb") ||
-        plan.contains("hashpartitioning(la"),
-        s"$q pair join not keyed by cell id:\n$plan")
+      val corpusEquiJoin =
+        "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[l[ab]#".r
+          .findFirstIn(plan).isDefined ||
+        plan.contains("hashpartitioning(lb") ||
+        plan.contains("hashpartitioning(la")
+      assert(corpusEquiJoin, s"$q pair join not keyed by cell id:\n$plan")
     }
   }
 
