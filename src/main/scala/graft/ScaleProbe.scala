@@ -29,7 +29,8 @@ object ScaleProbe {
     "llm_minhash_lsh", "llm_simhash_dedup", "llm_dedup_pipeline",
     "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_ann_ivf",
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
-    "llm_sample_reservoir")
+    "llm_sample_reservoir", "llm_decontaminate", "llm_decontaminate_bloom",
+    "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang")
 
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4)
