@@ -122,6 +122,26 @@ object Aggregations {
         .filter(col("n_orders") > 12)
         .orderBy(col("o_custkey"))),
 
+    // Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices) —
+    // exercised through the spark.sql surface since the DataFrame API has
+    // no grouping-sets builder: the library's queries are equally usable
+    // as registered views + ANSI SQL text (round-2 add).
+    "agg_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_price
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")
+    }),
+
     "agg_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val pivoted = events(s, d)
@@ -194,6 +214,18 @@ object Aggregations {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
          FROM orders GROUP BY 1 HAVING count(*) > 12 ORDER BY 1""",
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio,
+                  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "agg_pivot" ->
       """SELECT user_id,

@@ -72,6 +72,32 @@ object Windows {
         .orderBy(col("o_custkey"), col("day_num"), col("o_orderkey"))
     }),
 
+    // Batch sessionization (gaps-and-islands; round-2 add): the BATCH form
+    // of stream_session — a new session starts when the gap to the
+    // previous event exceeds 10 minutes; session id is the running count
+    // of session starts. Two windows over ONE (user_id)-keyed sort: lag
+    // and the cumulative sum share the same shuffle+sort, so the whole op
+    // is a single exchange (the classic warehouse sessionize).
+    "window_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_utc"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      // gap compared in exact integer MICROSECONDS on both engines: a
+      // whole-second cast truncates fractional gaps and flips sessions
+      // whose gap straddles the 600 s boundary by <1 s (observed sf0.01).
+      events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts_utc")) -
+            lag(unix_micros(col("ts_utc")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .select(col("user_id"), col("event_id"), col("sess_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "window_ntile_pctrank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -141,6 +167,21 @@ object Windows {
                  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS day_num
                FROM orders)
          ORDER BY o_custkey, day_num, o_orderkey""",
+
+    "window_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events),
+            g AS (SELECT user_id, event_id, t,
+                    CASE WHEN epoch_us(t) - lag(epoch_us(t)) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id)
+                           <= 600000000
+                         THEN 0 ELSE 1 END AS new_sess
+                  FROM e)
+         SELECT user_id, event_id,
+                CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+         FROM g ORDER BY user_id, event_id""",
 
     "window_ntile_pctrank" ->
       """SELECT c_custkey, c_mktsegment,
