@@ -132,6 +132,15 @@ class PlanShapeSpec extends GraftSpec {
       s"unexpected shuffle in a per-row op:\n$plan")
   }
 
+  test("window_sessionize shares one keyed shuffle between lag and running sum") {
+    // Both windows partition by user_id with the same ordering, so the
+    // plan must carry exactly ONE user-keyed hashpartitioning exchange
+    // (plus the final total-order rangepartitioning for the oracle sort).
+    val plan = finalPlan("window_sessionize")
+    val keyed = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(keyed == 1, s"expected one keyed exchange, got $keyed:\n$plan")
+  }
+
   test("window ops sort within partitions only (no global Sort/Exchange after window)") {
     // The registered window_* queries end in a total-order sort for the
     // oracle (D1), which legitimately range-partitions — so build the raw
