@@ -122,6 +122,23 @@ object Aggregations {
         .filter(col("n_orders") > 12)
         .orderBy(col("o_custkey"))),
 
+    // argmax/argmin aggregates (round-2 add): the order with the
+    // highest/lowest price per priority class. The ordering key is a
+    // collision-free BIGINT — cents × 10^7 + orderkey — because ties on
+    // price alone would let the two engines pick different rows (DuckDB
+    // 1.0's max_by accepts no struct ordering key, so the tie-break is
+    // packed numerically; orderkey < 10^7 at every SF, verified).
+    "agg_maxby_minby" -> ((s, d) => {
+      val key = (round(col("o_totalprice") * 100).cast("bigint") *
+        lit(10000000L) + col("o_orderkey"))
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderkey"), key).as("priciest_order"),
+          min_by(col("o_orderkey"), key).as("cheapest_order"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices) —
     // exercised through the spark.sql surface since the DataFrame API has
     // no grouping-sets builder: the library's queries are equally usable
@@ -214,6 +231,15 @@ object Aggregations {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
          FROM orders GROUP BY 1 HAVING count(*) > 12 ORDER BY 1""",
+
+    "agg_maxby_minby" ->
+      """SELECT o_orderpriority,
+                max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                  * 10000000 + o_orderkey) AS priciest_order,
+                min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+                  * 10000000 + o_orderkey) AS cheapest_order,
+                count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
