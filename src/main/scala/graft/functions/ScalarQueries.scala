@@ -140,6 +140,31 @@ object ScalarQueries {
           .as("sum_sq"))
         .orderBy(col("vec_id"))),
 
+    // Bitwise family (round-2 add): and/or/xor/shifts/bit_count over the
+    // integer keys — codegen'd scalar ops, identical two's-complement
+    // semantics in both engines.
+    "fn_bitwise" -> ((s, d) =>
+      orders(s, d).select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("bor"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        expr("bit_count(o_orderkey)").cast("int").as("popcount"))
+        .orderBy(col("o_orderkey"))),
+
+    // Cryptographic digest family (round-2 add): md5 / sha2-256 over the
+    // part name — content-addressing primitives (dedup keys, cache keys).
+    // Restricted to digests both engines implement identically.
+    "fn_hash" -> ((s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        length(md5(col("p_name"))).cast("int").as("len_md5"))
+        .orderBy(col("p_partkey"))),
+
     // Map-typed family: construction (map_from_entries / create_map),
     // lookup (element_at, map_contains_key), HOFs (map_filter,
     // transform_values), merge (map_concat). Map outputs serialize to
@@ -277,6 +302,23 @@ object ScalarQueries {
                 round(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq
          FROM embeddings ORDER BY vec_id""",
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS band,
+                o_orderkey | 4096 AS bor,
+                xor(o_orderkey, o_custkey) AS bxor,
+                o_orderkey << 3 AS shl,
+                o_orderkey >> 2 AS shr,
+                CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_hash" ->
+      """SELECT p_partkey,
+                md5(p_name) AS h_md5,
+                sha256(p_name) AS h_sha256,
+                CAST(length(md5(p_name)) AS INT) AS len_md5
+         FROM part ORDER BY p_partkey""",
 
     "fn_map" ->
       """WITH b AS (

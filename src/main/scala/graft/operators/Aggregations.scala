@@ -122,6 +122,19 @@ object Aggregations {
         .filter(col("n_orders") > 12)
         .orderBy(col("o_custkey"))),
 
+    // Collect-to-list aggregation (round-2 add): the segment list per
+    // nation — collect_list is partition-order dependent, so the output
+    // canonicalizes via array_sort before the join (and serializes, since
+    // arrays are unhashable in the driver comparator). The DuckDB mirror
+    // is string_agg with an explicit ORDER BY.
+    "agg_collect_sorted" -> ((s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .orderBy(col("c_nationkey"))),
+
     // argmax/argmin aggregates (round-2 add): the order with the
     // highest/lowest price per priority class. The ordering key is a
     // collision-free BIGINT — cents × 10^7 + orderkey — because ties on
@@ -231,6 +244,13 @@ object Aggregations {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
          FROM orders GROUP BY 1 HAVING count(*) > 12 ORDER BY 1""",
+
+    "agg_collect_sorted" ->
+      """SELECT c_nationkey,
+                string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+                  AS segments,
+                count(DISTINCT c_mktsegment) AS n_segments
+         FROM customer GROUP BY 1 ORDER BY 1""",
 
     "agg_maxby_minby" ->
       """SELECT o_orderpriority,
