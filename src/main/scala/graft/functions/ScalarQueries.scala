@@ -345,8 +345,8 @@ object ScalarQueries {
                   e -> e.k || '=' ||
                     CAST(CAST(e.v AS DECIMAL(14,2)) AS VARCHAR))), ';')
                   AS merged,
-                'bal,key,nat' AS mkeys,
-                TRUE AS has_nat
+                array_to_string(list_transform(ents, e -> e.k), ',') AS mkeys,
+                len(list_filter(ents, e -> e.k = 'nat')) > 0 AS has_nat
          FROM b ORDER BY c_custkey""",
 
     "fn_json" ->

@@ -137,13 +137,16 @@ object Aggregations {
 
     // argmax/argmin aggregates (round-2 add): the order with the
     // highest/lowest price per priority class. The ordering key is a
-    // collision-free BIGINT — cents × 10^7 + orderkey — because ties on
+    // collision-free BIGINT — cents × 10^10 + orderkey — because ties on
     // price alone would let the two engines pick different rows (DuckDB
     // 1.0's max_by accepts no struct ordering key, so the tie-break is
-    // packed numerically; orderkey < 10^7 at every SF, verified).
+    // packed numerically). Bounds: TPC-H o_totalprice < ~6e5 ⇒ cents
+    // < 6e7, so cents × 10^10 < 6e17 < 2^63; orderkey ≈ 6M × SF stays
+    // below the 10^10 slot up to SF ≈ 1600 (past that, widen the packing
+    // or switch to a struct key on an engine that supports one).
     "agg_maxby_minby" -> ((s, d) => {
       val key = (round(col("o_totalprice") * 100).cast("bigint") *
-        lit(10000000L) + col("o_orderkey"))
+        lit(10000000000L) + col("o_orderkey"))
       orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(max_by(col("o_orderkey"), key).as("priciest_order"),
@@ -255,9 +258,9 @@ object Aggregations {
     "agg_maxby_minby" ->
       """SELECT o_orderpriority,
                 max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
-                  * 10000000 + o_orderkey) AS priciest_order,
+                  * 10000000000 + o_orderkey) AS priciest_order,
                 min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
-                  * 10000000 + o_orderkey) AS cheapest_order,
+                  * 10000000000 + o_orderkey) AS cheapest_order,
                 count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
 

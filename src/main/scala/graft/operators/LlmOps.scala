@@ -89,12 +89,27 @@ object LlmOps {
     // Cross-language near-dup (round-2 add): the same text copied under a
     // different lang tag escapes every lang-blocked dedup stage above.
     // Blocking drops the lang equi-key — the size bucket alone carries the
-    // join (same shuffled equi-join shape, coarser blocks; per-block
-    // density is the documented scale lever) — and only cross-lang pairs
-    // survive.
+    // join (same shuffled equi-join shape, coarser blocks) — and only
+    // cross-lang pairs survive.
+    //
+    // Round-3 change: the exact-dedup-first precondition is ENFORCED
+    // inside the op, not documented and hoped for. Pairing runs over
+    // exact-dedup survivors (min doc_id per identical text — lang-
+    // agnostic, so verbatim cross-lang copies collapse here too), which
+    // is what keeps the op affordable: size-bucket blocks are coarse, so
+    // per-block density grows with raw corpus size, and on a
+    // duplicate-heavy corpus the raw pair volume is quadratic in dup
+    // count (measured 92.5 s / 74.6M pairs at 16× replication in round
+    // 2). Collapsing exact dups first removes exactly that mass — the
+    // same exact-first ordering llm_dedup_pipeline measured FLAT — and
+    // the op now reports only non-verbatim cross-lang near-copies.
     "llm_neardup_crosslang" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
-      val docs = documents(s, d)
+      val surv = documents(s, d)
+        .withColumn("keeper",
+          min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        .filter(col("doc_id") === col("keeper"))
+      val docs = surv
         .select(col("doc_id"), col("lang"), col("n_chars"),
           sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
       Blocking.sizeBlockedPairs(docs, "toks", langBlocked = false)
@@ -336,10 +351,14 @@ object LlmOps {
        ORDER BY k.doc_id""",
 
     "llm_neardup_crosslang" ->
-      """WITH tok AS (SELECT DISTINCT * FROM (
+      """WITH surv AS (SELECT doc_id, lang, n_chars, text FROM (
+               SELECT doc_id, lang, n_chars, text,
+                      min(doc_id) OVER (PARTITION BY text) AS keeper
+               FROM documents) WHERE doc_id = keeper),
+            tok AS (SELECT DISTINCT * FROM (
              SELECT doc_id, lang, n_chars,
                     unnest(string_split(text, ' ')) AS w
-             FROM documents)),
+             FROM surv)),
             card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
             pair AS (
               SELECT a.doc_id AS doc_id, a.lang AS lang,

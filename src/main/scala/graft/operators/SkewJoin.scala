@@ -23,9 +23,19 @@ object SkewJoin {
     * whole row MIXED WITH a per-partition row index
     * (`monotonically_increasing_id` = partition id ‖ local counter), so
     * exactly-duplicate rows of a hot key still spread across salts —
-    * hashing the row alone would pin them all to one shuffle key. Still
-    * no `rand()`: for a fixed input partitioning the id sequence is
-    * reproducible, so task retries and speculative attempts agree.
+    * hashing the row alone would pin them all to one shuffle key.
+    *
+    * Determinism caveat: `monotonically_increasing_id` is
+    * Catalyst-nondeterministic — the id a row gets depends on the
+    * upstream partitioning and within-partition order, so the map stage
+    * is indeterminate (a fetch failure can force a whole-stage rerun
+    * rather than a single-task retry, and a rerun under a different
+    * upstream layout may assign different salts). The JOIN RESULT is
+    * unaffected either way: the dim side is replicated across every
+    * salt, so any salt assignment joins each fact row to the same dim
+    * matches — only the physical spread of duplicate rows can vary.
+    * Stable-scan inputs (one parquet snapshot, no coalesce upstream) get
+    * reproducible salts in practice.
     * Exposed so tests exercise the production formula rather than a
     * copy. */
   def saltColumn(fact: DataFrame, salts: Int): Column =
