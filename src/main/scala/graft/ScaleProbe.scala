@@ -27,7 +27,8 @@ object ScaleProbe {
   private val ProbeQueries = Seq(
     "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
     "llm_minhash_lsh", "llm_simhash_dedup", "llm_dedup_pipeline",
-    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_ann_ivf",
+    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh",
+    "llm_ann_ivf",
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
     "llm_sample_reservoir", "llm_decontaminate", "llm_decontaminate_bloom",
     "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang")

@@ -100,6 +100,60 @@ object SimHash {
     Array.tabulate(Blocks)(i => (i.toLong << 16) | ((fp >>> (16 * i)) & 0xffffL))
 }
 
+/** Random-hyperplane (cosine) LSH over embedding vectors
+  * (`llm_embedding_lsh`, round-3 add) — the sketch that makes SimHash's
+  * trick available to VECTOR space: 256 fixed-seed Gaussian hyperplanes
+  * give a 256-bit sign signature, and for a pair at angle θ each bit
+  * collides with probability 1 − θ/π (Goemans–Williamson / Charikar).
+  * Banding 32×8 turns bit agreement into equi-joinable candidate
+  * buckets: a pair is a candidate iff some band's 8 bits all match, so
+  * P(candidate) = 1 − (1 − (1−θ/π)^8)^32 — steep in θ, which is the
+  * whole point: candidate volume scales ~n^(1+ρ) with
+  * ρ = ln(1/p_near)/ln(1/p_far) < 1, sub-quadratic, vs the Ω(n²) exact
+  * cell-pair search that no sound pruning can save on unclustered
+  * corpora (SURVEY §7.1). All randomness is a fixed seed: signatures are
+  * deterministic across rows, partitions, retries and sessions.
+  */
+object CosineLsh {
+
+  val Planes = 256
+  val Bands = 32
+  val BitsPerBand: Int = Planes / Bands // 8
+  val Dim = 64
+
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20240812L)
+    Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  /** The 32 band keys (band index ‖ its 8 sign bits) of a vector's
+    * hyperplane signature. Scale note: per-vector cost is Planes×Dim
+    * multiply-adds, embarrassingly parallel, no shuffle — the shuffle
+    * that follows carries only (band key, vec_id) pairs. */
+  def bandKeys(v: Seq[Float]): Array[Long] = {
+    val n = math.min(v.length, Dim)
+    val bits = new Array[Boolean](Planes)
+    var i = 0
+    while (i < Planes) {
+      val p = planes(i)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += p(j) * v(j); j += 1 }
+      bits(i) = dot >= 0
+      i += 1
+    }
+    Array.tabulate(Bands) { b =>
+      var k = 0L
+      var i2 = b * BitsPerBand
+      while (i2 < (b + 1) * BitsPerBand) {
+        k = (k << 1) | (if (bits(i2)) 1L else 0L)
+        i2 += 1
+      }
+      (b.toLong << 16) | k
+    }
+  }
+}
+
 /** Karp-Rabin document fingerprints (`llm_fingerprint`): a whole-text
   * rolling polynomial hash plus a winnowing-style minimum over 16-char
   * window hashes (MOSS-like). Both deterministic and order-sensitive —

@@ -272,6 +272,53 @@ object TrainingDataOps {
         .limit(k)
     }),
 
+    // Random-hyperplane cosine-LSH near-dup for EMBEDDING space (round-3
+    // add): the measured-sub-quadratic sketch path for the one family
+    // whose exact members are inherently Ω(n²) on unclustered vectors
+    // (llm_embedding_neardup / llm_embedding_topk_pairs — see SURVEY
+    // §7.1). Three stages, each with a bounded shuffle:
+    //   0. exact-vector collapse — identical embeddings keep the min
+    //      vec_id (the exact-first ordering that keeps every LSH family's
+    //      buckets from saturating on dup-heavy corpora; replica pairs
+    //      emit as stage='exact' without ever reaching a bucket);
+    //   1. sketch — each distinct vector explodes into its 32 band keys
+    //      ([[graft.functions.CosineLsh]]); candidates equi-join on the
+    //      band key, so the shuffle carries (8-byte key, id) pairs and
+    //      pair volume scales ~n^(1+ρ), ρ<1 — never all-pairs;
+    //   2. verify — candidates join their vectors back and the exact
+    //      codegen'd cosine keeps round(cos,6) ≥ 0.4, so every emitted
+    //      pair is TRUE (precision 1 by construction; the sketch only
+    //      costs recall, measured in TrainingDataSpec vs brute truth).
+    // Approximate ⇒ rows-only (no SQL oracle), like llm_minhash_lsh.
+    "llm_embedding_lsh" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = embeddings(s, d)
+      val keyed = emb.withColumn("rep",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      val exactPairs = keyed.filter(col("vec_id") =!= col("rep"))
+        .select(col("rep").as("vec_id"), col("vec_id").as("vec_id2"),
+          lit(1.0).as("sim"), lit("exact").as("stage"))
+      val reps = keyed.filter(col("vec_id") === col("rep"))
+        .select(col("vec_id"), col("embedding"))
+      val bkU = udf((v: Seq[Float]) => graft.functions.CosineLsh.bandKeys(v))
+      val banded = reps
+        .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
+      val cand = banded
+        .join(banded.select(col("vec_id").as("vec_id2"), col("bk").as("bk2")),
+          col("bk") === col("bk2") && col("vec_id") < col("vec_id2"), "inner")
+        .select(col("vec_id"), col("vec_id2")).distinct()
+      val e1 = reps.select(col("vec_id"), col("embedding").as("v1"))
+      val e2 = reps.select(col("vec_id").as("vec_id2"),
+        col("embedding").as("v2"))
+      val lshPairs = cand.join(e1, "vec_id").join(e2, "vec_id2")
+        .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_id"), col("vec_id2"), col("sim"),
+          lit("lsh").as("stage"))
+      exactPairs.unionByName(lshPairs)
+        .orderBy(col("vec_id"), col("vec_id2"))
+    }),
+
     // Deterministic stratified sampling: the 100 TB sampling pattern is a
     // pure function of a stable key (NEVER rand() — retries, speculative
     // tasks and re-runs must agree), here doc_id mod 10 per language

@@ -273,6 +273,49 @@ object StreamingOps {
       }
     }),
 
+    // Event-time TIMERS exercised for real (round-3 add; until now the
+    // timer/TTL surface was claimed but never driven): per-user session
+    // windows closed by a registered event-time timer — the canonical
+    // Flink KeyedProcessFunction pattern (state + timer + close-out
+    // emission). The processor keeps the open session in a ValueState,
+    // re-arms a timer at (last event + 10 min gap) as events extend it,
+    // and emits from handleExpiredTimer once the WATERMARK passes the
+    // gap — sessions data-closed by a later event emit immediately from
+    // handleInputRows. Under AvailableNow the engine runs a trailing
+    // no-data micro-batch with the final watermark (= max event time,
+    // delay 0), so timers genuinely fire in a LATER batch than the data
+    // that armed them; the per-user trailing session emits iff its close
+    // time cleared the final watermark — exactly the cutoff the batch
+    // oracle recomputes (timers fire at expiry <= watermark, ms
+    // precision; StreamingSpec pins the boundary on crafted input).
+    "stream_session_timeout" -> ((s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, d)
+          .withWatermark("ts_utc", "0 seconds")
+          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+            col("user_id"), col("value"))
+          .as[(java.sql.Timestamp, Long, Long, Double)]
+        val out = ev.groupByKey(_._3)
+          .transformWithState(new SessionTimeoutProcessor(),
+            TimeMode.EventTime(), OutputMode.Append())
+        runToMemory(out.toDF("user_id", "start_us", "end_us", "cnt", "sum_dec"),
+          "append")
+          .select(col("user_id"),
+            timestamp_micros(col("start_us")).as("s_start"),
+            timestamp_micros(col("end_us")).as("s_end"), col("cnt"),
+            col("sum_dec").cast(Money).cast("double").as("sum_value"))
+          .orderBy(col("user_id"), col("s_start"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -348,9 +391,122 @@ object StreamingOps {
     }
   }
 
+  /** Per-user event-time session windows with TIMER-driven close-out —
+    * the Flink `KeyedProcessFunction` + `registerEventTimeTimer` shape on
+    * Spark's transformWithState. Gap = 10 min, compared in exact event
+    * MICROSECONDS for every data-driven decision; only the watermark
+    * race (may the trailing session emit yet?) runs at the engine's
+    * millisecond timer precision.
+    *
+    * Protocol per key:
+    *  - handleInputRows sorts the batch's events, merges them into the
+    *    open session from state, emits every session CLOSED BY DATA (a
+    *    later event > gap away) immediately, stores the trailing open
+    *    session, and re-arms the key's single timer at its close time
+    *    (deleting any previously armed timer — listTimers is the source
+    *    of truth, so re-arming is idempotent across batches).
+    *  - handleExpiredTimer fires once the event-time watermark passes
+    *    the armed close time (engine condition: expiry <= watermark, ms),
+    *    emits the trailing session and clears the state — the session
+    *    closed by TIME, not by data, which is the half of the Flink
+    *    parity story that state alone can't express.
+    * State is one (start, last, cnt, sum) tuple per key — O(keys) total,
+    * partitioned by the shuffle like every stateful op here. */
+  private class SessionTimeoutProcessor extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Double),
+      (Long, Long, Long, Long, BigDecimal)] {
+
+    private val GapUs = 600000000L // 10 min in µs
+
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, BigDecimal)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long, BigDecimal)]("sess",
+        Encoders.product[(Long, Long, Long, BigDecimal)], TTLConfig.NONE)
+
+    private def dec(v: Double): BigDecimal = BigDecimal(
+      java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, BigDecimal)] = {
+      val evs = rows.toArray.sortBy(_._2)
+      val closed = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, BigDecimal)]
+      var st = Option(sess.get())
+      evs.foreach { case (_, tsUs, _, v) =>
+        st match {
+          case None =>
+            st = Some((tsUs, tsUs, 1L, dec(v)))
+          case Some((start, last, cnt, sum)) =>
+            if (tsUs - last > GapUs) {
+              closed += ((key, start, last + GapUs, cnt, sum))
+              st = Some((tsUs, tsUs, 1L, dec(v)))
+            } else {
+              st = Some((start, math.max(last, tsUs), cnt + 1, sum + dec(v)))
+            }
+        }
+      }
+      st.foreach { case s @ (_, last, _, _) =>
+        sess.update(s)
+        // one armed timer per key: drop stale ones, re-arm at close time
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer((last + GapUs) / 1000)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Long, Long, BigDecimal)] = {
+      val st = Option(sess.get())
+      sess.clear()
+      st.map { case (start, last, cnt, sum) =>
+        (key, start, last + GapUs, cnt, sum)
+      }.iterator
+    }
+  }
+
+  /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
+    * expires `ttlMs` of processing time after its last update, the
+    * side-by-side `cnt_forever` (TTLConfig.NONE) never does — so a
+    * restart long after the TTL shows exactly one of the two counters
+    * surviving, isolating TTL from checkpoint recovery. */
+  private[graft] class TtlCountProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+    @transient private var cntTtl:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var cntForever:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cntTtl = getHandle.getValueState[Long]("cnt_ttl", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+      cntForever = getHandle.getValueState[Long]("cnt_forever",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val n = rows.size.toLong
+      val t = (if (cntTtl.exists()) cntTtl.get() else 0L) + n
+      val f = (if (cntForever.exists()) cntForever.get() else 0L) + n
+      cntTtl.update(t)
+      cntForever.update(f)
+      Iterator.single((key, t, f))
+    }
+  }
+
   /** Test hook: the update-collapse step (method is private). */
   private[graft] def collapseUpdatesForTest(mem: DataFrame): DataFrame =
     collapseUpdates(mem)
+
+  /** Test hook: the timer-driven session processor (class is private). */
+  private[graft] def sessionTimeoutForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Double),
+      (Long, Long, Long, Long, BigDecimal)] =
+    new SessionTimeoutProcessor()
 
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
@@ -419,6 +575,36 @@ object StreamingOps {
       """SELECT user_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // Sessions closed BY DATA (a later event exists) always emit; the
+    // trailing session per user emits iff its timer fired, i.e. iff its
+    // ms-floored close time <= the ms-floored final watermark (= max
+    // event time, delay 0) — the engine's timer comparison runs at ms
+    // precision and is INCLUSIVE, mirrored here with epoch_ms (boundary
+    // pinned empirically by the StreamingSpec timer test).
+    "stream_session_timeout" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value
+                    FROM events),
+            mx AS (SELECT max(t) AS m FROM e),
+            o AS (SELECT user_id, t, value,
+                    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                           <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_sess
+                  FROM e),
+            g AS (SELECT user_id, t, value,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+                  FROM o),
+            sess AS (SELECT user_id, sess_id, min(t) AS s_start,
+                       max(t) AS last_t, count(*) AS cnt,
+                       sum(CAST(value AS DECIMAL(38,6))) AS sv,
+                       max(sess_id) OVER (PARTITION BY user_id) AS last_sess
+                     FROM g GROUP BY user_id, sess_id)
+         SELECT user_id, s_start, last_t + INTERVAL 10 MINUTE AS s_end, cnt,
+                CAST(sv AS DOUBLE) AS sum_value
+         FROM sess, mx
+         WHERE sess_id < last_sess
+            OR epoch_ms(last_t + INTERVAL 10 MINUTE) <= epoch_ms(m)
+         ORDER BY user_id, s_start""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

@@ -350,6 +350,183 @@ class StreamingSpec extends GraftSpec {
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("event-time timer fires in a later micro-batch; boundary is strict") {
+    // Pins the engine's timer-fire condition (expiry vs watermark, ms
+    // precision) that the stream_session_timeout oracle mirrors:
+    //  - user 3's session closes at 09:10, strictly before the final
+    //    watermark (10:10) → its timer MUST fire (emission from
+    //    handleExpiredTimer in the trailing no-data batch — timer-driven,
+    //    no later event for user 3 exists to close it by data);
+    //  - user 1's close time (10:10) EQUALS the watermark → pins < vs ≤
+    //    (measured: it emits, so the condition is inclusive ≤);
+    //  - user 2 defines the watermark; its own close (10:20) lies beyond
+    //    → must stay unemitted.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_timer_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      Seq((t("2024-01-01 09:00:00"), 3L, 1.0),
+        (t("2024-01-01 10:00:00"), 1L, 1.0),
+        (t("2024-01-01 10:10:00"), 2L, 1.0))
+        .toDF("ts", "uid", "value")
+        .repartition(1).write.parquet(s"$dir/in")
+      val sch = spark.read.parquet(s"$dir/in").schema
+      val q = spark.readStream.schema(sch).parquet(s"$dir/in")
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("value"))
+        .as[(Timestamp, Long, Long, Double)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.sessionTimeoutForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "cnt", "sum_dec")
+        .writeStream.format("memory").queryName("timer_boundary")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      val emitted = spark.table("timer_boundary").collect()
+        .map(r => r.getLong(0)).toSet
+      // watermark batches ran past the data batch (timer needs one)
+      assert(q.recentProgress.length > 1,
+        "no trailing batch ran — timers had no chance to fire")
+      assert(emitted.contains(3L), "strictly-past timer did not fire")
+      assert(!emitted.contains(2L), "session beyond the watermark emitted")
+      // the boundary case: the engine fires timers at expiry <= watermark
+      // (inclusive — verified here), so the close-time == watermark
+      // session EMITS. The stream_session_timeout oracle encodes exactly
+      // this with epoch_ms(close) <= epoch_ms(max ts).
+      assert(emitted.contains(1L),
+        "boundary session missing — oracle's <= no longer matches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("stream_session_timeout equals batch sessionization with the cutoff") {
+    val streamed = SparkEntry.queries("stream_session_timeout")(spark, sf)
+      .collect().map(_.toString).toSeq
+    // engine-internal batch recomputation of the same semantics: sessions
+    // gaps-and-islands'd in µs; trailing session per user kept only if
+    // its ms-floored close <= ms-floored max event time (inclusive, as
+    // the timer-boundary test pins)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    val batch = ev
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= 600000000L, 0)
+          .otherwise(1))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("last_us"), count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("value"))).as("sv"))
+      .withColumn("last_sess", max(col("sess_id")).over(wAll))
+      .filter(col("sess_id") < col("last_sess") ||
+        floor((col("last_us") + 600000000L) / 1000) <= lit(maxTs / 1000))
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("s_start"),
+        timestamp_micros(col("last_us") + 600000000L).as("s_end"),
+        col("cnt"), col("sv").cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("s_start"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
+  test("value-state TTL expires across restarts; non-TTL state survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ttl_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def stage(rows: Seq[(Long, Double)]): Unit =
+        rows.toDF("user_id", "value").repartition(1)
+          .write.mode("append").parquet(in)
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+      val lastDataBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+      def runOnce(expectEmitted: Int): Unit = {
+        val sch = spark.read.parquet(in).schema
+        // TTL REQUIRES TimeMode.ProcessingTime — and in that mode
+        // TransformWithStateExec.shouldRunAnotherBatch is uncondition-
+        // ally true (processing-time timers might always fire), so the
+        // engine schedules no-data batches forever: AvailableNow never
+        // terminates AND processAllAvailable never sees a quiet source
+        // (observed 1700+ state versions). The only deterministic
+        // handshake is the data itself: poll the foreachBatch sink until
+        // the expected emission count arrives (no-data batches emit
+        // nothing — handleInputRows never runs without rows, no timers
+        // are registered), then stop() the query.
+        val q = spark.readStream.schema(sch).parquet(in)
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(new StreamingOps.TtlCountProcessor(500L),
+            org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "cnt_ttl", "cnt_forever")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val rows = batch.collect()
+            rows.foreach(r =>
+              emitted.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+            if (rows.nonEmpty) lastDataBatch.set(bid)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", checkpoint).start()
+        // stop() must not race the data batch's COMMIT-log write: killing
+        // the query after foreachBatch ran but before the commit lands
+        // makes the next restart re-run the batch from the PRE-batch
+        // state (observed: run 2 replayed batch 0 as (1,2,2) and the new
+        // file never processed). Handshake: wait for the emission AND for
+        // the emitting batch's commit file to exist in the checkpoint.
+        try {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          def committed(): Boolean = {
+            val b = lastDataBatch.get()
+            b >= 0 && new java.io.File(
+              new java.io.File(checkpoint, "commits"), b.toString).exists()
+          }
+          while ((emitted.size() < expectEmitted || !committed()) &&
+              System.nanoTime() < deadline)
+            Thread.sleep(50)
+        } finally q.stop()
+        q.awaitTermination()
+        assert(emitted.size() == expectEmitted,
+          s"expected $expectEmitted emissions, got ${emitted.size()}")
+      }
+      stage(Seq((1L, 1.0), (1L, 2.0)))
+      runOnce(expectEmitted = 1)
+      Thread.sleep(1500) // well past the 500 ms TTL
+      stage(Seq((1L, 3.0)))
+      runOnce(expectEmitted = 2)
+      import scala.jdk.CollectionConverters._
+      val out = emitted.asScala.toSeq
+      // run 1: both counters reach 2. run 2: the TTL'd counter expired and
+      // restarts at 1; the non-TTL counter recovered 2 and continues to 3 —
+      // proving expiry came from the TTL, not from losing the checkpoint.
+      assert(out == Seq((1L, 2L, 2L), (1L, 1L, 3L)),
+        s"TTL semantics wrong: $out")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("transformWithState agrees with the mapGroupsWithState path") {
     val tws = SparkEntry.queries("stream_stateful_tws")(spark, sf)
       .collect().map(_.toString).toSeq

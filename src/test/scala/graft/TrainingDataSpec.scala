@@ -69,20 +69,68 @@ class TrainingDataSpec extends GraftSpec {
     assert(rows.find(_.getLong(0) == minId).get.getBoolean(1))
   }
 
-  test("llm_embedding_neardup: 0.4 cutoff sits off-grid of observed cosines") {
-    // A pair whose cosine differs by ~1e-6 between engines AT the cutoff
-    // would flip kept/dup status; assert no pairwise cosine lands within
-    // 1e-4 of 0.4 at this SF, so the equality-at-boundary tie can't occur.
+  test("llm_embedding_neardup: 0.4 cutoff sits off-grid at ALL scale factors") {
+    // The kept/dup verdict flips iff the two engines round a pair's
+    // cosine differently across the cutoff, i.e. iff the RAW cosine sits
+    // within the cross-engine drift of the 6-dp rounding boundary
+    // 0.3999995 (round(cos,6) >= 0.4 ⟺ cos >= 0.3999995). Both engines
+    // cast the same floats to double and sum 64 exact products, so the
+    // only drift is summation order — bounded by ~n·eps·Σ|terms| ≈ 1e-12.
+    // Assert every pair's raw cosine clears the boundary by ≥ 1e-6, six
+    // orders above that bound. (Measured floor: ~1e-5 at sf0.1 — a 1e-4
+    // rounded-value margin, as round-2 ADVICE suggested, does not exist
+    // on this corpus.)
+    graft.functions.CosineSimilarity.register(spark)
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val emb = Tables.embeddings(spark, d)
+      val margin = emb.select(col("vec_id"), col("embedding").as("v1"))
+        .crossJoin(broadcast(emb.select(col("vec_id").as("vec_id2"),
+          col("embedding").as("v2"))))
+        .filter(col("vec_id") < col("vec_id2"))
+        .select(min(abs(expr("cosine_sim(v1, v2)") - 0.3999995)).as("m"))
+        .head().getDouble(0)
+      info(s"$d: min |raw cos - boundary| = $margin")
+      assert(margin >= 1e-6,
+        s"$d: a raw cosine is within $margin of the rounding boundary")
+    }
+  }
+
+  test("llm_embedding_lsh: precision 1, recall vs brute truth, determinism") {
     graft.functions.CosineSimilarity.register(spark)
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
-    val margin = emb.select(col("vec_id"), col("embedding").as("v1"))
-      .crossJoin(broadcast(emb.select(col("vec_id").as("vec_id2"),
+    // brute-force truth over exact-dedup representatives (the op's own
+    // stage-0 rule: min vec_id per identical vector)
+    val reps = emb.withColumn("rep", min(col("vec_id"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("embedding"))))
+      .filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val truth = reps.select(col("vec_id"), col("embedding").as("v1"))
+      .crossJoin(broadcast(reps.select(col("vec_id").as("vec_id2"),
         col("embedding").as("v2"))))
       .filter(col("vec_id") < col("vec_id2"))
-      .select(min(abs(round(expr("cosine_sim(v1, v2)"), 6) - 0.4)).as("m"))
-      .head().getDouble(0)
-    assert(margin >= 1e-4, s"a pairwise cosine is within $margin of the cutoff")
+      .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus has no near-dup pairs to measure recall on")
+    val out = SparkEntry.queries("llm_embedding_lsh")(spark, sf).collect()
+    val lsh = out.filter(_.getString(3) == "lsh")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification stage makes every emitted lsh pair true — precision 1
+    assert(lsh.subsetOf(truth), s"false positives: ${lsh -- truth}")
+    val recall = lsh.count(truth.contains).toDouble / truth.size
+    info(s"cosine-LSH recall = $recall over ${truth.size} truth pairs")
+    assert(recall >= 0.4, s"cosine-LSH recall = $recall vs ${truth.size} truth pairs")
+    // exact stage re-emits identical-vector replicas with their keeper
+    out.filter(_.getString(3) == "exact").foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) == 1.0)
+    }
+    val again = SparkEntry.queries("llm_embedding_lsh")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
   test("llm_ann_ivf recall@5 >= 0.5 vs brute-force truth") {
