@@ -105,36 +105,75 @@ object SimHash {
   * trick available to VECTOR space: 256 fixed-seed Gaussian hyperplanes
   * give a 256-bit sign signature, and for a pair at angle θ each bit
   * collides with probability 1 − θ/π (Goemans–Williamson / Charikar).
-  * Banding 32×8 turns bit agreement into equi-joinable candidate
-  * buckets: a pair is a candidate iff some band's 8 bits all match, so
-  * P(candidate) = 1 − (1 − (1−θ/π)^8)^32 — steep in θ, which is the
-  * whole point: candidate volume scales ~n^(1+ρ) with
-  * ρ = ln(1/p_near)/ln(1/p_far) < 1, sub-quadratic, vs the Ω(n²) exact
-  * cell-pair search that no sound pruning can save on unclustered
-  * corpora (SURVEY §7.1). All randomness is a fixed seed: signatures are
-  * deterministic across rows, partitions, retries and sessions.
+  * Banding r bands × b bits turns bit agreement into equi-joinable
+  * candidate buckets: a pair is a candidate iff some band's b bits all
+  * match, so P(candidate) = 1 − (1 − (1−θ/π)^b)^r.
+  *
+  * The geometry is ADAPTIVE (round-4 fix): a FIXED (r, b) admits a fixed
+  * fraction of all far pairs — with 32×8, a far pair (θ≈90°, bit-agree
+  * p=0.5) collides in some band with prob 1−(1−0.5⁸)³² ≈ 11.8%, i.e.
+  * Θ(n²)/8 candidates on distinct-vector corpora, quadratic with a small
+  * constant. Sub-quadratic candidate volume requires b to GROW with the
+  * corpus: [[geometry]] sets b = clamp(8, 16, ⌈log₂ n⌉ − 2) — i.e.
+  * 2^b ≈ n/4, a mean far-pair bucket occupancy of ~4 per band — so the
+  * far-pair admission rate r·2^(−b) shrinks ~1/n and expected far
+  * candidates stay ~r·n. The price is recall on BORDERLINE pairs — the
+  * analytic curve (p = 1−θ/π bit-agreement, candidate prob 1−(1−p^b)^r):
+  *
+  *   geometry   | far admit (sim 0)   | recall sim 0.4 | sim 0.6 | sim ≥0.99
+  *   32×8  (n≤1024) | 11.8%           | 0.56           | 0.87    | ~1.0
+  *   28×9  (n=2k)   | 5.3%            | 0.36           | 0.71    | ~1.0
+  *   19×13 (n=32k)  | 0.23%           | 0.05           | 0.19    | ~1.0
+  *
+  * i.e. the sketch keeps near-certain recall on true near-duplicates
+  * (replica-grade, sim → 1) at every scale while the borderline band
+  * thins as n grows — the standard LSH trade (ρ = ln p₁/ln p₂ ≈ 0.66 at
+  * the 0.4 threshold: candidates ~n^1.66 would need multi-probe or more
+  * planes to tighten further; at dedup thresholds ≥0.9, ρ ≈ 0.15 and the
+  * curve is effectively linear). ScaleProbe's perturbed mode measures
+  * the realized candidate counts (PROBE_r04.json). The recall ScalaTest
+  * runs at n=500 → the 32×8 cell of the curve, bound ≥ 0.4.
+  *
+  * All randomness is a fixed seed: signatures are deterministic across
+  * rows, partitions, retries and sessions.
   */
 object CosineLsh {
 
   val Planes = 256
-  val Bands = 32
-  val BitsPerBand: Int = Planes / Bands // 8
   val Dim = 64
+  val MinBits = 8
+  val MaxBits = 16
+
+  /** (bands, bitsPerBand) for a corpus of n vectors: bits = clamp(8, 16,
+    * ⌈log₂ n⌉ − 2), i.e. 2^bits ≈ n/4 — mean far-pair band-bucket
+    * occupancy ~4, keeping expected far candidates per vector O(bands) —
+    * and bands = min(32, 256/bits) hyperplanes used as disjoint band
+    * slices. Deterministic in n. */
+  def geometry(n: Long): (Int, Int) = {
+    val ceilLog2 =
+      if (n <= 2) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val bits = math.max(MinBits, math.min(MaxBits, ceilLog2 - 2))
+    (math.min(32, Planes / bits), bits)
+  }
 
   private val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(20240812L)
     Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
-  /** The 32 band keys (band index ‖ its 8 sign bits) of a vector's
-    * hyperplane signature. Scale note: per-vector cost is Planes×Dim
-    * multiply-adds, embarrassingly parallel, no shuffle — the shuffle
-    * that follows carries only (band key, vec_id) pairs. */
-  def bandKeys(v: Seq[Float]): Array[Long] = {
+  /** The band keys (band index ‖ its sign bits) of a vector's hyperplane
+    * signature under the given geometry (bands·bitsPerBand ≤ 256 planes).
+    * Scale note: per-vector cost is Planes×Dim multiply-adds,
+    * embarrassingly parallel, no shuffle — the shuffle that follows
+    * carries only (band key, vec_id) pairs. */
+  def bandKeys(v: Seq[Float], bands: Int, bitsPerBand: Int): Array[Long] = {
+    require(bands * bitsPerBand <= Planes, s"$bands x $bitsPerBand > $Planes")
     val n = math.min(v.length, Dim)
-    val bits = new Array[Boolean](Planes)
+    val used = bands * bitsPerBand
+    val bits = new Array[Boolean](used)
     var i = 0
-    while (i < Planes) {
+    while (i < used) {
       val p = planes(i)
       var dot = 0.0
       var j = 0
@@ -142,14 +181,14 @@ object CosineLsh {
       bits(i) = dot >= 0
       i += 1
     }
-    Array.tabulate(Bands) { b =>
+    Array.tabulate(bands) { b =>
       var k = 0L
-      var i2 = b * BitsPerBand
-      while (i2 < (b + 1) * BitsPerBand) {
+      var i2 = b * bitsPerBand
+      while (i2 < (b + 1) * bitsPerBand) {
         k = (k << 1) | (if (bits(i2)) 1L else 0L)
         i2 += 1
       }
-      (b.toLong << 16) | k
+      (b.toLong << 17) | k
     }
   }
 }

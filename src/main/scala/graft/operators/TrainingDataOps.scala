@@ -58,6 +58,46 @@ object TrainingDataOps {
       .select(col("c_label"), col("centroid"), col("r"))
   }
 
+  /** Stages 0–1 of the cosine-LSH near-dup op (`llm_embedding_lsh`):
+    * exact-vector collapse and band-key candidate generation, factored
+    * out so ScaleProbe can measure candidate volume directly. Returns
+    * (keyed rows with their `rep`, exact-dedup representatives,
+    * candidate pairs). The collapse exchange is keyed by the 8-byte
+    * xxhash64 of the vector; the window then groups by (hash, vector),
+    * and since the exchange partitioning (`eh`) is a prefix-subset of
+    * the window's clustering keys, Catalyst adds only an in-partition
+    * sort — one shuffle, 8-byte keys, exact semantics (a hash collision
+    * lands two distinct vectors in one partition, where the full-vector
+    * group key still separates them). */
+  private def lshStages(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val emb = embeddings(s, d)
+    // Geometry from the raw row count — an upper bound on distinct
+    // vectors, effectively free from parquet metadata; the bound errs
+    // toward tighter bands, never looser.
+    val (bands, bits) = graft.functions.CosineLsh.geometry(emb.count())
+    val keyed = emb.withColumn("eh", xxhash64(col("embedding")))
+      .repartition(col("eh"))
+      .withColumn("rep", min(col("vec_id"))
+        .over(Window.partitionBy(col("eh"), col("embedding"))))
+    val reps = keyed.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("embedding"))
+    val bkU = udf((v: Seq[Float]) =>
+      graft.functions.CosineLsh.bandKeys(v, bands, bits))
+    val banded = reps
+      .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
+    val cand = banded
+      .join(banded.select(col("vec_id").as("vec_id2"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("vec_id") < col("vec_id2"), "inner")
+      .select(col("vec_id"), col("vec_id2")).distinct()
+    (keyed, reps, cand)
+  }
+
+  /** Probe hook: the LSH candidate-pair set before verification —
+    * ScaleProbe counts it per scale factor to pin sub-quadratic growth. */
+  private[graft] def embeddingLshCandidates(s: SparkSession,
+      d: String): DataFrame = lshStages(s, d)._3
+
   /** Knuth multiplicative id hash reduced mod `m` — the shared
     * deterministic sampling/gating key (llm_sample_topk_hash,
     * llm_sample_reservoir, llm_mix_weights). doc_id is reduced mod 2^28
@@ -273,40 +313,40 @@ object TrainingDataOps {
     }),
 
     // Random-hyperplane cosine-LSH near-dup for EMBEDDING space (round-3
-    // add): the measured-sub-quadratic sketch path for the one family
-    // whose exact members are inherently Ω(n²) on unclustered vectors
+    // add): the sub-quadratic sketch path for the one family whose exact
+    // members are inherently Ω(n²) on unclustered vectors
     // (llm_embedding_neardup / llm_embedding_topk_pairs — see SURVEY
     // §7.1). Three stages, each with a bounded shuffle:
     //   0. exact-vector collapse — identical embeddings keep the min
     //      vec_id (the exact-first ordering that keeps every LSH family's
     //      buckets from saturating on dup-heavy corpora; replica pairs
-    //      emit as stage='exact' without ever reaching a bucket);
-    //   1. sketch — each distinct vector explodes into its 32 band keys
-    //      ([[graft.functions.CosineLsh]]); candidates equi-join on the
-    //      band key, so the shuffle carries (8-byte key, id) pairs and
-    //      pair volume scales ~n^(1+ρ), ρ<1 — never all-pairs;
+    //      emit as stage='exact' without ever reaching a bucket). The
+    //      collapse shuffle is keyed by xxhash64(embedding) — 8-byte
+    //      exchange keys instead of the raw ~256-byte float array
+    //      (round-4 fix; real money at 100 TB) — with the full vector as
+    //      the in-partition group key, so a 64-bit hash collision cannot
+    //      merge distinct vectors (partitioning by a PREFIX of the window
+    //      keys satisfies its clustering requirement: one exchange,
+    //      plan-asserted in PlanShapeSpec);
+    //   1. sketch — each distinct vector explodes into its band keys
+    //      under the corpus-size-ADAPTIVE geometry (round-4 fix:
+    //      [[graft.functions.CosineLsh.geometry]] tightens bits/band as
+    //      ⌈log₂ n⌉, so far-pair admission r·2^(−b) shrinks ~1/n and far
+    //      candidates stay ~r·n instead of the fixed-32×8 Θ(n²)/8);
+    //      candidates equi-join on the 8-byte band key — never all-pairs;
     //   2. verify — candidates join their vectors back and the exact
     //      codegen'd cosine keeps round(cos,6) ≥ 0.4, so every emitted
     //      pair is TRUE (precision 1 by construction; the sketch only
-    //      costs recall, measured in TrainingDataSpec vs brute truth).
+    //      costs recall — the analytic curve is in CosineLsh's scaladoc,
+    //      measured at the test geometry in TrainingDataSpec, candidate
+    //      growth measured by ScaleProbe's perturbed mode).
     // Approximate ⇒ rows-only (no SQL oracle), like llm_minhash_lsh.
     "llm_embedding_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val emb = embeddings(s, d)
-      val keyed = emb.withColumn("rep",
-        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      val (keyed, reps, cand) = lshStages(s, d)
       val exactPairs = keyed.filter(col("vec_id") =!= col("rep"))
         .select(col("rep").as("vec_id"), col("vec_id").as("vec_id2"),
           lit(1.0).as("sim"), lit("exact").as("stage"))
-      val reps = keyed.filter(col("vec_id") === col("rep"))
-        .select(col("vec_id"), col("embedding"))
-      val bkU = udf((v: Seq[Float]) => graft.functions.CosineLsh.bandKeys(v))
-      val banded = reps
-        .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
-      val cand = banded
-        .join(banded.select(col("vec_id").as("vec_id2"), col("bk").as("bk2")),
-          col("bk") === col("bk2") && col("vec_id") < col("vec_id2"), "inner")
-        .select(col("vec_id"), col("vec_id2")).distinct()
       val e1 = reps.select(col("vec_id"), col("embedding").as("v1"))
       val e2 = reps.select(col("vec_id").as("vec_id2"),
         col("embedding").as("v2"))

@@ -100,6 +100,19 @@ class PlanShapeSpec extends GraftSpec {
     }
   }
 
+  test("llm_embedding_lsh exact-collapse shuffles on the 8-byte vector hash") {
+    // The collapse window groups by (xxhash64(embedding), embedding) but
+    // the EXCHANGE must be keyed by the hash alone — 8-byte shuffle keys
+    // instead of the raw ~256-byte float array (the in-partition group
+    // key keeps hash collisions exact). No exchange anywhere in the op
+    // may carry the raw vector as a partitioning key.
+    val plan = finalPlan("llm_embedding_lsh")
+    assert("hashpartitioning\\(eh#".r.findFirstIn(plan).isDefined,
+      s"collapse not keyed on the vector hash:\n$plan")
+    assert("hashpartitioning\\([^)]*embedding".r.findFirstIn(plan).isEmpty,
+      s"an exchange is keyed on the raw vector:\n$plan")
+  }
+
   test("llm_ann_ivf broadcasts probes and centroids, never the corpus") {
     val plan = finalPlan("llm_ann_ivf")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
