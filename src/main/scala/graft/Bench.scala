@@ -48,7 +48,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver tail-captures stdout and has truncated the (one, long)
+    // JSON line mid-key before (BENCH_r03.json arrived with
+    // "parsed": null) — so ALSO write the full line to BENCH.json in the
+    // working directory, which survives any stdout capture window.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -5,36 +5,73 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale-up probe: replicate `documents`/`embeddings` k× (ids shifted so
-  * uniqueness holds) into a staged sf dir, then time the similarity /
-  * dedup family against it. This answers the "would this hold at 10×?"
-  * question with measurements instead of guesses — run with
+/** Scale-up probe: stage a k×-scaled corpus into a temp sf dir, then time
+  * the similarity / dedup family against it — answering "would this hold
+  * at 10×?" with measurements instead of guesses. Three staging modes,
+  * because the interesting scale axis differs per op family:
   *
-  *   sbt "runMain graft.ScaleProbe 4 16"
+  *  - `identical` — documents/embeddings replicated verbatim (ids
+  *    shifted): the dup-heavy worst case for near-dup ops; the
+  *    exact-dedup-first stages must absorb the replicas (measured FLAT
+  *    for the pipeline ops since round 3).
+  *  - `perturbed` — embedding replicas get deterministic ±0.5% relative
+  *    per-component noise, so every replica is DISTINCT (the exact
+  *    collapse absorbs nothing) but replica pairs stay near-dups
+  *    (cos ≈ 0.99999). This is the axis on which a fixed LSH band
+  *    geometry is quadratic — the round-3 probe could not see it; the
+  *    adaptive geometry's candidate volume is measured here directly
+  *    (`lsh_candidates` rows = candidate pairs before verification).
+  *  - `trainheavy` — TRAIN docs replicated with per-replica token tags
+  *    (so their shingles are distinct), test docs fixed: the
+  *    decontamination deployment regime (benchmark suite vs 100 TB train
+  *    corpus) in which the Bloom pre-filter's pruning of the train
+  *    stream is supposed to win — measured instead of asserted.
   *
-  * Interpretation guide: ops whose candidate generation is blocked by
-  * (lang, size-bucket) see per-block density grow k×, so candidate pairs
-  * (and runtime, once compute-bound) grow ~k² within fixed blocks. That
-  * is the expected curve for the *exact* pair ops (llm_jaccard_pairs,
-  * llm_ngram_jaccard); the sketch-based paths (minhash bands, simhash
-  * pigeonholes) add sketch-equality keys on top and should grow closer to
-  * the true near-dup density. At corpus scale the block key must therefore
-  * tighten as the corpus grows (more bands / finer buckets) — which these
-  * measurements make visible locally.
+  * Run:  sbt "runMain graft.ScaleProbe [--modes identical,perturbed]
+  *            [--out PROBE.json] factor..."
+  * The --out JSON ({mode → factor → op → {sec, rows}}) is the per-round
+  * scaling artifact (PROBE_r04.json).
   */
 object ScaleProbe {
 
-  private val ProbeQueries = Seq(
+  private val IdenticalQueries = Seq(
     "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
     "llm_minhash_lsh", "llm_simhash_dedup", "llm_dedup_pipeline",
+    "llm_dedup_audit",
     "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh",
     "llm_ann_ivf",
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
     "llm_sample_reservoir", "llm_decontaminate", "llm_decontaminate_bloom",
     "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang")
 
+  // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
+  // vectors they are the documented quadratic family whose sub-quadratic
+  // alternatives (LSH sketch, IVF-ANN) are exactly what this mode measures.
+  private val PerturbedQueries = Seq("llm_embedding_lsh", "llm_ann_ivf")
+
+  private val TrainHeavyQueries =
+    Seq("llm_decontaminate", "llm_decontaminate_bloom")
+
+  private def queriesFor(mode: String): Seq[String] = mode match {
+    case "identical" => IdenticalQueries
+    case "perturbed" => PerturbedQueries
+    case "trainheavy" => TrainHeavyQueries
+    case m => throw new IllegalArgumentException(s"unknown probe mode $m")
+  }
+
   def main(args: Array[String]): Unit = {
-    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4)
+    var modes = Seq("identical")
+    var out: Option[String] = None
+    val factors = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--modes" => modes = args(i + 1).split(",").toSeq; i += 2
+        case "--out" => out = Some(args(i + 1)); i += 2
+        case f => factors += f.toInt; i += 1
+      }
+    }
+    if (factors.isEmpty) factors += 4
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,55 +84,132 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    factors.foreach { k =>
-      val dir = Files.createTempDirectory(s"graft_scale_${k}x_").toString
-      try {
-        stage(spark, baseSf, dir, k)
-        println(s"[scaleprobe] === ${k}x corpus staged at $dir ===")
-        ProbeQueries.foreach { name =>
-          val t0 = System.nanoTime()
-          // full-evaluation force (see Bench.force): count() would let the
-          // optimizer skip column reads and unique-key join work entirely.
-          val n = try Bench.force(SparkEntry.queries(name)(spark, dir))
-          catch { case e: Throwable =>
-            println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L
+    // mode → factor → op → (sec, rows)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int,
+        scala.collection.mutable.LinkedHashMap[String, (Double, Long)]]]
+
+    modes.foreach { mode =>
+      val perMode = results.getOrElseUpdate(mode,
+        scala.collection.mutable.LinkedHashMap.empty)
+      factors.toSeq.foreach { k =>
+        val dir = Files.createTempDirectory(s"graft_scale_${mode}_${k}x_")
+          .toString
+        val perFactor = perMode.getOrElseUpdate(k,
+          scala.collection.mutable.LinkedHashMap.empty)
+        try {
+          stage(spark, baseSf, dir, k, mode)
+          println(s"[scaleprobe] === $mode ${k}x corpus staged at $dir ===")
+          def timed(name: String)(body: => Long): Unit = {
+            val t0 = System.nanoTime()
+            val n = try body catch { case e: Throwable =>
+              println(s"[scaleprobe] $name FAILED: ${e.getMessage}"); -1L
+            }
+            val sec = (System.nanoTime() - t0) / 1e9
+            perFactor(name) = (sec, n)
+            println(f"[scaleprobe] $mode ${k}x $name: $sec%.2f s ($n rows)")
           }
-          println(f"[scaleprobe] ${k}x $name: " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+          queriesFor(mode).foreach { name =>
+            // full-evaluation force (see Bench.force): count() would let
+            // the optimizer skip column reads and unique-key join work.
+            timed(name)(Bench.force(SparkEntry.queries(name)(spark, dir)))
+          }
+          if (mode == "perturbed")
+            // candidate volume BEFORE verification — the quantity whose
+            // growth curve decides whether the banding is sub-quadratic
+            timed("lsh_candidates")(
+              operators.TrainingDataOps.embeddingLshCandidates(spark, dir)
+                .count())
+        } finally {
+          // staged corpora are k× the base tables — reclaim per factor
+          import scala.jdk.CollectionConverters._
+          val stream = java.nio.file.Files.walk(Paths.get(dir))
+          try stream.iterator().asScala.toSeq.reverseIterator
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally stream.close()
         }
-      } finally {
-        // staged corpora are k× the base tables — reclaim them per factor
-        import scala.jdk.CollectionConverters._
-        val stream = java.nio.file.Files.walk(Paths.get(dir))
-        try stream.iterator().asScala.toSeq.reverseIterator
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally stream.close()
       }
+    }
+    out.foreach { path =>
+      val json = new StringBuilder
+      json.append(s"""{"sf":"$baseSf","modes":{""")
+      json.append(results.map { case (mode, perMode) =>
+        s""""$mode":{""" + perMode.map { case (k, perFactor) =>
+          s""""$k":{""" + perFactor.map { case (name, (sec, rows)) =>
+            f""""$name":{"sec":$sec%.3f,"rows":$rows}"""
+          }.mkString(",") + "}"
+        }.mkString(",") + "}"
+      }.mkString(","))
+      json.append("}}\n")
+      Files.write(Paths.get(path), json.toString.getBytes("UTF-8"))
+      println(s"[scaleprobe] wrote $path")
     }
     spark.stop()
   }
 
-  /** Symlink every base table; overwrite documents/embeddings with k
-    * id-shifted copies (text/vectors unchanged — the worst case for
-    * near-dup ops, since every replica is a true duplicate). */
+  /** Symlink every base table; overwrite documents/embeddings per the
+    * staging mode (see the object scaladoc). All replica content is a
+    * deterministic function of (replica index, id) — no randomness. */
   private def stage(s: SparkSession, baseSf: String, dir: String,
-      k: Int): Unit = {
+      k: Int, mode: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events").foreach { t =>
       Files.createSymbolicLink(Paths.get(s"$dir/$t.parquet"),
         Paths.get(s"$baseSf/$t.parquet"))
     }
+    def link(t: String): Unit =
+      Files.createSymbolicLink(Paths.get(s"$dir/$t.parquet"),
+        Paths.get(s"$baseSf/$t.parquet"))
     val docs = s.read.parquet(s"$baseSf/documents.parquet")
-    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
-    (0 until k).map(i => docs.withColumn("doc_id",
-        col("doc_id") + lit(i * maxDoc)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val emb = s.read.parquet(s"$baseSf/embeddings.parquet")
-    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    (0 until k).map(i => emb.withColumn("vec_id",
-        col("vec_id") + lit(i * maxVec)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    mode match {
+      case "identical" =>
+        val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+        (0 until k).map(i => docs.withColumn("doc_id",
+            col("doc_id") + lit(i * maxDoc)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+        (0 until k).map(i => emb.withColumn("vec_id",
+            col("vec_id") + lit(i * maxVec)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      case "perturbed" =>
+        // only the embedding ops run here — docs stay at 1×
+        link("documents")
+        val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+        (0 until k).map { i =>
+          val shifted = emb.withColumn("vec_id",
+            col("vec_id") + lit(i * maxVec))
+          if (i == 0) shifted
+          else shifted.withColumn("embedding",
+            // ±0.5% relative noise keyed by (shifted id, component):
+            // replicas are distinct vectors at cos ≈ 0.99999 — true
+            // near-dups the exact collapse cannot absorb
+            transform(col("embedding"), (x, j) =>
+              (x * (lit(1.0) +
+                (pmod(xxhash64(col("vec_id"), j), lit(1000L))
+                  .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.01)))
+                .cast("float")))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      case "trainheavy" =>
+        // TRAIN docs (doc_id%100 < 80) replicated k−1 extra times with a
+        // per-replica token tag interleaved (distinct shingles per
+        // replica); id shift is a multiple of 100 so the replica stays in
+        // the train split. Test/val docs stay at 1×.
+        link("embeddings")
+        val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+        val shiftUnit = ((maxDoc + 99) / 100) * 100
+        (0 until k).map { i =>
+          if (i == 0) docs
+          else docs.filter(pmod(col("doc_id"), lit(100L)) < 80)
+            .withColumn("doc_id", col("doc_id") + lit(i * shiftUnit))
+            .withColumn("text",
+              regexp_replace(col("text"), " ", s" q$i"))
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      case m => throw new IllegalArgumentException(s"unknown probe mode $m")
+    }
   }
 }

@@ -61,7 +61,94 @@ object LlmOps {
           .otherwise(col("nd_of")).as("dup_of"))
   }
 
+  /** Full dedup AUDIT trail (round-4 add): the production shape — one
+    * pipeline, every doc judged once, each stage running only on the
+    * SURVIVORS of the previous one (the exact-first ordering that keeps
+    * every later stage affordable, measured FLAT at 16× replication):
+    *   1. exact      — min doc_id per identical text (lang-agnostic);
+    *   2. near_dup   — same-lang token-set Jaccard ≥ 0.5 under the
+    *                   (lang, |Δn_chars| ≤ 10) blocking;
+    *   3. crosslang  — the same Jaccard rule across languages (size
+    *                   bucket alone carries the join);
+    *   4. embedding  — exact cosine ≥ 0.4 via IVF cell-pair pruning
+    *                   (same machinery as llm_embedding_neardup) over
+    *                   survivors that HAVE a vector (vec_id = doc_id —
+    *                   the harness corpus association; docs without a
+    *                   vector skip the stage on both engines).
+    * Every rule is exact ⇒ the whole trail is SQL-expressible and
+    * oracle-checked — unlike the sketch ops, which trade recall and
+    * stay rows-only. `dup_of` < doc_id at every stage, so the audit
+    * edges still form a forest like llm_dedup_pipeline's. */
+  private def auditVerdicts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectSize.register(s)
+    graft.functions.CosineSimilarity.register(s)
+    val base = documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"), sortedToks.as("toks"),
+      floor(col("n_chars") / 10).as("bucket"))
+    val keyed = base.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    val surv1 = keyed.filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bucket"))
+    def jaccardHalf(pairs: DataFrame, out: String): DataFrame = pairs
+      .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
+      .filter(col("inter") /
+        (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
+      .groupBy(col("doc_id")).agg(min(col("doc_id2")).as(out))
+    val nd = jaccardHalf(
+      Blocking.sizeBlockedPairs(surv1, "toks", smallerRight = true), "nd_of")
+    val surv2 = surv1.join(nd, Seq("doc_id"), "left_anti")
+    val xl = jaccardHalf(
+      Blocking.sizeBlockedPairs(surv2, "toks", smallerRight = true,
+          langBlocked = false)
+        .filter(col("lang") =!= col("lang2")), "xl_of")
+    val surv3 = surv2.join(xl, Seq("doc_id"), "left_anti")
+    // stage 4 inputs: survivors' vectors only — cells and radii computed
+    // on the RESTRICTED set (radii over a subset only shrink, so the
+    // cell-pair pruning bound stays sound for subset pairs)
+    val vecs = embeddings(s, d)
+      .join(surv3.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cells = TrainingDataOps.ivfCells(vecs)
+    val theta = math.acos(0.399999)
+    val cellPairs = cells
+      .select(col("c_label").as("la"), col("centroid").as("ca"),
+        col("r").as("ra"))
+      .crossJoin(broadcast(cells.select(col("c_label").as("lb"),
+        col("centroid").as("cb"), col("r").as("rb"))))
+      .withColumn("cang",
+        TrainingDataOps.clampAcos(expr("cosine_sim(ca, cb)")))
+      .filter(col("cang") <= lit(theta) + col("ra") + col("rb") + lit(1e-9))
+      .select(col("la"), col("lb"))
+    val e1 = vecs.select(col("vec_id"), col("embedding").as("v1"),
+      col("label").as("la"))
+    val e2 = vecs.select(col("vec_id").as("vec_id2"),
+      col("embedding").as("v2"), col("label").as("lb"))
+    val eb = e1.join(broadcast(cellPairs), Seq("la"))
+      .join(e2, Seq("lb"))
+      .filter(col("vec_id2") < col("vec_id"))
+      .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
+      .groupBy(col("vec_id")).agg(min(col("vec_id2")).as("emb_of"))
+    keyed.select(col("doc_id"), col("lang"), col("keeper"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(xl, Seq("doc_id"), "left")
+      .join(eb.select(col("vec_id").as("doc_id"), col("emb_of")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") =!= col("keeper"), lit("exact_dup"))
+          .when(col("nd_of").isNotNull, lit("near_dup"))
+          .when(col("xl_of").isNotNull, lit("crosslang_dup"))
+          .when(col("emb_of").isNotNull, lit("embedding_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("doc_id") =!= col("keeper"), col("keeper"))
+          .otherwise(coalesce(col("nd_of"), col("xl_of"), col("emb_of")))
+          .as("dup_of"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_audit" -> ((s, d) =>
+      auditVerdicts(s, d).orderBy(col("doc_id"))),
+
     "llm_exact_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       documents(s, d)
@@ -267,6 +354,66 @@ object LlmOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_audit" ->
+      """WITH keep AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
+                min(doc_id) OVER (PARTITION BY text) AS keeper
+              FROM documents),
+            surv1 AS MATERIALIZED (SELECT * FROM keep WHERE doc_id = keeper),
+            tok AS MATERIALIZED (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS w
+              FROM surv1),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+                count(*) AS inter
+              FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+              JOIN surv1 sa ON sa.doc_id = a.doc_id
+              JOIN surv1 sb ON sb.doc_id = b.doc_id
+              WHERE sa.lang = sb.lang AND abs(sa.n_chars - sb.n_chars) <= 10
+              GROUP BY 1, 2),
+            nd AS MATERIALIZED (SELECT p.doc_id, min(cand) AS nd_of
+              FROM pair p JOIN card ca ON ca.doc_id = p.cand
+              JOIN card cb ON cb.doc_id = p.doc_id
+              WHERE inter / (ca.nt + cb.nt - inter) >= 0.5 GROUP BY 1),
+            surv2 AS MATERIALIZED (SELECT * FROM surv1
+              WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+            pair2 AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+                count(*) AS inter
+              FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+              JOIN surv2 sa ON sa.doc_id = a.doc_id
+              JOIN surv2 sb ON sb.doc_id = b.doc_id
+              WHERE sa.lang <> sb.lang AND abs(sa.n_chars - sb.n_chars) <= 10
+              GROUP BY 1, 2),
+            xl AS MATERIALIZED (SELECT p.doc_id, min(cand) AS xl_of
+              FROM pair2 p JOIN card ca ON ca.doc_id = p.cand
+              JOIN card cb ON cb.doc_id = p.doc_id
+              WHERE inter / (ca.nt + cb.nt - inter) >= 0.5 GROUP BY 1),
+            surv3 AS (SELECT * FROM surv2
+              WHERE doc_id NOT IN (SELECT doc_id FROM xl)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+            dv AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS sd
+              FROM e),
+            ev AS MATERIALIZED (SELECT d.vec_id, d.vec, d.sd
+              FROM dv d JOIN surv3 s ON s.doc_id = d.vec_id),
+            eb AS (SELECT a.vec_id AS doc_id, min(b.vec_id) AS emb_of
+              FROM ev a JOIN ev b ON b.vec_id < a.vec_id
+              WHERE round(list_dot_product(a.vec, b.vec)
+                / (sqrt(a.sd) * sqrt(b.sd)), 6) >= 0.4
+              GROUP BY 1)
+       SELECT k.doc_id, k.lang,
+              CASE WHEN k.doc_id != k.keeper THEN 'exact_dup'
+                   WHEN nd.nd_of IS NOT NULL THEN 'near_dup'
+                   WHEN xl.xl_of IS NOT NULL THEN 'crosslang_dup'
+                   WHEN eb.emb_of IS NOT NULL THEN 'embedding_dup'
+                   ELSE 'kept' END AS stage,
+              CASE WHEN k.doc_id != k.keeper THEN k.keeper
+                   ELSE coalesce(nd.nd_of, xl.xl_of, eb.emb_of) END AS dup_of
+       FROM keep k
+       LEFT JOIN nd ON nd.doc_id = k.doc_id
+       LEFT JOIN xl ON xl.doc_id = k.doc_id
+       LEFT JOIN eb ON eb.doc_id = k.doc_id
+       ORDER BY k.doc_id""",
+
     "llm_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs FROM (
            SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -41,7 +41,7 @@ object TrainingDataOps {
     * NaN as the largest double, so without the guard NaN would clamp to
     * acos(1) = 0 and silently give that cell an empty radius — UNSOUND
     * pruning. π keeps the pruning conservative in the degenerate case. */
-  private def clampAcos(c: Column): Column =
+  private[operators] def clampAcos(c: Column): Column =
     when(isnan(c), lit(math.Pi))
       .otherwise(acos(least(lit(1.0), greatest(lit(-1.0), c))))
 
@@ -49,7 +49,7 @@ object TrainingDataOps {
     * max angle from a member to its own centroid. Shared by the exact
     * cell-pair-pruned embedding ops (neardup, topk pairs); requires
     * [[CosineSimilarity]] registered on the session. */
-  private def ivfCells(emb: DataFrame): DataFrame = {
+  private[operators] def ivfCells(emb: DataFrame): DataFrame = {
     val cent = AnnOps.centroids(emb)
     val radii = emb.join(broadcast(cent), col("label") === col("c_label"))
       .withColumn("ang", clampAcos(expr("cosine_sim(embedding, centroid)")))
@@ -117,19 +117,26 @@ object TrainingDataOps {
     * injective shingle hash (collision-free here, same argument as
     * llm_ngram_jaccard).
     *
-    * With `bloom = true`, test shingles pre-filter through a Bloom sketch
-    * of the train shingle set before the exact join — sketch-pruning the
-    * shuffle, not the semantics: false positives only ever ADD candidates
-    * to the exact join, so the output is provably identical. Scale note:
-    * at ~1 byte/item a Bloom filter of a 100 TB train split's shingle set
-    * (10^12–10^13 distinct shingles) is itself terabytes — NOT a driver
-    * broadcast. At that scale the sketch is sharded: partition shingles by
-    * hash range, build one bounded filter per range, and co-partition the
-    * test-shingle probe with the same hash so each executor holds only its
-    * range's filter (or cap the per-executor filter at a fixed FPR budget
-    * and accept a higher FPR). This single-filter build is the harness-
-    * scale instance of that pattern, sized from a real count of the train
-    * set so the measured FPR stays at the configured 1%. */
+    * With `bloom = true`, the TRAIN shingle stream pre-filters through a
+    * Bloom sketch of the TEST shingle set before its distinct and the
+    * exact join — sketch-pruning the shuffle, not the semantics: false
+    * positives only ever ADD train shingles, which the exact join then
+    * drops, so the output is provably identical. The sketch sits on the
+    * test side (round-4 flip; round 2–3 bloomed the train side and
+    * filtered test) because that is the side that is SMALL in the
+    * deployment regime the op exists for: decontamination runs a
+    * fixed benchmark suite (MBs–GBs of test shingles) against a 100 TB
+    * train corpus, so the win is pruning the train stream — which is
+    * ~all of the exact path's shuffle — not the test stream. Measured in
+    * ScaleProbe's train-heavy mode (train replicated with per-replica
+    * token tags, test fixed): see PROBE_r04.json / SURVEY §7.1. Scale
+    * note: if the TEST set itself is huge, the sketch no longer fits one
+    * driver broadcast at 1% FPR — then shard it by shingle hash range
+    * with the train probe co-partitioned on the same hash, or cap the
+    * filter size and accept a higher FPR (pruning degrades, correctness
+    * never does). This single-filter build is the harness-scale instance,
+    * sized from a real count of the test set so the measured FPR stays at
+    * the configured 1%. */
   private def decontaminate(s: SparkSession, d: String,
       bloom: Boolean): DataFrame = {
     val wsArr = col("ws_arr")
@@ -144,31 +151,33 @@ object TrainingDataOps {
           .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
           .otherwise(lit("test")))
       .withColumn("g8", gram8)
-    // Materialized only on the bloom path: the distinct train shingle set
-    // feeds the sizing count, the sketch build AND the exact join — three
-    // consumers of one shuffle. localCheckpoint (eager) rather than
-    // persist(): checkpointed blocks are reclaimed by Spark's
-    // ContextCleaner once the returned plan is GC'd after the harness
-    // forces it, so repeated Verify/Bench/ScaleProbe invocations in one
-    // session don't accumulate cached shingle sets (persist() leaked one
-    // per sf dir for the session lifetime). Non-fault-tolerant like every
-    // localCheckpoint — a cluster deployment uses a reliable checkpoint
-    // dir or an explicitly managed cache.
-    val trainBase = docs.filter(col("split") === "train")
-      .select(explode(col("g8")).as("g")).distinct()
-    val trainGrams = if (bloom) trainBase.localCheckpoint() else trainBase
-    val testGramsAll = docs.filter(col("split") === "test")
+    val testGrams = docs.filter(col("split") === "test")
       .select(col("doc_id"), explode(col("g8")).as("g"))
-    val testGrams = if (bloom) {
+    val trainRaw = docs.filter(col("split") === "train")
+      .select(explode(col("g8")).as("g"))
+    val trainGrams = if (bloom) {
+      // Materialized only on the bloom path: the distinct test shingle
+      // set feeds the sizing count AND the sketch build — two consumers
+      // of one shuffle. localCheckpoint (eager) rather than persist():
+      // checkpointed blocks are reclaimed by Spark's ContextCleaner once
+      // the returned plan is GC'd after the harness forces it, so
+      // repeated Verify/Bench/ScaleProbe invocations in one session
+      // don't accumulate cached shingle sets. Non-fault-tolerant like
+      // every localCheckpoint — a cluster deployment uses a reliable
+      // checkpoint dir or an explicitly managed cache.
+      val testSet = testGrams.select(col("g")).distinct().localCheckpoint()
       // Sized from the actual distinct-shingle count (cheap on the
       // checkpointed set), not a constant: an undersized filter silently
       // inflates the false-positive rate past the configured 1% and
       // erodes the pruning the op exists to demonstrate.
-      val nTrain = math.max(1000L, trainGrams.count())
-      val sketch = trainGrams.stat.bloomFilter("g", nTrain, 0.01)
+      val nTest = math.max(1000L, testSet.count())
+      val sketch = testSet.stat.bloomFilter("g", nTest, 0.01)
       val mightContain = udf((g: Long) => sketch.mightContainLong(g))
-      testGramsAll.filter(mightContain(col("g")))
-    } else testGramsAll
+      // Filter BEFORE the distinct: the prune removes ~all non-matching
+      // train shingles ahead of the op's dominant shuffle, so both the
+      // distinct and the join shuffle only the ~test-sized survivor set.
+      trainRaw.filter(mightContain(col("g"))).distinct()
+    } else trainRaw.distinct()
     val shared = testGrams.join(trainGrams, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"))

@@ -498,6 +498,49 @@ object StreamingOps {
     }
   }
 
+  /** Test-only processor proving PROCESSING-time timers — the wall-clock
+    * half of the Flink timer surface (registerProcessingTimeTimer), which
+    * closes out idle keys when the SOURCE goes quiet: an event-time timer
+    * can never fire then, because the watermark only advances with data.
+    * Per key: input re-arms a single wall-clock timer `idleMs` ahead and
+    * emits ('active', n); when the timer expires — in a NO-DATA
+    * micro-batch, purely by wall clock — the key emits ('idle_closed', n)
+    * and clears its state. In TimeMode.ProcessingTime the engine
+    * unconditionally schedules no-data batches (shouldRunAnotherBatch is
+    * always true — timers might fire), which is exactly the machinery
+    * that lets these timers fire with no new input; the StreamingSpec
+    * test pins that, plus state-cleared-on-close (a later event re-opens
+    * the key at n=1). */
+  private[graft] class IdleTimeoutProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, (Long, Double), (Long, String, Long)] {
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      // one armed timer per key: drop stale ones, re-arm at idle deadline
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + idleMs)
+      Iterator.single((key, "active", n))
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, String, Long)] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      cnt.clear()
+      Iterator.single((key, "idle_closed", n))
+    }
+  }
+
   /** Test hook: the update-collapse step (method is private). */
   private[graft] def collapseUpdatesForTest(mem: DataFrame): DataFrame =
     collapseUpdates(mem)

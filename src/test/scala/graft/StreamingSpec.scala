@@ -527,6 +527,69 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("processing-time timer fires in a no-data batch; close-out clears state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pt_").toString
+    val in = s"$dir/in"
+    val checkpoint = ckpt
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def stage(rows: Seq[(Long, Double)]): Unit =
+        rows.toDF("user_id", "value").repartition(1)
+          .write.mode("append").parquet(in)
+      stage(Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)))
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      val sch = spark.read.parquet(in).schema
+      // Default micro-batch trigger, NOT AvailableNow: in ProcessingTime
+      // mode the engine keeps scheduling no-data batches (timers might
+      // fire) — which is precisely what lets a wall-clock timer fire with
+      // no new input; the test drives nothing between phases.
+      val q = spark.readStream.schema(sch).parquet(in)
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new StreamingOps.IdleTimeoutProcessor(500L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "phase", "n")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint).start()
+      import scala.jdk.CollectionConverters._
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(cond, s"timed out waiting for $what: ${emitted.asScala.toSeq}")
+      }
+      try {
+        // phase 1: both keys active from the single data batch
+        await(emitted.asScala.count(_._2 == "active") >= 2, "active emissions")
+        // phase 2: NO new input — both keys must close by wall clock alone
+        await(emitted.asScala.count(_._2 == "idle_closed") >= 2,
+          "idle_closed emissions")
+        val closed = emitted.asScala.filter(_._2 == "idle_closed")
+          .map(t => t._1 -> t._3).toMap
+        assert(closed == Map(1L -> 2L, 2L -> 1L),
+          s"close-out counts wrong: $closed")
+        // phase 3: a later event re-opens the key at n=1 — the timer
+        // really cleared the state, not just emitted
+        stage(Seq((1L, 9.0)))
+        await(emitted.asScala.exists(t => t == ((1L, "active", 1L))),
+          "re-opened key at n=1")
+      } finally { q.stop(); q.awaitTermination() }
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("transformWithState agrees with the mapGroupsWithState path") {
     val tws = SparkEntry.queries("stream_stateful_tws")(spark, sf)
       .collect().map(_.toString).toSeq

@@ -283,6 +283,34 @@ class TrainingDataSpec extends GraftSpec {
     }
   }
 
+  test("llm_dedup_audit: stage precedence, forest edges, pipeline agreement") {
+    val rows = SparkEntry.queries("llm_dedup_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val stages = Set("exact_dup", "near_dup", "crosslang_dup",
+      "embedding_dup", "kept")
+    rows.foreach { case (doc, stage, dupOf) =>
+      assert(stages.contains(stage), s"doc $doc unknown stage $stage")
+      // kept ⇔ no representative; a representative always precedes
+      assert((stage == "kept") == dupOf.isEmpty, s"doc $doc $stage $dupOf")
+      dupOf.foreach(d => assert(d < doc, s"doc $doc dup_of $d not earlier"))
+    }
+    // stages 1–2 are llm_dedup_pipeline's rules verbatim, so the two ops
+    // must agree on every exact_dup/near_dup verdict (later stages only
+    // reclassify docs the pipeline KEPT)
+    val pipeline = SparkEntry.queries("llm_dedup_pipeline")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach { case (doc, stage, _) =>
+      val p = pipeline(doc)
+      if (p == "exact_dup" || p == "near_dup")
+        assert(stage == p, s"doc $doc: audit=$stage pipeline=$p")
+      else
+        assert(stage != "exact_dup" && stage != "near_dup",
+          s"doc $doc: audit=$stage but pipeline kept it")
+    }
+  }
+
   test("llm_decontaminate: contaminated docs really share an 8-gram with train") {
     val out = SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
