@@ -26,7 +26,10 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full-evaluation force, same as Bench/ScaleProbe: count() lets the
+      // optimizer eliminate unique-key left joins and column reads, and
+      // times two plan shapes of the SAME op differently (round-2 lesson)
+      val n = Bench.force(fn(spark, sfDir))
       println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

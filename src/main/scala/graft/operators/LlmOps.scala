@@ -78,7 +78,14 @@ object LlmOps {
     * Every rule is exact ⇒ the whole trail is SQL-expressible and
     * oracle-checked — unlike the sketch ops, which trade recall and
     * stay rows-only. `dup_of` < doc_id at every stage, so the audit
-    * edges still form a forest like llm_dedup_pipeline's. */
+    * edges still form a forest like llm_dedup_pipeline's.
+    *
+    * Deliberately NOT fused: generating stage 2+3's candidates from one
+    * lang-unblocked pair join over surv1 measures ~60% SLOWER (12.4 s vs
+    * 7.4 s warm at sf0.1, honest forcing), because stage-2 drops shrink
+    * surv2 before the expensive unblocked join and per-block pair volume
+    * is QUADRATIC in the survivor count — staged filtering beats join
+    * fusion whenever the filter feeds a superlinear stage. */
   private def auditVerdicts(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     graft.functions.CosineSimilarity.register(s)
