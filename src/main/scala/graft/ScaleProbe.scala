@@ -37,7 +37,7 @@ object ScaleProbe {
   private val IdenticalQueries = Seq(
     "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
     "llm_minhash_lsh", "llm_simhash_dedup", "llm_dedup_pipeline",
-    "llm_dedup_audit",
+    "llm_dedup_audit", "llm_dedup_incremental", "llm_ngram_lm",
     "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh",
     "llm_ann_ivf",
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",

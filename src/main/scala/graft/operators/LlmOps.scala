@@ -152,9 +152,86 @@ object LlmOps {
           .as("dup_of"))
   }
 
+  /** Incremental (daily-ingest) dedup (round-4 add): dedup a NEW batch
+    * (doc_id % 100 ≥ 80 — the val+test 20%) against the already-ingested
+    * corpus (the 80% "existing" split) plus earlier docs of the same
+    * batch — the production shape, where re-running full-corpus dedup
+    * per ingest is the thing nobody can afford. The scale property is
+    * the ASYMMETRY: every join probes with the small new batch, so
+    * candidate volume is O(|new| · block density), never O(corpus²) —
+    * at 100 TB corpus + GB-scale ingest this is the difference between
+    * minutes and a full recompute.
+    *
+    * Verdict per new doc (earlier = smaller doc_id; keepers are min-id,
+    * one-hop like llm_dedup_pipeline):
+    *  - exact_dup: text appears among existing docs or earlier new docs;
+    *    dup_of = min such doc_id.
+    *  - near_dup: among exact survivors — some existing exact-REP or
+    *    earlier surviving new doc in the same (lang, |Δn_chars| ≤ 10)
+    *    block has token-set Jaccard ≥ 0.5; dup_of = min such doc_id.
+    *  - kept otherwise. */
+  private def incrementalVerdicts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectSize.register(s)
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), col("text"), sortedToks.as("toks"),
+      floor(col("n_chars") / 10).as("bucket"),
+      (pmod(col("doc_id"), lit(100L)) >= 80).as("is_new"))
+    val existing = docs.filter(!col("is_new"))
+    val newDocs = docs.filter(col("is_new"))
+    // exact stage: one equi-join per side on the text (at scale: on
+    // xxhash64(text) with in-group equality, as in the LSH collapse)
+    val exMin = existing.groupBy(col("text")).agg(min(col("doc_id")).as("ex_of"))
+    val nwMin = newDocs.groupBy(col("text")).agg(min(col("doc_id")).as("nw_first"))
+    val staged = newDocs
+      .join(exMin, Seq("text"), "left")
+      .join(nwMin, Seq("text"), "left")
+      .withColumn("nf", when(col("nw_first") < col("doc_id"), col("nw_first")))
+      .withColumn("exact_of",
+        when(col("nf").isNull, col("ex_of"))
+          .when(col("ex_of").isNull, col("nf"))
+          .when(col("ex_of") < col("nf"), col("ex_of"))
+          .otherwise(col("nf")))
+    val survNew = staged.filter(col("exact_of").isNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bucket"))
+    // near stage: candidates = existing exact-REPS ∪ earlier new
+    // survivors; the blocked join PROBES with the new batch only
+    val exReps = existing.join(
+        exMin.select(col("ex_of").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bucket"), lit(false).as("cand_new"))
+    val cand = exReps.unionByName(
+      survNew.withColumn("cand_new", lit(true)))
+    val right = cand
+      .withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+        col("n_chars").as("n_chars2"), col("toks").as("toks2"),
+        col("bucket"), col("cand_new"))
+    val nd = survNew.join(right,
+        col("lang") === col("lang2") &&
+          survNew("bucket") === right("bucket") &&
+          (!col("cand_new") || col("doc_id2") < col("doc_id")) &&
+          col("doc_id2") =!= col("doc_id") &&
+          abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+      .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
+      .filter(col("inter") /
+        (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
+      .groupBy(col("doc_id")).agg(min(col("doc_id2")).as("nd_of"))
+    staged.join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("nd_of").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("exact_of"), col("nd_of")).as("dup_of"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_dedup_audit" -> ((s, d) =>
       auditVerdicts(s, d).orderBy(col("doc_id"))),
+
+    "llm_dedup_incremental" -> ((s, d) =>
+      incrementalVerdicts(s, d).orderBy(col("doc_id"))),
 
     "llm_exact_dedup" -> ((s, d) => {
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
@@ -420,6 +497,62 @@ object LlmOps {
        LEFT JOIN xl ON xl.doc_id = k.doc_id
        LEFT JOIN eb ON eb.doc_id = k.doc_id
        ORDER BY k.doc_id""",
+
+    "llm_dedup_incremental" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars, text,
+                doc_id % 100 >= 80 AS is_new FROM documents),
+            ex AS (SELECT * FROM docs WHERE NOT is_new),
+            nw AS (SELECT * FROM docs WHERE is_new),
+            exmin AS (SELECT text, min(doc_id) AS ex_of FROM ex GROUP BY 1),
+            nwmin AS (SELECT text, min(doc_id) AS nw_first FROM nw GROUP BY 1),
+            staged AS (SELECT n.doc_id, n.lang, n.n_chars, n.text,
+                CASE WHEN m.nw_first < n.doc_id THEN m.nw_first END AS nf,
+                x.ex_of AS ex_of
+              FROM nw n
+              LEFT JOIN exmin x ON x.text = n.text
+              LEFT JOIN nwmin m ON m.text = n.text),
+            staged2 AS (SELECT *,
+                CASE WHEN nf IS NULL THEN ex_of
+                     WHEN ex_of IS NULL THEN nf
+                     WHEN ex_of < nf THEN ex_of ELSE nf END AS exact_of
+              FROM staged),
+            snew AS MATERIALIZED (SELECT doc_id, lang, n_chars, text
+              FROM staged2 WHERE exact_of IS NULL),
+            exrep AS (SELECT e.doc_id, e.lang, e.n_chars, e.text,
+                FALSE AS cand_new
+              FROM ex e JOIN exmin x ON x.ex_of = e.doc_id),
+            cand AS MATERIALIZED (SELECT * FROM exrep
+              UNION ALL
+              SELECT doc_id, lang, n_chars, text, TRUE FROM snew),
+            tokn AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS w FROM snew),
+            tokc AS (SELECT DISTINCT doc_id,
+                unnest(string_split(text, ' ')) AS w FROM cand),
+            cardn AS (SELECT doc_id, count(*) AS nt FROM tokn GROUP BY 1),
+            cardc AS (SELECT doc_id, count(*) AS nt FROM tokc GROUP BY 1),
+            pair AS (SELECT a.doc_id AS doc_id, b.doc_id AS cand_id,
+                count(*) AS inter
+              FROM tokn a JOIN tokc b ON a.w = b.w
+              JOIN snew sa ON sa.doc_id = a.doc_id
+              JOIN cand cb ON cb.doc_id = b.doc_id
+              WHERE sa.lang = cb.lang
+                AND abs(sa.n_chars - cb.n_chars) <= 10
+                AND (NOT cb.cand_new OR b.doc_id < a.doc_id)
+                AND b.doc_id <> a.doc_id
+              GROUP BY 1, 2),
+            nd AS (SELECT p.doc_id, min(cand_id) AS nd_of
+              FROM pair p
+              JOIN cardn ca ON ca.doc_id = p.doc_id
+              JOIN cardc cb ON cb.doc_id = p.cand_id
+              WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+              GROUP BY 1)
+       SELECT s.doc_id, s.lang,
+              CASE WHEN s.exact_of IS NOT NULL THEN 'exact_dup'
+                   WHEN nd.nd_of IS NOT NULL THEN 'near_dup'
+                   ELSE 'kept' END AS stage,
+              coalesce(s.exact_of, nd.nd_of) AS dup_of
+       FROM staged2 s LEFT JOIN nd ON nd.doc_id = s.doc_id
+       ORDER BY s.doc_id""",
 
     "llm_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs FROM (

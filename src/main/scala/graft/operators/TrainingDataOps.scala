@@ -675,6 +675,53 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram language-model scoring (round-4 add): the perplexity-style
+    // QUALITY FILTER of a pretraining pipeline — score each doc by the
+    // average negative log-probability of its word bigrams under an
+    // add-1-smoothed bigram LM trained on the corpus itself (high
+    // avg_nll = surprising text = low quality / noise). Same scale shape
+    // as llm_lang_id: ONE corpus-sized bigram aggregation; the model
+    // tables (bigram counts, unigram counts, vocab size) all roll up
+    // from it, vocabulary-sized, and join back against the per-doc tf —
+    // never a second corpus scan. Determinism: lp rounded to 6 dp, score
+    // accumulation in DECIMAL(38,6) (partition-order independent), final
+    // average as one double division rounded to 6 dp.
+    "llm_ngram_lm" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wsArr = col("ws_arr")
+      val bg = docs.withColumn("ws_arr", ws)
+        .select(col("doc_id"),
+          explode(when(size(wsArr) >= 2,
+            transform(sequence(lit(1), size(wsArr) - 1),
+              i => concat_ws(" ", element_at(wsArr, i),
+                element_at(wsArr, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+      val tf = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("tf"))
+      val c12 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
+      val uni = docs.select(explode(ws).as("w"))
+      val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vsize = uni.agg(countDistinct(col("w")).as("v"))
+      val grid = c12
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"))
+        .crossJoin(broadcast(vsize))
+        .withColumn("lp", round(log(
+          (col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6))
+        .select(col("bg"), col("lp"))
+      val sc = tf.join(grid, Seq("bg"))
+        .withColumn("c", (col("tf") * col("lp")).cast(Money))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("nll_sum"), sum(col("tf")).as("n_bigrams"))
+      docs.select(col("doc_id"))
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          round(-col("nll_sum").cast("double") / col("n_bigrams"), 6)
+            .as("avg_nll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram naive-Bayes language ID trained on the corpus itself
     // (add-1 smoothing, ln-probabilities rounded to 6 dp, decimal-exact
     // score accumulation so partition order can't flip an argmax).
@@ -912,6 +959,33 @@ object TrainingDataOps {
                 round(n_chars / len(string_split(text, ' ')), 4)
                   AS chars_per_token
          FROM documents ORDER BY doc_id""",
+
+    "llm_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+            bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bg
+                   FROM t, LATERAL unnest(generate_series(1, len(ws) - 1))
+                     AS g(i)),
+            tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            c12 AS (SELECT bg, sum(tf) AS c12 FROM tf GROUP BY 1),
+            uni AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+            vs AS (SELECT count(DISTINCT w) AS v FROM uni),
+            grid AS (SELECT bg,
+                       round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)), 6) AS lp
+                     FROM c12
+                     JOIN c1 ON c1.w = string_split(bg, ' ')[1]
+                     CROSS JOIN vs),
+            sc AS (SELECT tf.doc_id,
+                     sum(CAST(tf.tf * g.lp AS DECIMAL(38,6))) AS nll_sum,
+                     sum(tf.tf) AS n_bigrams
+                   FROM tf JOIN grid g USING (bg) GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              round(-CAST(s.nll_sum AS DOUBLE) / s.n_bigrams, 6) AS avg_nll
+       FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
 
     "llm_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang,

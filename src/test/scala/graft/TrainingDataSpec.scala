@@ -311,6 +311,59 @@ class TrainingDataSpec extends GraftSpec {
     }
   }
 
+  test("llm_dedup_incremental: only new docs judged, keepers precede or pre-exist") {
+    val rows = SparkEntry.queries("llm_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val nNew = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(100L)) >= 80).count()
+    assert(rows.length == nNew)
+    rows.foreach { case (doc, stage, dupOf) =>
+      assert(doc % 100 >= 80, s"existing doc $doc judged")
+      assert((stage == "kept") == dupOf.isEmpty)
+      // keeper is an existing-corpus doc (any id — the corpus takes
+      // precedence regardless of ingest order) or an EARLIER new doc
+      dupOf.foreach(k =>
+        assert(k % 100 < 80 || k < doc, s"doc $doc keeper $k invalid"))
+    }
+    // exact verdicts must agree with ground truth recomputed in-memory
+    val texts = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byText = texts.groupBy(_._2)
+    rows.foreach { case (doc, stage, _) =>
+      val mine = texts.find(_._1 == doc).get._2
+      val clash = byText(mine).exists { case (id, _) =>
+        id % 100 < 80 || id < doc }
+      assert((stage == "exact_dup") == clash,
+        s"doc $doc exact verdict mismatch (clash=$clash, stage=$stage)")
+    }
+  }
+
+  test("llm_ngram_lm: bigram counts, positive surprisal, duplicate-text equality") {
+    val rows = SparkEntry.queries("llm_ngram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nTokens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == nTokens.size)
+    rows.foreach { case (doc, nbg, avgNll) =>
+      assert(nbg == math.max(nTokens(doc) - 1, 0), s"doc $doc bigram count")
+      // add-1 smoothed probabilities are < 1 ⇒ -ln p > 0
+      assert(avgNll > 0, s"doc $doc avg_nll $avgNll")
+    }
+    // identical texts must score identically (model is text-only)
+    val byDoc = rows.map(t => t._1 -> t._3).toMap
+    Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+      .foreach { r =>
+        val ids = r.getSeq[Long](1)
+        assert(ids.map(byDoc).distinct.size == 1,
+          s"identical texts $ids scored differently")
+      }
+  }
+
   test("llm_decontaminate: contaminated docs really share an 8-gram with train") {
     val out = SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
