@@ -129,6 +129,16 @@ class PlanShapeSpec extends GraftSpec {
       s"packing window not sharded:\n$plan")
   }
 
+  test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
+    // The asymmetric new-batch-vs-corpus shape only holds if every pair
+    // source is an equi-join (text, then (lang, bucket)) — a nested-loop
+    // anywhere would silently reintroduce the O(corpus²) full recompute.
+    val plan = finalPlan("llm_dedup_incremental")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$plan")
+  }
+
   test("llm_decontaminate joins shingle sets on equi-keys, never cartesian") {
     val plan = finalPlan("llm_decontaminate")
     assert(!plan.contains("CartesianProduct") &&
