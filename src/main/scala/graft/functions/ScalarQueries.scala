@@ -45,6 +45,37 @@ object ScalarQueries {
         .orderBy(col("event_type"), col("hb"))
     }),
 
+    // Funnel / pattern detection (round-4 add) — the batch form of the
+    // CEP "A followed by B within T" shape (streaming CEP proper is out
+    // of contract: SURVEY §2 end note): for every signup, the FIRST
+    // purchase by the same user within 1 hour. One equi-join keyed by
+    // user_id (the range rides the join condition — never a cartesian),
+    // then min(struct) picks the earliest qualifying purchase with an
+    // id tie-break; all comparisons in exact integer microseconds.
+    // Scale: both sides shuffle once on user_id; per-user signup ×
+    // purchase pair volume is bounded by the 1-hour window, not the
+    // corpus.
+    "events_funnel" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      sg.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"),
+          col("fp.purchase_id").as("purchase_id"),
+          (col("fp.p_ts") - col("s_ts")).as("us_to_convert"))
+        .orderBy(col("signup_id"))
+    }),
+
     "fn_string" -> ((s, d) =>
       part(s, d).select(
         col("p_partkey"),
@@ -213,6 +244,25 @@ object ScalarQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts_utc, user_id,
                 event_type, value
          FROM events ORDER BY event_id""",
+
+    "events_funnel" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                    p.purchase_id, p.p_ts,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s LEFT JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000)
+       SELECT user_id, signup_id, purchase_id,
+              p_ts - s_ts AS us_to_convert
+       FROM j WHERE rn = 1 ORDER BY signup_id""",
 
     "ts_gapfill" ->
       """WITH h AS (SELECT event_type,
