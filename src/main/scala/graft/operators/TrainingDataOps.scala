@@ -683,9 +683,12 @@ object TrainingDataOps {
     // as llm_lang_id: ONE corpus-sized bigram aggregation; the model
     // tables (bigram counts, unigram counts, vocab size) all roll up
     // from it, vocabulary-sized, and join back against the per-doc tf —
-    // never a second corpus scan. Determinism: lp rounded to 6 dp, score
-    // accumulation in DECIMAL(38,6) (partition-order independent), final
-    // average as one double division rounded to 6 dp.
+    // never a second corpus scan. Determinism: per-bigram surprisal is
+    // an INTEGER micro-nat (round(ln·10⁶)), accumulation and the final
+    // half-up average are pure bigint arithmetic ((2P+n) div 2n) — a
+    // double round() of the average hit a real x.xxxxxx5 half-tie at
+    // sf0.1 (row 1492: 3.4140895) where Spark and DuckDB round
+    // differently (D4); integer arithmetic cannot.
     "llm_ngram_lm" -> ((s, d) => {
       val docs = documents(s, d)
       val wsArr = col("ws_arr")
@@ -706,18 +709,19 @@ object TrainingDataOps {
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
         .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"))
         .crossJoin(broadcast(vsize))
-        .withColumn("lp", round(log(
-          (col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6))
-        .select(col("bg"), col("lp"))
+        .withColumn("lpm", round(log(
+          (col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e6, 0)
+          .cast("long"))
+        .select(col("bg"), col("lpm"))
       val sc = tf.join(grid, Seq("bg"))
-        .withColumn("c", (col("tf") * col("lp")).cast(Money))
+        .withColumn("c", col("tf") * col("lpm"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("nll_sum"), sum(col("tf")).as("n_bigrams"))
+        .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
       docs.select(col("doc_id"))
         .join(sc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          round(-col("nll_sum").cast("double") / col("n_bigrams"), 6)
+          (expr("(2 * p + n_bigrams) div (2 * n_bigrams)") / lit(1e6))
             .as("avg_nll"))
         .orderBy(col("doc_id"))
     }),
@@ -973,17 +977,19 @@ object TrainingDataOps {
             c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
             vs AS (SELECT count(DISTINCT w) AS v FROM uni),
             grid AS (SELECT bg,
-                       round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)), 6) AS lp
+                       CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
+                         * 1000000, 0) AS BIGINT) AS lpm
                      FROM c12
                      JOIN c1 ON c1.w = string_split(bg, ' ')[1]
                      CROSS JOIN vs),
             sc AS (SELECT tf.doc_id,
-                     sum(CAST(tf.tf * g.lp AS DECIMAL(38,6))) AS nll_sum,
-                     sum(tf.tf) AS n_bigrams
+                     CAST(-sum(tf.tf * g.lpm) AS BIGINT) AS p,
+                     CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
                    FROM tf JOIN grid g USING (bg) GROUP BY 1)
        SELECT d.doc_id,
-              CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-              round(-CAST(s.nll_sum AS DOUBLE) / s.n_bigrams, 6) AS avg_nll
+              coalesce(s.n_bigrams, 0) AS n_bigrams,
+              CAST((2 * s.p + s.n_bigrams) // (2 * s.n_bigrams) AS DOUBLE)
+                / 1000000 AS avg_nll
        FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
        ORDER BY d.doc_id""",
 
