@@ -76,6 +76,49 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Three-step CEP sequence (round-4 add): signup → first click after
+    // it → first purchase after THAT click, all inside 1 h of the
+    // signup — the iterative-pattern half of Flink-CEP's batch story
+    // (events_funnel is the 2-step base case). Each step is one
+    // time-bounded equi-join on user_id + a min-struct aggregation
+    // (earliest (ts, id) wins — total order, engine-independent), so the
+    // chain is two shuffle joins, never a per-user nested loop; at
+    // 100 TB both joins hash-partition on user_id and AQE handles any
+    // hot user.
+    "events_pattern_abc" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      val step1 = sg.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") &&
+            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("click_id").isNotNull,
+          struct(col("c_ts"), col("click_id")))).as("fc"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
+      step1.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          col("fp.purchase_id").as("purchase_id"),
+          (col("fp.p_ts") - col("s_ts")).as("us_to_complete"))
+        .orderBy(col("signup_id"))
+    }),
+
     "fn_string" -> ((s, d) =>
       part(s, d).select(
         col("p_partkey"),
@@ -263,6 +306,37 @@ object ScalarQueries {
        SELECT user_id, signup_id, purchase_id,
               p_ts - s_ts AS us_to_convert
        FROM j WHERE rn = 1 ORDER BY signup_id""",
+
+    "events_pattern_abc" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click_id,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f1 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c_ts
+                    AND p.p_ts <= f.s_ts + 3600000000)
+       SELECT user_id, signup_id, click_id, purchase_id,
+              p_ts - s_ts AS us_to_complete
+       FROM s2 WHERE rn = 1 ORDER BY signup_id""",
 
     "ts_gapfill" ->
       """WITH h AS (SELECT event_type,

@@ -186,6 +186,27 @@ object Aggregations {
       pivoted.select(col("user_id") +:
           types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
         .orderBy(col("user_id"))
+    }),
+
+    // Exact heavy hitters (round-4 add): users generating ≥ 1.2× the mean
+    // event volume (this corpus is near-uniform — verified: 2× matches
+    // zero keys at every SF; 1.2× keeps 1/13/104) — the skewed-key
+    // detector you run BEFORE a big join to decide which keys need
+    // salting (SkewJoin.scala). All-integer comparison
+    // (cnt × n_users × 10 ≥ 12 × total) so no double average can
+    // flip a boundary key. Plan: one partial+final hash agg over events
+    // (shuffle carries one (user, cnt) row per user), then the two
+    // global scalars arrive via a broadcast cross join — no second pass
+    // over the fact table, no driver collect.
+    "agg_heavy_hitters" -> ((s, d) => {
+      val perUser = events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val totals = perUser.agg(
+        sum(col("cnt")).as("total"), count(lit(1)).as("n_users"))
+      perUser.crossJoin(broadcast(totals))
+        .filter(col("cnt") * col("n_users") * lit(10) >= lit(12) * col("total"))
+        .select(col("user_id"), col("cnt"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -283,6 +304,15 @@ object Aggregations {
                 count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
                 count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 count(CASE WHEN event_type = 'view' THEN 1 END) AS view
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_heavy_hitters" ->
+      """WITH pu AS (SELECT user_id, count(*) AS cnt
+                     FROM events GROUP BY 1),
+            t AS (SELECT sum(cnt) AS total, count(*) AS n_users FROM pu)
+         SELECT user_id, cnt
+         FROM pu, t
+         WHERE cnt * n_users * 10 >= 12 * total
+         ORDER BY user_id"""
   )
 }

@@ -89,7 +89,46 @@ object Relational {
             .when(col("l_linestatus") === "O", lit("open"))
             .otherwise(lit("done")).as("status_label"))),
 
-    "agg_groupby_pricing" -> (aggGroupbyPricing _)
+    "agg_groupby_pricing" -> (aggGroupbyPricing _),
+
+    // Correlated subqueries (round-4 add), exercised through the SQL
+    // surface so Catalyst's decorrelation does the planning: EXISTS /
+    // NOT EXISTS rewrite to left-semi / left-anti hash joins on
+    // o_custkey — one shuffle each, no per-row re-execution, which is
+    // what makes the construct viable at 100 TB (a nested-loop
+    // interpretation would be O(customers × orders)).
+    "subquery_exists" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("graft_customer_sq")
+      orders(s, d).createOrReplaceTempView("graft_orders_sq")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM graft_customer_sq c
+        WHERE EXISTS (SELECT 1 FROM graft_orders_sq o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM graft_orders_sq o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    // Correlated SCALAR subqueries with aggregates: orders strictly above
+    // their customer's average price. The comparison is done in exact
+    // integer-decimal arithmetic (price × count > sum) on BOTH engines so
+    // no double-precision average can flip a boundary row (D2/D4).
+    "subquery_scalar" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("graft_orders_sq")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graft_orders_sq o
+        WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+                (SELECT count(*) FROM graft_orders_sq o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+                 FROM graft_orders_sq o3
+                 WHERE o3.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +179,28 @@ object Relational {
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "subquery_exists" ->
+      """SELECT c_custkey, c_name
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE CAST(o_totalprice AS DECIMAL(38,6)) *
+                 (SELECT count(*) FROM orders o2
+                  WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+                  FROM orders o3
+                  WHERE o3.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey"""
   )
 }

@@ -117,6 +117,25 @@ object Windows {
           first(col("p_name")).over(w).as("cheapest"),
           last(col("p_name")).over(w).as("priciest"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // IGNORE NULLS frames (round-4 add): carry each user's last-seen
+    // purchase value forward across their event timeline — the
+    // fill-forward idiom for sparse observations (sensor readings,
+    // prices) over a dense event clock. One window shuffle keyed by
+    // user_id; the running frame is O(1) state per row.
+    "window_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("pv"), ignoreNulls = true).over(w)
+            .as("last_purchase_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -203,6 +222,17 @@ object Windows {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                 ) AS priciest
          FROM part
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+
+    "window_ignore_nulls" ->
+      """SELECT event_id, user_id, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_purchase_value
+         FROM events
+         ORDER BY event_id"""
   )
 }
