@@ -316,6 +316,44 @@ object StreamingOps {
       }
     }),
 
+    // Streaming CEP funnel (round-4 add): the event-time-timer twin of
+    // the batch `events_funnel` op — per signup, the FIRST purchase by
+    // the same user within 1 h, or an explicit non-conversion verdict.
+    // The verdict for a signup is only knowable once the watermark
+    // passes its 1 h deadline (an earlier-timestamped purchase may still
+    // arrive until then), so the processor NEVER emits from
+    // handleInputRows: it accumulates the best candidate purchase per
+    // pending signup in state and emits exactly when the signup's
+    // deadline timer fires — the Flink-CEP followedBy().within() pattern
+    // on Spark's transformWithState. Under AvailableNow the trailing
+    // no-data batch carries the final watermark (= max event time), so
+    // signups whose deadline cleared it emit and the rest stay pending —
+    // the same ms-precision cutoff the batch oracle recomputes.
+    "stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, d)
+          .withWatermark("ts_utc", "0 seconds")
+          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+            col("user_id"), col("event_type"), col("event_id"))
+          .as[(java.sql.Timestamp, Long, Long, String, Long)]
+        val out = ev.groupByKey(_._3)
+          .transformWithState(new FunnelProcessor(),
+            TimeMode.EventTime(), OutputMode.Append())
+        runToMemory(
+          out.toDF("user_id", "signup_id", "purchase_id", "us_to_convert"),
+          "append")
+          .orderBy(col("signup_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -468,6 +506,96 @@ object StreamingOps {
     }
   }
 
+  /** State row for [[FunnelProcessor]]: pending signups of one user.
+    * Each item is (signupId, signupTsUs, bestPurchaseTsUs, bestPurchaseId)
+    * with Long.MaxValue sentinels while no in-window purchase has been
+    * seen. O(open signups per user) — bounded, since every signup leaves
+    * state when its 1 h deadline passes the watermark. */
+  private case class PendingFunnels(items: Seq[(Long, Long, Long, Long)])
+
+  /** Streaming funnel processor (see the `stream_funnel` registration):
+    * signups arm an event-time timer at signupTs + 1 h; purchases only
+    * UPDATE the best (earliest (ts, id)) candidate of every pending
+    * in-window signup; emission happens exclusively in
+    * handleExpiredTimer once the watermark passes a deadline — the only
+    * point where "first purchase within the hour" is final. One armed
+    * timer per key (the earliest pending deadline), re-armed as
+    * deadlines mature; timers and state are both dropped when the last
+    * pending signup emits. All decisions run in exact event
+    * MICROSECONDS; only the deadline-vs-watermark race runs at the
+    * engine's millisecond timer precision (floor(µs/1000), mirrored by
+    * the oracle's epoch_ms arithmetic). */
+  private class FunnelProcessor extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long])] {
+
+    private val WindowUs = 3600000000L // 1 h in µs
+    private val None_ = Long.MaxValue
+
+    @transient private var pend:
+      org.apache.spark.sql.streaming.ValueState[PendingFunnels] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pend = getHandle.getValueState[PendingFunnels]("pend",
+        Encoders.product[PendingFunnels], TTLConfig.NONE)
+
+    private def rearm(items: Seq[(Long, Long, Long, Long)]): Unit = {
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (items.nonEmpty)
+        getHandle.registerTimer(
+          items.map { case (_, sTs, _, _) => (sTs + WindowUs) / 1000 }.min)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
+        timerValues: TimerValues):
+        Iterator[(Long, Long, Option[Long], Option[Long])] = {
+      // sort by (eventTime, eventId) so a same-batch purchase lands on
+      // signups that precede it in event time, not in arrival order
+      val evs = rows.toArray.sortBy(r => (r._2, r._5))
+      val items = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, Long)]
+      Option(pend.get()).foreach(items ++= _.items)
+      evs.foreach { case (_, tsUs, _, etype, eid) =>
+        etype match {
+          case "signup" =>
+            items += ((eid, tsUs, None_, None_))
+          case "purchase" =>
+            var i = 0
+            while (i < items.length) {
+              val (sid, sTs, bTs, bId) = items(i)
+              if (tsUs > sTs && tsUs <= sTs + WindowUs &&
+                  (tsUs < bTs || (tsUs == bTs && eid < bId)))
+                items(i) = (sid, sTs, tsUs, eid)
+              i += 1
+            }
+          case _ => ()
+        }
+      }
+      if (items.nonEmpty) pend.update(PendingFunnels(items.toSeq))
+      else pend.clear()
+      rearm(items.toSeq)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Option[Long], Option[Long])] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val items = Option(pend.get()).map(_.items).getOrElse(Seq.empty)
+      val (matured, rest) = items.partition {
+        case (_, sTs, _, _) => (sTs + WindowUs) / 1000 <= wm
+      }
+      if (rest.nonEmpty) pend.update(PendingFunnels(rest)) else pend.clear()
+      rearm(rest)
+      matured.sortBy(_._1).iterator.map { case (sid, sTs, bTs, bId) =>
+        if (bTs == None_) (key, sid, None, None)
+        else (key, sid, Some(bId), Some(bTs - sTs))
+      }
+    }
+  }
+
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
     * side-by-side `cnt_forever` (TTLConfig.NONE) never does — so a
@@ -550,6 +678,12 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, Double),
       (Long, Long, Long, Long, BigDecimal)] =
     new SessionTimeoutProcessor()
+
+  /** Test hook: the streaming-funnel processor (class is private). */
+  private[graft] def funnelForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long])] =
+    new FunnelProcessor()
 
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
@@ -648,6 +782,33 @@ object StreamingOps {
          WHERE sess_id < last_sess
             OR epoch_ms(last_t + INTERVAL 10 MINUTE) <= epoch_ms(m)
          ORDER BY user_id, s_start""",
+
+    // Batch recompute of the streaming funnel + the watermark cutoff:
+    // a signup's verdict emits iff its ms-truncated deadline cleared the
+    // final watermark (= ms-truncated max event time, delay 0) — the
+    // same epoch_ms convention the session-timeout oracle pins.
+    "stream_funnel" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            j AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                    p.purchase_id, p.p_ts,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s LEFT JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000)
+       SELECT user_id, signup_id, purchase_id,
+              p_ts - s_ts AS us_to_convert
+       FROM j, mx
+       WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
+       ORDER BY signup_id""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

@@ -444,6 +444,72 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("stream_funnel: cross-batch conversion, first-purchase pick, pending holdback") {
+    // Pins the funnel processor's three load-bearing behaviors on a real
+    // 2-micro-batch run (maxFilesPerTrigger=1):
+    //  - u1: two same-batch purchases → the EARLIEST (ts, id) wins
+    //    (09:20/#210 beats 09:30/#200) even if file order differs;
+    //  - u2: signup in batch 1, purchase in batch 2 → state carries the
+    //    pending signup across batches and the conversion still lands;
+    //  - u4: no purchase → explicit non-conversion ONLY once its 1 h
+    //    deadline clears the final watermark;
+    //  - u3: signup whose deadline (11:00) exceeds the final watermark
+    //    (10:40) → NO verdict emitted (the cutoff the oracle mirrors).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_funnel_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:30:00"), 1L, "purchase", 200L),
+        (t("2024-01-01 09:20:00"), 1L, "purchase", 210L),
+        (t("2024-01-01 09:25:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:10:00"), 4L, "signup", 130L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      // batch 2 — all rows >= 09:30 (not late); final wm: 10:40
+      Seq((t("2024-01-01 09:40:00"), 2L, "purchase", 220L),
+        (t("2024-01-01 10:00:00"), 3L, "signup", 120L),
+        (t("2024-01-01 10:40:00"), 3L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.funnelForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "purchase_id", "us_to_convert")
+        .writeStream.format("memory").queryName("funnel_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      val rows = spark.table("funnel_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, 100L, 210L, 1200000000L), // first purchase: 09:20, 20 min
+        (2L, 110L, 220L, 900000000L),  // cross-batch: 09:40, 15 min
+        (4L, 130L, -1L, -1L)),         // matured non-conversion
+        s"funnel verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
