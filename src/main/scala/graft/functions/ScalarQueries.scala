@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -117,6 +118,44 @@ object ScalarQueries {
           col("fp.purchase_id").as("purchase_id"),
           (col("fp.p_ts") - col("s_ts")).as("us_to_complete"))
         .orderBy(col("signup_id"))
+    }),
+
+    // Linear interpolation between sparse observations (round-4 add):
+    // at EVERY event on a user's timeline, the purchase `value` linearly
+    // interpolated between the nearest purchase at-or-before and the
+    // nearest purchase strictly-after (null outside the observed range) —
+    // ts_gapfill's zero-fill upgraded to real signal reconstruction.
+    // Neighbor lookup is two IGNORE NULLS window frames over ONE shuffle
+    // keyed by user_id (value and its timestamp fetched by separate
+    // frames — non-null on exactly the same rows, so they always come
+    // from the same purchase). The lerp itself is the identical double
+    // expression on both engines, rounded to 6 dp; on a purchase row
+    // Δt = 0 makes it collapse to the row's own value exactly.
+    "ts_interpolate" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+      val base = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = base.rowsBetween(1, Window.unboundedFollowing)
+      val pvTs = when(col("pv").isNotNull, col("ts_us"))
+      ev.select(col("event_id"), col("user_id"),
+          col("ts_us"),
+          last(col("pv"), ignoreNulls = true).over(back).as("prev_v"),
+          last(pvTs, ignoreNulls = true).over(back).as("prev_ts"),
+          first(col("pv"), ignoreNulls = true).over(fwd).as("next_v"),
+          first(pvTs, ignoreNulls = true).over(fwd).as("next_ts"))
+        .select(col("event_id"), col("user_id"),
+          round(
+            when(col("next_ts") === col("prev_ts"), col("prev_v"))
+              .otherwise(col("prev_v") +
+                (col("next_v") - col("prev_v")) *
+                  (col("ts_us") - col("prev_ts")).cast("double") /
+                  (col("next_ts") - col("prev_ts")).cast("double")), 6)
+            .as("interp_value"))
+        .orderBy(col("event_id"))
     }),
 
     "fn_string" -> ((s, d) =>
@@ -337,6 +376,39 @@ object ScalarQueries {
        SELECT user_id, signup_id, click_id, purchase_id,
               p_ts - s_ts AS us_to_complete
        FROM s2 WHERE rn = 1 ORDER BY signup_id""",
+
+    "ts_interpolate" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                       CASE WHEN event_type = 'purchase' THEN value END AS pv
+                     FROM events),
+            nb AS (SELECT event_id, user_id, ts_us,
+                     last_value(pv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_v,
+                     last_value(CASE WHEN pv IS NOT NULL THEN ts_us END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS prev_ts,
+                     first_value(pv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_v,
+                     first_value(CASE WHEN pv IS NOT NULL THEN ts_us END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_ts
+                   FROM ev)
+       SELECT event_id, user_id,
+              round(CASE WHEN next_ts = prev_ts THEN prev_v
+                         ELSE prev_v + (next_v - prev_v) *
+                           CAST(ts_us - prev_ts AS DOUBLE) /
+                           CAST(next_ts - prev_ts AS DOUBLE) END, 6)
+                AS interp_value
+       FROM nb ORDER BY event_id""",
 
     "ts_gapfill" ->
       """WITH h AS (SELECT event_type,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -207,6 +208,25 @@ object Aggregations {
         .filter(col("cnt") * col("n_users") * lit(10) >= lit(12) * col("total"))
         .select(col("user_id"), col("cnt"))
         .orderBy(col("user_id"))
+    }),
+
+    // Per-group mode with a DETERMINISTIC tie-break (round-4 add): the
+    // modal event_type per user; ties (common at ~13 events per
+    // (user, type)) resolve to the lexicographically smallest type, so
+    // both engines pick the same row — a bare mode() would be
+    // engine-defined on ties. Plan: partial+final hash agg to
+    // (user, type, cnt), then one window shuffle on user_id.
+    "agg_mode" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"),
+          col("cnt"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -313,6 +333,14 @@ object Aggregations {
          SELECT user_id, cnt
          FROM pu, t
          WHERE cnt * n_users * 10 >= 12 * total
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+
+    "agg_mode" ->
+      """SELECT user_id, event_type AS modal_type, cnt FROM (
+           SELECT user_id, event_type, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY count(*) DESC, event_type) AS rn
+           FROM events GROUP BY user_id, event_type)
+         WHERE rn = 1 ORDER BY user_id"""
   )
 }

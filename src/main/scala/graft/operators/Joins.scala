@@ -122,6 +122,39 @@ object Joins {
         .filter(col("rn") === 1)
         .select(col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
         .orderBy(col("p_id"))
+    }),
+
+    // Pure interval join with NO equi-key (round-4 add): per purchase,
+    // how many error events (ANY user) landed within ±1 s. Naively this
+    // is a range-predicate-only join — a broadcast-nested-loop /
+    // cartesian at scale. The scale-safe shape implemented here is the
+    // BINNED range join: both sides key by a 1 s time bucket, the
+    // narrower side explodes into its {b−1, b, b+1} neighbor buckets
+    // (each real pair then meets in EXACTLY one bucket — the probe's own
+    // bucket — so no dedup is needed), and the exact |Δt| ≤ 1 s residual
+    // filters inside the hash join. Cost: one 3× fan-out + one
+    // equi-shuffle, never O(n²); PlanShapeSpec asserts no
+    // nested-loop/cartesian operator survives in the physical plan.
+    "join_interval_bucketed" -> ((s, d) => {
+      val BucketUs = 1000000L
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"),
+          expr(s"ts_us div $BucketUs").as("b"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts_us").as("e_ts"),
+          expr(s"ts_us div $BucketUs").as("eb"))
+        .withColumn("b",
+          explode(array(col("eb") - 1, col("eb"), col("eb") + 1)))
+      val near = pu.join(er, Seq("b"), "inner")
+        .filter(abs(col("e_ts") - col("p_ts")) <= BucketUs)
+        .groupBy(col("p_id")).agg(count(lit(1)).as("n_near_errors"))
+      pu.select(col("p_id").as("event_id"))
+        .join(near.withColumnRenamed("p_id", "event_id"),
+          Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_near_errors"), lit(0L)).as("n_near_errors"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -196,6 +229,16 @@ object Joins {
          QUALIFY row_number() OVER (PARTITION BY p.event_id
            ORDER BY CAST(c.ts AS TIMESTAMP) DESC NULLS LAST,
                     c.event_id DESC NULLS LAST) = 1
-         ORDER BY p_id"""
+         ORDER BY p_id""",
+
+    "join_interval_bucketed" ->
+      """SELECT p.event_id, count(e.event_id) AS n_near_errors
+         FROM (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+               FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_ts
+                    FROM events WHERE event_type = 'error') e
+           ON abs(e.e_ts - p.p_ts) <= 1000000
+         GROUP BY p.event_id
+         ORDER BY p.event_id"""
   )
 }

@@ -182,4 +182,22 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("rangepartitioning"),
       s"window shape globally sorts:\n$plan")
   }
+
+  test("join_interval_bucketed plans hash equi-joins, never a nested loop") {
+    // The op's whole reason to exist: a pure range predicate (|Δt| ≤ 1 s,
+    // no equi-key) re-expressed as a neighbor-bucket equi-join. If the
+    // bucket key ever stops reaching the join, Catalyst would fall back
+    // to BroadcastNestedLoopJoin/CartesianProduct — O(n²) at scale.
+    val plan = finalPlan("join_interval_bucketed")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join:\n$plan")
+  }
+
+  test("subquery_exists decorrelates to semi/anti joins (no per-row subquery)") {
+    val plan = finalPlan("subquery_exists")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"EXISTS did not decorrelate:\n$plan")
+  }
 }
