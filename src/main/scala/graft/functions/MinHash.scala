@@ -191,6 +191,25 @@ object CosineLsh {
       (b.toLong << 17) | k
     }
   }
+
+  /** Multi-probe band keys (query side of `llm_ann_lsh`): each exact
+    * band key plus its `bitsPerBand` Hamming-1 sign-flip neighbors — the
+    * standard multi-probe LSH recall boost, paid ONLY on the (tiny,
+    * broadcast) query side: the corpus band table stays 1× per band.
+    * Safe to XOR the low bits because the band index lives at bit 17+
+    * and bitsPerBand ≤ 16. */
+  def bandKeysMultiProbe(v: Seq[Float], bands: Int,
+      bitsPerBand: Int): Array[Long] = {
+    val exact = bandKeys(v, bands, bitsPerBand)
+    val out = new Array[Long](exact.length * (1 + bitsPerBand))
+    var o = 0
+    exact.foreach { k =>
+      out(o) = k; o += 1
+      var j = 0
+      while (j < bitsPerBand) { out(o) = k ^ (1L << j); o += 1; j += 1 }
+    }
+    out
+  }
 }
 
 /** Karp-Rabin document fingerprints (`llm_fingerprint`): a whole-text

@@ -71,6 +71,51 @@ object AnnOps {
         .select(col("q_id").as("vec_id"), col("vec_id2"), col("sim"),
           col("rn"))
         .orderBy(col("vec_id"), col("rn"))
+    }),
+
+    // LSH-bucketed query ANN (round-4 add): the hyperplane-sketch
+    // alternative to IVF for query-time search — no pretrained cell
+    // assignment needed (IVF leans on the corpus's `label` quantizer;
+    // the sketch works on structureless vectors). Both sides band under
+    // the corpus-size-adaptive geometry ([[graft.functions.CosineLsh]]);
+    // candidates are corpus vectors sharing ≥1 band key with a query —
+    // a tiny broadcast (queries × bands) against the linear corpus band
+    // table, never an all-pairs scan — then the exact codegen'd cosine
+    // ranks top-5. Recall bounded by ScalaTest vs the brute-force truth
+    // (`llm_cosine_topk`); candidate-set growth is the same banding the
+    // perturbed ScaleProbe mode measures. Approximate ⇒ rows-only.
+    "llm_ann_lsh" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = graft.Tables.embeddings(s, d)
+      val (bands, bits) = graft.functions.CosineLsh.geometry(emb.count())
+      val bkU = udf((v: Seq[Float]) =>
+        graft.functions.CosineLsh.bandKeys(v, bands, bits))
+      val corpusBands = emb
+        .select(col("vec_id").as("vec_id2"),
+          explode(bkU(col("embedding"))).as("bk"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // multi-probe on the query side only: exact keys + Hamming-1
+      // flips — (1+bits)× more probe rows, still a tiny broadcast
+      val mpU = udf((v: Seq[Float]) =>
+        graft.functions.CosineLsh.bandKeysMultiProbe(v, bands, bits))
+      val qBands = qs.select(col("q_id"), explode(mpU(col("q_vec"))).as("bk"))
+        .distinct()
+      val candIds = corpusBands.join(broadcast(qBands), Seq("bk"))
+        .filter(col("q_id") =!= col("vec_id2"))
+        .select(col("q_id"), col("vec_id2")).distinct()
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id2"))
+      candIds
+        .join(emb.select(col("vec_id").as("vec_id2"),
+          col("embedding").as("c_vec")), Seq("vec_id2"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("sim", round(expr("cosine_sim(q_vec, c_vec)"), 6))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= TopK)
+        .select(col("q_id").as("vec_id"), col("vec_id2"), col("sim"),
+          col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
     })
   )
 

@@ -155,6 +155,34 @@ object Joins {
         .select(col("event_id"),
           coalesce(col("n_near_errors"), lit(0L)).as("n_near_errors"))
         .orderBy(col("event_id"))
+    }),
+
+    // MERGE / upsert (round-4 add): the SCD ingest pattern — a target
+    // table merged with an update batch in ONE full-outer equi-join pass
+    // (matched → update, source-only → insert, target-only → keep).
+    // Spark has no MERGE INTO against plain parquet, so this is the
+    // DataFrame shape that implements it; at 100 TB the join shuffles
+    // both sides on the key once (or zero times against a bucketed
+    // target — graft.sources.Bucketing). Synthetic batches from orders:
+    // target = okey%10<8, updates = okey%7=0 at 1.1× price (per-row
+    // decimal cast, no aggregation, so D2/D4 can't bite).
+    "merge_upsert" -> ((s, d) => {
+      val tgt = orders(s, d).filter(pmod(col("o_orderkey"), lit(10)) < 8)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("t_price"))
+      val src = orders(s, d).filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").as("sk"), col("o_totalprice").as("s_price"))
+      tgt.join(src, col("k") === col("sk"), "full")
+        .select(
+          coalesce(col("k"), col("sk")).as("o_orderkey"),
+          when(col("k").isNotNull && col("sk").isNotNull,
+              dec(col("s_price") * lit(1.1)))
+            .when(col("k").isNull, dec(col("s_price")))
+            .otherwise(dec(col("t_price")))
+            .cast("double").as("price"),
+          when(col("k").isNotNull && col("sk").isNotNull, lit("update"))
+            .when(col("k").isNull, lit("insert"))
+            .otherwise(lit("keep")).as("action"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -239,6 +267,24 @@ object Joins {
                     FROM events WHERE event_type = 'error') e
            ON abs(e.e_ts - p.p_ts) <= 1000000
          GROUP BY p.event_id
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+
+    "merge_upsert" ->
+      """WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS t_price
+                      FROM orders WHERE o_orderkey % 10 < 8),
+            src AS (SELECT o_orderkey AS sk, o_totalprice AS s_price
+                    FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT coalesce(k, sk) AS o_orderkey,
+                CAST(CASE
+                       WHEN k IS NOT NULL AND sk IS NOT NULL
+                         THEN CAST(s_price * 1.1 AS DECIMAL(38,6))
+                       WHEN k IS NULL THEN CAST(s_price AS DECIMAL(38,6))
+                       ELSE CAST(t_price AS DECIMAL(38,6))
+                     END AS DOUBLE) AS price,
+                CASE WHEN k IS NOT NULL AND sk IS NOT NULL THEN 'update'
+                     WHEN k IS NULL THEN 'insert'
+                     ELSE 'keep' END AS action
+         FROM tgt FULL OUTER JOIN src ON k = sk
+         ORDER BY o_orderkey"""
   )
 }

@@ -145,6 +145,23 @@ class TrainingDataSpec extends GraftSpec {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("llm_ann_lsh recall@5 vs brute-force truth; deterministic") {
+    val brute = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("llm_ann_lsh")(spark, sf)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    info(s"LSH ANN recall@5 = $recall over ${brute.size} truth pairs")
+    assert(recall >= 0.6, s"LSH ANN recall@5 = $recall")
+    val again = SparkEntry.queries("llm_ann_lsh")(spark, sf)
+      .select("vec_id", "vec_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == again, "llm_ann_lsh not deterministic across runs")
+  }
+
   test("mm_decode_features: schema, determinism, and full coverage") {
     val out = SparkEntry.queries("mm_decode_features")(spark, sf)
     assert(out.columns.toSeq ==
