@@ -52,10 +52,23 @@ object ScaleProbe {
   private val TrainHeavyQueries =
     Seq("llm_decontaminate", "llm_decontaminate_bloom")
 
+  // The CEP / interval / time-series family scales on the USER axis
+  // (more users in the same time window — event volume per user is
+  // bounded in any real corpus), so replicas shift user_id. Note
+  // join_interval_bucketed's OUTPUT is density-quadratic by semantics
+  // (±1 s pairs across all users: k× both sides ⇒ k² true pairs in the
+  // fixed window) — the probe measures that the *plumbing* stays an
+  // equi-join growing with the output, never a nested loop.
+  private val EventQueries = Seq(
+    "events_funnel", "events_pattern_abc", "join_interval_bucketed",
+    "ts_interpolate", "window_sessionize", "agg_heavy_hitters",
+    "stream_funnel")
+
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
     case "perturbed" => PerturbedQueries
     case "trainheavy" => TrainHeavyQueries
+    case "events" => EventQueries
     case m => throw new IllegalArgumentException(s"unknown probe mode $m")
   }
 
@@ -152,8 +165,9 @@ object ScaleProbe {
     * deterministic function of (replica index, id) — no randomness. */
   private def stage(s: SparkSession, baseSf: String, dir: String,
       k: Int, mode: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    val eventsStaged = mode == "events"
+    (Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem") ++ (if (eventsStaged) Nil else Seq("events"))).foreach { t =>
       Files.createSymbolicLink(Paths.get(s"$dir/$t.parquet"),
         Paths.get(s"$baseSf/$t.parquet"))
     }
@@ -209,6 +223,23 @@ object ScaleProbe {
               regexp_replace(col("text"), " ", s" q$i"))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      case "events" =>
+        // USER-axis growth: every replica shifts user_id AND event_id, so
+        // the same time window holds k× the users (per-user history depth
+        // unchanged — the realistic shape; deepening one user's history
+        // k× would instead balloon per-key state). Written through
+        // Tables.events' nanos conf: the staged ts column is plain INT64
+        // (µs semantics preserved via `div`-based readers).
+        link("documents"); link("embeddings")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = s.read.parquet(s"$baseSf/events.parquet")
+        val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+        val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+        (0 until k).map(i => ev
+            .withColumn("event_id", col("event_id") + lit(i * maxEvent))
+            .withColumn("user_id", col("user_id") + lit(i * maxUser)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
       case m => throw new IllegalArgumentException(s"unknown probe mode $m")
     }
   }

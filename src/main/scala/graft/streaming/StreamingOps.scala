@@ -50,10 +50,19 @@ object StreamingOps {
 
   private def eventsDir(d: String): String =
     stagedDirs.computeIfAbsent(d, { _ =>
-      val dir = Files.createTempDirectory("graft_events_")
-      Files.createSymbolicLink(dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      dir.toString
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      // A Spark-written events table (e.g. ScaleProbe staging) is already
+      // a DIRECTORY of part files — usable as the stream source directly.
+      // Symlinking the directory under a staging dir would hide it: the
+      // file-stream source lists leaf FILES of its input dir and does not
+      // recurse, so the query would see zero files, never advance the
+      // watermark, and every timer-driven op would silently emit nothing.
+      if (Files.isDirectory(src)) src.toString
+      else {
+        val dir = Files.createTempDirectory("graft_events_")
+        Files.createSymbolicLink(dir.resolve("events.parquet"), src)
+        dir.toString
+      }
     })
 
   /** Streaming view of the events table with event-time restored. */
