@@ -363,6 +363,44 @@ object StreamingOps {
       }
     }),
 
+    // Streaming 3-step CEP (round-4 add): signup → first click → first
+    // purchase within 1 h of signup, streaming twin of the batch
+    // `events_pattern_abc`. Unlike the 2-step funnel (which only needs
+    // the best candidate so far), the chained pattern can't fold events
+    // into O(1) state: the first CLICK decides which purchases qualify,
+    // and an earlier-timestamped click may arrive any time until the
+    // watermark passes — so the processor buffers the window's events
+    // per key (exactly Flink-CEP's `within()` state bound: events older
+    // than watermark − 1 h can never join a live or future match and are
+    // evicted on every timer fire) and evaluates the whole chain at the
+    // signup's deadline, when it is final. Emission exclusively from
+    // handleExpiredTimer, same cutoff contract as stream_funnel.
+    "stream_pattern_abc" -> ((s, d) => {
+      import s.implicits._
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, d)
+          .withWatermark("ts_utc", "0 seconds")
+          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+            col("user_id"), col("event_type"), col("event_id"))
+          .as[(java.sql.Timestamp, Long, Long, String, Long)]
+        val out = ev.groupByKey(_._3)
+          .transformWithState(new PatternAbcProcessor(),
+            TimeMode.EventTime(), OutputMode.Append())
+        runToMemory(
+          out.toDF("user_id", "signup_id", "click_id", "purchase_id",
+            "us_to_complete"),
+          "append")
+          .orderBy(col("signup_id"))
+      } finally prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -605,6 +643,105 @@ object StreamingOps {
     }
   }
 
+  /** State for [[PatternAbcProcessor]]: pending signups plus the buffered
+    * click/purchase events of the live 1 h horizon. Event tuples are
+    * (typeCode 0=click/1=purchase, tsUs, eventId). */
+  private case class PendingAbc(
+      signups: Seq[(Long, Long)], events: Seq[(Int, Long, Long)])
+
+  /** Streaming 3-step pattern processor (see `stream_pattern_abc`): the
+    * chain (first click after signup, first purchase after that click,
+    * all ≤ signup + 1 h) is evaluated once per signup, in
+    * handleExpiredTimer, from the buffered window events — the point
+    * where the watermark has sealed the window and "first" is final.
+    * Buffer eviction: an event with ts ≤ watermark − 1 h cannot qualify
+    * for any live signup (deadline > watermark ⇒ s_ts > wm − 1 h, and
+    * matches need ts > s_ts) nor any future one (arrival floor: s_ts ≥
+    * wm), so the per-key state is bounded by one window of events —
+    * Flink-CEP's `within()` bound, not an unbounded history. */
+  private class PatternAbcProcessor extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long], Option[Long])] {
+
+    private val WindowUs = 3600000000L
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[PendingAbc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PendingAbc]("abc",
+        Encoders.product[PendingAbc], TTLConfig.NONE)
+
+    private def rearm(signups: Seq[(Long, Long)]): Unit = {
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (signups.nonEmpty)
+        getHandle.registerTimer(
+          signups.map { case (_, sTs) => (sTs + WindowUs) / 1000 }.min)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
+        timerValues: TimerValues):
+        Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
+      val cur = Option(st.get()).getOrElse(PendingAbc(Nil, Nil))
+      val signups = scala.collection.mutable.ArrayBuffer(cur.signups: _*)
+      val events = scala.collection.mutable.ArrayBuffer(cur.events: _*)
+      rows.foreach { case (_, tsUs, _, etype, eid) =>
+        etype match {
+          case "signup" => signups += ((eid, tsUs))
+          case "click" => events += ((0, tsUs, eid))
+          case "purchase" => events += ((1, tsUs, eid))
+          case _ => ()
+        }
+      }
+      if (signups.nonEmpty || events.nonEmpty)
+        st.update(PendingAbc(signups.toSeq, events.toSeq))
+      else st.clear()
+      rearm(signups.toSeq)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get()).getOrElse(PendingAbc(Nil, Nil))
+      val (matured, rest) = cur.signups.partition {
+        case (_, sTs) => (sTs + WindowUs) / 1000 <= wm
+      }
+      // evict events older than the live horizon (see class scaladoc)
+      val live = cur.events.filter { case (_, tsUs, _) =>
+        tsUs / 1000 > wm - WindowUs / 1000
+      }
+      if (rest.nonEmpty || live.nonEmpty)
+        st.update(PendingAbc(rest, live))
+      else st.clear()
+      rearm(rest)
+      matured.sortBy(_._1).iterator.map { case (sid, sTs) =>
+        val deadline = sTs + WindowUs
+        val click = cur.events.iterator
+          .filter { case (t, ts, _) => t == 0 && ts > sTs && ts <= deadline }
+          .reduceOption { (a, b) =>
+            if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
+        click match {
+          case None => (key, sid, None, None, None)
+          case Some((_, cTs, cId)) =>
+            val purchase = cur.events.iterator
+              .filter { case (t, ts, _) =>
+                t == 1 && ts > cTs && ts <= deadline }
+              .reduceOption { (a, b) =>
+                if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
+            purchase match {
+              case None => (key, sid, Some(cId), None, None)
+              case Some((_, pTs, pId)) =>
+                (key, sid, Some(cId), Some(pId), Some(pTs - sTs))
+            }
+        }
+      }
+    }
+  }
+
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
     * side-by-side `cnt_forever` (TTLConfig.NONE) never does — so a
@@ -693,6 +830,12 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long])] =
     new FunnelProcessor()
+
+  /** Test hook: the 3-step pattern processor (class is private). */
+  private[graft] def patternAbcForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long], Option[Long])] =
+    new PatternAbcProcessor()
 
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
@@ -816,6 +959,43 @@ object StreamingOps {
        SELECT user_id, signup_id, purchase_id,
               p_ts - s_ts AS us_to_convert
        FROM j, mx
+       WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
+       ORDER BY signup_id""",
+
+    // Batch recompute of the 3-step pattern + the same watermark cutoff
+    // convention as stream_funnel.
+    "stream_pattern_abc" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click_id,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f1 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c_ts
+                    AND p.p_ts <= f.s_ts + 3600000000)
+       SELECT user_id, signup_id, click_id, purchase_id,
+              p_ts - s_ts AS us_to_complete
+       FROM s2, mx
        WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
        ORDER BY signup_id""",
 

@@ -510,6 +510,83 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_abc: chain re-binding, step order, cross-batch, holdback") {
+    // The 3-step chain's load-bearing rules, on a real 2-batch run:
+    //  - u1: FIRST click wins even when a later click arrives first in
+    //    the batch (arrival order ≠ event order), and the purchase step
+    //    only counts purchases AFTER that click (the 09:05 purchase
+    //    precedes the 09:20 click → excluded; 09:50 qualifies);
+    //  - u2: purchase before its click → click recorded, purchase null;
+    //  - u3: purchase but NO click → chain stops at step 2 (both null) —
+    //    a funnel would have converted; the chain must not;
+    //  - u5: click+purchase arrive in batch 2, signup in batch 1 → the
+    //    buffered-window state carries across batches;
+    //  - u4: deadline (11:00) beyond final watermark (10:30) → no row.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_abc_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:30:00"), 1L, "click", 300L),   // later click first
+        (t("2024-01-01 09:20:00"), 1L, "click", 310L),   // true first click
+        (t("2024-01-01 09:05:00"), 1L, "purchase", 400L), // before click
+        (t("2024-01-01 09:00:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:10:00"), 2L, "purchase", 410L), // before u2's click
+        (t("2024-01-01 09:15:00"), 2L, "click", 320L),
+        (t("2024-01-01 09:00:00"), 3L, "signup", 120L),
+        (t("2024-01-01 09:10:00"), 3L, "purchase", 420L), // no click at all
+        (t("2024-01-01 09:05:00"), 5L, "signup", 130L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      // batch 2 — all >= 09:30; final wm: 10:30
+      Seq((t("2024-01-01 09:50:00"), 1L, "purchase", 430L), // after click
+        (t("2024-01-01 09:40:00"), 5L, "click", 330L),
+        (t("2024-01-01 09:55:00"), 5L, "purchase", 440L),
+        (t("2024-01-01 10:00:00"), 4L, "signup", 140L),     // stays pending
+        (t("2024-01-01 10:30:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternAbcForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "us_to_complete")
+        .writeStream.format("memory").queryName("abc_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) -1L else r.getLong(i)
+      val rows = spark.table("abc_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3),
+          opt(r, 4))).toSet
+      assert(rows == Set(
+        (1L, 100L, 310L, 430L, 3000000000L), // first click 09:20, purchase 09:50
+        (2L, 110L, 320L, -1L, -1L),          // purchase precedes click
+        (3L, 120L, -1L, -1L, -1L),           // no click: chain never starts
+        (5L, 130L, 330L, 440L, 3000000000L)),// whole tail arrived in batch 2
+        s"pattern verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
