@@ -62,7 +62,7 @@ object ScaleProbe {
   private val EventQueries = Seq(
     "events_funnel", "events_pattern_abc", "join_interval_bucketed",
     "ts_interpolate", "window_sessionize", "agg_heavy_hitters",
-    "stream_funnel")
+    "stream_funnel", "stream_pattern_abc")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
