@@ -515,6 +515,40 @@ object TrainingDataOps {
 
     // Train/val/test split assignment, same determinism rule: 80/10/10 by
     // doc_id mod 100, summarized per (lang, split).
+    // End-to-end prep pipeline (round-4 add): the composed data-prep
+    // flow a training run actually executes — quality gate → exact dedup
+    // among the quality SURVIVORS (a low-quality doc must not shadow a
+    // clean duplicate as keeper) → split assignment — emitting one
+    // verdict row per document. Gates are all-integer (n_tokens < 5 or
+    // 8·n_stop > n_tokens, i.e. stop-ratio > 12.5%, measured ~5% of this
+    // corpus) so no double ratio can flip a boundary doc. One window
+    // shuffle on text + one scan: the dedup keeper is
+    // min(non-lowq doc_id) per text, computed in the same window pass.
+    "llm_prep_pipeline" -> ((s, d) => {
+      val nTok = size(ws)
+      val nStop = size(filter(ws, w =>
+        w === "the" || w === "a" || w === "of"))
+      val gated = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          nTok.cast("int").as("n_tokens"), nStop.as("n_stop"))
+        .withColumn("lowq",
+          col("n_tokens") < 5 || col("n_stop") * 8 > col("n_tokens"))
+      val keyed = gated.withColumn("keeper",
+        min(when(!col("lowq"), col("doc_id")))
+          .over(Window.partitionBy(col("text"))))
+      keyed.select(col("doc_id"), col("lang"), col("n_tokens"),
+          when(col("lowq"), lit("low_quality"))
+            .when(col("doc_id") =!= col("keeper"), lit("dup"))
+            .otherwise(lit("kept")).as("verdict"),
+          when(!col("lowq") && col("doc_id") === col("keeper"),
+            when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
+              .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
+              .otherwise(lit("test"))).as("split"),
+          when(!col("lowq") && col("doc_id") =!= col("keeper"),
+            col("keeper")).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_split_assign" -> ((s, d) =>
       documents(s, d)
         .withColumn("split",
@@ -896,6 +930,31 @@ object TrainingDataOps {
          FROM documents
          QUALIFY rn <= 20
          ORDER BY lang, rn""",
+
+    "llm_prep_pipeline" ->
+      """WITH b AS (SELECT doc_id, lang, text,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                      len(list_filter(string_split(text, ' '),
+                        w -> w = 'the' OR w = 'a' OR w = 'of')) AS n_stop
+                    FROM documents),
+            g AS (SELECT *,
+                    (n_tokens < 5 OR 8 * n_stop > n_tokens) AS lowq
+                  FROM b),
+            k AS (SELECT *,
+                    min(CASE WHEN NOT lowq THEN doc_id END)
+                      OVER (PARTITION BY text) AS keeper
+                  FROM g)
+       SELECT doc_id, lang, n_tokens,
+              CASE WHEN lowq THEN 'low_quality'
+                   WHEN doc_id <> keeper THEN 'dup'
+                   ELSE 'kept' END AS verdict,
+              CASE WHEN NOT lowq AND doc_id = keeper THEN
+                CASE WHEN doc_id % 100 < 80 THEN 'train'
+                     WHEN doc_id % 100 < 90 THEN 'val'
+                     ELSE 'test' END END AS split,
+              CASE WHEN NOT lowq AND doc_id <> keeper THEN keeper END
+                AS dup_of
+       FROM k ORDER BY doc_id""",
 
     "llm_split_assign" ->
       """SELECT lang,
