@@ -31,6 +31,9 @@ object BenchOne {
       // times two plan shapes of the SAME op differently (round-2 lesson)
       val n = Bench.force(fn(spark, sfDir))
       println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // drop leftover localCheckpoint RDDs between reps (see Bench)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
