@@ -70,11 +70,14 @@ object Bench {
     // JSON line mid-key before (BENCH_r03.json arrived with
     // "parsed": null) — so ALSO write the full line to BENCH.json in the
     // working directory, which survives any stdout capture window.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
-    }
+    // Never clobber the version-controlled snapshot with a filtered
+    // subset — a bisection run would silently publish a partial map.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
+      }
     println(line)
     spark.stop()
   }

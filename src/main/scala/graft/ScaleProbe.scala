@@ -233,8 +233,9 @@ object ScaleProbe {
         link("documents"); link("embeddings")
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val ev = s.read.parquet(s"$baseSf/events.parquet")
-        val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
-        val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+        val mx = ev.agg(max("event_id"), max("user_id")).head()
+        val maxEvent = mx.getLong(0) + 1
+        val maxUser = mx.getLong(1) + 1
         (0 until k).map(i => ev
             .withColumn("event_id", col("event_id") + lit(i * maxEvent))
             .withColumn("user_id", col("user_id") + lit(i * maxUser)))

@@ -92,9 +92,6 @@ object LlmOps {
     val base = documents(s, d).select(col("doc_id"), col("lang"),
       col("n_chars"), col("text"), sortedToks.as("toks"),
       floor(col("n_chars") / 10).as("bucket"))
-    val keyed = base.withColumn("keeper",
-      min(col("doc_id")).over(Window.partitionBy(col("text"))))
-      .localCheckpoint()
     // Stage outputs are MATERIALIZED (eager localCheckpoint) because each
     // is consumed twice — by the next stage's survivor filter AND by the
     // final verdict join. Without truncation the final join re-derives
@@ -102,25 +99,31 @@ object LlmOps {
     // dedups identical exchanges inside one plan; the anti-join chain
     // changes each consumer's subtree). At 100 TB these are the stage
     // boundaries you would checkpoint to durable storage anyway —
-    // measured 6.5 s → ~4.5 s warm at sf0.1 (BenchOne, 3 reps).
-    val surv1 = keyed.filter(col("doc_id") === col("keeper"))
+    // measured ~1.3-1.5× faster warm at sf0.1 (host-noise bounded).
+    // `spark.graft.checkpointStages=false` keeps the full lineage
+    // instead: PlanDump sets it so the dumped plan shows the join chain
+    // rather than LogicalRDD stubs at the checkpoint cuts.
+    val ckptStages =
+      s.conf.getOption("spark.graft.checkpointStages").forall(_ == "true")
+    def stageCut(df: DataFrame): DataFrame =
+      if (ckptStages) df.localCheckpoint() else df
+    val keyed = stageCut(base.withColumn("keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("text")))))
+    val surv1 = stageCut(keyed.filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-        col("bucket"))
-      .localCheckpoint()
+        col("bucket")))
     def jaccardHalf(pairs: DataFrame, out: String): DataFrame = pairs
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
       .filter(col("inter") /
         (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
       .groupBy(col("doc_id")).agg(min(col("doc_id2")).as(out))
-    val nd = jaccardHalf(
-      Blocking.sizeBlockedPairs(surv1, "toks", smallerRight = true), "nd_of")
-      .localCheckpoint()
+    val nd = stageCut(jaccardHalf(
+      Blocking.sizeBlockedPairs(surv1, "toks", smallerRight = true), "nd_of"))
     val surv2 = surv1.join(nd, Seq("doc_id"), "left_anti")
-    val xl = jaccardHalf(
+    val xl = stageCut(jaccardHalf(
       Blocking.sizeBlockedPairs(surv2, "toks", smallerRight = true,
           langBlocked = false)
-        .filter(col("lang") =!= col("lang2")), "xl_of")
-      .localCheckpoint()
+        .filter(col("lang") =!= col("lang2")), "xl_of"))
     val surv3 = surv2.join(xl, Seq("doc_id"), "left_anti")
     // stage 4 inputs: survivors' vectors only — cells and radii computed
     // on the RESTRICTED set (radii over a subset only shrink, so the

@@ -86,6 +86,20 @@ object StreamingOps {
   private def statePartitions(s: SparkSession): String =
     s.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8")
 
+  /** Run `body` with the RocksDB state-store provider set (required by
+    * `transformWithState`), restoring the previous provider after — one
+    * definition instead of a save/set/finally block per caller. */
+  private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Serializes the narrow-conf window ACROSS [[runToMemory]] callers:
     * without it, two concurrent streaming starts could interleave their
     * set→start→restore sequences and clobber each other's restore,
@@ -297,32 +311,23 @@ object StreamingOps {
     // time cleared the final watermark — exactly the cutoff the batch
     // oracle recomputes (timers fire at expiry <= watermark, ms
     // precision; StreamingSpec pins the boundary on crafted input).
-    "stream_session_timeout" -> ((s, d) => {
+    "stream_session_timeout" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = eventsStream(s, d)
-          .withWatermark("ts_utc", "0 seconds")
-          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
-            col("user_id"), col("value"))
-          .as[(java.sql.Timestamp, Long, Long, Double)]
-        val out = ev.groupByKey(_._3)
-          .transformWithState(new SessionTimeoutProcessor(),
-            TimeMode.EventTime(), OutputMode.Append())
-        runToMemory(out.toDF("user_id", "start_us", "end_us", "cnt", "sum_dec"),
-          "append")
-          .select(col("user_id"),
-            timestamp_micros(col("start_us")).as("s_start"),
-            timestamp_micros(col("end_us")).as("s_end"), col("cnt"),
-            col("sum_dec").cast(Money).cast("double").as("sum_value"))
-          .orderBy(col("user_id"), col("s_start"))
-      } finally prev match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Long, Double)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new SessionTimeoutProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(out.toDF("user_id", "start_us", "end_us", "cnt", "sum_dec"),
+        "append")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).as("s_start"),
+          timestamp_micros(col("end_us")).as("s_end"), col("cnt"),
+          col("sum_dec").cast(Money).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("s_start"))
     }),
 
     // Streaming CEP funnel (round-4 add): the event-time-timer twin of
@@ -338,29 +343,20 @@ object StreamingOps {
     // no-data batch carries the final watermark (= max event time), so
     // signups whose deadline cleared it emit and the rest stay pending —
     // the same ms-precision cutoff the batch oracle recomputes.
-    "stream_funnel" -> ((s, d) => {
+    "stream_funnel" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = eventsStream(s, d)
-          .withWatermark("ts_utc", "0 seconds")
-          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
-            col("user_id"), col("event_type"), col("event_id"))
-          .as[(java.sql.Timestamp, Long, Long, String, Long)]
-        val out = ev.groupByKey(_._3)
-          .transformWithState(new FunnelProcessor(),
-            TimeMode.EventTime(), OutputMode.Append())
-        runToMemory(
-          out.toDF("user_id", "signup_id", "purchase_id", "us_to_convert"),
-          "append")
-          .orderBy(col("signup_id"))
-      } finally prev match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new FunnelProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "purchase_id", "us_to_convert"),
+        "append")
+        .orderBy(col("signup_id"))
     }),
 
     // Streaming 3-step CEP (round-4 add): signup → first click → first
@@ -375,30 +371,21 @@ object StreamingOps {
     // evicted on every timer fire) and evaluates the whole chain at the
     // signup's deadline, when it is final. Emission exclusively from
     // handleExpiredTimer, same cutoff contract as stream_funnel.
-    "stream_pattern_abc" -> ((s, d) => {
+    "stream_pattern_abc" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = eventsStream(s, d)
-          .withWatermark("ts_utc", "0 seconds")
-          .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
-            col("user_id"), col("event_type"), col("event_id"))
-          .as[(java.sql.Timestamp, Long, Long, String, Long)]
-        val out = ev.groupByKey(_._3)
-          .transformWithState(new PatternAbcProcessor(),
-            TimeMode.EventTime(), OutputMode.Append())
-        runToMemory(
-          out.toDF("user_id", "signup_id", "click_id", "purchase_id",
-            "us_to_complete"),
-          "append")
-          .orderBy(col("signup_id"))
-      } finally prev match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new PatternAbcProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "us_to_complete"),
+        "append")
+        .orderBy(col("signup_id"))
     }),
 
     "stream_stream_join" -> ((s, d) => {
@@ -553,12 +540,17 @@ object StreamingOps {
     }
   }
 
-  /** State row for [[FunnelProcessor]]: pending signups of one user.
-    * Each item is (signupId, signupTsUs, bestPurchaseTsUs, bestPurchaseId)
-    * with Long.MaxValue sentinels while no in-window purchase has been
-    * seen. O(open signups per user) — bounded, since every signup leaves
-    * state when its 1 h deadline passes the watermark. */
-  private case class PendingFunnels(items: Seq[(Long, Long, Long, Long)])
+  /** State row for [[FunnelProcessor]]: pending signups of one user plus
+    * the purchases that may still precede a FUTURE signup. Items are
+    * (signupId, signupTsUs, bestPurchaseTsUs, bestPurchaseId) with
+    * Long.MaxValue sentinels while no in-window purchase has been seen;
+    * buffered purchases are (pTsUs, pId) with pTs > watermark — a
+    * purchase at or below the watermark can never match a
+    * later-arriving signup (late floor: s_ts ≥ wm, matches need
+    * p_ts > s_ts), so the buffer is bounded by the out-of-orderness
+    * window, not history. */
+  private case class PendingFunnels(items: Seq[(Long, Long, Long, Long)],
+      purchases: Seq[(Long, Long)])
 
   /** Streaming funnel processor (see the `stream_funnel` registration):
     * signups arm an event-time timer at signupTs + 1 h; purchases only
@@ -586,14 +578,6 @@ object StreamingOps {
       pend = getHandle.getValueState[PendingFunnels]("pend",
         Encoders.product[PendingFunnels], TTLConfig.NONE)
 
-    private def rearm(items: Seq[(Long, Long, Long, Long)]): Unit = {
-      getHandle.listTimers()
-        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (items.nonEmpty)
-        getHandle.registerTimer(
-          items.map { case (_, sTs, _, _) => (sTs + WindowUs) / 1000 }.min)
-    }
-
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
         timerValues: TimerValues):
@@ -601,13 +585,24 @@ object StreamingOps {
       // sort by (eventTime, eventId) so a same-batch purchase lands on
       // signups that precede it in event time, not in arrival order
       val evs = rows.toArray.sortBy(r => (r._2, r._5))
-      val items = scala.collection.mutable.ArrayBuffer.empty[
-        (Long, Long, Long, Long)]
-      Option(pend.get()).foreach(items ++= _.items)
+      val cur = Option(pend.get()).getOrElse(PendingFunnels(Nil, Nil))
+      val items = scala.collection.mutable.ArrayBuffer(cur.items: _*)
+      val purch = scala.collection.mutable.ArrayBuffer(cur.purchases: _*)
       evs.foreach { case (_, tsUs, _, etype, eid) =>
         etype match {
           case "signup" =>
-            items += ((eid, tsUs, None_, None_))
+            // seed the best candidate from ALREADY-SEEN purchases: the
+            // watermark is ms-truncated, so a purchase can be processed
+            // in an earlier batch than a not-late signup with a smaller
+            // µs timestamp — without this scan that conversion is lost
+            var bTs = None_; var bId = None_
+            purch.foreach { case (pTs, pId) =>
+              if (pTs > tsUs && pTs <= tsUs + WindowUs &&
+                  (pTs < bTs || (pTs == bTs && pId < bId))) {
+                bTs = pTs; bId = pId
+              }
+            }
+            items += ((eid, tsUs, bTs, bId))
           case "purchase" =>
             var i = 0
             while (i < items.length) {
@@ -617,25 +612,50 @@ object StreamingOps {
                 items(i) = (sid, sTs, tsUs, eid)
               i += 1
             }
+            purch += ((tsUs, eid))
           case _ => ()
         }
       }
-      if (items.nonEmpty) pend.update(PendingFunnels(items.toSeq))
+      // evict purchases no future signup can match (p_ts ≤ wm floor)
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
+      val livePurch = purch.filter { case (pTs, _) => pTs > wmUs }.toSeq
+      if (items.nonEmpty || livePurch.nonEmpty)
+        pend.update(PendingFunnels(items.toSeq, livePurch))
       else pend.clear()
-      rearm(items.toSeq)
+      rearm(items.toSeq, livePurch)
       Iterator.empty
+    }
+
+    /** One armed timer per key: the earliest signup deadline, or — with
+      * only buffered purchases left — a cleanup tick when the last
+      * purchase falls behind the watermark, so signup-less keys cannot
+      * retain state forever. */
+    private def rearm(items: Seq[(Long, Long, Long, Long)],
+        purchases: Seq[(Long, Long)]): Unit = {
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val deadlines =
+        items.map { case (_, sTs, _, _) => (sTs + WindowUs) / 1000 } ++
+          (if (items.isEmpty && purchases.nonEmpty)
+            Seq(purchases.map(_._1).max / 1000 + 1)
+          else Nil)
+      if (deadlines.nonEmpty) getHandle.registerTimer(deadlines.min)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
         Iterator[(Long, Long, Option[Long], Option[Long])] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val items = Option(pend.get()).map(_.items).getOrElse(Seq.empty)
-      val (matured, rest) = items.partition {
+      val cur = Option(pend.get()).getOrElse(PendingFunnels(Nil, Nil))
+      val (matured, rest) = cur.items.partition {
         case (_, sTs, _, _) => (sTs + WindowUs) / 1000 <= wm
       }
-      if (rest.nonEmpty) pend.update(PendingFunnels(rest)) else pend.clear()
-      rearm(rest)
+      val livePurch = cur.purchases.filter { case (pTs, _) =>
+        pTs > wm * 1000 }
+      if (rest.nonEmpty || livePurch.nonEmpty)
+        pend.update(PendingFunnels(rest, livePurch))
+      else pend.clear()
+      rearm(rest, livePurch)
       matured.sortBy(_._1).iterator.map { case (sid, sTs, bTs, bId) =>
         if (bTs == None_) (key, sid, None, None)
         else (key, sid, Some(bId), Some(bTs - sTs))
@@ -672,13 +692,26 @@ object StreamingOps {
       st = getHandle.getValueState[PendingAbc]("abc",
         Encoders.product[PendingAbc], TTLConfig.NONE)
 
-    private def rearm(signups: Seq[(Long, Long)]): Unit = {
+    /** One armed timer per key: the earliest signup deadline, or — with
+      * only buffered events left — a cleanup tick when the last event
+      * leaves the live horizon, so signup-less keys cannot retain their
+      * event buffer forever. */
+    private def rearm(signups: Seq[(Long, Long)],
+        events: Seq[(Int, Long, Long)]): Unit = {
       getHandle.listTimers()
         .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (signups.nonEmpty)
-        getHandle.registerTimer(
-          signups.map { case (_, sTs) => (sTs + WindowUs) / 1000 }.min)
+      val deadlines =
+        signups.map { case (_, sTs) => (sTs + WindowUs) / 1000 } ++
+          (if (signups.isEmpty && events.nonEmpty)
+            Seq(events.map(_._2).max / 1000 + WindowUs / 1000 + 1)
+          else Nil)
+      if (deadlines.nonEmpty) getHandle.registerTimer(deadlines.min)
     }
+
+    private def evict(events: Seq[(Int, Long, Long)],
+        wmMs: Long): Seq[(Int, Long, Long)] =
+      events.filter { case (_, tsUs, _) =>
+        tsUs / 1000 > wmMs - WindowUs / 1000 }
 
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
@@ -695,10 +728,13 @@ object StreamingOps {
           case _ => ()
         }
       }
-      if (signups.nonEmpty || events.nonEmpty)
-        st.update(PendingAbc(signups.toSeq, events.toSeq))
+      // evict on every input too — a key receiving clicks/purchases but
+      // no signups must still shed events behind the live horizon
+      val live = evict(events.toSeq, timerValues.getCurrentWatermarkInMs())
+      if (signups.nonEmpty || live.nonEmpty)
+        st.update(PendingAbc(signups.toSeq, live))
       else st.clear()
-      rearm(signups.toSeq)
+      rearm(signups.toSeq, live)
       Iterator.empty
     }
 
@@ -711,13 +747,11 @@ object StreamingOps {
         case (_, sTs) => (sTs + WindowUs) / 1000 <= wm
       }
       // evict events older than the live horizon (see class scaladoc)
-      val live = cur.events.filter { case (_, tsUs, _) =>
-        tsUs / 1000 > wm - WindowUs / 1000
-      }
+      val live = evict(cur.events, wm)
       if (rest.nonEmpty || live.nonEmpty)
         st.update(PendingAbc(rest, live))
       else st.clear()
-      rearm(rest)
+      rearm(rest, live)
       matured.sortBy(_._1).iterator.map { case (sid, sTs) =>
         val deadline = sTs + WindowUs
         val click = cur.events.iterator

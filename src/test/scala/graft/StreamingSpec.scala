@@ -510,6 +510,59 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
+    // The watermark is ms-truncated while events carry µs timestamps, so
+    // a purchase can be processed in an EARLIER batch than a signup that
+    // is (a) not late (s_ts ≥ wm) and (b) µs-earlier than the purchase.
+    // Without the purchase buffer the conversion would be silently lost
+    // (the processor only updated already-pending signups):
+    //  batch 1: purchase u1 @ 09:30:00.000500 (batch max → wm 09:30:00.000)
+    //  batch 2: signup   u1 @ 09:30:00.000100 (≥ wm → accepted; < p_ts)
+    // The verdict must be a conversion with us_to_convert = 400 µs.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_funnel_ms_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      Seq((t("2024-01-01 09:30:00.0005"), 1L, "purchase", 200L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Seq((t("2024-01-01 09:30:00.0001"), 1L, "signup", 100L),
+        (t("2024-01-01 10:40:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.funnelForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "purchase_id", "us_to_convert")
+        .writeStream.format("memory").queryName("funnel_ms")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1, "needed a 2-batch run")
+      val rows = spark.table("funnel_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows == Set((1L, 100L, 200L, 400L)),
+        s"ms-boundary conversion lost or wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_pattern_abc: chain re-binding, step order, cross-batch, holdback") {
     // The 3-step chain's load-bearing rules, on a real 2-batch run:
     //  - u1: FIRST click wins even when a later click arrives first in
