@@ -42,7 +42,8 @@ object ScaleProbe {
     "llm_ann_ivf",
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
     "llm_sample_reservoir", "llm_decontaminate", "llm_decontaminate_bloom",
-    "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang")
+    "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang",
+    "llm_prep_pipeline", "llm_ann_lsh")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

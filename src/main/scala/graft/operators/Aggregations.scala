@@ -227,7 +227,23 @@ object Aggregations {
         .select(col("user_id"), col("event_type").as("modal_type"),
           col("cnt"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // FILTER-clause aggregates (round-4 add): several differently-
+    // predicated aggregates over ONE scan — the idiomatic replacement
+    // for N self-joins or N CASE-wrapped sums. One partial+final hash
+    // agg; every filter evaluates inside the aggregate, so the fact
+    // table is read once regardless of how many conditions are added.
+    "agg_filtered" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          sum(when(col("o_orderstatus") === "O",
+            dec(col("o_totalprice")))).cast("double").as("open_value"))
+        .orderBy(col("o_orderpriority")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -341,6 +357,17 @@ object Aggregations {
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY count(*) DESC, event_type) AS rn
            FROM events GROUP BY user_id, event_type)
-         WHERE rn = 1 ORDER BY user_id"""
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+                count(*) AS n_all,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                  AS open_value
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority"""
   )
 }
