@@ -103,8 +103,10 @@ object LlmOps {
     // `spark.graft.checkpointStages=false` keeps the full lineage
     // instead: PlanDump sets it so the dumped plan shows the join chain
     // rather than LogicalRDD stubs at the checkpoint cuts.
-    val ckptStages =
-      s.conf.getOption("spark.graft.checkpointStages").forall(_ == "true")
+    // off ONLY on an explicit "false" — "True"/"1"/typos keep the
+    // default-on behavior instead of silently disabling the speedup
+    val ckptStages = !s.conf.getOption("spark.graft.checkpointStages")
+      .exists(_.equalsIgnoreCase("false"))
     def stageCut(df: DataFrame): DataFrame =
       if (ckptStages) df.localCheckpoint() else df
     val keyed = stageCut(base.withColumn("keeper",

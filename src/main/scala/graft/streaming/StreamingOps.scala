@@ -276,24 +276,15 @@ object StreamingOps {
     // (typed per-key state handles, timer/TTL support, state-schema
     // evolution). Requires the RocksDB state store provider; restores the
     // session's provider after the run so sibling queries keep the default.
-    "stream_stateful_tws" -> ((s, d) => {
+    "stream_stateful_tws" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val ev = eventsStream(s, d)
-          .select(col("user_id"), col("value")).as[(Long, Double)]
-        val out = ev.groupByKey(_._1)
-          .transformWithState(new RunningAggProcessor(),
-            TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_events", "total_value")
-        collapseUpdates(runToMemory(out, "update"))
-      } finally prev match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
-      }
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new RunningAggProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_value")
+      collapseUpdates(runToMemory(out, "update"))
     }),
 
     // Event-time TIMERS exercised for real (round-3 add; until now the
@@ -547,8 +538,12 @@ object StreamingOps {
     * buffered purchases are (pTsUs, pId) with pTs > watermark — a
     * purchase at or below the watermark can never match a
     * later-arriving signup (late floor: s_ts ≥ wm, matches need
-    * p_ts > s_ts), so the buffer is bounded by the out-of-orderness
-    * window, not history. */
+    * p_ts > s_ts). In a SUSTAINED stream the watermark advances every
+    * batch, so the buffer holds only the out-of-orderness window; in a
+    * single-batch replay (AvailableNow over one file) the watermark is
+    * still 0 when the data batch commits, so the buffer transiently
+    * holds that batch's purchases until the trailing no-data batch
+    * evicts them — bounded by one batch, not by history. */
   private case class PendingFunnels(items: Seq[(Long, Long, Long, Long)],
       purchases: Seq[(Long, Long)])
 
@@ -703,15 +698,28 @@ object StreamingOps {
       val deadlines =
         signups.map { case (_, sTs) => (sTs + WindowUs) / 1000 } ++
           (if (signups.isEmpty && events.nonEmpty)
-            Seq(events.map(_._2).max / 1000 + WindowUs / 1000 + 1)
+            Seq(events.map(_._2).max / 1000 + 1)
           else Nil)
       if (deadlines.nonEmpty) getHandle.registerTimer(deadlines.min)
     }
 
+    /** Drop buffered events no LIVE or FUTURE match can need. Keep an
+      * event iff it can still serve a PENDING signup (ts > min pending
+      * s_ts — chain steps need ts strictly after the signup) or a
+      * FUTURE one (ts > watermark; late-filtered signups arrive with
+      * s_ts ≥ wm and need ts > s_ts). Keying the pending clause on the
+      * signups REMAINING IN STATE — not on a wm-derived horizon — is
+      * what makes input-path eviction safe against the same-batch race
+      * where handleInputRows runs before this batch's timers fire: an
+      * event a maturing signup still needs is protected by that
+      * signup's own presence until handleExpiredTimer evaluates it. */
     private def evict(events: Seq[(Int, Long, Long)],
-        wmMs: Long): Seq[(Int, Long, Long)] =
+        signups: Seq[(Long, Long)], wmMs: Long): Seq[(Int, Long, Long)] = {
+      val minS =
+        if (signups.isEmpty) Long.MaxValue else signups.map(_._2).min
       events.filter { case (_, tsUs, _) =>
-        tsUs / 1000 > wmMs - WindowUs / 1000 }
+        tsUs > minS || tsUs / 1000 > wmMs }
+    }
 
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
@@ -729,8 +737,9 @@ object StreamingOps {
         }
       }
       // evict on every input too — a key receiving clicks/purchases but
-      // no signups must still shed events behind the live horizon
-      val live = evict(events.toSeq, timerValues.getCurrentWatermarkInMs())
+      // no signups must still shed events the watermark has passed
+      val live = evict(events.toSeq, signups.toSeq,
+        timerValues.getCurrentWatermarkInMs())
       if (signups.nonEmpty || live.nonEmpty)
         st.update(PendingAbc(signups.toSeq, live))
       else st.clear()
@@ -746,8 +755,8 @@ object StreamingOps {
       val (matured, rest) = cur.signups.partition {
         case (_, sTs) => (sTs + WindowUs) / 1000 <= wm
       }
-      // evict events older than the live horizon (see class scaladoc)
-      val live = evict(cur.events, wm)
+      // evict AFTER chain evaluation, keyed on the surviving signups
+      val live = evict(cur.events, rest, wm)
       if (rest.nonEmpty || live.nonEmpty)
         st.update(PendingAbc(rest, live))
       else st.clear()

@@ -471,6 +471,7 @@ class StreamingSpec extends GraftSpec {
         (t("2024-01-01 09:10:00"), 4L, "signup", 130L))
         .toDF("ts", "uid", "etype", "eid")
         .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
       // batch 2 — all rows >= 09:30 (not late); final wm: 10:40
       Seq((t("2024-01-01 09:40:00"), 2L, "purchase", 220L),
         (t("2024-01-01 10:00:00"), 3L, "signup", 120L),
@@ -530,6 +531,7 @@ class StreamingSpec extends GraftSpec {
       Seq((t("2024-01-01 09:30:00.0005"), 1L, "purchase", 200L))
         .toDF("ts", "uid", "etype", "eid")
         .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
       Seq((t("2024-01-01 09:30:00.0001"), 1L, "signup", 100L),
         (t("2024-01-01 10:40:00"), 9L, "view", 900L))
         .toDF("ts", "uid", "etype", "eid")
@@ -596,6 +598,7 @@ class StreamingSpec extends GraftSpec {
         (t("2024-01-01 09:05:00"), 5L, "signup", 130L))
         .toDF("ts", "uid", "etype", "eid")
         .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
       // batch 2 — all >= 09:30; final wm: 10:30
       Seq((t("2024-01-01 09:50:00"), 1L, "purchase", 430L), // after click
         (t("2024-01-01 09:40:00"), 5L, "click", 330L),
