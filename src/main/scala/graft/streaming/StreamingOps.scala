@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger}
 import graft.Tables._
 
+/** State row for [[StreamingOps]]'s streaming funnel processor: pending
+  * signups of one user plus the purchases that may still precede a FUTURE
+  * signup. Stored as parallel primitive-array columns — logically
+  * `items: Seq[(signupId, signupTsUs, bestPurchTsUs, bestPurchId)]` and
+  * `purchases: Seq[(pTsUs, pId)]` split field-per-array — because
+  * `Array[Long]` serializes via `UnsafeArrayData.fromPrimitiveArray` in
+  * generated code, whereas a `Seq` of tuples inside an object-nested
+  * private case class made Janino reject the generated encoder (a failed
+  * compile + interpreted serde on EVERY state access). Top-level +
+  * flat primitive arrays keeps the per-key hot path in codegen. */
+private[streaming] case class FunnelState(
+    sId: Array[Long], sTs: Array[Long], bTs: Array[Long], bId: Array[Long],
+    pTs: Array[Long], pId: Array[Long])
+
+/** State row for [[StreamingOps]]'s 3-step pattern processor: pending
+  * signups plus the buffered click/purchase events of the live 1 h
+  * horizon, as parallel primitive-array columns (same codegen rationale
+  * as [[FunnelState]]). Logically `signups: Seq[(id, tsUs)]` and
+  * `events: Seq[(typeCode 0=click/1=purchase, tsUs, eventId)]`. */
+private[streaming] case class AbcState(
+    sId: Array[Long], sTs: Array[Long],
+    eType: Array[Int], eTs: Array[Long], eId: Array[Long])
+
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
   * Execution discipline (D7): every oracle-checked op replays the events
@@ -531,8 +554,7 @@ object StreamingOps {
     }
   }
 
-  /** State row for [[FunnelProcessor]]: pending signups of one user plus
-    * the purchases that may still precede a FUTURE signup. Items are
+  /** [[FunnelState]] ↔ working-tuple converters. Items are
     * (signupId, signupTsUs, bestPurchaseTsUs, bestPurchaseId) with
     * Long.MaxValue sentinels while no in-window purchase has been seen;
     * buffered purchases are (pTsUs, pId) with pTs > watermark — a
@@ -544,8 +566,19 @@ object StreamingOps {
     * still 0 when the data batch commits, so the buffer transiently
     * holds that batch's purchases until the trailing no-data batch
     * evicts them — bounded by one batch, not by history. */
-  private case class PendingFunnels(items: Seq[(Long, Long, Long, Long)],
-      purchases: Seq[(Long, Long)])
+  private def funnelItems(s: FunnelState): Seq[(Long, Long, Long, Long)] =
+    Array.tabulate(s.sId.length)(i =>
+      (s.sId(i), s.sTs(i), s.bTs(i), s.bId(i))).toSeq
+
+  private def funnelPurchases(s: FunnelState): Seq[(Long, Long)] =
+    Array.tabulate(s.pTs.length)(i => (s.pTs(i), s.pId(i))).toSeq
+
+  private def packFunnel(items: Seq[(Long, Long, Long, Long)],
+      purchases: Seq[(Long, Long)]): FunnelState =
+    FunnelState(
+      items.map(_._1).toArray, items.map(_._2).toArray,
+      items.map(_._3).toArray, items.map(_._4).toArray,
+      purchases.map(_._1).toArray, purchases.map(_._2).toArray)
 
   /** Streaming funnel processor (see the `stream_funnel` registration):
     * signups arm an event-time timer at signupTs + 1 h; purchases only
@@ -567,11 +600,11 @@ object StreamingOps {
     private val None_ = Long.MaxValue
 
     @transient private var pend:
-      org.apache.spark.sql.streaming.ValueState[PendingFunnels] = _
+      org.apache.spark.sql.streaming.ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      pend = getHandle.getValueState[PendingFunnels]("pend",
-        Encoders.product[PendingFunnels], TTLConfig.NONE)
+      pend = getHandle.getValueState[FunnelState]("pend",
+        Encoders.product[FunnelState], TTLConfig.NONE)
 
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
@@ -580,9 +613,11 @@ object StreamingOps {
       // sort by (eventTime, eventId) so a same-batch purchase lands on
       // signups that precede it in event time, not in arrival order
       val evs = rows.toArray.sortBy(r => (r._2, r._5))
-      val cur = Option(pend.get()).getOrElse(PendingFunnels(Nil, Nil))
-      val items = scala.collection.mutable.ArrayBuffer(cur.items: _*)
-      val purch = scala.collection.mutable.ArrayBuffer(cur.purchases: _*)
+      val cur = Option(pend.get())
+      val items = scala.collection.mutable.ArrayBuffer(
+        cur.map(funnelItems).getOrElse(Nil): _*)
+      val purch = scala.collection.mutable.ArrayBuffer(
+        cur.map(funnelPurchases).getOrElse(Nil): _*)
       evs.foreach { case (_, tsUs, _, etype, eid) =>
         etype match {
           case "signup" =>
@@ -615,7 +650,7 @@ object StreamingOps {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
       val livePurch = purch.filter { case (pTs, _) => pTs > wmUs }.toSeq
       if (items.nonEmpty || livePurch.nonEmpty)
-        pend.update(PendingFunnels(items.toSeq, livePurch))
+        pend.update(packFunnel(items.toSeq, livePurch))
       else pend.clear()
       rearm(items.toSeq, livePurch)
       Iterator.empty
@@ -641,14 +676,15 @@ object StreamingOps {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
         Iterator[(Long, Long, Option[Long], Option[Long])] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val cur = Option(pend.get()).getOrElse(PendingFunnels(Nil, Nil))
-      val (matured, rest) = cur.items.partition {
-        case (_, sTs, _, _) => (sTs + WindowUs) / 1000 <= wm
-      }
-      val livePurch = cur.purchases.filter { case (pTs, _) =>
-        pTs > wm * 1000 }
+      val cur = Option(pend.get())
+      val (matured, rest) =
+        cur.map(funnelItems).getOrElse(Nil).partition {
+          case (_, sTs, _, _) => (sTs + WindowUs) / 1000 <= wm
+        }
+      val livePurch = cur.map(funnelPurchases).getOrElse(Nil)
+        .filter { case (pTs, _) => pTs > wm * 1000 }
       if (rest.nonEmpty || livePurch.nonEmpty)
-        pend.update(PendingFunnels(rest, livePurch))
+        pend.update(packFunnel(rest, livePurch))
       else pend.clear()
       rearm(rest, livePurch)
       matured.sortBy(_._1).iterator.map { case (sid, sTs, bTs, bId) =>
@@ -658,11 +694,21 @@ object StreamingOps {
     }
   }
 
-  /** State for [[PatternAbcProcessor]]: pending signups plus the buffered
-    * click/purchase events of the live 1 h horizon. Event tuples are
-    * (typeCode 0=click/1=purchase, tsUs, eventId). */
-  private case class PendingAbc(
-      signups: Seq[(Long, Long)], events: Seq[(Int, Long, Long)])
+  /** [[AbcState]] ↔ working-tuple converters: pending signups plus the
+    * buffered click/purchase events of the live 1 h horizon. Event
+    * tuples are (typeCode 0=click/1=purchase, tsUs, eventId). */
+  private def abcSignups(s: AbcState): Seq[(Long, Long)] =
+    Array.tabulate(s.sId.length)(i => (s.sId(i), s.sTs(i))).toSeq
+
+  private def abcEvents(s: AbcState): Seq[(Int, Long, Long)] =
+    Array.tabulate(s.eTs.length)(i => (s.eType(i), s.eTs(i), s.eId(i))).toSeq
+
+  private def packAbc(signups: Seq[(Long, Long)],
+      events: Seq[(Int, Long, Long)]): AbcState =
+    AbcState(
+      signups.map(_._1).toArray, signups.map(_._2).toArray,
+      events.map(_._1).toArray, events.map(_._2).toArray,
+      events.map(_._3).toArray)
 
   /** Streaming 3-step pattern processor (see `stream_pattern_abc`): the
     * chain (first click after signup, first purchase after that click,
@@ -681,11 +727,11 @@ object StreamingOps {
     private val WindowUs = 3600000000L
 
     @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[PendingAbc] = _
+      org.apache.spark.sql.streaming.ValueState[AbcState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[PendingAbc]("abc",
-        Encoders.product[PendingAbc], TTLConfig.NONE)
+      st = getHandle.getValueState[AbcState]("abc",
+        Encoders.product[AbcState], TTLConfig.NONE)
 
     /** One armed timer per key: the earliest signup deadline, or — with
       * only buffered events left — a cleanup tick when the last event
@@ -717,17 +763,23 @@ object StreamingOps {
         signups: Seq[(Long, Long)], wmMs: Long): Seq[(Int, Long, Long)] = {
       val minS =
         if (signups.isEmpty) Long.MaxValue else signups.map(_._2).min
+      // µs-exact future floor (wmMs*1000, NOT ts/1000 > wmMs): the late
+      // filter truncates to ms, so a not-late signup can carry a ts with
+      // a SMALLER microsecond part inside the watermark's current
+      // millisecond — an event in that same ms must survive for it.
       events.filter { case (_, tsUs, _) =>
-        tsUs > minS || tsUs / 1000 > wmMs }
+        tsUs > minS || tsUs > wmMs * 1000 }
     }
 
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
         timerValues: TimerValues):
         Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
-      val cur = Option(st.get()).getOrElse(PendingAbc(Nil, Nil))
-      val signups = scala.collection.mutable.ArrayBuffer(cur.signups: _*)
-      val events = scala.collection.mutable.ArrayBuffer(cur.events: _*)
+      val cur = Option(st.get())
+      val signups = scala.collection.mutable.ArrayBuffer(
+        cur.map(abcSignups).getOrElse(Nil): _*)
+      val events = scala.collection.mutable.ArrayBuffer(
+        cur.map(abcEvents).getOrElse(Nil): _*)
       rows.foreach { case (_, tsUs, _, etype, eid) =>
         etype match {
           case "signup" => signups += ((eid, tsUs))
@@ -741,7 +793,7 @@ object StreamingOps {
       val live = evict(events.toSeq, signups.toSeq,
         timerValues.getCurrentWatermarkInMs())
       if (signups.nonEmpty || live.nonEmpty)
-        st.update(PendingAbc(signups.toSeq, live))
+        st.update(packAbc(signups.toSeq, live))
       else st.clear()
       rearm(signups.toSeq, live)
       Iterator.empty
@@ -751,26 +803,28 @@ object StreamingOps {
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
         Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
       val wm = timerValues.getCurrentWatermarkInMs()
-      val cur = Option(st.get()).getOrElse(PendingAbc(Nil, Nil))
-      val (matured, rest) = cur.signups.partition {
+      val cur = Option(st.get())
+      val curSignups = cur.map(abcSignups).getOrElse(Nil)
+      val curEvents = cur.map(abcEvents).getOrElse(Nil)
+      val (matured, rest) = curSignups.partition {
         case (_, sTs) => (sTs + WindowUs) / 1000 <= wm
       }
       // evict AFTER chain evaluation, keyed on the surviving signups
-      val live = evict(cur.events, rest, wm)
+      val live = evict(curEvents, rest, wm)
       if (rest.nonEmpty || live.nonEmpty)
-        st.update(PendingAbc(rest, live))
+        st.update(packAbc(rest, live))
       else st.clear()
       rearm(rest, live)
       matured.sortBy(_._1).iterator.map { case (sid, sTs) =>
         val deadline = sTs + WindowUs
-        val click = cur.events.iterator
+        val click = curEvents.iterator
           .filter { case (t, ts, _) => t == 0 && ts > sTs && ts <= deadline }
           .reduceOption { (a, b) =>
             if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
         click match {
           case None => (key, sid, None, None, None)
           case Some((_, cTs, cId)) =>
-            val purchase = cur.events.iterator
+            val purchase = curEvents.iterator
               .filter { case (t, ts, _) =>
                 t == 1 && ts > cTs && ts <= deadline }
               .reduceOption { (a, b) =>

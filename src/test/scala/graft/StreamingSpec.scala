@@ -565,6 +565,73 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_abc: buffered events survive eviction inside the watermark's ms for a sub-ms-later signup") {
+    // Pattern twin of the funnel sub-ms race: the watermark is
+    // ms-truncated while events carry µs timestamps, so buffered
+    // clicks/purchases inside the watermark's CURRENT millisecond must
+    // survive eviction even with no pending signup protecting them — a
+    // not-late signup (s_ts ≥ wm) with a smaller-µs timestamp in that
+    // same ms can still arrive and needs them:
+    //  file 1: click 09:30:00.0005, purchase 09:30:00.0008 → wm 09:30:00.000
+    //  file 2: click 09:30:00.0002 (evict pass runs for u1 with NO
+    //          pending signups and wm in the events' ms — an ms-floor
+    //          eviction would drop all three events here)
+    //  file 3: signup 09:30:00.0001 (≥ wm → accepted; µs-earlier than
+    //          every buffered event) + a 10:40 view to seal the window.
+    // Chain: first click after signup = .0002, first purchase after that
+    // click = .0008 → full completion, us_to_complete = 700.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_abc_ms_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      Seq((t("2024-01-01 09:30:00.0005"), 1L, "click", 300L),
+        (t("2024-01-01 09:30:00.0008"), 1L, "purchase", 400L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      Seq((t("2024-01-01 09:30:00.0002"), 1L, "click", 310L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+      Seq((t("2024-01-01 09:30:00.0001"), 1L, "signup", 100L),
+        (t("2024-01-01 10:40:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternAbcForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "us_to_complete")
+        .writeStream.format("memory").queryName("abc_ms")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 2, "needed a 3-file-batch run")
+      def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) -1L else r.getLong(i)
+      val rows = spark.table("abc_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3),
+          opt(r, 4))).toSet
+      assert(rows == Set((1L, 100L, 310L, 400L, 700L)),
+        s"ms-boundary chain lost or wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_pattern_abc: chain re-binding, step order, cross-batch, holdback") {
     // The 3-step chain's load-bearing rules, on a real 2-batch run:
     //  - u1: FIRST click wins even when a later click arrives first in
