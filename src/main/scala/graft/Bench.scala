@@ -54,18 +54,54 @@ object Bench {
         // that memory pressure inflates LATER queries (measured:
         // llm_embedding_lsh 7.9 s in-sweep vs 4.2 s isolated). Each
         // query's own timing window is closed, so dropping leftovers
-        // here only isolates neighbors.
+        // here only isolates neighbors. BLOCKING on purpose: a lazy
+        // unpersist leaves the blocks resident while the next query
+        // runs — measured llm_embedding_lsh 8.0 s after the dedup
+        // family with blocking=false vs 3.9 s (= isolated) blocking.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         sec
       }
-      name -> times.min
+      // Hermetic sweep: every streaming op leaves residue a later query
+      // must not inherit (round-4 driver bench showed the streaming tail
+      // inflating up to 9× with sweep position while isolated re-runs
+      // stayed flat). Three kinds, all dropped here:
+      //  - the memory-sink temp views (graft_mem_N) the finished queries
+      //    registered — each pins its full collected result on the heap;
+      //  - any still-active StreamingQuery (defensive — AvailableNow
+      //    queries self-terminate, but a failed one may not);
+      //  - the loaded state-store providers + their maintenance thread
+      //    (RocksDB snapshot/cleanup work keeps running for stores no
+      //    future query will touch; StateStore.get restarts maintenance
+      //    lazily, so stopping between queries is safe).
+      try {
+        spark.streams.active.foreach(_.stop())
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_mem_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        // Broadcasts and shuffle state are reclaimed by ContextCleaner
+        // only after their driver-side references are GC'd; across a
+        // 129-query sweep that backlog grows into real interference
+        // (embeddings-family ops measured ~1.8× their isolated time
+        // late in the sweep). One explicit collection per query lands
+        // OUTSIDE every timing window and keeps the sweep hermetic.
+        System.gc()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cleanup after $name: ${e.getMessage}")
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-query [min,max] of the two runs: a wide spread marks timings
+    // the driver should read as interference-suspect rather than cost.
+    val spread = results
+      .map { case (k, v) => s"\"" + k + s"\":[${v.min},${v.max}]" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     // The driver tail-captures stdout and has truncated the (one, long)
     // JSON line mid-key before (BENCH_r03.json arrived with
     // "parsed": null) — so ALSO write the full line to BENCH.json in the
