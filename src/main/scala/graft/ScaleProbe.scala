@@ -232,16 +232,24 @@ object ScaleProbe {
         // Tables.events' nanos conf: the staged ts column is plain INT64
         // (µs semantics preserved via `div`-based readers).
         link("documents"); link("embeddings")
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = s.read.parquet(s"$baseSf/events.parquet")
-        val mx = ev.agg(max("event_id"), max("user_id")).head()
-        val maxEvent = mx.getLong(0) + 1
-        val maxUser = mx.getLong(1) + 1
-        (0 until k).map(i => ev
-            .withColumn("event_id", col("event_id") + lit(i * maxEvent))
-            .withColumn("user_id", col("user_id") + lit(i * maxUser)))
-          .reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+        val prevNanos = s.conf.getOption(nanosKey)
+        s.conf.set(nanosKey, "true")
+        try {
+          val ev = s.read.parquet(s"$baseSf/events.parquet")
+          val mx = ev.agg(max("event_id"), max("user_id")).head()
+          val maxEvent = mx.getLong(0) + 1
+          val maxUser = mx.getLong(1) + 1
+          (0 until k).map(i => ev
+              .withColumn("event_id", col("event_id") + lit(i * maxEvent))
+              .withColumn("user_id", col("user_id") + lit(i * maxUser)))
+            .reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        } finally prevNanos match {
+          // restore so staging can't leak conf into the timed probe run
+          case Some(v) => s.conf.set(nanosKey, v)
+          case None => s.conf.unset(nanosKey)
+        }
       case m => throw new IllegalArgumentException(s"unknown probe mode $m")
     }
   }

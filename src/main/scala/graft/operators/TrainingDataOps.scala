@@ -513,8 +513,6 @@ object TrainingDataOps {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
-    // Train/val/test split assignment, same determinism rule: 80/10/10 by
-    // doc_id mod 100, summarized per (lang, split).
     // End-to-end prep pipeline (round-4 add): the composed data-prep
     // flow a training run actually executes — quality gate → exact dedup
     // among the quality SURVIVORS (a low-quality doc must not shadow a
@@ -549,6 +547,8 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Train/val/test split assignment, same determinism rule: 80/10/10 by
+    // doc_id mod 100, summarized per (lang, split).
     "llm_split_assign" -> ((s, d) =>
       documents(s, d)
         .withColumn("split",
