@@ -120,6 +120,63 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Quantified CEP sequence (round-5 add): A B+ C within 1 h — signup,
+    // ONE-OR-MORE clicks, then a purchase: Flink-CEP's
+    // `Pattern.oneOrMore().greedy()` quantifier on top of the 3-step
+    // chain. The bound steps stay deterministic (first click after the
+    // signup, first purchase after that click); the greedy B+ is then
+    // the count of EVERY click strictly between signup and the closing
+    // purchase — the quantified step absorbs all Bs before the C that
+    // completes the match. Unmatched chains carry null b_count (no C ⇒
+    // nothing quantified). Three time-bounded equi-joins on user_id
+    // (one more than the 3-step chain for the count), all
+    // hash-partitioned, never a per-user nested loop.
+    "events_pattern_quantified" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      val step1 = sg.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") &&
+            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("click_id").isNotNull,
+          struct(col("c_ts"), col("click_id")))).as("fc"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
+      val step2 = step1.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"), col("fp.purchase_id").as("purchase_id"),
+          col("fp.p_ts").as("p_ts"))
+      val ck2 = ck.select(col("c_user").as("b_user"),
+        col("click_id").as("b_id"), col("c_ts").as("b_ts"))
+      step2.join(ck2,
+          col("user_id") === col("b_user") &&
+            col("b_ts") > col("s_ts") && col("b_ts") < col("p_ts"), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"), col("purchase_id"), col("p_ts"))
+        .agg(count(col("b_id")).as("bn"))
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          col("purchase_id"),
+          when(col("purchase_id").isNotNull, col("bn")).as("b_count"),
+          (col("p_ts") - col("s_ts")).as("us_to_complete"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Linear interpolation between sparse observations (round-4 add):
     // at EVERY event on a user's timeline, the purchase `value` linearly
     // interpolated between the nearest purchase at-or-before and the
@@ -376,6 +433,45 @@ object ScalarQueries {
        SELECT user_id, signup_id, click_id, purchase_id,
               p_ts - s_ts AS us_to_complete
        FROM s2 WHERE rn = 1 ORDER BY signup_id""",
+
+    "events_pattern_quantified" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click_id,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f1 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c_ts
+                    AND p.p_ts <= f.s_ts + 3600000000),
+            f2 AS (SELECT * FROM s2 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.click_id, f.purchase_id,
+              CASE WHEN f.purchase_id IS NOT NULL
+                   THEN count(b.click_id) END AS b_count,
+              f.p_ts - f.s_ts AS us_to_complete
+       FROM f2 f LEFT JOIN ck b
+         ON b.user_id = f.user_id
+        AND b.c_ts > f.s_ts AND b.c_ts < f.p_ts
+       GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
+                f.p_ts, f.s_ts
+       ORDER BY f.signup_id""",
 
     "ts_interpolate" ->
       """WITH ev AS (SELECT event_id, user_id,

@@ -402,6 +402,27 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming quantified CEP (round-5 add): A B+ C within 1 h, the
+    // `Pattern.oneOrMore()` capability on the same buffered-window
+    // machinery as stream_pattern_abc (one extra count over the sealed
+    // buffer at verdict time — state shape and bounds unchanged).
+    "stream_pattern_quantified" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new PatternQuantifiedProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "b_count", "us_to_complete"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -710,21 +731,27 @@ object StreamingOps {
       events.map(_._1).toArray, events.map(_._2).toArray,
       events.map(_._3).toArray)
 
-  /** Streaming 3-step pattern processor (see `stream_pattern_abc`): the
-    * chain (first click after signup, first purchase after that click,
-    * all ≤ signup + 1 h) is evaluated once per signup, in
-    * handleExpiredTimer, from the buffered window events — the point
-    * where the watermark has sealed the window and "first" is final.
-    * Buffer eviction: an event with ts ≤ watermark − 1 h cannot qualify
-    * for any live signup (deadline > watermark ⇒ s_ts > wm − 1 h, and
-    * matches need ts > s_ts) nor any future one (arrival floor: s_ts ≥
-    * wm), so the per-key state is bounded by one window of events —
-    * Flink-CEP's `within()` bound, not an unbounded history. */
-  private class PatternAbcProcessor extends StatefulProcessor[
-      Long, (java.sql.Timestamp, Long, Long, String, Long),
-      (Long, Long, Option[Long], Option[Long], Option[Long])] {
+  /** Shared buffered-window machinery for the chained CEP processors
+    * (`stream_pattern_abc`, `stream_pattern_quantified`): signups and
+    * the window's click/purchase events are buffered per key; each
+    * signup's verdict is evaluated once, in handleExpiredTimer, from
+    * the buffered events — the point where the watermark has sealed the
+    * window and "first"/"count" are final. Concrete processors supply
+    * only the per-signup [[verdict]]. Buffer eviction: an event with
+    * ts ≤ watermark − 1 h cannot qualify for any live signup (deadline
+    * > watermark ⇒ s_ts > wm − 1 h, and matches need ts > s_ts) nor any
+    * future one (arrival floor: s_ts ≥ wm), so the per-key state is
+    * bounded by one window of events — Flink-CEP's `within()` bound,
+    * not an unbounded history. */
+  private abstract class AbcBufferProcessor[O] extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long), O] {
 
-    private val WindowUs = 3600000000L
+    protected val WindowUs = 3600000000L
+
+    /** Chain evaluation for one matured signup, from the sealed window's
+      * buffered events (typeCode 0=click/1=purchase, tsUs, eventId). */
+    protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]): O
 
     @transient private var st:
       org.apache.spark.sql.streaming.ValueState[AbcState] = _
@@ -773,8 +800,7 @@ object StreamingOps {
 
     override def handleInputRows(key: Long,
         rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
-        timerValues: TimerValues):
-        Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
+        timerValues: TimerValues): Iterator[O] = {
       val cur = Option(st.get())
       val signups = scala.collection.mutable.ArrayBuffer(
         cur.map(abcSignups).getOrElse(Nil): _*)
@@ -801,7 +827,7 @@ object StreamingOps {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
-        Iterator[(Long, Long, Option[Long], Option[Long], Option[Long])] = {
+        Iterator[O] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       val cur = Option(st.get())
       val curSignups = cur.map(abcSignups).getOrElse(Nil)
@@ -816,25 +842,69 @@ object StreamingOps {
       else st.clear()
       rearm(rest, live)
       matured.sortBy(_._1).iterator.map { case (sid, sTs) =>
-        val deadline = sTs + WindowUs
-        val click = curEvents.iterator
-          .filter { case (t, ts, _) => t == 0 && ts > sTs && ts <= deadline }
-          .reduceOption { (a, b) =>
-            if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
-        click match {
-          case None => (key, sid, None, None, None)
-          case Some((_, cTs, cId)) =>
-            val purchase = curEvents.iterator
-              .filter { case (t, ts, _) =>
-                t == 1 && ts > cTs && ts <= deadline }
-              .reduceOption { (a, b) =>
-                if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
-            purchase match {
-              case None => (key, sid, Some(cId), None, None)
-              case Some((_, pTs, pId)) =>
-                (key, sid, Some(cId), Some(pId), Some(pTs - sTs))
-            }
-        }
+        verdict(key, sid, sTs, curEvents)
+      }
+    }
+
+    /** Earliest (ts, id) event of `typeCode` in (`lo`, `hi`] — the
+      * deterministic "first" rule every chain step uses. */
+    protected final def firstOf(events: Seq[(Int, Long, Long)],
+        typeCode: Int, lo: Long, hi: Long): Option[(Int, Long, Long)] =
+      events.iterator
+        .filter { case (t, ts, _) => t == typeCode && ts > lo && ts <= hi }
+        .reduceOption { (a, b) =>
+          if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
+  }
+
+  /** Streaming 3-step pattern verdict (see `stream_pattern_abc`): first
+    * click after signup, first purchase after that click, all ≤ signup
+    * + 1 h. */
+  private class PatternAbcProcessor extends AbcBufferProcessor[
+      (Long, Long, Option[Long], Option[Long], Option[Long])] {
+
+    override protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]):
+        (Long, Long, Option[Long], Option[Long], Option[Long]) = {
+      val deadline = sTs + WindowUs
+      firstOf(events, 0, sTs, deadline) match {
+        case None => (key, sid, None, None, None)
+        case Some((_, cTs, cId)) =>
+          firstOf(events, 1, cTs, deadline) match {
+            case None => (key, sid, Some(cId), None, None)
+            case Some((_, pTs, pId)) =>
+              (key, sid, Some(cId), Some(pId), Some(pTs - sTs))
+          }
+      }
+    }
+  }
+
+  /** Streaming quantified-pattern verdict (see
+    * `stream_pattern_quantified`): A B+ C within 1 h — signup, then ≥ 1
+    * clicks, then a purchase. The bound steps are the FIRST click after
+    * the signup and the FIRST purchase after that click (same total
+    * order as the 3-step chain); the greedy B+ then counts EVERY click
+    * strictly between signup and that purchase — Flink-CEP's
+    * `oneOrMore().greedy()`, where the quantified step absorbs all Bs
+    * preceding the C that closes the match. b_count is null until the
+    * chain completes (no purchase ⇒ no match ⇒ nothing quantified). */
+  private class PatternQuantifiedProcessor extends AbcBufferProcessor[
+      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] {
+
+    override protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]):
+        (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long]) = {
+      val deadline = sTs + WindowUs
+      firstOf(events, 0, sTs, deadline) match {
+        case None => (key, sid, None, None, None, None)
+        case Some((_, cTs, cId)) =>
+          firstOf(events, 1, cTs, deadline) match {
+            case None => (key, sid, Some(cId), None, None, None)
+            case Some((_, pTs, pId)) =>
+              val bCount = events.count { case (t, ts, _) =>
+                t == 0 && ts > sTs && ts < pTs }
+              (key, sid, Some(cId), Some(pId), Some(bCount.toLong),
+                Some(pTs - sTs))
+          }
       }
     }
   }
@@ -933,6 +1003,12 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long])] =
     new PatternAbcProcessor()
+
+  /** Test hook: the quantified-pattern processor (class is private). */
+  private[graft] def patternQuantifiedForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+    new PatternQuantifiedProcessor()
 
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
@@ -1095,6 +1171,51 @@ object StreamingOps {
        FROM s2, mx
        WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
        ORDER BY signup_id""",
+
+    // Batch recompute of the quantified pattern (A B+ C, greedy b_count
+    // = clicks strictly between signup and the closing purchase) + the
+    // same watermark cutoff convention as stream_funnel.
+    "stream_pattern_quantified" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click_id,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f1 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c_ts
+                    AND p.p_ts <= f.s_ts + 3600000000),
+            f2 AS (SELECT * FROM s2 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.click_id, f.purchase_id,
+              CASE WHEN f.purchase_id IS NOT NULL
+                   THEN count(b.click_id) END AS b_count,
+              f.p_ts - f.s_ts AS us_to_complete
+       FROM f2 f CROSS JOIN mx LEFT JOIN ck b
+         ON b.user_id = f.user_id
+        AND b.c_ts > f.s_ts AND b.c_ts < f.p_ts
+       WHERE (f.s_ts + 3600000000) // 1000 <= mx.wm
+       GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
+                f.p_ts, f.s_ts
+       ORDER BY f.signup_id""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

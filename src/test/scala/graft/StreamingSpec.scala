@@ -710,6 +710,88 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_quantified: greedy B+ count, first-C close, B-before-C required, holdback") {
+    // The quantifier's load-bearing rules, on a real 3-batch run:
+    //  - u1: the FIRST purchase after the first click closes the match —
+    //    b_count counts clicks in (signup, THAT purchase), so the 09:40
+    //    click and 09:50 purchase after the 09:30 close are ignored
+    //    (greedy B+ absorbs Bs only up to the closing C);
+    //  - u2: a purchase BEFORE any click (09:05) must not close the
+    //    chain — B+ needs at least one B first; its real chain is the
+    //    09:10 click → 09:30 purchase, b_count 1. Its click+purchase
+    //    arrive in batch 2, pinning cross-batch buffering;
+    //  - u3: clicks but no purchase → click bound, b_count/purchase null
+    //    (no C ⇒ nothing quantified);
+    //  - u4: deadline (11:00) beyond final watermark (10:45) → no row.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_quant_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:05
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:00:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:00:00"), 3L, "signup", 120L),
+        (t("2024-01-01 09:05:00"), 2L, "purchase", 420L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all >= 09:05; wm after: 10:00
+      Seq((t("2024-01-01 09:10:00"), 1L, "click", 300L),
+        (t("2024-01-01 09:20:00"), 1L, "click", 310L),
+        (t("2024-01-01 09:30:00"), 1L, "purchase", 400L),
+        (t("2024-01-01 09:40:00"), 1L, "click", 320L),
+        (t("2024-01-01 09:50:00"), 1L, "purchase", 410L),
+        (t("2024-01-01 09:10:00"), 2L, "click", 330L),
+        (t("2024-01-01 09:30:00"), 2L, "purchase", 430L),
+        (t("2024-01-01 09:10:00"), 3L, "click", 340L),
+        (t("2024-01-01 09:15:00"), 3L, "click", 350L),
+        (t("2024-01-01 10:00:00"), 4L, "signup", 130L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+      // batch 3 — seal: final wm 10:45 > the 10:00 deadlines, < u4's 11:00
+      Seq((t("2024-01-01 10:45:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternQuantifiedForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "b_count", "us_to_complete")
+        .writeStream.format("memory").queryName("quant_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 2,
+        "input collapsed — cross-batch path untested")
+      def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) -1L else r.getLong(i)
+      val rows = spark.table("quant_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3),
+          opt(r, 4), opt(r, 5))).toSet
+      assert(rows == Set(
+        (1L, 100L, 300L, 400L, 2L, 1800000000L),
+        (2L, 110L, 330L, 430L, 1L, 1800000000L),
+        (3L, 120L, 340L, -1L, -1L, -1L)),
+        s"quantified verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
