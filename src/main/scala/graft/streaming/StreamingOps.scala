@@ -442,6 +442,32 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Left-outer time-bounded stream-stream join (round-5 add): every
+    // purchase with its preceding-30-min clicks OR an explicit null row
+    // once the watermark seals its window — the non-match emission Flink
+    // interval joins provide and the inner variant above can't. Matches
+    // stream out eagerly; a buffered left row null-emits only when the
+    // right watermark has passed its whole match window (c_ts ≤ p_ts),
+    // so state stays bounded by the 30-min interval on both sides.
+    "stream_stream_join_outer" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "0 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "0 seconds")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+    }),
+
     "stream_static_join" -> ((s, d) => {
       val enriched = eventsStream(s, d)
         .join(broadcast(customer(s, d)),
@@ -1225,6 +1251,30 @@ object StreamingOps {
            ON p.user_id = c.user_id
           AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         ORDER BY p_id, c_id""",
+
+    // Batch left join; the null (non-match) rows additionally require
+    // the purchase's match window sealed by the final watermark — the
+    // same cutoff discipline as the timer ops, at the join's ms
+    // precision. The query watermark is the MIN across the two
+    // watermark nodes (purchase side and click side each track their
+    // own max event time), not the all-events max.
+    "stream_stream_join_outer" ->
+      """WITH mx AS (SELECT least(
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'purchase'),
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'click')) AS wm)
+         SELECT p.event_id AS p_id, c.event_id AS c_id,
+                p.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         CROSS JOIN mx
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         WHERE c.event_id IS NOT NULL
+            OR epoch_ms(CAST(p.ts AS TIMESTAMP)) < mx.wm
          ORDER BY p_id, c_id""",
 
     "stream_static_join" ->

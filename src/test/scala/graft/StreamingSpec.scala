@@ -792,6 +792,65 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_stream_join_outer: matches emit eagerly, null rows only after the watermark seals") {
+    // Null-emission timing on a real 2-file run:
+    //  batch 0 (file 1): purchase u1 09:00 + its 08:50 click MATCH and
+    //    emit immediately; purchase u2 09:10 has no click — and must
+    //    NOT null-emit yet: the query watermark after batch 0 is
+    //    min(max purchase 09:10, max click 08:50) = 08:50 < 09:10.
+    //  batch 1 (file 2): purchase+click u9 at 10:00/10:05 advance the
+    //    watermark to min(10:00, 10:05) = 10:00 — sealing u2's window;
+    //    its null row emits in a LATER batch (state eviction runs after
+    //    the watermark advance commits). u9's own purchase (10:00, not
+    //    < 10:00) stays held — no row.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ssjo_").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq((t("2024-01-01 08:50:00"), 1L, "click", 300L),
+      (t("2024-01-01 09:00:00"), 1L, "purchase", 400L),
+      (t("2024-01-01 09:10:00"), 2L, "purchase", 410L))
+      .toDF("ts", "uid", "etype", "eid")
+      .repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(20) // distinct ms mtimes pin file → batch order
+    Seq((t("2024-01-01 10:00:00"), 9L, "purchase", 420L),
+      (t("2024-01-01 10:05:00"), 9L, "click", 310L))
+      .toDF("ts", "uid", "etype", "eid")
+      .repartition(1).write.mode("append").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val ev = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val p = ev.filter(col("etype") === "purchase")
+      .select(col("eid").as("p_id"), col("ts").as("p_ts"),
+        col("uid").as("p_user"))
+      .withWatermark("p_ts", "0 seconds")
+    val c = ev.filter(col("etype") === "click")
+      .select(col("eid").as("c_id"), col("ts").as("c_ts"),
+        col("uid").as("c_user"))
+      .withWatermark("c_ts", "0 seconds")
+    val q = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      .writeStream.format("memory").queryName("ssjo_mb")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).start()
+    q.awaitTermination()
+    val progress = q.recentProgress
+    assert(progress.length > 1, "input collapsed to one micro-batch")
+    val outPerBatch = progress.map(p0 => p0.sink.numOutputRows)
+    assert(outPerBatch.head == 1,
+      s"batch 0 must emit ONLY the eager match: ${outPerBatch.mkString(",")}")
+    assert(outPerBatch.take(2).sum == 1,
+      s"null row leaked before the sealing watermark committed: ${outPerBatch.mkString(",")}")
+    val rows = spark.table("ssjo_mb").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((400L, 300L, 1L), (410L, -1L, 2L)),
+      s"outer join rows wrong: $rows")
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
