@@ -188,7 +188,76 @@ object StreamingOps {
         dec(col("st.total_value")).cast("double").as("total_value"))
       .orderBy(col("user_id"))
 
+  /** Late-data side output (round-5 add): route every input row to an
+    * ON-TIME or LATE parquet output instead of silently dropping the
+    * late ones — Flink's `sideOutputLateData` analog, which Spark's
+    * built-in watermark filter can't express (it discards late rows
+    * before any user code sees them). The stream therefore runs
+    * UN-watermarked through `foreachBatch`, with the engine's own
+    * late rule re-applied per batch on the driver: the watermark
+    * entering batch N is the ms-truncated max event time of batches
+    * < N (delay 0), and a row is late iff ts_us < wm_ms·1000 — the
+    * same µs-vs-truncated-ms compare the CEP ops pin. At scale the
+    * split is two partition-local filters per batch (no shuffle,
+    * no state); only the 8-byte running max lives on the driver.
+    * Returns (onTime, late) read back with an explicit schema so an
+    * empty side stays a valid empty frame. */
+  private[graft] def lateSideOutputRun(s: SparkSession, inputDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      prep: DataFrame => DataFrame, tsUsCol: String,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, DataFrame) = {
+    val onDir = Files.createTempDirectory("graft_ontime_").toString
+    val lateDir = Files.createTempDirectory("graft_late_").toString
+    val outSchema =
+      prep(s.read.schema(schema).parquet(inputDir)).schema
+    val wmUs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ckpt = tempCheckpointDir()
+    try {
+      val reader = s.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n =>
+        reader.option("maxFilesPerTrigger", n.toString))
+      val q = prep(reader.parquet(inputDir)).writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val wmFloor = (wmUs.get() / 1000L) * 1000L
+          batch.persist()
+          try {
+            batch.filter(col(tsUsCol) >= lit(wmFloor))
+              .write.mode("append").parquet(onDir)
+            batch.filter(col(tsUsCol) < lit(wmFloor))
+              .write.mode("append").parquet(lateDir)
+            val mx = batch.agg(max(col(tsUsCol))).head()
+            if (!mx.isNullAt(0))
+              wmUs.updateAndGet(m => math.max(m, mx.getLong(0)))
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    (s.read.schema(outSchema).parquet(onDir),
+      s.read.schema(outSchema).parquet(lateDir))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_late_side_output" -> ((s, d) => {
+      // Over the single-file events corpus this is one micro-batch
+      // against watermark 0, so every row routes on-time — the
+      // registered query pins the NO-LOSS property (each input row on
+      // exactly one side); the multi-batch late-routing behavior is
+      // arrival-order dependent and lives in ScalaTest (D7).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val (onTime, late) = lateSideOutputRun(s, eventsDir(d), schema,
+        df => df.withColumn("ts_us", expr("ts div 1000")), "ts_us", None)
+      onTime.withColumn("side", lit("ontime"))
+        .unionAll(late.withColumn("side", lit("late")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("side"))
+    }),
+
     "stream_tumbling" -> ((s, d) => {
       val agg = eventsStream(s, d)
         .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
@@ -1252,6 +1321,15 @@ object StreamingOps {
           AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
          ORDER BY p_id, c_id""",
+
+    // Single-file replay = one micro-batch against watermark 0 ⇒ every
+    // row routes to the on-time side; the oracle pins the NO-LOSS
+    // property (late routing itself is arrival-order dependent → the
+    // multi-batch ScalaTest).
+    "stream_late_side_output" ->
+      """SELECT 'ontime' AS side, count(*) AS cnt,
+                CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events""",
 
     // Batch left join; the null (non-match) rows additionally require
     // the purchase's match window sealed by the final watermark — the

@@ -851,6 +851,36 @@ class StreamingSpec extends GraftSpec {
       s"outer join rows wrong: $rows")
   }
 
+  test("stream_late_side_output: late rows route to the side output, both sides sum to the corpus") {
+    // 3-file run pinning the routing rule (late iff ts_us < ms-floored
+    // running max of PRIOR batches):
+    //  file 1: ids 1 (1.0 s), 2 (2.0005 s)    → wm floor after: 2.000 s
+    //  file 2: id 3 (1.5 s)    → LATE; id 4 (2.0001 s) → ON-TIME (same
+    //          ms as the watermark, smaller µs — the ms-truncation
+    //          boundary the engine's own filter has); id 5 (3.0 s)
+    //  file 3: id 6 (2.999999 s) → LATE (inside wm's floor); id 7 on-time
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late_in_").toString
+    Seq((1000000L, 1L), (2000500L, 2L))
+      .toDF("ts_us", "id").repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(20) // distinct ms mtimes pin file → batch order
+    Seq((1500000L, 3L), (2000100L, 4L), (3000000L, 5L))
+      .toDF("ts_us", "id").repartition(1).write.mode("append").parquet(dir)
+    Thread.sleep(20)
+    Seq((2999999L, 6L), (3500000L, 7L))
+      .toDF("ts_us", "id").repartition(1).write.mode("append").parquet(dir)
+    val sch = spark.read.parquet(dir).schema
+    val (onTime, late) = StreamingOps.lateSideOutputRun(spark, dir, sch,
+      identity, "ts_us", Some(1))
+    val lateIds = late.select("id").collect().map(_.getLong(0)).toSet
+    val onIds = onTime.select("id").collect().map(_.getLong(0)).toSet
+    assert(lateIds == Set(3L, 6L), s"late side wrong: $lateIds")
+    assert(onIds == Set(1L, 2L, 4L, 5L, 7L), s"on-time side wrong: $onIds")
+    assert((onIds ++ lateIds) == (1L to 7L).toSet &&
+      (onIds & lateIds).isEmpty,
+      "sides must partition the corpus exactly")
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
