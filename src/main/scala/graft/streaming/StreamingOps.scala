@@ -413,6 +413,30 @@ object StreamingOps {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // Dynamic-gap session windows (round-5 add): the gap each event
+    // contributes depends on its type — Flink's
+    // SessionWindowTimeGapExtractor — so the session close time is the
+    // running max of per-event ends, which a fixed trailing gap can't
+    // express. Same timer discipline as stream_session_timeout.
+    "stream_session_dynamic" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, Long, Long, String, Double)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new DynamicGapSessionProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(out.toDF("user_id", "start_us", "end_us", "cnt", "sum_dec"),
+        "append")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).as("s_start"),
+          timestamp_micros(col("end_us")).as("s_end"), col("cnt"),
+          col("sum_dec").cast(Money).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
     // Streaming CEP funnel (round-4 add): the event-time-timer twin of
     // the batch `events_funnel` op — per signup, the FIRST purchase by
     // the same user within 1 h, or an explicit non-conversion verdict.
@@ -666,6 +690,81 @@ object StreamingOps {
       sess.clear()
       st.map { case (start, last, cnt, sum) =>
         (key, start, last + GapUs, cnt, sum)
+      }.iterator
+    }
+  }
+
+  /** Per-user session windows whose gap is a FUNCTION OF THE EVENT —
+    * Flink's `SessionWindowTimeGapExtractor` (dynamic-gap session
+    * windows) on the [[SessionTimeoutProcessor]] machinery. Each event
+    * extends its session to `ts + gap(event_type)` (signup 30 min,
+    * purchase 20 min, else 10 min); the session's close time is the
+    * RUNNING MAX of those per-event ends — an early long-gap event can
+    * hold the session open past a later short-gap one, which no single
+    * trailing-gap rule expresses. Windows are half-open [ts, ts+gap):
+    * an event AT the current close time starts a NEW session (the
+    * deterministic tie rule, mirrored by the oracle's strict `<`).
+    * State per key is one (start, maxEnd, cnt, sum) tuple; the single
+    * armed timer sits at maxEnd, re-armed as events extend it. */
+  private class DynamicGapSessionProcessor extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Double),
+      (Long, Long, Long, Long, BigDecimal)] {
+
+    private def gapUs(etype: String): Long = etype match {
+      case "signup" => 1800000000L   // 30 min
+      case "purchase" => 1200000000L // 20 min
+      case _ => 600000000L           // 10 min
+    }
+
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, BigDecimal)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long, BigDecimal)]("dsess",
+        Encoders.product[(Long, Long, Long, BigDecimal)], TTLConfig.NONE)
+
+    private def dec(v: Double): BigDecimal = BigDecimal(
+      java.math.BigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP))
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Double)],
+        timerValues: TimerValues):
+        Iterator[(Long, Long, Long, Long, BigDecimal)] = {
+      val evs = rows.toArray.sortBy(_._2)
+      val closed = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, BigDecimal)]
+      var st = Option(sess.get())
+      evs.foreach { case (_, tsUs, _, etype, v) =>
+        val end = tsUs + gapUs(etype)
+        st match {
+          case None =>
+            st = Some((tsUs, end, 1L, dec(v)))
+          case Some((start, maxEnd, cnt, sum)) =>
+            if (tsUs >= maxEnd) { // half-open: touching starts a new one
+              closed += ((key, start, maxEnd, cnt, sum))
+              st = Some((tsUs, end, 1L, dec(v)))
+            } else {
+              st = Some((start, math.max(maxEnd, end), cnt + 1,
+                sum + dec(v)))
+            }
+        }
+      }
+      st.foreach { case s @ (_, maxEnd, _, _) =>
+        sess.update(s)
+        getHandle.listTimers()
+          .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(maxEnd / 1000)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Long, Long, BigDecimal)] = {
+      val st = Option(sess.get())
+      sess.clear()
+      st.map { case (start, maxEnd, cnt, sum) =>
+        (key, start, maxEnd, cnt, sum)
       }.iterator
     }
   }
@@ -1099,6 +1198,12 @@ object StreamingOps {
       (Long, Long, Option[Long], Option[Long], Option[Long])] =
     new PatternAbcProcessor()
 
+  /** Test hook: the dynamic-gap session processor (class is private). */
+  private[graft] def sessionDynamicForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Double),
+      (Long, Long, Long, Long, BigDecimal)] =
+    new DynamicGapSessionProcessor()
+
   /** Test hook: the quantified-pattern processor (class is private). */
   private[graft] def patternQuantifiedForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
@@ -1202,6 +1307,39 @@ object StreamingOps {
          WHERE sess_id < last_sess
             OR epoch_ms(last_t + INTERVAL 10 MINUTE) <= epoch_ms(m)
          ORDER BY user_id, s_start""",
+
+    // Batch recompute of dynamic-gap sessions: gaps-and-islands where a
+    // row continues the session iff its t is strictly inside the RUNNING
+    // MAX of preceding (t + CASE-gap) ends; trailing sessions need their
+    // close time under the ms watermark, as in stream_session_timeout.
+    "stream_session_dynamic" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                      CASE event_type
+                        WHEN 'signup' THEN INTERVAL 30 MINUTE
+                        WHEN 'purchase' THEN INTERVAL 20 MINUTE
+                        ELSE INTERVAL 10 MINUTE END AS g,
+                      value
+                    FROM events),
+            mx AS (SELECT epoch_ms(max(t)) AS wm FROM e),
+            o AS (SELECT user_id, t, g, value,
+                    CASE WHEN t < max(t + g) OVER (
+                           PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         THEN 0 ELSE 1 END AS new_sess
+                  FROM e),
+            gi AS (SELECT user_id, t, g, value,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS sess_id
+                  FROM o),
+            sess AS (SELECT user_id, sess_id, min(t) AS s_start,
+                       max(t + g) AS s_end, count(*) AS cnt,
+                       sum(CAST(value AS DECIMAL(38,6))) AS sv,
+                       max(sess_id) OVER (PARTITION BY user_id) AS last_sess
+                     FROM gi GROUP BY user_id, sess_id)
+       SELECT user_id, s_start, s_end, cnt, CAST(sv AS DOUBLE) AS sum_value
+       FROM sess, mx
+       WHERE sess_id < last_sess OR epoch_ms(s_end) <= mx.wm
+       ORDER BY user_id, s_start""",
 
     // Batch recompute of the streaming funnel + the watermark cutoff:
     // a signup's verdict emits iff its ms-truncated deadline cleared the

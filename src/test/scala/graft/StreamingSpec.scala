@@ -881,6 +881,72 @@ class StreamingSpec extends GraftSpec {
       "sides must partition the corpus exactly")
   }
 
+  test("stream_session_dynamic: long-gap event holds the session open; touching window starts a new one") {
+    // The dynamic-gap rules a fixed trailing gap cannot express, on a
+    // real 2-batch run (gaps: signup 30 min, purchase 20 min, else 10):
+    //  - u1: signup 09:00 extends the session to 09:30, so the click at
+    //    09:25 — 20 min after the previous click, far past ITS 10-min
+    //    gap — still joins (running-max-end rule); the session end then
+    //    moves to 09:35 (= 09:25 + 10 min);
+    //  - u1: the click AT exactly 09:35 touches the close time →
+    //    half-open windows → it starts a NEW session;
+    //  - u2: session spans batches (09:00 in batch 1, 09:05 in batch 2);
+    //  - u3: click 10:50 → close 11:00 > final watermark 10:50 → held.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dyn_sess_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:05
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 1.0),
+        (t("2024-01-01 09:05:00"), 1L, "click", 1.0),
+        (t("2024-01-01 09:00:00"), 2L, "click", 1.0))
+        .toDF("ts", "uid", "etype", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all >= 09:05; final wm: 10:50
+      Seq((t("2024-01-01 09:25:00"), 1L, "click", 1.0),
+        (t("2024-01-01 09:35:00"), 1L, "click", 1.0),
+        (t("2024-01-01 09:05:00"), 2L, "click", 1.0),
+        (t("2024-01-01 10:50:00"), 3L, "click", 1.0))
+        .toDF("ts", "uid", "etype", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("value"))
+        .as[(Timestamp, Long, Long, String, Double)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.sessionDynamicForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "cnt", "sum_dec")
+        .writeStream.format("memory").queryName("dyn_sess_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+      val rows = spark.table("dyn_sess_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, us("2024-01-01 09:00:00"), us("2024-01-01 09:35:00"), 3L),
+        (1L, us("2024-01-01 09:35:00"), us("2024-01-01 09:45:00"), 1L),
+        (2L, us("2024-01-01 09:00:00"), us("2024-01-01 09:15:00"), 2L)),
+        s"dynamic sessions wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("value-state TTL expires across restarts; non-TTL state survives") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ttl_").toString
