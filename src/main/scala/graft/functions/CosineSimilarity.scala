@@ -40,18 +40,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
+  // One toFloatArray()/toDoubleArray() bulk copy per row, then a loop
+  // over the PRIMITIVE array — instead of a virtual ArrayData.getFloat
+  // per element. ArrayData is polymorphic (Unsafe/Generic/Columnar), so
+  // a per-element call site in a 384-wide loop is both slower and
+  // vulnerable to JIT type-profile pollution once other array-heavy
+  // queries have run in the JVM (measured in-sweep: llm_embedding_lsh
+  // ~2× its isolated time with the per-element form). The bulk copy is
+  // a single dispatch + memcpy; the loop body then compiles to
+  // monomorphic primitive-array machine code regardless of JVM history.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
-    val lf = isFloat(left); val rf = isFloat(right)
-    var i = 0
-    while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    if (isFloat(left) && isFloat(right)) {
+      val xs = x.toFloatArray(); val ys = y.toFloatArray()
+      val n = math.min(xs.length, ys.length)
+      var i = 0
+      while (i < n) {
+        val xi = xs(i).toDouble; val yi = ys(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+    } else {
+      val xs = if (isFloat(left)) {
+        val f = x.toFloatArray(); Array.tabulate(f.length)(f(_).toDouble)
+      } else x.toDoubleArray()
+      val ys = if (isFloat(right)) {
+        val f = y.toFloatArray(); Array.tabulate(f.length)(f(_).toDouble)
+      } else y.toDoubleArray()
+      val n = math.min(xs.length, ys.length)
+      var i = 0
+      while (i < n) {
+        dot += xs(i) * ys(i); na += xs(i) * xs(i); nb += ys(i) * ys(i)
+        i += 1
+      }
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
@@ -65,16 +88,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)"
-                 else s"$a.getDouble($i)"
-      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)"
-                 else s"$b.getDouble($i)"
+      val xs = ctx.freshName("xs")
+      val ys = ctx.freshName("ys")
+      val (xTy, xCopy) = if (isFloat(left)) ("float[]", "toFloatArray")
+                         else ("double[]", "toDoubleArray")
+      val (yTy, yCopy) = if (isFloat(right)) ("float[]", "toFloatArray")
+                         else ("double[]", "toDoubleArray")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$xTy $xs = $a.$xCopy();
+         |$yTy $ys = $b.$yCopy();
+         |int $n = java.lang.Math.min($xs.length, $ys.length);
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $getX;
-         |  double $yi = $getY;
+         |  double $xi = (double) $xs[$i];
+         |  double $yi = (double) $ys[$i];
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

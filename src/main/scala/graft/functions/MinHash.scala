@@ -169,7 +169,14 @@ object CosineLsh {
     * carries only (band key, vec_id) pairs. */
   def bandKeys(v: Seq[Float], bands: Int, bitsPerBand: Int): Array[Long] = {
     require(bands * bitsPerBand <= Planes, s"$bands x $bitsPerBand > $Planes")
-    val n = math.min(v.length, Dim)
+    // one bulk copy, then primitive-array indexing in the 256×64 hot
+    // loop — Seq.apply is a boxed virtual call vulnerable to JVM type-
+    // profile pollution (same hazard as ArrayData.getFloat in
+    // CosineSimilarity; see its scaladoc)
+    val arr = new Array[Float](math.min(v.length, Dim))
+    var c = 0
+    while (c < arr.length) { arr(c) = v(c); c += 1 }
+    val n = arr.length
     val used = bands * bitsPerBand
     val bits = new Array[Boolean](used)
     var i = 0
@@ -177,7 +184,7 @@ object CosineLsh {
       val p = planes(i)
       var dot = 0.0
       var j = 0
-      while (j < n) { dot += p(j) * v(j); j += 1 }
+      while (j < n) { dot += p(j) * arr(j); j += 1 }
       bits(i) = dot >= 0
       i += 1
     }
