@@ -129,6 +129,16 @@ class PlanShapeSpec extends GraftSpec {
       s"packing window not sharded:\n$plan")
   }
 
+  test("events_pattern_quantified plans three hash equi-joins, never a nested loop") {
+    val plan = finalPlan("events_pattern_quantified")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop over events:\n$plan")
+    // every chain step is a user_id-keyed hash join (broadcast or
+    // shuffled — at sf the signup side may broadcast; both hash-key)
+    assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
