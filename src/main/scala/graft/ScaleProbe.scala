@@ -61,9 +61,11 @@ object ScaleProbe {
   // fixed window) — the probe measures that the *plumbing* stays an
   // equi-join growing with the output, never a nested loop.
   private val EventQueries = Seq(
-    "events_funnel", "events_pattern_abc", "join_interval_bucketed",
+    "events_funnel", "events_pattern_abc", "events_pattern_quantified",
+    "join_interval_bucketed",
     "ts_interpolate", "window_sessionize", "agg_heavy_hitters",
-    "stream_funnel", "stream_pattern_abc")
+    "stream_funnel", "stream_pattern_abc", "stream_pattern_quantified",
+    "stream_session_dynamic", "stream_stream_join_outer")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
