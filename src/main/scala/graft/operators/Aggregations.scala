@@ -115,6 +115,37 @@ object Aggregations {
               (col("n") - 1)), 6)).as("stddev_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Sample covariance + Pearson correlation of quantity vs extended
+    // price per return flag (round-5 add) — the bivariate half of the
+    // exact-stats story. Same discipline as agg_stats_exact: every sum
+    // accumulates as DECIMAL(38,6) (associative, partition-order
+    // independent, D2) and the double arithmetic on the REDUCED
+    // aggregates is the identical expression both engines evaluate;
+    // built-in corr()/covar_samp() would hit D2 (double accumulation
+    // order) AND engine-specific formulations. n=1 groups → NULL.
+    "agg_corr_covar" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity") * col("l_extendedprice")))
+            .cast("double").as("sxy"),
+          sum(dec(col("l_quantity") * col("l_quantity")))
+            .cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice") * col("l_extendedprice")))
+            .cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("n") > 1,
+            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (col("n") - 1), 6)).as("covar_qty_price"),
+          when(col("n") > 1,
+            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+                sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))),
+
     "agg_having" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_custkey"))
@@ -276,6 +307,25 @@ object Aggregations {
                 round((sxx - sx * sx / n) / NULLIF(n - 1, 0), 6) AS var_qty,
                 round(sqrt((sxx - sx * sx / n) / NULLIF(n - 1, 0)), 6)
                   AS stddev_qty
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_corr_covar" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS syy
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round((sxy - sx * sy / n) / NULLIF(n - 1, 0), 6)
+                  AS covar_qty_price,
+                round((sxy - sx * sy / n) /
+                  (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+                  AS corr_qty_price
          FROM m ORDER BY l_returnflag""",
 
     "agg_rollup" ->

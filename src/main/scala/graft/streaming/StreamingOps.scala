@@ -535,6 +535,30 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Tumbling-WINDOW stream-stream join (round-5 add): purchases and
+    // clicks of the same user joined per 1 h window — Flink's window
+    // join, where co-membership in the window (not a row-to-row time
+    // distance) is the match rule; the complement of the interval join
+    // above. The window struct rides the equi-join key, so state on both
+    // sides evicts wholesale once the watermark passes a window.
+    "stream_window_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .withWatermark("ts_utc", "0 seconds")
+        .select(window(col("ts_utc"), "1 hour").as("pw"),
+          col("event_id").as("p_id"), col("user_id").as("p_user"))
+      val c = ev.filter(col("event_type") === "click")
+        .withWatermark("ts_utc", "0 seconds")
+        .select(window(col("ts_utc"), "1 hour").as("cw"),
+          col("event_id").as("c_id"), col("user_id").as("c_user"))
+      val joined = p.join(c,
+        col("pw") === col("cw") && col("p_user") === col("c_user"),
+        "inner")
+        .select(col("pw.start").as("w_start"), col("p_id"), col("c_id"),
+          col("p_user").as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+    }),
+
     // Left-outer time-bounded stream-stream join (round-5 add): every
     // purchase with its preceding-30-min clicks OR an explicit null row
     // once the watermark seals its window — the non-match emission Flink
@@ -1458,6 +1482,19 @@ object StreamingOps {
            ON p.user_id = c.user_id
           AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         ORDER BY p_id, c_id""",
+
+    // Batch recompute: same-user purchase×click pairs co-resident in the
+    // same hour bucket. Inner matches emit eagerly (no watermark gate).
+    "stream_window_join" ->
+      """SELECT date_trunc('hour', CAST(p.ts AS TIMESTAMP)) AS w_start,
+                p.event_id AS p_id, c.event_id AS c_id,
+                p.user_id AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND date_trunc('hour', CAST(p.ts AS TIMESTAMP)) =
+              date_trunc('hour', CAST(c.ts AS TIMESTAMP))
          ORDER BY p_id, c_id""",
 
     // Single-file replay = one micro-batch against watermark 0 ⇒ every
