@@ -535,6 +535,27 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Windowed Top-N (round-5 add): top-2 event types per 1 h tumbling
+    // window by count — Flink's "Window Top-N" recipe, which is a RANK
+    // OVER THE WINDOW AGGREGATE'S OUTPUT, not a bigger window agg: the
+    // streaming stage computes the per-(window, type) counts (keyed
+    // state, partial+final agg); the row_number over each sealed
+    // window's handful of type rows is the cheap second operator
+    // downstream of the sink, exactly where Flink's SQL planner puts it.
+    "stream_windowed_topk" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w_start"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      runToMemory(agg, "complete")
+        .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .orderBy(col("w_start"), col("rn"))
+    }),
+
     // Tumbling-WINDOW stream-stream join (round-5 add): purchases and
     // clicks of the same user joined per 1 h window — Flink's window
     // join, where co-membership in the window (not a row-to-row time
@@ -1483,6 +1504,17 @@ object StreamingOps {
           AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
          ORDER BY p_id, c_id""",
+
+    "stream_windowed_topk" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+                      event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+            r AS (SELECT w_start, event_type, cnt,
+                    row_number() OVER (PARTITION BY w_start
+                      ORDER BY cnt DESC, event_type) AS rn
+                  FROM h)
+         SELECT w_start, event_type, cnt, rn
+         FROM r WHERE rn <= 2 ORDER BY w_start, rn""",
 
     // Batch recompute: same-user purchase×click pairs co-resident in the
     // same hour bucket. Inner matches emit eagerly (no watermark gate).
