@@ -177,6 +177,30 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Absence pattern (round-5 add): signups NOT followed by a purchase
+    // within 1 h — Flink-CEP's `notFollowedBy().within()`, the negation
+    // CEP shape the followed-by family above can't express (a match is
+    // the NON-existence of a later event). One left-anti join: the
+    // signup side survives iff no same-user purchase lands in its
+    // window. Scale: both sides shuffle once on user_id and the anti
+    // join is a hash join (no pair materialization for matches — a
+    // signup with thousands of in-window purchases costs one probe);
+    // AQE handles hot users.
+    "events_pattern_absence" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      sg.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("s_ts_us") &&
+            col("p_ts") <= col("s_ts_us") + lit(3600000000L), "left_anti")
+        .select(col("user_id"), col("signup_id"), col("s_ts_us"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Linear interpolation between sparse observations (round-4 add):
     // at EVERY event on a user's timeline, the purchase `value` linearly
     // interpolated between the nearest purchase at-or-before and the
@@ -472,6 +496,21 @@ object ScalarQueries {
        GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
+
+    "events_pattern_absence" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase')
+       SELECT s.user_id, s.signup_id, s.s_ts_us
+       FROM sg s
+       WHERE NOT EXISTS (SELECT 1 FROM pu p
+                         WHERE p.user_id = s.user_id
+                           AND p.p_ts > s.s_ts_us
+                           AND p.p_ts <= s.s_ts_us + 3600000000)
+       ORDER BY s.signup_id""",
 
     "ts_interpolate" ->
       """WITH ev AS (SELECT event_id, user_id,
