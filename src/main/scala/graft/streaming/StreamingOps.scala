@@ -516,6 +516,29 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming absence CEP (round-5 add): signups with NO purchase in
+    // the following hour, the timer-sealed negation twin of the batch
+    // `events_pattern_absence` — emission only when the watermark
+    // passes the signup's deadline, since until then a late in-window
+    // purchase could still void the non-match. Same machinery and
+    // cutoff contract as stream_pattern_abc.
+    "stream_pattern_absence" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new PatternAbsenceProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "s_ts_us", "followed"), "append")
+        .filter(!col("followed"))
+        .select(col("user_id"), col("signup_id"), col("s_ts_us"))
+        .orderBy(col("signup_id"))
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -992,6 +1015,11 @@ object StreamingOps {
     protected def verdict(key: Long, sid: Long, sTs: Long,
         events: Seq[(Int, Long, Long)]): O
 
+    /** Event types the concrete pattern actually reads — a processor
+      * whose verdict ignores clicks (e.g. the absence pattern) skips
+      * buffering them, halving its per-key state. */
+    protected def wanted(typeCode: Int): Boolean = true
+
     @transient private var st:
       org.apache.spark.sql.streaming.ValueState[AbcState] = _
 
@@ -1048,8 +1076,8 @@ object StreamingOps {
       rows.foreach { case (_, tsUs, _, etype, eid) =>
         etype match {
           case "signup" => signups += ((eid, tsUs))
-          case "click" => events += ((0, tsUs, eid))
-          case "purchase" => events += ((1, tsUs, eid))
+          case "click" => if (wanted(0)) events += ((0, tsUs, eid))
+          case "purchase" => if (wanted(1)) events += ((1, tsUs, eid))
           case _ => ()
         }
       }
@@ -1146,6 +1174,28 @@ object StreamingOps {
           }
       }
     }
+  }
+
+  /** Streaming absence-pattern verdict (see `stream_pattern_absence`):
+    * signup NOT followed by a purchase within 1 h — Flink-CEP's
+    * `notFollowedBy().within()`. A negation is only decidable once the
+    * watermark seals the window (any earlier emission could be
+    * invalidated by a late in-window purchase), which is exactly the
+    * timer-sealed evaluation point the buffered-window base class
+    * provides — the verdict itself is one scan for a purchase in
+    * (s_ts, s_ts + 1 h]. Clicks are never buffered ([[wanted]]), so
+    * per-key state is the pending signups plus one window of
+    * purchases. Emits (user, signup, s_ts, followed); the registered
+    * query keeps the followed=false rows — the processor reports every
+    * sealed verdict so the stream also serves the complement. */
+  private class PatternAbsenceProcessor
+      extends AbcBufferProcessor[(Long, Long, Long, Boolean)] {
+
+    override protected def wanted(typeCode: Int): Boolean = typeCode == 1
+
+    override protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]): (Long, Long, Long, Boolean) =
+      (key, sid, sTs, firstOf(events, 1, sTs, sTs + WindowUs).isDefined)
   }
 
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
@@ -1254,6 +1304,12 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
     new PatternQuantifiedProcessor()
+
+  /** Test hook: the absence-pattern processor (class is private). */
+  private[graft] def patternAbsenceForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Long, Boolean)] =
+    new PatternAbsenceProcessor()
 
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
@@ -1494,6 +1550,28 @@ object StreamingOps {
        GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
+
+    // Batch recompute of the absence pattern + the same watermark
+    // cutoff convention as stream_funnel: a signup's non-match is only
+    // reportable once its ms-truncated deadline cleared the final
+    // watermark.
+    "stream_pattern_absence" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events)
+       SELECT s.user_id, s.signup_id, s.s_ts_us
+       FROM sg s, mx
+       WHERE (s.s_ts_us + 3600000000) // 1000 <= mx.wm
+         AND NOT EXISTS (SELECT 1 FROM pu p
+                         WHERE p.user_id = s.user_id
+                           AND p.p_ts > s.s_ts_us
+                           AND p.p_ts <= s.s_ts_us + 3600000000)
+       ORDER BY s.signup_id""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

@@ -511,6 +511,72 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_absence: cross-batch purchase voids the non-match; holdback past the watermark") {
+    // Pins the absence processor's load-bearing behaviors on a real
+    // 2-micro-batch run:
+    //  - u1: signup in batch 1, purchase in batch 2 inside the hour →
+    //    verdict followed=true (the cross-batch void the eager emission
+    //    a state-less negation would get wrong);
+    //  - u2: purchases only OUTSIDE (s_ts, s_ts+1h] (one before the
+    //    signup, one past the deadline) → followed=false;
+    //  - u4: no purchase at all → followed=false once the deadline
+    //    clears the final watermark;
+    //  - u3: deadline (11:00) past the final watermark (10:40) → NO
+    //    verdict (the cutoff the oracle mirrors).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_absence_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:25
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:20:00"), 2L, "purchase", 205L),
+        (t("2024-01-01 09:25:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:10:00"), 4L, "signup", 130L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all rows >= 09:25 (not late); final wm: 10:40
+      Seq((t("2024-01-01 09:40:00"), 1L, "purchase", 200L),
+        (t("2024-01-01 10:26:00"), 2L, "purchase", 220L), // past deadline
+        (t("2024-01-01 10:00:00"), 3L, "signup", 120L),
+        (t("2024-01-01 10:40:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternAbsenceForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "s_ts_us", "followed")
+        .writeStream.format("memory").queryName("absence_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      val rows = spark.table("absence_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+      assert(rows == Set(
+        (1L, 100L, true),   // cross-batch purchase voids the non-match
+        (2L, 110L, false),  // purchases outside the window don't count
+        (4L, 130L, false)), // matured true absence
+        s"absence verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
