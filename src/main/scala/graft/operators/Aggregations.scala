@@ -146,6 +146,72 @@ object Aggregations {
             .as("corr_qty_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Ordinary-least-squares aggregate (round-5 add): slope / intercept /
+    // R² of extended price on quantity per return flag, from the SAME
+    // five decimal moment sums as agg_corr_covar — built-in regr_slope/
+    // regr_intercept would accumulate doubles in partition order (D2).
+    // The double finish runs on the reduced aggregates only and is the
+    // identical expression both engines evaluate; degenerate groups
+    // (n<2 or zero x-variance) → NULL.
+    "agg_regression" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity") * col("l_extendedprice")))
+            .cast("double").as("sxy"),
+          sum(dec(col("l_quantity") * col("l_quantity")))
+            .cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice") * col("l_extendedprice")))
+            .cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("n") > 1 &&
+              col("sxx") - col("sx") * col("sx") / col("n") =!= 0.0,
+            round((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (col("sxx") - col("sx") * col("sx") / col("n")), 6))
+            .as("slope"),
+          when(col("n") > 1 &&
+              col("sxx") - col("sx") * col("sx") / col("n") =!= 0.0,
+            round(col("sy") / col("n") -
+              ((col("sxy") - col("sx") * col("sy") / col("n")) /
+                (col("sxx") - col("sx") * col("sx") / col("n"))) *
+                (col("sx") / col("n")), 6))
+            .as("intercept"),
+          when(col("n") > 1 &&
+              col("sxx") - col("sx") * col("sx") / col("n") =!= 0.0 &&
+              col("syy") - col("sy") * col("sy") / col("n") =!= 0.0,
+            round((col("sxy") - col("sx") * col("sy") / col("n")) *
+              (col("sxy") - col("sx") * col("sy") / col("n")) /
+              ((col("sxx") - col("sx") * col("sx") / col("n")) *
+                (col("syy") - col("sy") * col("sy") / col("n"))), 6))
+            .as("r2"))
+        .orderBy(col("l_returnflag"))),
+
+    // Shannon entropy of each event type's hour-of-day distribution
+    // (round-5 add): how concentrated in the day a given event type is.
+    // Float discipline is llm_ngram_lm's fixed-point idiom: each hour
+    // bucket's ln(p) rounds to integer micro-nats ONCE, the per-type
+    // accumulation is exact long arithmetic (partition-order
+    // independent), and the finish is one round-half-up integer
+    // division — no double summation anywhere.
+    "agg_entropy" -> ((s, d) => {
+      val hc = events(s, d)
+        .groupBy(col("event_type"), hour(col("ts_utc")).as("hr"))
+        .agg(count(lit(1)).as("ni"))
+        .withColumn("n",
+          sum(col("ni")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("lpm",
+          round(log(col("ni").cast("double") / col("n")) * 1e6, 0)
+            .cast("long"))
+      hc.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), count(lit(1)).as("n_hours"),
+          (-sum(col("ni") * col("lpm"))).as("p"))
+        .select(col("event_type"), col("n"), col("n_hours"),
+          (expr("(2 * p + n) div (2 * n)") / lit(1e6)).as("h_nats"))
+        .orderBy(col("event_type"))
+    }),
+
     "agg_having" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_custkey"))
@@ -327,6 +393,47 @@ object Aggregations {
                   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
                   AS corr_qty_price
          FROM m ORDER BY l_returnflag""",
+
+    "agg_regression" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS syy
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                CASE WHEN n > 1 AND sxx - sx * sx / n <> 0 THEN
+                  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                END AS slope,
+                CASE WHEN n > 1 AND sxx - sx * sx / n <> 0 THEN
+                  round(sy / n - ((sxy - sx * sy / n) /
+                    (sxx - sx * sx / n)) * (sx / n), 6)
+                END AS intercept,
+                CASE WHEN n > 1 AND sxx - sx * sx / n <> 0
+                       AND syy - sy * sy / n <> 0 THEN
+                  round((sxy - sx * sy / n) * (sxy - sx * sy / n) /
+                    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+                END AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    "agg_entropy" ->
+      """WITH hc AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
+                       count(*) AS ni
+                     FROM events GROUP BY 1, 2),
+            hp AS (SELECT event_type, ni,
+                     CAST(sum(ni) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                     CAST(round(ln(CAST(ni AS DOUBLE) /
+                         CAST(sum(ni) OVER (PARTITION BY event_type) AS BIGINT))
+                       * 1000000, 0) AS BIGINT) AS lpm
+                   FROM hc)
+         SELECT event_type, max(n) AS n, count(*) AS n_hours,
+                CAST((2 * CAST(-sum(ni * lpm) AS BIGINT) + max(n))
+                    // (2 * max(n)) AS DOUBLE) / 1000000 AS h_nats
+         FROM hp GROUP BY event_type ORDER BY event_type""",
 
     "agg_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
