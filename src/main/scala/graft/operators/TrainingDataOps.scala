@@ -699,6 +699,81 @@ object TrainingDataOps {
         round(col("n_chars") / size(ws), 4).as("chars_per_token"))
         .orderBy(col("doc_id"))),
 
+    // Intra-document repetition signals (round-5 add): the two
+    // repetition filters of a Gopher-style quality gate — the fraction
+    // of a doc's words that are repeats of an earlier word, and the
+    // share of its bigram slots taken by the single most frequent
+    // bigram (boilerplate / keyword-stuffing detector). Per-doc array
+    // ops compute the word side scan-locally (no shuffle); the bigram
+    // side is one (doc_id, bigram) hash agg then a per-doc max — both
+    // keyed by doc_id, so the shuffle is corpus-bigram-sized and
+    // partitions cleanly at 100 TB. Fractions are single int/int double
+    // divisions rounded once (no accumulation-order hazard).
+    "llm_repetition" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wsArr = col("ws_arr")
+      val base = docs.withColumn("ws_arr", ws)
+        .select(col("doc_id"), size(wsArr).cast("int").as("n_words"),
+          size(array_distinct(wsArr)).cast("int").as("n_distinct"))
+      val bg = docs.withColumn("ws_arr", ws)
+        .select(col("doc_id"),
+          explode(when(size(wsArr) >= 2,
+            transform(sequence(lit(1), size(wsArr) - 1),
+              i => concat_ws(" ", element_at(wsArr, i),
+                element_at(wsArr, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+      val topbg = bg.groupBy(col("doc_id"), col("bg"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
+      base.join(topbg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          round((col("n_words") - col("n_distinct")) / col("n_words"), 6)
+            .as("dup_word_frac"),
+          when(col("n_words") >= 2,
+            round(col("max_tf") / (col("n_words") - 1), 6))
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document duplicated-n-gram coverage (round-5 add): for each
+    // doc, the fraction of its 5-gram positions whose 5-gram also
+    // appears in at least one OTHER doc — the substring-duplication
+    // metric behind exact-substring corpus dedup (and the audit signal
+    // for how much boilerplate survives the doc-level dedup passes).
+    // One corpus-token-sized explode → gram-keyed hash agg
+    // (count distinct docs per gram — map-side partial first) → join
+    // back on the gram key → per-doc rollup: every stage is a keyed
+    // equi-join/agg, no pair set is ever materialised (a gram shared by
+    // k docs costs k rows, not k²). A 100 TB deployment would key the
+    // agg by xxhash64(gram) to shrink shuffle bytes; the registered op
+    // keys by the gram itself so the oracle stays exact.
+    "llm_dup_ngram_coverage" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wsArr = col("ws_arr")
+      val grams = docs.withColumn("ws_arr", ws)
+        .select(col("doc_id"),
+          explode(when(size(wsArr) >= 5,
+            transform(sequence(lit(1), size(wsArr) - 4),
+              i => concat_ws(" ", element_at(wsArr, i),
+                element_at(wsArr, i + 1), element_at(wsArr, i + 2),
+                element_at(wsArr, i + 3), element_at(wsArr, i + 4))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      val gd = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val per = grams.join(gd, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          when(col("n_grams") > 0,
+            round(col("n_dup") / col("n_grams"), 6)).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rows-only: Karp-Rabin rolling hashes aren't SQL-expressible.
     "llm_fingerprint" -> ((s, d) => {
       val fullU = udf((t: String) => RollingHash.full(t))
@@ -1022,6 +1097,48 @@ object TrainingDataOps {
                 round(n_chars / len(string_split(text, ' ')), 4)
                   AS chars_per_token
          FROM documents ORDER BY doc_id""",
+
+    "llm_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+            base AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+                       CAST(len(list_distinct(ws)) AS INT) AS n_distinct
+                     FROM t),
+            bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bg
+                   FROM t, LATERAL unnest(generate_series(1, len(ws) - 1))
+                     AS g(i)),
+            tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY 1)
+       SELECT b.doc_id, b.n_words,
+              round((b.n_words - b.n_distinct) / b.n_words, 6)
+                AS dup_word_frac,
+              CASE WHEN b.n_words >= 2 THEN
+                round(m.max_tf / (b.n_words - 1), 6)
+              END AS top_bigram_frac
+       FROM base b LEFT JOIN mx m ON m.doc_id = b.doc_id
+       ORDER BY b.doc_id""",
+
+    "llm_dup_ngram_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+            g AS (SELECT doc_id,
+                    ws[gg.i] || ' ' || ws[gg.i + 1] || ' ' || ws[gg.i + 2]
+                      || ' ' || ws[gg.i + 3] || ' ' || ws[gg.i + 4] AS g
+                  FROM t, LATERAL unnest(generate_series(1, len(ws) - 4))
+                    AS gg(i)
+                  WHERE len(ws) >= 5),
+            gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+            per AS (SELECT doc_id, count(*) AS n_grams,
+                      sum(CASE WHEN gd.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+                    FROM g JOIN gd USING (g) GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+              CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+              CASE WHEN p.n_grams > 0 THEN
+                round(p.n_dup / p.n_grams, 6)
+              END AS dup_frac
+       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
 
     "llm_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
