@@ -42,6 +42,25 @@ object Aggregations {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type"))),
 
+    // Mergeable-sketch rollup (round-5 add): distinct users per event
+    // type computed in TWO phases — a Datasketches HLL sketch per
+    // (event_type, day), then hll_union_agg over the daily sketches —
+    // the pre-aggregated-rollup shape of a 100 TB deployment, where
+    // daily sketch tables are tiny, persistable, and re-unionable into
+    // any date range without rescanning the raw corpus. Union-merge is
+    // exact over sketches: the two-phase estimate IS the single-pass
+    // estimate (asserted in ScalaTest, with a ±5%-of-exact bound).
+    // Approximate ⇒ no DuckDB oracle (rows-only + ScalaTest).
+    "agg_hll_merge" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts_utc")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_est"))
+        .orderBy(col("event_type"))
+    }),
+
     "agg_rollup" -> ((s, d) =>
       orders(s, d)
         .select(year(col("o_orderdate")).cast("int").as("o_year"),

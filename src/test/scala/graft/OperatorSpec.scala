@@ -16,7 +16,8 @@ class OperatorSpec extends GraftSpec {
       s"oracle keys without query: ${oracles.keySet -- qs.keySet}")
     // Non-oracle ops are intentional and enumerated (D8):
     assert((qs.keySet -- oracles.keySet) ==
-      Set("agg_approx_distinct", "llm_minhash_lsh", "llm_simhash_dedup",
+      Set("agg_approx_distinct", "agg_hll_merge", "llm_minhash_lsh",
+        "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "llm_ann_lsh", "llm_embedding_lsh",
         "mm_decode_features", "mm_resize", "mm_frame_sample",
         "llm_pack_greedy", "agg_approx_percentile",
@@ -79,6 +80,25 @@ class OperatorSpec extends GraftSpec {
     assert(truth.nonEmpty, "jaccard ground truth is empty — test data changed?")
     val recall = truth.count(cands.contains).toDouble / truth.size
     assert(recall >= 0.7, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("hll_merge two-phase estimate == single-pass estimate, within 5% of exact") {
+    import graft.Tables
+    val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = SparkEntry.queries("agg_hll_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // Merge invariance: union of daily sketches = one sketch over all days.
+    val single = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == merged.keySet)
+    merged.foreach { case (k, m) =>
+      assert(m == single(k), s"$k: merged=$m single-pass=${single(k)}")
+      assert(math.abs(m - exact(k)).toDouble / exact(k) <= 0.05,
+        s"$k: sketch=$m exact=${exact(k)} off by >5%")
+    }
   }
 
   test("topk_global is the true global top-100") {
