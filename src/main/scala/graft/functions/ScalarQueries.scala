@@ -201,6 +201,33 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Count-based tumbling windows (round-5 add): per user, every
+    // consecutive run of 5 events in event-time order forms one window
+    // (only FULL windows emit) — Flink's `countWindow(5)`, which Spark's
+    // time-based `window()` can't express. One user-keyed window rank +
+    // hash agg; `value` rides as exact decimal micro-units so the
+    // per-window sum is integer arithmetic on both engines (a 5-double
+    // sum would drift on accumulation order, D2). The streaming twin is
+    // `stream_count_window`.
+    "events_count_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .withColumn("rn", row_number().over(w) - 1)
+        .withColumn("win_idx", expr("rn div 5"))
+        .groupBy(col("user_id"), col("win_idx"))
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("w_first_us"),
+          max(col("ts_us")).as("w_last_us"), sum(col("v_us")).as("sv"))
+        .filter(col("n") === 5)
+        .select(col("user_id"), col("win_idx"), col("w_first_us"),
+          col("w_last_us"),
+          (col("sv").cast("double") / lit(1e6)).as("sum_value"))
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
     // Linear interpolation between sparse observations (round-4 add):
     // at EVERY event on a user's timeline, the purchase `value` linearly
     // interpolated between the nearest purchase at-or-before and the
@@ -511,6 +538,24 @@ object ScalarQueries {
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
        ORDER BY s.signup_id""",
+
+    "events_count_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            r AS (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) - 1 AS rn
+                  FROM e),
+            g AS (SELECT user_id, rn // 5 AS win_idx, count(*) AS n,
+                    min(ts_us) AS w_first_us, max(ts_us) AS w_last_us,
+                    CAST(sum(v_us) AS BIGINT) AS sv
+                  FROM r GROUP BY 1, 2)
+       SELECT user_id, CAST(win_idx AS BIGINT) AS win_idx,
+              w_first_us, w_last_us,
+              CAST(sv AS DOUBLE) / 1000000 AS sum_value
+       FROM g WHERE n = 5 ORDER BY user_id, win_idx""",
 
     "ts_interpolate" ->
       """WITH ev AS (SELECT event_id, user_id,

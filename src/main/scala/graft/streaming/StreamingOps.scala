@@ -32,6 +32,14 @@ private[streaming] case class AbcState(
     sId: Array[Long], sTs: Array[Long],
     eType: Array[Int], eTs: Array[Long], eId: Array[Long])
 
+/** State row for [[StreamingOps]]'s count-window processor: the events
+  * of one user not yet emitted in a full window, as parallel primitive
+  * arrays (same codegen rationale as [[FunnelState]]), plus the count of
+  * windows already emitted so window indices stay contiguous across
+  * micro-batches. Logically `buf: Seq[(tsUs, eventId, valueMicro)]`. */
+private[streaming] case class CountWinState(
+    nEmitted: Long, ts: Array[Long], eid: Array[Long], vus: Array[Long])
+
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
   * Execution discipline (D7): every oracle-checked op replays the events
@@ -539,6 +547,33 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Count-based tumbling windows (round-5 add): Flink's
+    // `countWindow(5)` per user — inexpressible with Spark's time-based
+    // window(). Each full run of 5 events in EVENT-TIME order emits one
+    // window; a window seals when the watermark passes its 5th member's
+    // millisecond (before that, an out-of-order arrival could still
+    // claim an earlier rank). `value` rides as exact decimal micro-units
+    // so the per-window sum is integer arithmetic (D2). Batch twin:
+    // events_count_window; oracle = its SQL with the final-watermark
+    // seal cutoff.
+    "stream_count_window" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_id"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CountWindowProcessor(5),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "win_idx", "w_first_us", "w_last_us",
+          "sum_value"),
+        "append")
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -980,6 +1015,85 @@ object StreamingOps {
   /** [[AbcState]] ↔ working-tuple converters: pending signups plus the
     * buffered click/purchase events of the live 1 h horizon. Event
     * tuples are (typeCode 0=click/1=purchase, tsUs, eventId). */
+  /** Count-based tumbling windows (Flink `countWindow(n)`): per user,
+    * every consecutive run of `winSize` events in event-time order forms
+    * one window; only FULL windows emit. A window is final once the
+    * watermark passes its last member's millisecond — the engine's late
+    * rule admits future rows only with ts_ms ≥ wm, so every event with
+    * `tsUs < wm·1000` has its final rank (nothing can still arrive
+    * before it, µs-exact by the same argument as AbcBufferProcessor's
+    * evict). Emitted events leave state; `nEmitted` keeps window indices
+    * contiguous across batches. State is O(winSize + unsealed horizon)
+    * per key, not O(stream). */
+  private class CountWindowProcessor(winSize: Int)
+      extends StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Double)] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CountWinState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CountWinState]("cw",
+        Encoders.product[CountWinState], TTLConfig.NONE)
+
+    private def bufOf(s: CountWinState): Seq[(Long, Long, Long)] =
+      Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.vus(i))).toSeq
+
+    private def pack(n: Long, buf: Seq[(Long, Long, Long)]): CountWinState =
+      CountWinState(n, buf.map(_._1).toArray, buf.map(_._2).toArray,
+        buf.map(_._3).toArray)
+
+    /** One timer: the moment the current 5th-oldest buffered event seals
+      * (its ms + 1). Fewer than winSize buffered ⇒ no full window can
+      * seal without new input, which re-arms. */
+    private def rearm(buf: Seq[(Long, Long, Long)]): Unit = {
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (buf.size >= winSize) {
+        val fifth = buf.map(_._1).sorted.apply(winSize - 1)
+        getHandle.registerTimer(fifth / 1000 + 1)
+      }
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long)],
+        timerValues: TimerValues):
+        Iterator[(Long, Long, Long, Long, Double)] = {
+      val cur = Option(st.get())
+      val buf = scala.collection.mutable.ArrayBuffer(
+        cur.map(bufOf).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, eid, vus) => buf += ((tsUs, eid, vus)) }
+      st.update(pack(cur.map(_.nEmitted).getOrElse(0L), buf.toSeq))
+      rearm(buf.toSeq)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Long, Long, Double)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get())
+      var nEmitted = cur.map(_.nEmitted).getOrElse(0L)
+      val sorted = cur.map(bufOf).getOrElse(Nil)
+        .sortBy { case (ts, eid, _) => (ts, eid) }
+      val nSealed = sorted.takeWhile(_._1 < wm * 1000).size
+      val full = nSealed / winSize
+      val out = (0 until full).map { j =>
+        val win = sorted.slice(j * winSize, (j + 1) * winSize)
+        val r = (key, nEmitted + j, win.head._1, win.last._1,
+          win.map(_._3).sum.toDouble / 1e6)
+        r
+      }
+      nEmitted += full
+      val rest = sorted.drop(full * winSize)
+      if (rest.nonEmpty || nEmitted > 0) st.update(pack(nEmitted, rest))
+      else st.clear()
+      rearm(rest)
+      out.iterator
+    }
+  }
+
   private def abcSignups(s: AbcState): Seq[(Long, Long)] =
     Array.tabulate(s.sId.length)(i => (s.sId(i), s.sTs(i))).toSeq
 
@@ -1311,6 +1425,11 @@ object StreamingOps {
       (Long, Long, Long, Boolean)] =
     new PatternAbsenceProcessor()
 
+  private[graft] def countWindowForTest(winSize: Int): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Long, Long),
+      (Long, Long, Long, Long, Double)] =
+    new CountWindowProcessor(winSize)
+
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
       StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =
@@ -1572,6 +1691,29 @@ object StreamingOps {
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
        ORDER BY s.signup_id""",
+
+    // Batch recompute of events_count_window under the seal rule: only
+    // events strictly inside the final watermark's millisecond horizon
+    // have final ranks; windows form over that sealed prefix.
+    "stream_count_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            r AS (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) - 1 AS rn
+                  FROM e, mx WHERE e.ts_us < mx.wm * 1000),
+            g AS (SELECT user_id, rn // 5 AS win_idx, count(*) AS n,
+                    min(ts_us) AS w_first_us, max(ts_us) AS w_last_us,
+                    CAST(sum(v_us) AS BIGINT) AS sv
+                  FROM r GROUP BY 1, 2)
+       SELECT user_id, CAST(win_idx AS BIGINT) AS win_idx,
+              w_first_us, w_last_us,
+              CAST(sv AS DOUBLE) / 1000000 AS sum_value
+       FROM g WHERE n = 5 ORDER BY user_id, win_idx""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

@@ -577,6 +577,74 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_count_window: cross-batch windows, index continuity, unsealed holdback") {
+    // Pins the count-window processor on a real 2-micro-batch run
+    // (winSize=2 for hand-checkable windows):
+    //  - u1: events straddle the batches; window 0 emits from batch 1's
+    //    sealed prefix, window 1 forms across the batch boundary with a
+    //    CONTIGUOUS index (nEmitted persisted in state);
+    //  - u2: both members arrive in different batches → one window;
+    //  - u3: both events sit in the final watermark's millisecond →
+    //    never sealed, nothing emits (the cutoff the oracle mirrors);
+    //  - last events of u1/u2 (ts = final wm) stay held back.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cw_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:40
+      Seq((t("2024-01-01 09:00:00"), 1L, 101L, 1000000L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2000000L),
+        (t("2024-01-01 09:30:00"), 1L, 103L, 3000000L),
+        (t("2024-01-01 09:40:00"), 2L, 201L, 1000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all rows >= 09:40 (not late); final wm: 10:30
+      Seq((t("2024-01-01 09:45:00"), 1L, 104L, 4000000L),
+        (t("2024-01-01 10:30:00"), 1L, 105L, 5000000L),
+        (t("2024-01-01 09:42:00"), 2L, 202L, 2000000L),
+        (t("2024-01-01 10:30:00"), 2L, 203L, 3000000L),
+        (t("2024-01-01 10:30:00"), 3L, 301L, 1000000L),
+        (t("2024-01-01 10:30:00"), 3L, 302L, 2000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("eid"), col("v_us"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.countWindowForTest(2),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "win_idx", "w_first_us", "w_last_us", "sum_value")
+        .writeStream.format("memory").queryName("cw_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+      val rows = spark.table("cw_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(rows == Set(
+        (1L, 0L, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 3.0),
+        (1L, 1L, us("2024-01-01 09:30:00"), us("2024-01-01 09:45:00"), 7.0),
+        (2L, 0L, us("2024-01-01 09:40:00"), us("2024-01-01 09:42:00"), 3.0)),
+        s"count windows wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
