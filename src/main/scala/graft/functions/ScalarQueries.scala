@@ -177,6 +177,70 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Optional-step pattern (round-5 add): A B? C within 1 h — signup,
+    // OPTIONAL click, then purchase: Flink-CEP's `optional()` quantifier
+    // with greedy preference. The with-click chain (first click after
+    // signup, first purchase after that click) is attempted first; only
+    // if it cannot COMPLETE does the match fall back to the click-skipped
+    // branch (first purchase directly after the signup — possibly one
+    // that PRECEDED the dangling click). A click with no chain and no
+    // direct purchase still reports as a dangling step. Three
+    // time-bounded user-keyed joins + min-struct picks, same scale shape
+    // as the quantified pattern.
+    "events_pattern_optional" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      val step1 = sg.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") &&
+            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("click_id").isNotNull,
+          struct(col("c_ts"), col("click_id")))).as("fc"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
+      val chain = step1.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("c_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click_id"), col("fp.purchase_id").as("p1_id"),
+          col("fp.p_ts").as("p1_ts"))
+      val direct = sg.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("signup_id"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp0"))
+        .select(col("signup_id").as("d_sig"),
+          col("fp0.purchase_id").as("p0_id"), col("fp0.p_ts").as("p0_ts"))
+      chain.join(direct, col("signup_id") === col("d_sig"))
+        .select(col("user_id"), col("signup_id"),
+          when(col("p1_id").isNotNull, col("click_id"))
+            .otherwise(when(col("p0_id").isNotNull,
+              lit(null).cast("long")).otherwise(col("click_id")))
+            .as("click_id"),
+          coalesce(col("p1_id"), col("p0_id")).as("purchase_id"),
+          when(col("p1_id").isNotNull, col("p1_ts") - col("s_ts"))
+            .otherwise(when(col("p0_id").isNotNull,
+              col("p0_ts") - col("s_ts")))
+            .as("us_to_complete"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Absence pattern (round-5 add): signups NOT followed by a purchase
     // within 1 h — Flink-CEP's `notFollowedBy().within()`, the negation
     // CEP shape the followed-by family above can't express (a match is
@@ -537,6 +601,57 @@ object ScalarQueries {
                          WHERE p.user_id = s.user_id
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
+       ORDER BY s.signup_id""",
+
+    "events_pattern_optional" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, signup_id, s_ts, click_id, c_ts FROM (
+                    SELECT s.user_id, s.signup_id, s.s_ts, k.click_id,
+                           k.c_ts,
+                           row_number() OVER (PARTITION BY s.signup_id
+                             ORDER BY k.c_ts, k.click_id) AS rn
+                    FROM sg s JOIN ck k ON k.user_id = s.user_id
+                      AND k.c_ts > s.s_ts
+                      AND k.c_ts <= s.s_ts + 3600000000)
+                  WHERE rn = 1),
+            p1 AS (SELECT signup_id, purchase_id AS p1_id, p_ts AS p1_ts
+                   FROM (
+                     SELECT c.signup_id, p.purchase_id, p.p_ts,
+                            row_number() OVER (PARTITION BY c.signup_id
+                              ORDER BY p.p_ts, p.purchase_id) AS rn
+                     FROM c JOIN pu p ON p.user_id = c.user_id
+                       AND p.p_ts > c.c_ts
+                       AND p.p_ts <= c.s_ts + 3600000000)
+                   WHERE rn = 1),
+            p0 AS (SELECT signup_id, purchase_id AS p0_id, p_ts AS p0_ts
+                   FROM (
+                     SELECT s.signup_id, p.purchase_id, p.p_ts,
+                            row_number() OVER (PARTITION BY s.signup_id
+                              ORDER BY p.p_ts, p.purchase_id) AS rn
+                     FROM sg s JOIN pu p ON p.user_id = s.user_id
+                       AND p.p_ts > s.s_ts
+                       AND p.p_ts <= s.s_ts + 3600000000)
+                   WHERE rn = 1)
+       SELECT s.user_id, s.signup_id,
+              CASE WHEN p1.p1_id IS NOT NULL THEN c.click_id
+                   WHEN p0.p0_id IS NOT NULL THEN NULL
+                   ELSE c.click_id END AS click_id,
+              coalesce(p1.p1_id, p0.p0_id) AS purchase_id,
+              CASE WHEN p1.p1_id IS NOT NULL THEN p1.p1_ts - s.s_ts
+                   WHEN p0.p0_id IS NOT NULL THEN p0.p0_ts - s.s_ts
+              END AS us_to_complete
+       FROM sg s
+       LEFT JOIN c ON c.signup_id = s.signup_id
+       LEFT JOIN p1 ON p1.signup_id = s.signup_id
+       LEFT JOIN p0 ON p0.signup_id = s.signup_id
        ORDER BY s.signup_id""",
 
     "events_count_window" ->

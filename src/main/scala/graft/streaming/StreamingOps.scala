@@ -547,6 +547,27 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming optional-step CEP (round-5 add): A B? C within 1 h —
+    // the `optional()` quantifier on the shared buffered-window
+    // machinery (state shape, eviction, timer bounds unchanged; the
+    // verdict adds the greedy fallback scan).
+    "stream_pattern_optional" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new PatternOptionalProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "us_to_complete"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
     // Count-based tumbling windows (round-5 add): Flink's
     // `countWindow(5)` per user — inexpressible with Spark's time-based
     // window(). Each full run of 5 events in EVENT-TIME order emits one
@@ -1312,6 +1333,37 @@ object StreamingOps {
       (key, sid, sTs, firstOf(events, 1, sTs, sTs + WindowUs).isDefined)
   }
 
+  /** Streaming optional-step verdict (see `stream_pattern_optional`):
+    * A B? C within 1 h — Flink-CEP's `optional()` quantifier, greedy:
+    * the with-click chain (first click after signup, first purchase
+    * after that click) is attempted first; only if it cannot COMPLETE
+    * does the match fall back to the click-skipped branch (first
+    * purchase directly after the signup — possibly one that PRECEDED
+    * the dangling click). Same buffered-window machinery; the verdict
+    * is two ordered scans over the sealed buffer. */
+  private class PatternOptionalProcessor extends AbcBufferProcessor[
+      (Long, Long, Option[Long], Option[Long], Option[Long])] {
+
+    override protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]):
+        (Long, Long, Option[Long], Option[Long], Option[Long]) = {
+      val deadline = sTs + WindowUs
+      val withB = for {
+        (_, cTs, cId) <- firstOf(events, 0, sTs, deadline)
+        (_, pTs, pId) <- firstOf(events, 1, cTs, deadline)
+      } yield (key, sid, Option(cId), Option(pId), Option(pTs - sTs))
+      withB.getOrElse {
+        firstOf(events, 1, sTs, deadline) match {
+          case Some((_, pTs, pId)) =>
+            (key, sid, None, Some(pId), Some(pTs - sTs))
+          case None =>
+            (key, sid, firstOf(events, 0, sTs, deadline).map(_._3),
+              None, None)
+        }
+      }
+    }
+  }
+
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
     * side-by-side `cnt_forever` (TTLConfig.NONE) never does — so a
@@ -1424,6 +1476,11 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Long, Boolean)] =
     new PatternAbsenceProcessor()
+
+  private[graft] def patternOptionalForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long], Option[Long])] =
+    new PatternOptionalProcessor()
 
   private[graft] def countWindowForTest(winSize: Int): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, Long, Long),
@@ -1690,6 +1747,64 @@ object StreamingOps {
                          WHERE p.user_id = s.user_id
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
+       ORDER BY s.signup_id""",
+
+    // Batch recompute of the optional pattern + the stream_pattern_abc
+    // deadline cutoff: a signup's verdict is final only once the
+    // watermark passes its whole window.
+    "stream_pattern_optional" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            c AS (SELECT user_id, signup_id, s_ts, click_id, c_ts FROM (
+                    SELECT s.user_id, s.signup_id, s.s_ts, k.click_id,
+                           k.c_ts,
+                           row_number() OVER (PARTITION BY s.signup_id
+                             ORDER BY k.c_ts, k.click_id) AS rn
+                    FROM sg s JOIN ck k ON k.user_id = s.user_id
+                      AND k.c_ts > s.s_ts
+                      AND k.c_ts <= s.s_ts + 3600000000)
+                  WHERE rn = 1),
+            p1 AS (SELECT signup_id, purchase_id AS p1_id, p_ts AS p1_ts
+                   FROM (
+                     SELECT c.signup_id, p.purchase_id, p.p_ts,
+                            row_number() OVER (PARTITION BY c.signup_id
+                              ORDER BY p.p_ts, p.purchase_id) AS rn
+                     FROM c JOIN pu p ON p.user_id = c.user_id
+                       AND p.p_ts > c.c_ts
+                       AND p.p_ts <= c.s_ts + 3600000000)
+                   WHERE rn = 1),
+            p0 AS (SELECT signup_id, purchase_id AS p0_id, p_ts AS p0_ts
+                   FROM (
+                     SELECT s.signup_id, p.purchase_id, p.p_ts,
+                            row_number() OVER (PARTITION BY s.signup_id
+                              ORDER BY p.p_ts, p.purchase_id) AS rn
+                     FROM sg s JOIN pu p ON p.user_id = s.user_id
+                       AND p.p_ts > s.s_ts
+                       AND p.p_ts <= s.s_ts + 3600000000)
+                   WHERE rn = 1)
+       SELECT s.user_id, s.signup_id,
+              CASE WHEN p1.p1_id IS NOT NULL THEN c.click_id
+                   WHEN p0.p0_id IS NOT NULL THEN NULL
+                   ELSE c.click_id END AS click_id,
+              coalesce(p1.p1_id, p0.p0_id) AS purchase_id,
+              CASE WHEN p1.p1_id IS NOT NULL THEN p1.p1_ts - s.s_ts
+                   WHEN p0.p0_id IS NOT NULL THEN p0.p0_ts - s.s_ts
+              END AS us_to_complete
+       FROM sg s
+       CROSS JOIN mx
+       LEFT JOIN c ON c.signup_id = s.signup_id
+       LEFT JOIN p1 ON p1.signup_id = s.signup_id
+       LEFT JOIN p0 ON p0.signup_id = s.signup_id
+       WHERE (s.s_ts + 3600000000) // 1000 <= mx.wm
        ORDER BY s.signup_id""",
 
     // Batch recompute of events_count_window under the seal rule: only

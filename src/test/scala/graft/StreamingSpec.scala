@@ -577,6 +577,73 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_optional: greedy with-click chain, fallback to pre-click purchase, cross-batch completion") {
+    // Pins the optional quantifier's load-bearing semantics:
+    //  - u1: purchase BEFORE the click, none after it → the with-click
+    //    chain cannot complete, so the match falls back to the
+    //    click-skipped branch (click_id null, the EARLIER purchase) —
+    //    the distinctive greedy-optional behavior;
+    //  - u2: click then purchase across the batch boundary → with-click
+    //    match (state buffers the chain);
+    //  - u3: click, no purchase at all → dangling click, no completion.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_opt_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:20
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:10:00"), 1L, "purchase", 200L),
+        (t("2024-01-01 09:20:00"), 1L, "click", 150L),
+        (t("2024-01-01 09:05:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:10:00"), 2L, "click", 160L),
+        (t("2024-01-01 09:02:00"), 3L, "signup", 120L),
+        (t("2024-01-01 09:15:00"), 3L, "click", 170L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all rows >= 09:20 (not late); final wm: 10:30
+      Seq((t("2024-01-01 09:25:00"), 2L, "purchase", 210L),
+        (t("2024-01-01 10:30:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternOptionalForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "click_id", "purchase_id",
+          "us_to_complete")
+        .writeStream.format("memory").queryName("opt_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      val rows = spark.table("opt_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(rows == Set(
+        (1L, 100L, -1L, 200L),  // greedy fallback: pre-click purchase
+        (2L, 110L, 160L, 210L), // cross-batch with-click completion
+        (3L, 120L, 170L, -1L)), // dangling click
+        s"optional verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_count_window: cross-batch windows, index continuity, unsealed holdback") {
     // Pins the count-window processor on a real 2-micro-batch run
     // (winSize=2 for hand-checkable windows):
