@@ -43,7 +43,10 @@ object ScaleProbe {
     "llm_lang_id", "llm_tfidf_topterms", "llm_pack_sequences",
     "llm_sample_reservoir", "llm_decontaminate", "llm_decontaminate_bloom",
     "llm_chunk_windows", "llm_mix_weights", "llm_neardup_crosslang",
-    "llm_prep_pipeline", "llm_ann_lsh")
+    "llm_prep_pipeline", "llm_ann_lsh",
+    // round-5 adds: identical replicas make every 5-gram corpus-shared
+    // (nd ≥ k for all grams) — coverage stays a keyed agg, rows linear
+    "llm_repetition", "llm_dup_ngram_coverage")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -65,7 +68,12 @@ object ScaleProbe {
     "join_interval_bucketed",
     "ts_interpolate", "window_sessionize", "agg_heavy_hitters",
     "stream_funnel", "stream_pattern_abc", "stream_pattern_quantified",
-    "stream_session_dynamic", "stream_stream_join_outer")
+    "stream_session_dynamic", "stream_stream_join_outer",
+    // round-5 adds: optional/absence CEP + count windows (state per key
+    // is bounded by the live horizon, so the user axis is the honest one)
+    "events_pattern_optional", "stream_pattern_optional",
+    "events_pattern_absence", "stream_pattern_absence",
+    "events_count_window", "stream_count_window")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
