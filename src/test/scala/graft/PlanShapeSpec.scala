@@ -139,6 +139,34 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
   }
 
+  test("events_pattern_optional plans hash equi-joins only (greedy fallback is a coalesce, not a loop)") {
+    val plan = finalPlan("events_pattern_optional")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop over events:\n$plan")
+    assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
+  }
+
+  test("llm_dup_ngram_coverage is keyed agg + equi-join, never a pair cartesian") {
+    // The coverage metric touches every (position, gram) once; a
+    // nested-loop anywhere would be the O(docs²) shape the gram-keyed
+    // join exists to avoid.
+    val plan = finalPlan("llm_dup_ngram_coverage")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+  }
+
+  test("events_count_window shares one user_id exchange between rank and agg") {
+    val plan = finalPlan("events_count_window")
+    // the window rank partitions by user_id; the following (user_id,
+    // win_idx) agg must reuse that clustering — a second exchange on
+    // the agg keys would double the shuffle volume
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
