@@ -38,7 +38,8 @@ private[streaming] case class AbcState(
   * windows already emitted so window indices stay contiguous across
   * micro-batches. Logically `buf: Seq[(tsUs, eventId, valueMicro)]`. */
 private[streaming] case class CountWinState(
-    nEmitted: Long, ts: Array[Long], eid: Array[Long], vus: Array[Long])
+    nEmitted: Long, timerAt: Long,
+    ts: Array[Long], eid: Array[Long], vus: Array[Long])
 
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
@@ -1061,20 +1062,28 @@ object StreamingOps {
     private def bufOf(s: CountWinState): Seq[(Long, Long, Long)] =
       Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.vus(i))).toSeq
 
-    private def pack(n: Long, buf: Seq[(Long, Long, Long)]): CountWinState =
-      CountWinState(n, buf.map(_._1).toArray, buf.map(_._2).toArray,
-        buf.map(_._3).toArray)
+    private def pack(n: Long, timerAt: Long,
+        buf: Seq[(Long, Long, Long)]): CountWinState =
+      CountWinState(n, timerAt, buf.map(_._1).toArray,
+        buf.map(_._2).toArray, buf.map(_._3).toArray)
 
     /** One timer: the moment the current 5th-oldest buffered event seals
       * (its ms + 1). Fewer than winSize buffered ⇒ no full window can
-      * seal without new input, which re-arms. */
-    private def rearm(buf: Seq[(Long, Long, Long)]): Unit = {
-      getHandle.listTimers()
-        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (buf.size >= winSize) {
-        val fifth = buf.map(_._1).sorted.apply(winSize - 1)
-        getHandle.registerTimer(fifth / 1000 + 1)
+      * seal without new input, which re-arms. The armed target rides in
+      * state (`timerAt`, 0 = none) so an unchanged deadline skips the
+      * delete+register state-store roundtrips — with a per-key event
+      * feed this fires on nearly every batch, and the churn was
+      * measurable on the 16× user-axis probe. Returns the new target. */
+    private def rearm(buf: Seq[(Long, Long, Long)], prev: Long): Long = {
+      val want =
+        if (buf.size >= winSize)
+          buf.map(_._1).sorted.apply(winSize - 1) / 1000 + 1
+        else 0L
+      if (want != prev) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        if (want != 0L) getHandle.registerTimer(want)
       }
+      want
     }
 
     override def handleInputRows(key: Long,
@@ -1085,8 +1094,8 @@ object StreamingOps {
       val buf = scala.collection.mutable.ArrayBuffer(
         cur.map(bufOf).getOrElse(Nil): _*)
       rows.foreach { case (_, tsUs, _, eid, vus) => buf += ((tsUs, eid, vus)) }
-      st.update(pack(cur.map(_.nEmitted).getOrElse(0L), buf.toSeq))
-      rearm(buf.toSeq)
+      val t = rearm(buf.toSeq, cur.map(_.timerAt).getOrElse(0L))
+      st.update(pack(cur.map(_.nEmitted).getOrElse(0L), t, buf.toSeq))
       Iterator.empty
     }
 
@@ -1108,9 +1117,10 @@ object StreamingOps {
       }
       nEmitted += full
       val rest = sorted.drop(full * winSize)
-      if (rest.nonEmpty || nEmitted > 0) st.update(pack(nEmitted, rest))
+      // this timer just fired — it no longer exists, so prev = 0
+      val t = rearm(rest, 0L)
+      if (rest.nonEmpty || nEmitted > 0) st.update(pack(nEmitted, t, rest))
       else st.clear()
-      rearm(rest)
       out.iterator
     }
   }
