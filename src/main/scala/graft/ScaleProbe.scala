@@ -73,7 +73,8 @@ object ScaleProbe {
     // is bounded by the live horizon, so the user axis is the honest one)
     "events_pattern_optional", "stream_pattern_optional",
     "events_pattern_absence", "stream_pattern_absence",
-    "events_count_window", "stream_count_window")
+    "events_count_window", "stream_count_window",
+    "events_count_sliding", "stream_count_sliding")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

@@ -292,6 +292,35 @@ object ScalarQueries {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // Sliding count windows (round-5 add): Flink's `countWindow(5, 2)` —
+    // window j covers a user's event-time ranks [2j+1, 2j+5], emitted at
+    // every 2nd rank from 5 up, so each event feeds up to 3 overlapping
+    // windows. No self-join and no explode: one user-keyed sort carries
+    // BOTH the rank filter and a 5-row running frame (sum/min over ROWS
+    // 4 PRECEDING), so overlap costs zero extra shuffle over the
+    // tumbling variant — the frame's current row is each window's last
+    // member. Micro-unit value sums as in events_count_window (D2). The
+    // streaming twin is `stream_count_sliding`.
+    "events_count_sliding" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val frame = w.rowsBetween(-4, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .select(col("user_id"), col("ts_us"),
+          row_number().over(w).as("rn"),
+          min(col("ts_us")).over(frame).as("w_first_us"),
+          sum(col("v_us")).over(frame).as("sv"))
+        .filter(col("rn") >= 5 && (col("rn") - 5) % 2 === 0)
+        .select(col("user_id"),
+          ((col("rn") - 5) / 2).cast("long").as("win_idx"),
+          col("w_first_us"), col("ts_us").as("w_last_us"),
+          (col("sv").cast("double") / lit(1e6)).as("sum_value"))
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
     // Linear interpolation between sparse observations (round-4 add):
     // at EVERY event on a user's timeline, the purchase `value` linearly
     // interpolated between the nearest purchase at-or-before and the
@@ -671,6 +700,30 @@ object ScalarQueries {
               w_first_us, w_last_us,
               CAST(sv AS DOUBLE) / 1000000 AS sum_value
        FROM g WHERE n = 5 ORDER BY user_id, win_idx""",
+
+    "events_count_sliding" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            r AS (SELECT user_id, ts_us,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS rn,
+                    min(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      AS w_first_us,
+                    CAST(sum(v_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS sv
+                  FROM e)
+       SELECT user_id, CAST((rn - 5) // 2 AS BIGINT) AS win_idx,
+              w_first_us, ts_us AS w_last_us,
+              CAST(sv AS DOUBLE) / 1000000 AS sum_value
+       FROM r WHERE rn >= 5 AND (rn - 5) % 2 = 0
+       ORDER BY user_id, win_idx""",
 
     "ts_interpolate" ->
       """WITH ev AS (SELECT event_id, user_id,

@@ -33,12 +33,16 @@ private[streaming] case class AbcState(
     eType: Array[Int], eTs: Array[Long], eId: Array[Long])
 
 /** State row for [[StreamingOps]]'s count-window processor: the events
-  * of one user not yet emitted in a full window, as parallel primitive
-  * arrays (same codegen rationale as [[FunnelState]]), plus the count of
-  * windows already emitted so window indices stay contiguous across
-  * micro-batches. Logically `buf: Seq[(tsUs, eventId, valueMicro)]`. */
+  * of one user not yet evicted, as parallel primitive arrays (same
+  * codegen rationale as [[FunnelState]]), plus the count of windows
+  * already emitted (keeps window indices contiguous across
+  * micro-batches) and the count of events already evicted (`baseRank` —
+  * a buffered event's global 1-based rank is baseRank + its sorted
+  * position, so sliding windows that straddle an eviction boundary
+  * still see correct ranks). Logically
+  * `buf: Seq[(tsUs, eventId, valueMicro)]`. */
 private[streaming] case class CountWinState(
-    nEmitted: Long, timerAt: Long,
+    nEmitted: Long, baseRank: Long, timerAt: Long,
     ts: Array[Long], eid: Array[Long], vus: Array[Long])
 
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
@@ -596,6 +600,33 @@ object StreamingOps {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // Sliding count windows (round-5 add): Flink's `countWindow(5, 2)`
+    // per user — window j covers event-time ranks [2j+1, 2j+5], so
+    // consecutive windows overlap by 3 events and each event feeds up to
+    // 3 windows. Same processor and seal rule as stream_count_window
+    // (slide == winSize degenerates to it); the extra state machinery is
+    // `baseRank`, which keeps buffered ranks global across the partial
+    // evictions that overlap forces (an event leaves only after its LAST
+    // window emits). Batch twin: events_count_sliding; oracle = its SQL
+    // with the final-watermark seal cutoff.
+    "stream_count_sliding" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_id"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CountWindowProcessor(5, 2),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "win_idx", "w_first_us", "w_last_us",
+          "sum_value"),
+        "append")
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -1037,20 +1068,33 @@ object StreamingOps {
   /** [[AbcState]] ↔ working-tuple converters: pending signups plus the
     * buffered click/purchase events of the live 1 h horizon. Event
     * tuples are (typeCode 0=click/1=purchase, tsUs, eventId). */
-  /** Count-based tumbling windows (Flink `countWindow(n)`): per user,
-    * every consecutive run of `winSize` events in event-time order forms
-    * one window; only FULL windows emit. A window is final once the
-    * watermark passes its last member's millisecond — the engine's late
-    * rule admits future rows only with ts_ms ≥ wm, so every event with
+  /** Count-based windows (Flink `countWindow(n)` / `countWindow(n,
+    * slide)`): per user, window j covers the events at 1-based
+    * event-time ranks `[j·slide + 1, j·slide + winSize]`; only FULL
+    * windows emit. Tumbling is `slide == winSize` (disjoint runs);
+    * `slide < winSize` overlaps (each event appears in up to
+    * ⌈winSize/slide⌉ windows). A window is final once the watermark
+    * passes its last member's millisecond — the engine's late rule
+    * admits future rows only with ts_ms ≥ wm, so every event with
     * `tsUs < wm·1000` has its final rank (nothing can still arrive
     * before it, µs-exact by the same argument as AbcBufferProcessor's
-    * evict). Emitted events leave state; `nEmitted` keeps window indices
+    * evict). An event is evicted once every window containing it has
+    * emitted (rank ≤ nEmitted·slide); `baseRank` counts evictions so
+    * buffered ranks stay global, and `nEmitted` keeps window indices
     * contiguous across batches. State is O(winSize + unsealed horizon)
     * per key, not O(stream). */
-  private class CountWindowProcessor(winSize: Int)
+  private class CountWindowProcessor(winSize: Int, slide: Int)
       extends StatefulProcessor[
         Long, (java.sql.Timestamp, Long, Long, Long, Long),
         (Long, Long, Long, Long, Double)] {
+
+    def this(winSize: Int) = this(winSize, winSize)
+
+    // Eviction drops every rank ≤ nEmitted·slide the moment window
+    // nEmitted−1 emits; for slide > winSize that range would include
+    // gap events whose ranks are not yet sealed, so the processor
+    // supports overlap and tumbling only.
+    require(slide >= 1 && slide <= winSize, s"need 1 <= slide <= winSize")
 
     @transient private var st:
       org.apache.spark.sql.streaming.ValueState[CountWinState] = _
@@ -1062,22 +1106,24 @@ object StreamingOps {
     private def bufOf(s: CountWinState): Seq[(Long, Long, Long)] =
       Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.vus(i))).toSeq
 
-    private def pack(n: Long, timerAt: Long,
+    private def pack(n: Long, base: Long, timerAt: Long,
         buf: Seq[(Long, Long, Long)]): CountWinState =
-      CountWinState(n, timerAt, buf.map(_._1).toArray,
+      CountWinState(n, base, timerAt, buf.map(_._1).toArray,
         buf.map(_._2).toArray, buf.map(_._3).toArray)
 
-    /** One timer: the moment the current 5th-oldest buffered event seals
-      * (its ms + 1). Fewer than winSize buffered ⇒ no full window can
-      * seal without new input, which re-arms. The armed target rides in
-      * state (`timerAt`, 0 = none) so an unchanged deadline skips the
+    /** One timer: the moment the next window's last member seals (its
+      * ms + 1) — that member sits at global rank winSize + nEmitted·slide,
+      * buffer position rank − baseRank − 1. Not yet buffered ⇒ no window
+      * can seal without new input, which re-arms. The armed target rides
+      * in state (`timerAt`, 0 = none) so an unchanged deadline skips the
       * delete+register state-store roundtrips — with a per-key event
       * feed this fires on nearly every batch, and the churn was
       * measurable on the 16× user-axis probe. Returns the new target. */
-    private def rearm(buf: Seq[(Long, Long, Long)], prev: Long): Long = {
+    private def rearm(buf: Seq[(Long, Long, Long)], nEmitted: Long,
+        baseRank: Long, prev: Long): Long = {
+      val pos = (winSize + nEmitted * slide - baseRank - 1).toInt
       val want =
-        if (buf.size >= winSize)
-          buf.map(_._1).sorted.apply(winSize - 1) / 1000 + 1
+        if (buf.size > pos) buf.map(_._1).sorted.apply(pos) / 1000 + 1
         else 0L
       if (want != prev) {
         if (prev != 0L) getHandle.deleteTimer(prev)
@@ -1094,8 +1140,10 @@ object StreamingOps {
       val buf = scala.collection.mutable.ArrayBuffer(
         cur.map(bufOf).getOrElse(Nil): _*)
       rows.foreach { case (_, tsUs, _, eid, vus) => buf += ((tsUs, eid, vus)) }
-      val t = rearm(buf.toSeq, cur.map(_.timerAt).getOrElse(0L))
-      st.update(pack(cur.map(_.nEmitted).getOrElse(0L), t, buf.toSeq))
+      val n = cur.map(_.nEmitted).getOrElse(0L)
+      val base = cur.map(_.baseRank).getOrElse(0L)
+      val t = rearm(buf.toSeq, n, base, cur.map(_.timerAt).getOrElse(0L))
+      st.update(pack(n, base, t, buf.toSeq))
       Iterator.empty
     }
 
@@ -1105,21 +1153,26 @@ object StreamingOps {
       val wm = timerValues.getCurrentWatermarkInMs()
       val cur = Option(st.get())
       var nEmitted = cur.map(_.nEmitted).getOrElse(0L)
+      var baseRank = cur.map(_.baseRank).getOrElse(0L)
       val sorted = cur.map(bufOf).getOrElse(Nil)
         .sortBy { case (ts, eid, _) => (ts, eid) }
-      val nSealed = sorted.takeWhile(_._1 < wm * 1000).size
-      val full = nSealed / winSize
-      val out = (0 until full).map { j =>
-        val win = sorted.slice(j * winSize, (j + 1) * winSize)
-        val r = (key, nEmitted + j, win.head._1, win.last._1,
-          win.map(_._3).sum.toDouble / 1e6)
-        r
+      val maxSealedRank = baseRank + sorted.takeWhile(_._1 < wm * 1000).size
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Double)]
+      while (winSize + nEmitted * slide <= maxSealedRank) {
+        val startPos = (nEmitted * slide - baseRank).toInt
+        val win = sorted.slice(startPos, startPos + winSize)
+        out += ((key, nEmitted, win.head._1, win.last._1,
+          win.map(_._3).sum.toDouble / 1e6))
+        nEmitted += 1
       }
-      nEmitted += full
-      val rest = sorted.drop(full * winSize)
+      val drop = (nEmitted * slide - baseRank).toInt
+      val rest = sorted.drop(drop)
+      baseRank += drop
       // this timer just fired — it no longer exists, so prev = 0
-      val t = rearm(rest, 0L)
-      if (rest.nonEmpty || nEmitted > 0) st.update(pack(nEmitted, t, rest))
+      val t = rearm(rest, nEmitted, baseRank, 0L)
+      if (rest.nonEmpty || nEmitted > 0)
+        st.update(pack(nEmitted, baseRank, t, rest))
       else st.clear()
       out.iterator
     }
@@ -1497,6 +1550,12 @@ object StreamingOps {
       (Long, Long, Long, Long, Double)] =
     new CountWindowProcessor(winSize)
 
+  private[graft] def countWindowForTest(winSize: Int, slide: Int):
+      StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Double)] =
+    new CountWindowProcessor(winSize, slide)
+
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
       StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =
@@ -1839,6 +1898,34 @@ object StreamingOps {
               w_first_us, w_last_us,
               CAST(sv AS DOUBLE) / 1000000 AS sum_value
        FROM g WHERE n = 5 ORDER BY user_id, win_idx""",
+
+    // Batch recompute of events_count_sliding under the same seal rule:
+    // rank the sealed prefix, emit every 2nd rank from 5 up.
+    "stream_count_sliding" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            r AS (SELECT user_id, ts_us,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS rn,
+                    min(ts_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      AS w_first_us,
+                    CAST(sum(v_us) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS sv
+                  FROM e, mx WHERE e.ts_us < mx.wm * 1000)
+       SELECT user_id, CAST((rn - 5) // 2 AS BIGINT) AS win_idx,
+              w_first_us, ts_us AS w_last_us,
+              CAST(sv AS DOUBLE) / 1000000 AS sum_value
+       FROM r WHERE rn >= 5 AND (rn - 5) % 2 = 0
+       ORDER BY user_id, win_idx""",
 
     "stream_stream_join" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,

@@ -167,6 +167,18 @@ class PlanShapeSpec extends GraftSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("events_count_sliding overlaps via one exchange and no join") {
+    val plan = finalPlan("events_count_sliding")
+    // overlapping windows come from a running frame over the SAME
+    // user_id sort as the rank — a self-join or explode formulation
+    // would shuffle the events table twice (or 3× the rows)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"sliding windows should not join:\n$plan")
+    assert(!plan.contains("Generate"), s"sliding windows should not explode:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop

@@ -712,6 +712,79 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_count_sliding: overlap across an eviction boundary, full windows only") {
+    // Pins the sliding-count processor (winSize=3, slide=2 for
+    // hand-checkable windows; window j = ranks [2j+1, 2j+3]):
+    //  - u1: 6 events across 2 batches. Window 0 (ranks 1-3) emits from
+    //    batch 1's sealed prefix and EVICTS ranks 1-2; window 1 (ranks
+    //    3-5) then reuses rank 3 from the surviving buffer — the event
+    //    at 09:20 appears in BOTH windows, and its global rank is only
+    //    correct if baseRank survived the eviction;
+    //  - u2: exactly 3 sealed events → one window (indices independent
+    //    per key);
+    //  - u3: 2 events — fewer than winSize, nothing emits (full windows
+    //    only, the slide never fabricates a partial);
+    //  - u1's 10:30 event sits at the final watermark → held back, so
+    //    window 2 (ranks 5-7) can never form.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cs_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      Seq((t("2024-01-01 09:00:00"), 1L, 101L, 1000000L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2000000L),
+        (t("2024-01-01 09:20:00"), 1L, 103L, 3000000L),
+        (t("2024-01-01 09:30:00"), 1L, 104L, 4000000L),
+        (t("2024-01-01 09:00:00"), 2L, 201L, 1000000L),
+        (t("2024-01-01 09:05:00"), 2L, 202L, 2000000L),
+        (t("2024-01-01 09:10:00"), 2L, 203L, 3000000L),
+        (t("2024-01-01 09:00:00"), 3L, 301L, 1000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all rows >= 09:30 (not late); final wm: 10:30
+      Seq((t("2024-01-01 09:40:00"), 1L, 105L, 5000000L),
+        (t("2024-01-01 10:30:00"), 1L, 106L, 6000000L),
+        (t("2024-01-01 09:35:00"), 3L, 302L, 2000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("eid"), col("v_us"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.countWindowForTest(3, 2),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "win_idx", "w_first_us", "w_last_us", "sum_value")
+        .writeStream.format("memory").queryName("cs_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+      val rows = spark.table("cs_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(rows == Set(
+        (1L, 0L, us("2024-01-01 09:00:00"), us("2024-01-01 09:20:00"), 6.0),
+        (1L, 1L, us("2024-01-01 09:20:00"), us("2024-01-01 09:40:00"), 12.0),
+        (2L, 0L, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 6.0)),
+        s"sliding count windows wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
