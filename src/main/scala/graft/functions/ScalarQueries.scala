@@ -359,6 +359,36 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Time-series resampling to OHLC bars (round-5 add): per user,
+    // 15-minute buckets of `value` → event count + open/high/low/close —
+    // the downsampling shape of every metrics/market pipeline (raw ticks
+    // → bars). open/close are FIRST/LAST by (ts_us, event_id) via two
+    // unbounded frames over the same (user_id, bucket) sort the final
+    // agg groups on, so the whole op is ONE exchange; every output is a
+    // raw input value or an exact min/max/count — no arithmetic on
+    // doubles anywhere (D2 trivially). 900000000 µs = 15 min.
+    "ts_resample" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .withColumn("bkt", expr("ts_us div 900000000"))
+      val full = Window.partitionBy(col("user_id"), col("bkt"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.select(col("user_id"), col("bkt"), col("value"),
+          first(col("value")).over(full).as("o"),
+          last(col("value")).over(full).as("c"))
+        .groupBy(col("user_id"), col("bkt"))
+        .agg(count(lit(1)).as("n_events"), min(col("o")).as("open_v"),
+          max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+          min(col("c")).as("close_v"))
+        .select(col("user_id"),
+          (col("bkt") * 900000000L).as("bucket_start_us"),
+          col("n_events"), col("open_v"), col("high_v"), col("low_v"),
+          col("close_v"))
+        .orderBy(col("user_id"), col("bucket_start_us"))
+    }),
+
     "fn_string" -> ((s, d) =>
       part(s, d).select(
         col("p_partkey"),
@@ -757,6 +787,28 @@ object ScalarQueries {
                            CAST(next_ts - prev_ts AS DOUBLE) END, 6)
                 AS interp_value
        FROM nb ORDER BY event_id""",
+
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+                    FROM events),
+            b AS (SELECT user_id, ts_us // 900000000 AS bkt, value,
+                    first_value(value) OVER (
+                      PARTITION BY user_id, ts_us // 900000000
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS o,
+                    last_value(value) OVER (
+                      PARTITION BY user_id, ts_us // 900000000
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS c
+                  FROM e)
+       SELECT user_id, CAST(bkt * 900000000 AS BIGINT) AS bucket_start_us,
+              count(*) AS n_events, min(o) AS open_v, max(value) AS high_v,
+              min(value) AS low_v, min(c) AS close_v
+       FROM b GROUP BY user_id, bkt
+       ORDER BY user_id, bucket_start_us""",
 
     "ts_gapfill" ->
       """WITH h AS (SELECT event_type,

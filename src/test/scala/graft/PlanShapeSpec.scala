@@ -179,6 +179,16 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("Generate"), s"sliding windows should not explode:\n$plan")
   }
 
+  test("ts_resample computes OHLC bars in one exchange") {
+    val plan = finalPlan("ts_resample")
+    // open/close frames partition by the same (user_id, bucket) the
+    // final agg groups on — the agg must reuse the window's clustering
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"resampling should not join:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
