@@ -359,6 +359,38 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Exponentially-weighted moving average (round-5 add): at every
+    // event, EWMA of `value` over the user's last 10 events (α = 1/2,
+    // truncated horizon — the streaming-friendly form: state is 10 lags,
+    // not the whole series). Exactness discipline: weights 2^-k over
+    // micro-unit longs become INTEGER weights 2^(9-k), so numerator and
+    // weight-sum accumulate in exact long arithmetic; the half-up
+    // 6-dp rounding is the (2p+n) div (2n) integer idiom (no IEEE op
+    // until the final display division, identical on both engines — the
+    // same D2 fixed-point treatment as llm_ngram_lm/agg_entropy). Ten
+    // lags over ONE user-keyed sort; no self-join.
+    "ts_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val lags = (0 until 10).map { k =>
+        val l = if (k == 0) col("v_us") else lag(col("v_us"), k).over(w)
+        (l, lit(512L >> k))
+      }
+      val num = lags.map { case (l, wt) =>
+        when(l.isNotNull, l * wt).otherwise(lit(0L)) }.reduce(_ + _)
+      val den = lags.map { case (l, wt) =>
+        when(l.isNotNull, wt).otherwise(lit(0L)) }.reduce(_ + _)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .select(col("event_id"), col("user_id"),
+          num.as("n"), den.as("dn"))
+        .select(col("event_id"), col("user_id"),
+          (expr("(2 * n + dn) div (2 * dn)") / lit(1e6)).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
     // Time-series resampling to OHLC bars (round-5 add): per user,
     // 15-minute buckets of `value` → event count + open/high/low/close —
     // the downsampling shape of every metrics/market pipeline (raw ticks
@@ -787,6 +819,36 @@ object ScalarQueries {
                            CAST(next_ts - prev_ts AS DOUBLE) END, 6)
                 AS interp_value
        FROM nb ORDER BY event_id""",
+
+    "ts_ewma" -> {
+      val lagDefs = (1 until 10).map(k =>
+        s"lag(v_us, $k) OVER w AS l$k").mkString(",\n                 ")
+      val numTerms = (0 until 10).map { k =>
+        val wt = 512L >> k
+        if (wt == 1L) s"CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END"
+        else s"CASE WHEN l$k IS NOT NULL THEN l$k * $wt ELSE 0 END"
+      }.mkString(" +\n                 ")
+      val denTerms = (0 until 10).map { k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${512L >> k} ELSE 0 END"
+      }.mkString(" +\n                 ")
+      s"""WITH e AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            l AS (SELECT event_id, user_id, v_us AS l0,
+                 $lagDefs
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            a AS (SELECT event_id, user_id,
+                 ($numTerms) AS n,
+                 ($denTerms) AS dn
+                  FROM l)
+       SELECT event_id, user_id,
+              CAST((2 * n + dn) // (2 * dn) AS DOUBLE) / 1000000 AS ewma
+       FROM a ORDER BY event_id"""
+    },
 
     "ts_resample" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -189,6 +189,17 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("Join"), s"resampling should not join:\n$plan")
   }
 
+  test("ts_ewma evaluates all ten lags over one exchange") {
+    val plan = finalPlan("ts_ewma")
+    // all ten lag() calls share the same (user_id) ordering — they must
+    // collapse into a single Window operator over a single shuffle
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    val windows = "(?m)^.*Window".r.findAllIn(plan).length
+    assert(windows <= 2, s"lag frames did not fuse:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
