@@ -282,6 +282,30 @@ object StreamingOps {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // Streaming OHLC bars (round-5 add): ts_resample as a watermarked
+    // windowed agg — open/close are NOT built-in streaming aggregates,
+    // but min/max over a (ts_us, event_id, value) struct ARE (struct
+    // ordering is lexicographic, so the min struct is the first event
+    // and its `value` field the open) — first/last-by-time recovered
+    // from associative, partial-aggregatable min/max, which is exactly
+    // what a streaming (or 1000-executor partial/final) agg needs.
+    // Same output schema + oracle as ts_resample.
+    "stream_resample" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .select(col("ts_utc"), col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .groupBy(col("user_id"), window(col("ts_utc"), "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("ts_us"), col("event_id"), col("value"))).as("o"),
+          max(col("value")).as("high_v"), min(col("value")).as("low_v"),
+          max(struct(col("ts_us"), col("event_id"), col("value"))).as("c"))
+      runToMemory(agg, "complete")
+        .select(col("user_id"), expr("unix_micros(w.start)").as("bucket_start_us"),
+          col("n_events"), col("o.value").as("open_v"), col("high_v"),
+          col("low_v"), col("c.value").as("close_v"))
+        .orderBy(col("user_id"), col("bucket_start_us"))
+    }),
+
     "stream_sliding" -> ((s, d) => {
       val agg = eventsStream(s, d)
         .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
@@ -1568,6 +1592,30 @@ object StreamingOps {
                 event_type, count(*) AS cnt,
                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+
+    // Identical to ts_resample's oracle: complete-mode emission means
+    // every bucket reports, no watermark cutoff.
+    "stream_resample" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+                    FROM events),
+            b AS (SELECT user_id, ts_us // 900000000 AS bkt, value,
+                    first_value(value) OVER (
+                      PARTITION BY user_id, ts_us // 900000000
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS o,
+                    last_value(value) OVER (
+                      PARTITION BY user_id, ts_us // 900000000
+                      ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS c
+                  FROM e)
+       SELECT user_id, CAST(bkt * 900000000 AS BIGINT) AS bucket_start_us,
+              count(*) AS n_events, min(o) AS open_v, max(value) AS high_v,
+              min(value) AS low_v, min(c) AS close_v
+       FROM b GROUP BY user_id, bkt
+       ORDER BY user_id, bucket_start_us""",
 
     "stream_sliding" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes',
