@@ -74,7 +74,8 @@ object ScaleProbe {
     "events_pattern_optional", "stream_pattern_optional",
     "events_pattern_absence", "stream_pattern_absence",
     "events_count_window", "stream_count_window",
-    "events_count_sliding", "stream_count_sliding")
+    "events_count_sliding", "stream_count_sliding",
+    "ts_ewma", "stream_ewma")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

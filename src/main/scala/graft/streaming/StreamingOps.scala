@@ -45,6 +45,15 @@ private[streaming] case class CountWinState(
     nEmitted: Long, baseRank: Long, timerAt: Long,
     ts: Array[Long], eid: Array[Long], vus: Array[Long])
 
+/** State row for [[StreamingOps]]'s EWMA processor: the last ≤ 9 sealed
+  * micro-unit values in rank order (the lag context every future event's
+  * average needs — the WHOLE emitted history reduces to this) plus the
+  * unsealed event buffer, as parallel primitive arrays (same codegen
+  * rationale as [[FunnelState]]). */
+private[streaming] case class EwmaState(
+    timerAt: Long, lagV: Array[Long],
+    ts: Array[Long], eid: Array[Long], vus: Array[Long])
+
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
   * Execution discipline (D7): every oracle-checked op replays the events
@@ -651,6 +660,27 @@ object StreamingOps {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // Streaming EWMA (round-5 add): ts_ewma per event, emitted when the
+    // watermark seals the event's rank. The per-key state is 9 longs
+    // (the lag context) + the unsealed horizon — the whole emitted
+    // history compresses into the truncated window, which is what makes
+    // a per-event analytic viable as unbounded streaming state. Oracle =
+    // ts_ewma's SQL over the sealed prefix.
+    "stream_ewma" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_id"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new EwmaProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(out.toDF("event_id", "user_id", "ewma"), "append")
+        .orderBy(col("event_id"))
+    }),
+
     "stream_stream_join" -> ((s, d) => {
       val ev = eventsStream(s, d)
       val p = ev.filter(col("event_type") === "purchase")
@@ -1202,6 +1232,83 @@ object StreamingOps {
     }
   }
 
+  /** Streaming EWMA (the per-event analytic shape): each event's
+    * 10-term α=1/2 EWMA (ts_ewma's exact integer arithmetic) emits once
+    * the watermark passes the event's millisecond — at that point its
+    * rank is final (the late rule admits only ts_ms ≥ wm, so nothing
+    * can still insert before it) and so are all 9 lags behind it.
+    * State per key is the last 9 SEALED values plus the unsealed
+    * horizon — the entire emitted history compresses into 9 longs,
+    * which is what makes a per-event window analytic viable as
+    * unbounded streaming state. */
+  private class EwmaProcessor
+      extends StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Long, Long, Long),
+        (Long, Long, Double)] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ew",
+        Encoders.product[EwmaState], TTLConfig.NONE)
+
+    private def bufOf(s: EwmaState): Seq[(Long, Long, Long)] =
+      Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.vus(i))).toSeq
+
+    private def pack(timerAt: Long, lags: Seq[Long],
+        buf: Seq[(Long, Long, Long)]): EwmaState =
+      EwmaState(timerAt, lags.toArray, buf.map(_._1).toArray,
+        buf.map(_._2).toArray, buf.map(_._3).toArray)
+
+    /** One timer: the earliest unsealed event's ms + 1 (the moment the
+      * next emission seals). Same churn-avoidance as the count-window
+      * processor: an unchanged target skips the state-store roundtrip. */
+    private def rearm(buf: Seq[(Long, Long, Long)], prev: Long): Long = {
+      val want = if (buf.isEmpty) 0L else buf.map(_._1).min / 1000 + 1
+      if (want != prev) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        if (want != 0L) getHandle.registerTimer(want)
+      }
+      want
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val cur = Option(st.get())
+      val buf = scala.collection.mutable.ArrayBuffer(
+        cur.map(bufOf).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, eid, vus) => buf += ((tsUs, eid, vus)) }
+      val t = rearm(buf.toSeq, cur.map(_.timerAt).getOrElse(0L))
+      st.update(pack(t, cur.map(_.lagV.toSeq).getOrElse(Nil), buf.toSeq))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Double)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get())
+      var lags = cur.map(_.lagV.toSeq).getOrElse(Nil)
+      val sorted = cur.map(bufOf).getOrElse(Nil)
+        .sortBy { case (ts, eid, _) => (ts, eid) }
+      val (ripe, rest) = sorted.partition(_._1 < wm * 1000)
+      val out = ripe.map { case (_, eid, vus) =>
+        val win = (lags :+ vus).takeRight(10).reverse // newest first
+        var n = 0L; var w = 0L
+        win.zipWithIndex.foreach { case (v, k) =>
+          n += v * (512L >> k); w += 512L >> k
+        }
+        lags = (lags :+ vus).takeRight(9)
+        (eid, key, ((2 * n + w) / (2 * w)).toDouble / 1e6)
+      }
+      val t = rearm(rest, 0L) // this timer just fired; prev = 0
+      st.update(pack(t, lags, rest))
+      out.iterator
+    }
+  }
+
   private def abcSignups(s: AbcState): Seq[(Long, Long)] =
     Array.tabulate(s.sId.length)(i => (s.sId(i), s.sTs(i))).toSeq
 
@@ -1580,6 +1687,11 @@ object StreamingOps {
         (Long, Long, Long, Long, Double)] =
     new CountWindowProcessor(winSize, slide)
 
+  private[graft] def ewmaForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Long, Long),
+      (Long, Long, Double)] =
+    new EwmaProcessor()
+
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
       StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =
@@ -1592,6 +1704,42 @@ object StreamingOps {
                 event_type, count(*) AS cnt,
                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""",
+
+    // ts_ewma's integer-exact SQL over the sealed prefix (events whose
+    // ms the final watermark passed): an event's lags are all earlier
+    // than it, so filtering the base CTE is exactly the sealed-rank rule.
+    "stream_ewma" -> {
+      val lagDefs = (1 until 10).map(k =>
+        s"lag(v_us, $k) OVER w AS l$k").mkString(",\n                 ")
+      val numTerms = (0 until 10).map { k =>
+        val wt = 512L >> k
+        if (wt == 1L) s"CASE WHEN l$k IS NOT NULL THEN l$k ELSE 0 END"
+        else s"CASE WHEN l$k IS NOT NULL THEN l$k * $wt ELSE 0 END"
+      }.mkString(" +\n                 ")
+      val denTerms = (0 until 10).map { k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${512L >> k} ELSE 0 END"
+      }.mkString(" +\n                 ")
+      s"""WITH mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                      FROM events),
+            e AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events, mx
+                    WHERE epoch_us(CAST(ts AS TIMESTAMP)) < mx.wm * 1000),
+            l AS (SELECT event_id, user_id, v_us AS l0,
+                 $lagDefs
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            a AS (SELECT event_id, user_id,
+                 ($numTerms) AS n,
+                 ($denTerms) AS dn
+                  FROM l)
+       SELECT event_id, user_id,
+              CAST((2 * n + dn) // (2 * dn) AS DOUBLE) / 1000000 AS ewma
+       FROM a ORDER BY event_id"""
+    },
 
     // Identical to ts_resample's oracle: complete-mode emission means
     // every bucket reports, no watermark cutoff.

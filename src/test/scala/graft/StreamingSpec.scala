@@ -785,6 +785,66 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_ewma: lag context survives batches and sealing, final-ms holdback") {
+    // Pins the EWMA processor on a real 2-micro-batch run:
+    //  - e1/e2 seal after batch 1 (wm 09:30) and emit with 1- and 2-term
+    //    averages;
+    //  - e3 sits AT the batch-1 watermark's ms → held back, then seals
+    //    in batch 2; its average MUST still see e1/e2, which by then
+    //    live only in the 9-long lag context (not the buffer) — the
+    //    compression this test exists to pin;
+    //  - e4 sits at the final watermark's ms → never emits.
+    // Hand-computed (v in micro-units, weights 512/256/128):
+    //   e1: 1.0;  e2: (2·512 + 1·256)/768 = 1.666667 (half-up);
+    //   e3: (3·512 + 2·256 + 1·128)/896 = 2.428571.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ew_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      Seq((t("2024-01-01 09:00:00"), 1L, 101L, 1000000L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2000000L),
+        (t("2024-01-01 09:30:00"), 1L, 103L, 3000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — not late; final wm: 09:50
+      Seq((t("2024-01-01 09:50:00"), 1L, 104L, 4000000L))
+        .toDF("ts", "uid", "eid", "v_us")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("eid"), col("v_us"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.ewmaForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("event_id", "user_id", "ewma")
+        .writeStream.format("memory").queryName("ew_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      val rows = spark.table("ew_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(
+        (101L, 1L, 1.0), (102L, 1L, 1.666667), (103L, 1L, 2.428571)),
+        s"ewma emissions wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
