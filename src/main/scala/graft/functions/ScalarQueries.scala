@@ -359,6 +359,46 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Cohort retention (round-5 add): users cohorted by the epoch-week
+    // of their FIRST event; for offsets 0..4 weeks, how many of each
+    // cohort's users were active again — the product-analytics retention
+    // matrix. Weeks are pure integer epoch arithmetic (µs → day → week),
+    // no calendar/timezone semantics to disagree on. The retention
+    // fraction uses the (2p+n) div (2n) integer half-up idiom (D2 — a
+    // double n/n0 can land exactly on a 6-dp tie when n0 is a power of
+    // two). Scale shape: activity dedups to (user, week) in one hash
+    // agg, cohorts roll up from it, and the per-(cohort, offset) matrix
+    // joins back against the TINY cohort-size side.
+    "events_retention" -> ((s, d) => {
+      // act feeds both the cohort rollup and the cells join; cells feeds
+      // both the base lookup and the final join — materialize each at its
+      // reuse boundary (the LlmOps stageCut idiom: ReusedExchange only
+      // dedups identical subtrees inside one plan, so without the cut the
+      // corpus-sized activity dedup runs twice and the cells agg twice).
+      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+        .exists(_.equalsIgnoreCase("false"))
+      def cut(df: DataFrame): DataFrame =
+        if (ckpt) df.localCheckpoint() else df
+      val act = cut(events(s, d)
+        .select(col("user_id"),
+          expr("((ts div 1000) div 86400000000) div 7").as("wk"))
+        .distinct())
+      val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      val cells = cut(act.join(cohort, "user_id")
+        .withColumn("off", col("wk") - col("cwk"))
+        .filter(col("off") <= 4)
+        .groupBy(col("cwk"), col("off"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
+      val base = cells.filter(col("off") === 0)
+        .select(col("cwk").as("bwk"), col("n_users").as("n0"))
+      cells.join(base, col("cwk") === col("bwk"))
+        .select(col("cwk").as("cohort_week"), col("off").as("week_offset"),
+          col("n_users"),
+          (expr("(2 * n_users * 1000000 + n0) div (2 * n0)") / lit(1e6))
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Exponentially-weighted moving average (round-5 add): at every
     // event, EWMA of `value` over the user's last 10 events (α = 1/2,
     // truncated horizon — the streaming-friendly form: state is 10 lags,
@@ -819,6 +859,25 @@ object ScalarQueries {
                            CAST(next_ts - prev_ts AS DOUBLE) END, 6)
                 AS interp_value
        FROM nb ORDER BY event_id""",
+
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+                        (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7
+                          AS wk
+                      FROM events),
+            cohort AS (SELECT user_id, min(wk) AS cwk FROM act GROUP BY 1),
+            cells AS (SELECT c.cwk, a.wk - c.cwk AS off,
+                        count(DISTINCT a.user_id) AS n_users
+                      FROM act a JOIN cohort c ON a.user_id = c.user_id
+                      WHERE a.wk - c.cwk <= 4
+                      GROUP BY 1, 2),
+            base AS (SELECT cwk AS bwk, n_users AS n0 FROM cells
+                     WHERE off = 0)
+       SELECT c.cwk AS cohort_week, c.off AS week_offset, c.n_users,
+              CAST((2 * c.n_users * 1000000 + b.n0) // (2 * b.n0)
+                AS DOUBLE) / 1000000 AS retention
+       FROM cells c JOIN base b ON c.cwk = b.bwk
+       ORDER BY cohort_week, week_offset""",
 
     "ts_ewma" -> {
       val lagDefs = (1 until 10).map(k =>

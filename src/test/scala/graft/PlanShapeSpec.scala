@@ -200,6 +200,20 @@ class PlanShapeSpec extends GraftSpec {
     assert(windows <= 2, s"lag frames did not fuse:\n$plan")
   }
 
+  test("events_retention reuses the activity/cells stages and broadcasts the base") {
+    val plan = finalPlan("events_retention")
+    // act and cells are localCheckpoint-cut at their reuse boundaries, so
+    // the executed final plan starts from the materialized cells (scans
+    // appear zero times here) and the offset-0 base side — O(cohorts)
+    // rows — broadcasts into the final join
+    assert(!plan.contains("Scan parquet"),
+      s"cells stage not materialized (events re-scanned):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"base lookup should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"retention must stay equi-keyed:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
