@@ -54,7 +54,15 @@ object PlanDump {
     "ts_ewma" ->
       "truncated EWMA (round-5 op): ten lag() frames fuse into one Window operator over one user_id exchange; integer-weight accumulation keeps the hot loop in long arithmetic",
     "events_retention" ->
-      "cohort retention (round-5 op): (user, week) distinct + per-user min roll up from ONE activity agg; the base join probes the per-cohort offset-0 side (O(cohorts) rows), never the corpus")
+      "cohort retention (round-5 op): (user, week) distinct + per-user min roll up from ONE activity agg; the base join probes the per-cohort offset-0 side (O(cohorts) rows), never the corpus",
+    "events_transitions" ->
+      "Markov transitions (round-5 op): one user-keyed sort feeds the lag chain; pair counts partial+final agg into |types|^2 cells; normalization is a window over the tiny cell table",
+    "events_attribution" ->
+      "multi-touch attribution (round-5 op): purchases x clicks as ONE user-keyed hash equi-join (hour bound rides the condition); count + max-struct in a single agg",
+    "ts_zscore" ->
+      "rolling z-score (round-5 op): three moment frames fuse into one Window operator over one user_id exchange; exact decimal moments, IEEE only at the final div/sqrt",
+    "events_type_overlap" ->
+      "audience overlap (round-5 op): (user, type) distinct materialized once; self-equi-join on user_id bounded by the type alphabet; per-type sizes broadcast into the tiny cell table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -399,6 +399,139 @@ object ScalarQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Markov transition matrix (round-5 add): per user, consecutive
+    // event-type pairs in (ts, id) order; per (from, to) cell, the
+    // transition count and P(to | from) — the path-analysis /
+    // next-action table behind every product-analytics "user flow"
+    // view. Scale shape: ONE user-keyed sort gives every user's lag
+    // chain, and the pair counts hash-agg into |types|² cells with
+    // map-side combine, so the corpus shuffles once and the probability
+    // normalization runs over the tiny cell table (a post-agg window,
+    // never a second corpus pass). The fraction uses the
+    // (2p+n) div (2n) integer half-up idiom (D2).
+    "events_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val cells = events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = Window.partitionBy(col("from_type"))
+      cells.withColumn("n_from", sum(col("n_trans")).over(tot))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          (expr("(2 * n_trans * 1000000 + n_from) div (2 * n_from)")
+            / lit(1e6)).as("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Linear multi-touch attribution (round-5 add): for every purchase,
+    // the clicks by the same user in the preceding hour share the
+    // purchase value equally, and the most recent click is tagged as the
+    // last-touch winner — the marketing-attribution join every
+    // growth-analytics stack runs. One user-keyed equi-join (the hour
+    // bound rides the condition — never a cartesian), per-purchase pair
+    // volume bounded by the window, count + max(struct) in one agg.
+    // Credit is exact: purchase value in micro-unit longs divided by the
+    // touch count with the (2p+n) div (2n) half-up idiom (D2) — a double
+    // value/n can land on a 6-dp tie exactly when n is a power of two.
+    "events_attribution" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("p_ts"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      pu.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") < col("p_ts") &&
+            col("c_ts") >= col("p_ts") - lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("purchase_id"), col("v_us"))
+        .agg(count(col("click_id")).as("n_touch"),
+          max(when(col("click_id").isNotNull,
+            struct(col("c_ts"), col("click_id")))).as("lt"))
+        .select(col("user_id"), col("purchase_id"), col("n_touch"),
+          col("lt.click_id").as("last_click_id"),
+          when(col("n_touch") > 0,
+            expr("(2 * v_us + n_touch) div (2 * n_touch)") / lit(1e6))
+            .as("credit_per_touch"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Audience-overlap matrix (round-5 add): for every pair of event
+    // types, the Jaccard overlap of their user audiences — the
+    // segment-overlap view behind "users who did A also did B".
+    // Scale shape: the corpus dedups to (user, type) ONCE (≤ |users|·
+    // |types| rows, materialized at its three-way reuse boundary); the
+    // pair source is a user-keyed self-equi-join whose per-user output
+    // is ≤ C(|types|,2) — bounded by the type alphabet, never the
+    // corpus — and the per-type sizes are a tiny broadcast side.
+    // Jaccard via the (2p+n) div (2n) integer half-up idiom (D2).
+    "events_type_overlap" -> ((s, d) => {
+      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+        .exists(_.equalsIgnoreCase("false"))
+      val ut0 = events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val ut = if (ckpt) ut0.localCheckpoint() else ut0
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (expr("(2 * n_both * 1000000 + (n_a + n_b - n_both))" +
+            " div (2 * (n_a + n_b - n_both))") / lit(1e6)).as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Rolling z-score anomaly detection (round-5 add): at every event,
+    // `value` scored against the user's previous ≤20 events (current row
+    // excluded): z = (n·x − Σv) / √(n·Σv² − (Σv)²), |z| > 3 flags the
+    // outlier — the threshold-alerting shape of every metrics pipeline.
+    // Exactness discipline (the agg_regression D2 treatment): values in
+    // micro-unit longs, moment sums exact (Σv long, Σv² DECIMAL(38,0) —
+    // 20 squares of 1e9-scale micro-units can pass long range), every
+    // subtraction done in exact integer/decimal arithmetic, and only the
+    // final division + sqrt run in IEEE doubles with the IDENTICAL
+    // expression on both engines (÷ and √ are correctly-rounded, so
+    // exactly-equal inputs give bit-equal outputs — unlike ln, which is
+    // why the LM family pre-rounds and this op doesn't need to). One
+    // user-keyed sort; all three moments share the frame.
+    "ts_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val denSq = "CAST(n AS DECIMAL(38,0)) * s2" +
+        " - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))"
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+        .withColumn("n", count(col("v_us")).over(w))
+        .withColumn("s1", sum(col("v_us")).over(w))
+        .withColumn("s2",
+          sum(expr("CAST(v_us * v_us AS DECIMAL(38,0))")).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(col("n") >= 5 && expr(denSq) > 0,
+            expr("CAST(n * v_us - s1 AS DOUBLE)") /
+              sqrt(expr(s"CAST($denSq AS DOUBLE)"))).as("z"))
+        .withColumn("is_anomaly",
+          col("z").isNotNull && abs(col("z")) > lit(3.0))
+        .orderBy(col("event_id"))
+    }),
+
     // Exponentially-weighted moving average (round-5 add): at every
     // event, EWMA of `value` over the user's last 10 events (α = 1/2,
     // truncated horizon — the streaming-friendly form: state is 10 lags,
@@ -878,6 +1011,95 @@ object ScalarQueries {
                 AS DOUBLE) / 1000000 AS retention
        FROM cells c JOIN base b ON c.cwk = b.bwk
        ORDER BY cohort_week, week_offset""",
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      event_id, event_type
+                    FROM events),
+            t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS from_type,
+                          event_type AS to_type
+                  FROM e),
+            c AS (SELECT from_type, to_type, count(*) AS n_trans
+                  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            a AS (SELECT *, sum(n_trans) OVER (PARTITION BY from_type)
+                    AS n_from
+                  FROM c)
+       SELECT from_type, to_type, n_trans,
+              CAST((2 * n_trans * 1000000 + n_from) // (2 * n_from)
+                AS DOUBLE) / 1000000 AS prob
+       FROM a ORDER BY from_type, to_type""",
+
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      event_id, event_type,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                     ts_us AS p_ts, v_us
+                   FROM e WHERE event_type = 'purchase'),
+            ck AS (SELECT user_id AS c_user, event_id AS click_id,
+                     ts_us AS c_ts
+                   FROM e WHERE event_type = 'click'),
+            j AS (SELECT p.user_id, p.purchase_id, p.v_us, c.click_id,
+                    count(c.click_id) OVER (PARTITION BY p.purchase_id)
+                      AS n_touch,
+                    row_number() OVER (PARTITION BY p.purchase_id
+                      ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+                  FROM pu p LEFT JOIN ck c
+                    ON c.c_user = p.user_id
+                   AND c.c_ts < p.p_ts
+                   AND c.c_ts >= p.p_ts - 3600000000)
+       SELECT user_id, purchase_id, n_touch, click_id AS last_click_id,
+              CASE WHEN n_touch > 0 THEN
+                CAST((2 * v_us + n_touch) // (2 * n_touch) AS DOUBLE)
+                  / 1000000 END AS credit_per_touch
+       FROM j WHERE rn = 1 ORDER BY purchase_id""",
+
+    "events_type_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+            pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_both
+                   FROM ut a JOIN ut b
+                     ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+       SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+              CAST((2 * p.n_both * 1000000 + (sa.n + sb.n - p.n_both))
+                // (2 * (sa.n + sb.n - p.n_both)) AS DOUBLE) / 1000000
+                AS jaccard
+       FROM pr p
+       JOIN sz sa ON sa.event_type = p.type_a
+       JOIN sz sb ON sb.event_type = p.type_b
+       ORDER BY type_a, type_b""",
+
+    "ts_zscore" ->
+      """WITH e AS (SELECT event_id, user_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            st AS (SELECT event_id, user_id, value, v_us,
+                     count(v_us) OVER w AS n,
+                     sum(v_us) OVER w AS s1,
+                     sum(v_us * v_us) OVER w AS s2
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN 20 PRECEDING
+                                         AND 1 PRECEDING)),
+            zz AS (SELECT event_id, user_id, value,
+                     CASE WHEN n >= 5 AND n * s2 - s1 * s1 > 0 THEN
+                       CAST(n * v_us - s1 AS DOUBLE)
+                         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END AS z
+                   FROM st)
+       SELECT event_id, user_id, value, z,
+              (z IS NOT NULL AND abs(z) > 3) AS is_anomaly
+       FROM zz ORDER BY event_id""",
 
     "ts_ewma" -> {
       val lagDefs = (1 until 10).map(k =>

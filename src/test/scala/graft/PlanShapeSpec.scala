@@ -214,6 +214,49 @@ class PlanShapeSpec extends GraftSpec {
       s"retention must stay equi-keyed:\n$plan")
   }
 
+  test("events_transitions shuffles the corpus once for the lag chain") {
+    val plan = finalPlan("events_transitions")
+    // the user_id window exchange is the only corpus-sized shuffle; the
+    // cell agg (|types|² rows) and its normalization window add at most
+    // tiny post-agg exchanges — but never a join or second corpus sort
+    assert(!plan.contains("Join"), s"transitions should not join:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"corpus scanned $scans times:\n$plan")
+  }
+
+  test("events_attribution is one user-keyed equi-join") {
+    val plan = finalPlan("events_attribution")
+    // the hour bound must ride the user_id hash join's condition — a
+    // nested-loop over purchases × clicks is the O(n²) failure shape
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"no hash equi-join:\n$plan")
+  }
+
+  test("ts_zscore computes all three moments over one exchange") {
+    val plan = finalPlan("ts_zscore")
+    // count/sum/sum-of-squares share the same (user_id) frame — they
+    // must collapse into one Window operator over one shuffle
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    val windows = "(?m)^.*Window".r.findAllIn(plan).length
+    assert(windows <= 2, s"moment frames did not fuse:\n$plan")
+  }
+
+  test("events_type_overlap self-join is user-keyed with broadcast sizes") {
+    val plan = finalPlan("events_type_overlap")
+    // pair generation must stay a user_id equi-join (per-user fan-out is
+    // alphabet-bounded); the per-type size lookups broadcast
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"size lookups should broadcast:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"(user, type) distinct not materialized (events re-scanned):\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
