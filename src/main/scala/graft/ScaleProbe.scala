@@ -76,8 +76,8 @@ object ScaleProbe {
     "events_count_window", "stream_count_window",
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",
-    "events_transitions", "events_attribution", "ts_zscore",
-    "events_type_overlap")
+    "events_transitions", "stream_transitions", "events_attribution",
+    "ts_zscore", "events_type_overlap")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

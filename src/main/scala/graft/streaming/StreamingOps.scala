@@ -54,6 +54,15 @@ private[streaming] case class EwmaState(
     timerAt: Long, lagV: Array[Long],
     ts: Array[Long], eid: Array[Long], vus: Array[Long])
 
+/** State row for [[StreamingOps]]'s transition processor: the last
+  * sealed event's type code (−1 before any event seals — the single
+  * value the whole emitted history reduces to) plus the unsealed event
+  * buffer, as parallel primitive arrays (same codegen rationale as
+  * [[FunnelState]]). */
+private[streaming] case class TransState(
+    timerAt: Long, prevCode: Long,
+    ts: Array[Long], eid: Array[Long], cod: Array[Long])
+
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
   * Execution discipline (D7): every oracle-checked op replays the events
@@ -678,6 +687,39 @@ object StreamingOps {
         .transformWithState(new EwmaProcessor(),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(out.toDF("event_id", "user_id", "ewma"), "append")
+        .orderBy(col("event_id"))
+    }),
+
+    // Streaming Markov transitions (round-5 add): events_transitions'
+    // lag chain per event — each event, once sealed, emits (previous
+    // type → its type). State is ONE long (last sealed code) + the
+    // unsealed horizon. The type alphabet is the op's configured CEP
+    // alphabet (patterns always have a finite one), coded to ints so
+    // the state row stays primitive-array (the FunnelState codegen
+    // rule). Oracle: the batch lag SQL over the sealed prefix.
+    "stream_transitions" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_id"),
+          expr("CAST(CASE event_type WHEN 'click' THEN 0" +
+            " WHEN 'error' THEN 1 WHEN 'purchase' THEN 2" +
+            " WHEN 'signup' THEN 3 WHEN 'view' THEN 4" +
+            " ELSE 5 END AS BIGINT)").as("code"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new TransitionProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      val alpha = array(lit("click"), lit("error"), lit("purchase"),
+        lit("signup"), lit("view"), lit("other"))
+      runToMemory(
+        out.toDF("event_id", "user_id", "from_code", "to_code"), "append")
+        .select(col("event_id"), col("user_id"),
+          element_at(alpha, (col("from_code") + 1).cast("int"))
+            .as("from_type"),
+          element_at(alpha, (col("to_code") + 1).cast("int"))
+            .as("to_type"))
         .orderBy(col("event_id"))
     }),
 
@@ -1309,6 +1351,76 @@ object StreamingOps {
     }
   }
 
+  /** Per-user Markov transition emission: each event, once the watermark
+    * seals its rank, emits the (previous type → its type) pair — the
+    * streaming form of `events_transitions`' lag chain. The whole
+    * emitted history compresses into ONE long (the last sealed event's
+    * type code), so per-key state is that code plus the unsealed
+    * horizon; same seal rule and timer churn-avoidance as
+    * [[EwmaProcessor]]. Input: (wallTs, tsUs, userId, eventId,
+    * typeCode); output: (eventId, userId, fromCode, toCode). */
+  private class TransitionProcessor
+      extends StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Long, Long, Long),
+        (Long, Long, Long, Long)] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[TransState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TransState]("tr",
+        Encoders.product[TransState], TTLConfig.NONE)
+
+    private def bufOf(s: TransState): Seq[(Long, Long, Long)] =
+      Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.cod(i))).toSeq
+
+    private def pack(timerAt: Long, prev: Long,
+        buf: Seq[(Long, Long, Long)]): TransState =
+      TransState(timerAt, prev, buf.map(_._1).toArray,
+        buf.map(_._2).toArray, buf.map(_._3).toArray)
+
+    private def rearm(buf: Seq[(Long, Long, Long)], prev: Long): Long = {
+      val want = if (buf.isEmpty) 0L else buf.map(_._1).min / 1000 + 1
+      if (want != prev) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        if (want != 0L) getHandle.registerTimer(want)
+      }
+      want
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val cur = Option(st.get())
+      val buf = scala.collection.mutable.ArrayBuffer(
+        cur.map(bufOf).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, eid, code) =>
+        buf += ((tsUs, eid, code)) }
+      val t = rearm(buf.toSeq, cur.map(_.timerAt).getOrElse(0L))
+      st.update(pack(t, cur.map(_.prevCode).getOrElse(-1L), buf.toSeq))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Long, Long)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get())
+      var prev = cur.map(_.prevCode).getOrElse(-1L)
+      val sorted = cur.map(bufOf).getOrElse(Nil)
+        .sortBy { case (ts, eid, _) => (ts, eid) }
+      val (ripe, rest) = sorted.partition(_._1 < wm * 1000)
+      val out = ripe.flatMap { case (_, eid, code) =>
+        val o = if (prev >= 0) Some((eid, key, prev, code)) else None
+        prev = code
+        o
+      }
+      val t = rearm(rest, 0L) // this timer just fired; prev = 0
+      st.update(pack(t, prev, rest))
+      out.iterator
+    }
+  }
+
   private def abcSignups(s: AbcState): Seq[(Long, Long)] =
     Array.tabulate(s.sId.length)(i => (s.sId(i), s.sTs(i))).toSeq
 
@@ -1692,6 +1804,12 @@ object StreamingOps {
       (Long, Long, Double)] =
     new EwmaProcessor()
 
+  /** Test hook: the transition processor (class is private). */
+  private[graft] def transitionsForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Long, Long),
+      (Long, Long, Long, Long)] =
+    new TransitionProcessor()
+
   /** Test hook: the running-aggregate processor (class is private). */
   private[graft] def runningAggForTest():
       StatefulProcessor[Long, (Long, Double), (Long, Long, BigDecimal)] =
@@ -1740,6 +1858,24 @@ object StreamingOps {
               CAST((2 * n + dn) // (2 * dn) AS DOUBLE) / 1000000 AS ewma
        FROM a ORDER BY event_id"""
     },
+
+    // The batch lag chain over the sealed prefix (events whose ms the
+    // final watermark passed): an event's lag predecessor is earlier
+    // than it, so filtering the base CTE is exactly the sealed rule and
+    // the cross-batch prevCode carry.
+    "stream_transitions" ->
+      """WITH mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                     FROM events),
+            e AS (SELECT user_id, event_id,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+                  FROM events, mx
+                  WHERE epoch_us(CAST(ts AS TIMESTAMP)) < mx.wm * 1000),
+            t AS (SELECT event_id, user_id, event_type AS to_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS from_type
+                  FROM e)
+       SELECT event_id, user_id, from_type, to_type
+       FROM t WHERE from_type IS NOT NULL ORDER BY event_id""",
 
     // Identical to ts_resample's oracle: complete-mode emission means
     // every bucket reports, no watermark cutoff.

@@ -845,6 +845,63 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_transitions: prev carry survives batches and sealing, final-ms holdback") {
+    // Pins the transition processor on a real 2-micro-batch run:
+    //  - e1/e2 seal after batch 1 (wm 09:30): e1 has no predecessor (no
+    //    emission), e2 emits (e1.code → e2.code);
+    //  - e3 sits AT the batch-1 watermark's ms → held back, then seals
+    //    in batch 2; its pair MUST still be (e2.code → e3.code), which
+    //    by then lives only in the one-long prevCode state — the
+    //    compression this test exists to pin;
+    //  - e4 sits at the final watermark's ms → never emits.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tr_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      Seq((t("2024-01-01 09:00:00"), 1L, 101L, 0L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2L),
+        (t("2024-01-01 09:30:00"), 1L, 103L, 4L))
+        .toDF("ts", "uid", "eid", "code")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — not late; final wm: 09:50
+      Seq((t("2024-01-01 09:50:00"), 1L, 104L, 3L))
+        .toDF("ts", "uid", "eid", "code")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("eid"), col("code"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.transitionsForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("event_id", "user_id", "from_code", "to_code")
+        .writeStream.format("memory").queryName("tr_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      val rows = spark.table("tr_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set((102L, 1L, 0L, 2L), (103L, 1L, 2L, 4L)),
+        s"transition emissions wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
