@@ -690,6 +690,30 @@ object StreamingOps {
         .orderBy(col("event_id"))
     }),
 
+    // Streaming rolling z-score (round-5 add): ts_zscore's 20-event
+    // frame as streaming state — each event, once sealed, scored
+    // against the previous ≤20 sealed values; |z| > 3 flags. Values in
+    // milli-units so every moment stays under 2^53 (exact long→double
+    // casts both engines — see ZscoreProcessor). v_ms derives from the
+    // exact micro-unit long by integer div 1000 (values are
+    // non-negative, so floor == truncate on both engines).
+    "stream_zscore" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)" +
+            " div 1000").as("v_ms"))
+        .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new ZscoreProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("event_id", "user_id", "z", "is_anomaly"), "append")
+        .orderBy(col("event_id"))
+    }),
+
     // Streaming Markov transitions (round-5 add): events_transitions'
     // lag chain per event — each event, once sealed, emits (previous
     // type → its type). State is ONE long (last sealed code) + the
@@ -1351,6 +1375,88 @@ object StreamingOps {
     }
   }
 
+  /** Per-user rolling z-score: each event, once the watermark seals its
+    * rank, is scored against the previous ≤ 20 sealed values —
+    * z = (n·x − Σv)/√(n·Σv² − (Σv)²), |z| > 3 flags the anomaly
+    * (`ts_zscore`'s frame as streaming state). State reuses
+    * [[EwmaState]]'s shape (lag context + unsealed buffer; here the lag
+    * array holds ≤ 20 values). Exactness: values in MILLI-units, so
+    * every moment (n·Σv² ≤ 20²·(10⁶)² = 4·10¹⁴) stays under 2⁵³ and the
+    * long→double casts are EXACT on both engines — the no-decimal
+    * streaming-state variant of ts_zscore's discipline (a processor
+    * can't carry DECIMAL(38,0) sums in a primitive-array state row).
+    * Input: (wallTs, tsUs, userId, eventId, vMilli);
+    * output: (eventId, userId, z, isAnomaly). */
+  private class ZscoreProcessor
+      extends StatefulProcessor[
+        Long, (java.sql.Timestamp, Long, Long, Long, Long),
+        (Long, Long, Option[Double], Boolean)] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("zs",
+        Encoders.product[EwmaState], TTLConfig.NONE)
+
+    private def bufOf(s: EwmaState): Seq[(Long, Long, Long)] =
+      Array.tabulate(s.ts.length)(i => (s.ts(i), s.eid(i), s.vus(i))).toSeq
+
+    private def pack(timerAt: Long, lags: Seq[Long],
+        buf: Seq[(Long, Long, Long)]): EwmaState =
+      EwmaState(timerAt, lags.toArray, buf.map(_._1).toArray,
+        buf.map(_._2).toArray, buf.map(_._3).toArray)
+
+    private def rearm(buf: Seq[(Long, Long, Long)], prev: Long): Long = {
+      val want = if (buf.isEmpty) 0L else buf.map(_._1).min / 1000 + 1
+      if (want != prev) {
+        if (prev != 0L) getHandle.deleteTimer(prev)
+        if (want != 0L) getHandle.registerTimer(want)
+      }
+      want
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Long)],
+        timerValues: TimerValues):
+        Iterator[(Long, Long, Option[Double], Boolean)] = {
+      val cur = Option(st.get())
+      val buf = scala.collection.mutable.ArrayBuffer(
+        cur.map(bufOf).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, eid, vms) => buf += ((tsUs, eid, vms)) }
+      val t = rearm(buf.toSeq, cur.map(_.timerAt).getOrElse(0L))
+      st.update(pack(t, cur.map(_.lagV.toSeq).getOrElse(Nil), buf.toSeq))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Long, Long, Option[Double], Boolean)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get())
+      var lags = cur.map(_.lagV.toSeq).getOrElse(Nil)
+      val sorted = cur.map(bufOf).getOrElse(Nil)
+        .sortBy { case (ts, eid, _) => (ts, eid) }
+      val (ripe, rest) = sorted.partition(_._1 < wm * 1000)
+      val out = ripe.map { case (_, eid, x) =>
+        val n = lags.length.toLong
+        val z = if (n >= 5) {
+          val s1 = lags.sum
+          val s2 = lags.map(v => v * v).sum
+          val den = n * s2 - s1 * s1
+          if (den > 0)
+            Some((n * x - s1).toDouble / math.sqrt(den.toDouble))
+          else None
+        } else None
+        lags = (lags :+ x).takeRight(20)
+        (eid, key, z, z.exists(v => math.abs(v) > 3))
+      }
+      val t = rearm(rest, 0L) // this timer just fired; prev = 0
+      st.update(pack(t, lags, rest))
+      out.iterator
+    }
+  }
+
   /** Per-user Markov transition emission: each event, once the watermark
     * seals its rank, emits the (previous type → its type) pair — the
     * streaming form of `events_transitions`' lag chain. The whole
@@ -1804,6 +1910,12 @@ object StreamingOps {
       (Long, Long, Double)] =
     new EwmaProcessor()
 
+  /** Test hook: the z-score processor (class is private). */
+  private[graft] def zscoreForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, Long, Long),
+      (Long, Long, Option[Double], Boolean)] =
+    new ZscoreProcessor()
+
   /** Test hook: the transition processor (class is private). */
   private[graft] def transitionsForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, Long, Long),
@@ -1858,6 +1970,36 @@ object StreamingOps {
               CAST((2 * n + dn) // (2 * dn) AS DOUBLE) / 1000000 AS ewma
        FROM a ORDER BY event_id"""
     },
+
+    // ts_zscore's moment SQL over the sealed prefix, in milli-units
+    // (see the op comment): an event's 20-lag frame is all earlier than
+    // it, so filtering the base CTE is exactly the sealed-rank rule.
+    "stream_zscore" ->
+      """WITH mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                     FROM events),
+            e AS (SELECT event_id, user_id,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                    CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                      // 1000 AS v_ms
+                  FROM events, mx
+                  WHERE epoch_us(CAST(ts AS TIMESTAMP)) < mx.wm * 1000),
+            st AS (SELECT event_id, user_id, v_ms,
+                     count(v_ms) OVER w AS n,
+                     sum(v_ms) OVER w AS s1,
+                     sum(v_ms * v_ms) OVER w AS s2
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN 20 PRECEDING
+                                         AND 1 PRECEDING)),
+            zz AS (SELECT event_id, user_id,
+                     CASE WHEN n >= 5 AND n * s2 - s1 * s1 > 0 THEN
+                       CAST(n * v_ms - s1 AS DOUBLE)
+                         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END AS z
+                   FROM st)
+       SELECT event_id, user_id, z,
+              (z IS NOT NULL AND abs(z) > 3) AS is_anomaly
+       FROM zz ORDER BY event_id""",
 
     // The batch lag chain over the sealed prefix (events whose ms the
     // final watermark passed): an event's lag predecessor is earlier

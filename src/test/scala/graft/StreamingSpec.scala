@@ -902,6 +902,75 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_zscore: lag context survives batches and sealing, n>=5 gate") {
+    // Pins the z-score processor on a real 2-micro-batch run:
+    //  - e1..e5 seal after batch 1 with fewer than 5 predecessors → z
+    //    null, no anomaly;
+    //  - e6 seals with exactly 5 lags → finite z below the threshold;
+    //  - e7 sits AT the batch-1 watermark's ms → held back, seals in
+    //    batch 2; its frame (e1..e6) by then lives only in the 20-long
+    //    lag context — the compression this test pins — and its outlier
+    //    value must flag;
+    //  - e8 sits at the final watermark's ms → never emits.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zs_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:30
+      (1 to 6).map(i => (t(f"2024-01-01 09:0${i - 1}:00"), 1L,
+          100L + i, i * 1000L))
+        .toDF("ts", "uid", "eid", "v_ms")
+        .repartition(1).write.mode("append").parquet(dir)
+      Seq((t("2024-01-01 09:30:00"), 1L, 107L, 20000L))
+        .toDF("ts", "uid", "eid", "v_ms")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — not late; final wm: 09:50
+      Seq((t("2024-01-01 09:50:00"), 1L, 108L, 4000L))
+        .toDF("ts", "uid", "eid", "v_ms")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "2").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("eid"), col("v_ms"))
+        .as[(Timestamp, Long, Long, Long, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.zscoreForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("event_id", "user_id", "z", "is_anomaly")
+        .writeStream.format("memory").queryName("zs_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 1,
+        "input collapsed to one micro-batch — cross-batch path untested")
+      def zOf(lags: Seq[Long], x: Long): Double = {
+        val n = lags.length.toLong
+        val s1 = lags.sum; val s2 = lags.map(v => v * v).sum
+        (n * x - s1).toDouble / math.sqrt((n * s2 - s1 * s1).toDouble)
+      }
+      val rows = spark.table("zs_mb").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3))).toSet
+      val expect: Set[(Long, Option[Double], Boolean)] =
+        (101L to 105L).map(e => (e, None, false)).toSet +
+          ((106L, Some(zOf((1L to 5L).map(_ * 1000L), 6000L)), false)) +
+          ((107L, Some(zOf((1L to 6L).map(_ * 1000L), 20000L)), true))
+      assert(rows == expect, s"z-score emissions wrong: $rows vs $expect")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_funnel: purchase processed before a not-late sub-ms-later signup still converts") {
     // The watermark is ms-truncated while events carry µs timestamps, so
     // a purchase can be processed in an EARLIER batch than a signup that
