@@ -62,7 +62,9 @@ object PlanDump {
     "ts_zscore" ->
       "rolling z-score (round-5 op): three moment frames fuse into one Window operator over one user_id exchange; exact decimal moments, IEEE only at the final div/sqrt",
     "events_type_overlap" ->
-      "audience overlap (round-5 op): (user, type) distinct materialized once; self-equi-join on user_id bounded by the type alphabet; per-type sizes broadcast into the tiny cell table")
+      "audience overlap (round-5 op): (user, type) distinct materialized once; self-equi-join on user_id bounded by the type alphabet; per-type sizes broadcast into the tiny cell table",
+    "events_rfm" ->
+      "RFM segmentation (round-5 op): one purchase-keyed agg; corpus max + quintile bounds are 1-row broadcasts; scoring is a comparison, never a global ntile sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,7 +77,7 @@ object ScaleProbe {
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",
     "events_transitions", "stream_transitions", "events_attribution",
-    "ts_zscore", "stream_zscore", "events_type_overlap")
+    "ts_zscore", "stream_zscore", "events_type_overlap", "events_rfm")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

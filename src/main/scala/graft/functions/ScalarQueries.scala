@@ -462,6 +462,60 @@ object ScalarQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // RFM user segmentation (round-5 add): per purchase-active user,
+    // recency (days since their last purchase, vs the corpus max),
+    // frequency (purchase count), monetary (exact micro-unit value sum);
+    // each metric scored 1..5 against its exact quintile boundaries and
+    // users bucketed into named segments — the classic growth-analytics
+    // table. Scale shape: ONE purchase-keyed agg builds the per-user
+    // metric table; the corpus max and the 12 quintile boundaries are
+    // single-row aggregates BROADCAST back — scoring is a boundary
+    // comparison, never a global ntile sort of the user table (the
+    // ntile form needs one totally-ordered partition; boundaries keep
+    // the scoring embarrassingly parallel at 10⁹ users). Boundaries are
+    // percentile/quantile_cont rounded to 6 dp (the agg_percentile
+    // discipline); all metrics are exact longs.
+    "events_rfm" -> ((s, d) => {
+      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+        .exists(_.equalsIgnoreCase("false"))
+      val per = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(expr("ts div 1000")).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum((dec(col("value")) * 1000000).cast("long")).as("m_us"))
+      val mx = per.agg(max(col("last_us")).as("mxus"))
+      val rm0 = per.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          expr("(mxus - last_us) div 86400000000").as("recency_days"),
+          col("frequency"), col("m_us"))
+      val rm = if (ckpt) rm0.localCheckpoint() else rm0
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      val boundCols = Seq("recency_days" -> "rb", "frequency" -> "fb",
+        "m_us" -> "mb").flatMap { case (m, p) =>
+        qs.zipWithIndex.map { case (q, i) =>
+          round(expr(s"percentile($m, ${q}D)"), 6).as(s"$p${i + 1}") }
+      }
+      val bounds = rm.agg(boundCols.head, boundCols.tail: _*)
+      def score(metric: String, b: String, op: String): Column =
+        (1 to 4).map(k =>
+          when(expr(s"$metric $op $b$k"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+      rm.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          (col("m_us").cast("double") / lit(1e6)).as("monetary"),
+          score("recency_days", "rb", "<").as("r_score"),
+          score("frequency", "fb", ">").as("f_score"),
+          score("m_us", "mb", ">").as("m_score"))
+        .withColumn("segment", expr(
+          """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                  WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                  WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                  WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                  ELSE 'regular' END"""))
+        .orderBy(col("user_id"))
+    }),
+
     // Audience-overlap matrix (round-5 add): for every pair of event
     // types, the Jaccard overlap of their user audiences — the
     // segment-overlap view behind "users who did A also did B".
@@ -1058,6 +1112,48 @@ object ScalarQueries {
                 CAST((2 * v_us + n_touch) // (2 * n_touch) AS DOUBLE)
                   / 1000000 END AS credit_per_touch
        FROM j WHERE rn = 1 ORDER BY purchase_id""",
+
+    "events_rfm" -> {
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      val bcols = Seq("recency_days" -> "rb", "frequency" -> "fb",
+        "m_us" -> "mb").flatMap { case (m, p) =>
+        qs.zipWithIndex.map { case (q, i) =>
+          s"round(quantile_cont($m, $q), 6) AS $p${i + 1}" }
+      }.mkString(",\n                    ")
+      def sc(metric: String, b: String, op: String): String =
+        (1 to 4).map(k =>
+          s"CASE WHEN $metric $op $b$k THEN 1 ELSE 0 END")
+          .mkString("1 + ", " + ", "")
+      s"""WITH p AS (SELECT user_id,
+                       max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                       count(*) AS frequency,
+                       sum(CAST(CAST(value AS DECIMAL(38,6)) * 1000000
+                         AS BIGINT)) AS m_us
+                     FROM events WHERE event_type = 'purchase'
+                     GROUP BY 1),
+            mx AS (SELECT max(last_us) AS mxus FROM p),
+            rm AS (SELECT user_id,
+                     (mxus - last_us) // 86400000000 AS recency_days,
+                     frequency, m_us
+                   FROM p, mx),
+            b AS (SELECT $bcols
+                  FROM rm),
+            s AS (SELECT user_id, recency_days, frequency,
+                    CAST(m_us AS DOUBLE) / 1000000 AS monetary,
+                    ${sc("recency_days", "rb", "<")} AS r_score,
+                    ${sc("frequency", "fb", ">")} AS f_score,
+                    ${sc("m_us", "mb", ">")} AS m_score
+                  FROM rm, b)
+       SELECT user_id, recency_days, frequency, monetary,
+              r_score, f_score, m_score,
+              CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                     THEN 'champion'
+                   WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                   WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                   WHEN r_score <= 2 AND f_score <= 2 THEN 'lost'
+                   ELSE 'regular' END AS segment
+       FROM s ORDER BY user_id"""
+    },
 
     "events_type_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -257,6 +257,20 @@ class PlanShapeSpec extends GraftSpec {
       s"(user, type) distinct not materialized (events re-scanned):\n$plan")
   }
 
+  test("events_rfm scores by broadcast boundaries, never a global ntile sort") {
+    val plan = finalPlan("events_rfm")
+    // quintile scoring must be a comparison against the broadcast 1-row
+    // bounds aggregate — an ntile formulation would put the whole user
+    // table through one totally-ordered Window partition
+    assert(!plan.contains("Window"), s"global ntile sort crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"bounds should broadcast:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"metric table not materialized (events re-scanned):\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
