@@ -77,7 +77,8 @@ object ScaleProbe {
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",
     "events_transitions", "stream_transitions", "events_attribution",
-    "ts_zscore", "stream_zscore", "events_type_overlap", "events_rfm")
+    "ts_zscore", "stream_zscore", "events_type_overlap", "events_rfm",
+    "events_ab_test", "agg_histogram")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

@@ -462,6 +462,54 @@ object ScalarQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // A/B experiment readout (round-5 add): users deterministically
+    // split into two variants by a stable id rule (user_id parity — the
+    // llm_split_assign discipline: NEVER rand(); swap in a
+    // multiplicative hash when ids aren't uniform, per
+    // llm_sample_topk_hash's note), then the Welch two-sample z on
+    // purchases-per-user — the "orders per user" readout every
+    // experimentation stack ends at. Scale shape: one corpus agg to
+    // per-user counts, one 2-row variant rollup (cut at its reuse
+    // boundary — both variant sides read it); the z arithmetic runs on
+    // a 1-row frame. Exactness (the ts_zscore discipline): per-variant
+    // moments are exact (Σx, Σx² longs; the n·Σx²−(Σx)² numerators in
+    // DECIMAL(38,0)); means via the (2p+n) div (2n) half-up idiom; z
+    // through an IDENTICAL ÷/√ expression both engines
+    // (correctly-rounded ops on exactly-equal inputs).
+    "events_ab_test" -> ((s, d) => {
+      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+        .exists(_.equalsIgnoreCase("false"))
+      val perUser = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("k"))
+        .select(pmod(col("user_id"), lit(2L)).as("variant"), col("k"))
+      val v0 = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("s"),
+          sum(expr("CAST(k * k AS DECIMAL(38,0))")).as("sq"))
+      val v = if (ckpt) v0.localCheckpoint() else v0
+      val a = v.filter(col("variant") === 0)
+        .select(col("n").as("n1"), col("s").as("s1"), col("sq").as("sq1"))
+      val b = v.filter(col("variant") === 1)
+        .select(col("n").as("n2"), col("s").as("s2"), col("sq").as("sq2"))
+      def varTerm(i: Int): String =
+        s"CAST(CAST(n$i AS DECIMAL(38,0)) * sq$i" +
+          s" - CAST(s$i AS DECIMAL(38,0)) * CAST(s$i AS DECIMAL(38,0))" +
+          s" AS DOUBLE) / (CAST(n$i AS DOUBLE) * (n$i - 1)) / n$i"
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("s1"), col("n2"), col("s2"),
+          (expr("(2 * s1 * 1000000 + n1) div (2 * n1)") / lit(1e6))
+            .as("mean1"),
+          (expr("(2 * s2 * 1000000 + n2) div (2 * n2)") / lit(1e6))
+            .as("mean2"),
+          // Welch z = (m1 − m2) / √(v1/n1 + v2/n2), every term derived
+          // from exact integer moments by identical double arithmetic
+          when(col("n1") > 1 && col("n2") > 1 &&
+              expr(s"${varTerm(1)} + ${varTerm(2)}") > 0,
+            expr("CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2") /
+              sqrt(expr(s"${varTerm(1)} + ${varTerm(2)}"))).as("z"))
+    }),
+
     // RFM user segmentation (round-5 add): per purchase-active user,
     // recency (days since their last purchase, vs the corpus max),
     // frequency (purchase count), monetary (exact micro-unit value sum);
@@ -1112,6 +1160,37 @@ object ScalarQueries {
                 CAST((2 * v_us + n_touch) // (2 * n_touch) AS DOUBLE)
                   / 1000000 END AS credit_per_touch
        FROM j WHERE rn = 1 ORDER BY purchase_id""",
+
+    "events_ab_test" ->
+      """WITH f AS (SELECT user_id, user_id % 2 AS variant,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS BIGINT) AS k
+                    FROM events GROUP BY 1, 2),
+            v AS (SELECT variant, count(*) AS n,
+                    CAST(sum(k) AS BIGINT) AS s,
+                    CAST(sum(k * k) AS BIGINT) AS sq
+                  FROM f GROUP BY 1),
+            a AS (SELECT n AS n1, s AS s1, sq AS sq1 FROM v
+                  WHERE variant = 0),
+            b AS (SELECT n AS n2, s AS s2, sq AS sq2 FROM v
+                  WHERE variant = 1)
+       SELECT n1, s1, n2, s2,
+              CAST((2 * s1 * 1000000 + n1) // (2 * n1) AS DOUBLE) / 1000000
+                AS mean1,
+              CAST((2 * s2 * 1000000 + n2) // (2 * n2) AS DOUBLE) / 1000000
+                AS mean2,
+              CASE WHEN n1 > 1 AND n2 > 1 AND
+                     CAST(n1 * sq1 - s1 * s1 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+                     + CAST(n2 * sq2 - s2 * s2 AS DOUBLE)
+                       / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2 > 0 THEN
+                (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                  / sqrt(CAST(n1 * sq1 - s1 * s1 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * (n1 - 1)) / n1
+                    + CAST(n2 * sq2 - s2 * s2 AS DOUBLE)
+                      / (CAST(n2 AS DOUBLE) * (n2 - 1)) / n2)
+              END AS z
+       FROM a, b""",
 
     "events_rfm" -> {
       val qs = Seq(0.2, 0.4, 0.6, 0.8)

@@ -231,6 +231,36 @@ object Aggregations {
         .orderBy(col("event_type"))
     }),
 
+    // Equi-width histogram (round-5 add): per event type, `value`
+    // bucketed into 20 equal-width bins over the GLOBAL [min, max] —
+    // the distribution-profile aggregate of every metrics/EDA stack.
+    // Scale shape: the bounds are a 1-row aggregate broadcast back over
+    // the corpus (the scalar-bounds pattern — agg_heavy_hitters), the
+    // histogram itself is one partial+final hash agg into ≤ |types|·20
+    // cells. Exactness: the bucket index and both edges are PURE
+    // INTEGER arithmetic on micro-unit longs — ((v−mn)·20) div
+    // (mx−mn+1) — no IEEE op anywhere (a double-width bucket formula
+    // can put a value on the wrong side of an edge; integers cannot).
+    "agg_histogram" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_type"),
+          (dec(col("value")) * 1000000).cast("long").as("v_us"))
+      val bounds = ev.agg(min(col("v_us")).as("mn"),
+        max(col("v_us")).as("mx"))
+      ev.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"),
+          expr("((v_us - mn) * 20) div (mx - mn + 1)").as("bucket"),
+          col("mn"), col("mx"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("bucket"),
+          (expr("CAST(mn + (bucket * (mx - mn + 1)) div 20 AS DOUBLE)")
+            / lit(1e6)).as("lo"),
+          (expr("CAST(mn + ((bucket + 1) * (mx - mn + 1)) div 20" +
+            " AS DOUBLE)") / lit(1e6)).as("hi"),
+          col("cnt"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     "agg_having" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_custkey"))
@@ -453,6 +483,24 @@ object Aggregations {
                 CAST((2 * CAST(-sum(ni * lpm) AS BIGINT) + max(n))
                     // (2 * max(n)) AS DOUBLE) / 1000000 AS h_nats
          FROM hp GROUP BY event_type ORDER BY event_type""",
+
+    "agg_histogram" ->
+      """WITH e AS (SELECT event_type,
+                      CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)
+                        AS v_us
+                    FROM events),
+            b AS (SELECT min(v_us) AS mn, max(v_us) AS mx FROM e),
+            h AS (SELECT event_type,
+                    ((v_us - mn) * 20) // (mx - mn + 1) AS bucket, mn, mx
+                  FROM e, b)
+       SELECT event_type, bucket,
+              CAST(mn + (bucket * (mx - mn + 1)) // 20 AS DOUBLE)
+                / 1000000 AS lo,
+              CAST(mn + ((bucket + 1) * (mx - mn + 1)) // 20 AS DOUBLE)
+                / 1000000 AS hi,
+              count(*) AS cnt
+       FROM h GROUP BY event_type, bucket, mn, mx
+       ORDER BY event_type, bucket""",
 
     "agg_rollup" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,

@@ -271,6 +271,19 @@ class PlanShapeSpec extends GraftSpec {
       s"metric table not materialized (events re-scanned):\n$plan")
   }
 
+  test("agg_histogram buckets via a 1-row broadcast, one corpus agg") {
+    val plan = finalPlan("agg_histogram")
+    // the [min,max] bounds must broadcast back over the corpus (scalar
+    // -bounds pattern) and the histogram itself must be a partial+final
+    // hash agg — a shuffle of raw rows to compute bounds-then-buckets
+    // twice would double the corpus traffic
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"bounds should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+
   test("llm_dedup_incremental joins are equi-keyed, never cartesian") {
     // The asymmetric new-batch-vs-corpus shape only holds if every pair
     // source is an equi-join (text, then (lang, bucket)) — a nested-loop
