@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.DecimalType
   *  - D2: money doubles are cast to DECIMAL(38,6) *per row* before any
   *    aggregation the DuckDB oracle re-computes (decimal addition is
   *    associative, so partition order can't change results).
-  *  - H1: `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4.1.2
-  *    refuses to read unless `spark.sql.legacy.parquet.nanosAsLong=true`
-  *    (runtime-settable). `events()` sets it and converts nanos → µs,
-  *    matching DuckDB's µs truncation exactly.
+  *  - H1: `events.ts` has shipped in two physical encodings across
+  *    testdata generations — INT64 TIMESTAMP(NANOS), which Spark 4.1.2
+  *    only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
+  *    (arriving as a nanos BIGINT), and INT64 TIMESTAMP(MICROS)
+  *    isAdjustedToUTC=false (arriving as TIMESTAMP_NTZ). `events()` sets
+  *    the conf and normalizes BOTH to the engine's canonical `ts` = epoch
+  *    NANOS bigint (the NTZ wall time is UTC by data contract; every
+  *    harness session pins spark.sql.session.timeZone=UTC, so the cast
+  *    is exact), matching DuckDB's µs view of the same column.
   */
 object Tables {
 
@@ -52,7 +57,19 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Integer division: `ts / 1000` would go through double and lose
     // precision at ~1.7e18 ns (observed: ±1 µs vs DuckDB's truncation).
-    table(s, d, "events")
+    normalizeEventsTs(table(s, d, "events"))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Rewrite an events frame's `ts` to the canonical epoch-NANOS bigint
+    * whatever the physical parquet encoding delivered (H1): a nanos
+    * BIGINT passes through; a TIMESTAMP/TIMESTAMP_NTZ (micros encoding)
+    * becomes `unix_micros * 1000` — exact integer arithmetic, no double
+    * round-trip. Pure projection, so it composes with streaming reads. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
 }

@@ -119,11 +119,14 @@ object StreamingOps {
       }
     })
 
-  /** Streaming view of the events table with event-time restored. */
+  /** Streaming view of the events table with event-time restored. `ts`
+    * is normalized to the canonical epoch-nanos bigint first (Tables H1:
+    * the physical column may be a nanos BIGINT or a micros
+    * TIMESTAMP_NTZ depending on testdata generation). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(eventsDir(d))
+    normalizeEventsTs(s.readStream.schema(schema).parquet(eventsDir(d)))
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -281,7 +284,8 @@ object StreamingOps {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val (onTime, late) = lateSideOutputRun(s, eventsDir(d), schema,
-        df => df.withColumn("ts_us", expr("ts div 1000")), "ts_us", None)
+        df => normalizeEventsTs(df).withColumn("ts_us", expr("ts div 1000")),
+        "ts_us", None)
       onTime.withColumn("side", lit("ontime"))
         .unionAll(late.withColumn("side", lit("late")))
         .groupBy(col("side"))
