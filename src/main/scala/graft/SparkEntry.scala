@@ -27,7 +27,8 @@ object SparkEntry {
       functions.ExtensionOps.queries ++
       operators.TrainingDataOps.queries ++
       operators.AnnOps.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      sources.FileFormats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       functions.ExtensionOps.oracle ++
       operators.TrainingDataOps.oracle ++
       operators.AnnOps.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      sources.FileFormats.oracle
 }

@@ -265,6 +265,61 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Strict-contiguity CEP step (round-5 add): Flink's `next()` — the
+    // signup's verdict hangs on the user's IMMEDIATELY following event
+    // (strictly later ts; earliest (ts, id) wins), not on any later
+    // click: iff that very next event is a click within 1 h the signup
+    // matches ("next" admits no gaps, unlike followedBy). One
+    // time-bounded equi-join on user_id + min-struct agg — the funnel
+    // family's plan shape; bounding the join to the 1 h window keeps a
+    // signup from pairing with the user's whole future at 100 TB, and
+    // loses nothing: a first-event beyond the horizon means an empty
+    // window, which is already the unmatched-left NULL verdict.
+    "events_pattern_strict" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val nx = ev.select(col("user_id").as("n_user"),
+        col("event_id").as("n_id"), col("ts_us").as("n_ts"),
+        col("event_type").as("n_type"))
+      sg.join(nx,
+          col("user_id") === col("n_user") &&
+            col("n_ts") > col("s_ts") &&
+            col("n_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("n_id").isNotNull,
+          struct(col("n_ts"), col("n_id"), col("n_type")))).as("nx"))
+        .select(col("user_id"), col("signup_id"),
+          when(col("nx.n_type") === "click", col("nx.n_id"))
+            .as("next_click_id"))
+        .orderBy(col("signup_id"))
+    }),
+
+    // Path analysis (round-5 add): the 10 most common 3-step
+    // event-type sequences users take — the product-analytics /
+    // curriculum-mining staple over clickstreams. Two lead() steps
+    // over each user's event-time order make the trigram in ONE
+    // user-keyed shuffle; the count + rank then run over the tiny
+    // distinct-path aggregate (≤ |types|³ rows however large the
+    // input), so the top-10 never sorts the corpus. Ties break on the
+    // path string — a total order both engines share.
+    "events_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    }),
+
     // Count-based tumbling windows (round-5 add): per user, every
     // consecutive run of 5 events in event-time order forms one window
     // (only FULL windows emit) — Flink's `countWindow(5)`, which Spark's
@@ -968,6 +1023,37 @@ object ScalarQueries {
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
        ORDER BY s.signup_id""",
+
+    "events_pattern_strict" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            nx AS (SELECT user_id, event_id AS n_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS n_ts,
+                       event_type AS n_type
+                   FROM events),
+            j AS (SELECT s.user_id, s.signup_id, n.n_id, n.n_type,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY n.n_ts, n.n_id) AS rn
+                  FROM sg s LEFT JOIN nx n
+                    ON n.user_id = s.user_id
+                   AND n.n_ts > s.s_ts
+                   AND n.n_ts <= s.s_ts + 3600000000)
+       SELECT user_id, signup_id,
+              CASE WHEN n_type = 'click' THEN n_id END AS next_click_id
+       FROM j WHERE rn = 1 ORDER BY signup_id""",
+
+    "events_top_paths" ->
+      """WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type, 1) OVER w AS t2,
+                        lead(event_type, 2) OVER w AS t3
+                      FROM events
+                      WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+       SELECT event_type || '>' || t2 || '>' || t3 AS path,
+              count(*) AS cnt
+       FROM seq WHERE t3 IS NOT NULL
+       GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""",
 
     "events_pattern_optional" ->
       """WITH sg AS (SELECT user_id, event_id AS signup_id,

@@ -109,4 +109,68 @@ class OperatorSpec extends GraftSpec {
     assert(got.head.getDouble(2) === maxPrice)
     assert(got.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("pattern_strict: only the IMMEDIATELY next event can match (next() vs followedBy)") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    val t0 = 1700000000000000000L
+    // u1: signup, error, click   -> strict FAILS (followedBy would match)
+    // u2: signup, click (30 min) -> match
+    // u3: signup, click (2 h)    -> out of window
+    // u4: signup, signup, click  -> first blocked by second signup;
+    //                               second matches
+    val dir = java.nio.file.Files.createTempDirectory("graft_strict_")
+    Seq(
+      (1L, t0, 101L, "signup"), (2L, t0 + 10 * m, 101L, "error"),
+      (3L, t0 + 20 * m, 101L, "click"),
+      (4L, t0, 102L, "signup"), (5L, t0 + 30 * m, 102L, "click"),
+      (6L, t0, 103L, "signup"), (7L, t0 + 120 * m, 103L, "click"),
+      (8L, t0, 104L, "signup"), (9L, t0 + 5 * m, 104L, "signup"),
+      (10L, t0 + 6 * m, 104L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_pattern_strict")(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(got == Map(1L -> -1L, 4L -> 5L, 6L -> -1L, 8L -> -1L, 9L -> 10L))
+  }
+
+  test("csv/json round-trips carry the events table losslessly") {
+    val base = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"),
+        sum(expr("ts div 1000")).as("ts_us_sum"),
+        sum(length(col("props"))).as("props_len_sum"),
+        sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    for (q <- Seq("source_csv_roundtrip", "source_json_roundtrip")) {
+      val got = SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSeq
+      assert(got == base, s"$q drifted from the parquet original")
+    }
+  }
+
+  test("join_bucketed equals the plain shuffle join it replaces") {
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(Tables.dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("c_mktsegment")).collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("join_bucketed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == plain)
+  }
+
+  test("top_paths returns <= 10 trigrams in (count desc, path) order") {
+    val got = SparkEntry.queries("events_top_paths")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    val pairs = got.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall {
+      case Array((c1, p1), (c2, p2)) => c1 > c2 || (c1 == c2 && p1 < p2)
+      case _ => true
+    })
+  }
 }
