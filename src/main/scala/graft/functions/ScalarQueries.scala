@@ -177,6 +177,63 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Exact-count quantifier (round-5 add): A B{2} C within 1 h —
+    // signup, TWO clicks, then a purchase: Flink-CEP's
+    // `Pattern.times(2)` (relaxed contiguity) on the same deterministic
+    // first-match rule as the other chains. Binding: c1 = first click
+    // after the signup, c2 = first click strictly after c1, purchase =
+    // first purchase after c2, all ≤ signup + 1 h; each unbound step
+    // cascades null. Three time-bounded user-keyed equi-joins +
+    // min-struct picks — one more chain link than the 3-step pattern,
+    // identical shuffle shape (hash by user/signup, never a per-user
+    // nested loop).
+    "events_pattern_times" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      val step1 = sg.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") &&
+            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("click_id").isNotNull,
+          struct(col("c_ts"), col("click_id")))).as("fc"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fc.click_id").as("click1_id"), col("fc.c_ts").as("c1_ts"))
+      val ck2 = ck.select(col("c_user").as("c2_user"),
+        col("click_id").as("c2_id"), col("c_ts").as("c2_ts"))
+      val step2 = step1.join(ck2,
+          col("user_id") === col("c2_user") &&
+            col("c2_ts") > col("c1_ts") &&
+            col("c2_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click1_id"))
+        .agg(min(when(col("c2_id").isNotNull,
+          struct(col("c2_ts"), col("c2_id")))).as("fc2"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click1_id"), col("fc2.c2_id").as("click2_id"),
+          col("fc2.c2_ts").as("c2_ts"))
+      step2.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("c2_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
+          col("click1_id"), col("click2_id"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"), col("click1_id"),
+          col("click2_id"), col("fp.purchase_id").as("purchase_id"),
+          (col("fp.p_ts") - col("s_ts")).as("us_to_complete"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Optional-step pattern (round-5 add): A B? C within 1 h — signup,
     // OPTIONAL click, then purchase: Flink-CEP's `optional()` quantifier
     // with greedy preference. The with-click chain (first click after
@@ -452,6 +509,33 @@ object ScalarQueries {
           (expr("(2 * n_users * 1000000 + n0) div (2 * n0)") / lit(1e6))
             .as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Daily-actives rollup (round-5 add): per UTC day, DAU plus the
+    // new/returning split and the cumulative distinct-user count — the
+    // growth-accounting table of every product-analytics stack. Day =
+    // epoch-µs div 86400000000 (events_retention's integer-day idiom,
+    // exact on both engines). Scale shape: ONE (user, day) dedup shuffle
+    // feeds both the per-day DAU agg and the per-user first-day agg;
+    // everything after is day-cardinality (≤ a few thousand rows at any
+    // corpus size), so the global cumulative window runs on the tiny
+    // rollup, never the corpus.
+    "events_dau" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val fd = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val nu = fd.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      dau.join(nu, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .select(col("day"), col("dau"), col("new_users"),
+          (col("dau") - col("new_users")).as("returning_users"),
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_users"))
+        .orderBy(col("day"))
     }),
 
     // Markov transition matrix (round-5 add): per user, consecutive
@@ -1009,6 +1093,46 @@ object ScalarQueries {
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
 
+    "events_pattern_times" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id AS click1_id, c.c_ts AS c1_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click1_id,
+                     c.click_id AS click2_id, c.c_ts AS c2_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM f1 f LEFT JOIN ck c
+                     ON c.user_id = f.user_id
+                    AND c.c_ts > f.c1_ts
+                    AND c.c_ts <= f.s_ts + 3600000000),
+            f2 AS (SELECT * FROM s2 WHERE rn = 1),
+            s3 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click1_id,
+                     f.click2_id, p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f2 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c2_ts
+                    AND p.p_ts <= f.s_ts + 3600000000)
+       SELECT user_id, signup_id, click1_id, click2_id, purchase_id,
+              p_ts - s_ts AS us_to_complete
+       FROM s3 WHERE rn = 1 ORDER BY signup_id""",
+
     "events_pattern_absence" ->
       """WITH sg AS (SELECT user_id, event_id AS signup_id,
                        epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us
@@ -1199,6 +1323,23 @@ object ScalarQueries {
                 AS DOUBLE) / 1000000 AS retention
        FROM cells c JOIN base b ON c.cwk = b.bwk
        ORDER BY cohort_week, week_offset""",
+
+    "events_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                         AS day
+                     FROM events),
+            fd AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+            dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+            nu AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+       SELECT d.day, d.dau,
+              COALESCE(n.new_users, 0) AS new_users,
+              d.dau - COALESCE(n.new_users, 0) AS returning_users,
+              CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+       FROM dau d LEFT JOIN nu n ON d.day = n.day
+       ORDER BY d.day""",
 
     "events_transitions" ->
       """WITH e AS (SELECT user_id,

@@ -207,6 +207,49 @@ object Aggregations {
             .as("r2"))
         .orderBy(col("l_returnflag"))),
 
+    // Exact higher-moment aggregate (round-5 add): population skewness /
+    // excess kurtosis of l_quantity per return flag, from FOUR decimal
+    // moment sums (l_quantity is integral 1..50, so q²/q³/q⁴ are exact
+    // in double and in DECIMAL(38,6) — D2: the decimal partials reduce
+    // order-independently; the double finish runs on the reduced
+    // aggregates only and is the identical expression DuckDB evaluates).
+    // Built-in skewness()/kurtosis() would accumulate doubles in
+    // partition order — the same D2 rationale as agg_corr_covar. One
+    // partial+final hash agg, 5-row result.
+    "agg_skew_kurt" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("s1"),
+          sum(dec(col("l_quantity") * col("l_quantity")))
+            .cast("double").as("s2"),
+          sum(dec(col("l_quantity") * col("l_quantity") *
+            col("l_quantity"))).cast("double").as("s3"),
+          sum(dec(col("l_quantity") * col("l_quantity") *
+            col("l_quantity") * col("l_quantity")))
+            .cast("double").as("s4"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("m2",
+          col("s2") / col("n") - col("mean") * col("mean"))
+        .withColumn("m3",
+          col("s3") / col("n") -
+            lit(3.0) * col("mean") * (col("s2") / col("n")) +
+            lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4",
+          col("s4") / col("n") -
+            lit(4.0) * col("mean") * (col("s3") / col("n")) +
+            lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+            lit(3.0) * col("mean") * col("mean") * col("mean") *
+              col("mean"))
+        .select(col("l_returnflag"), col("n"),
+          when(col("n") > 1 && col("m2") > 0,
+            round(col("m3") / (sqrt(col("m2")) * col("m2")), 6))
+            .as("skewness_qty"),
+          when(col("n") > 1 && col("m2") > 0,
+            round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6))
+            .as("kurtosis_qty"))
+        .orderBy(col("l_returnflag"))),
+
     // Shannon entropy of each event type's hour-of-day distribution
     // (round-5 add): how concentrated in the day a given event type is.
     // Float discipline is llm_ngram_lm's fixed-point idiom: each hour
@@ -468,6 +511,33 @@ object Aggregations {
                     ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
                 END AS r2
          FROM m ORDER BY l_returnflag""",
+
+    "agg_skew_kurt" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2,
+                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity
+                        AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                        AS DECIMAL(38,6))) AS DOUBLE) AS s4
+                    FROM lineitem GROUP BY 1),
+            c AS (SELECT l_returnflag, n, s1, s2, s3, s4,
+                    s1 / n AS mean FROM m),
+            cm AS (SELECT l_returnflag, n, mean,
+                     s2 / n - mean * mean AS m2,
+                     s3 / n - 3.0 * mean * (s2 / n) +
+                       2.0 * mean * mean * mean AS m3,
+                     s4 / n - 4.0 * mean * (s3 / n) +
+                       6.0 * mean * mean * (s2 / n) -
+                       3.0 * mean * mean * mean * mean AS m4
+                   FROM c)
+       SELECT l_returnflag, n,
+              CASE WHEN n > 1 AND m2 > 0 THEN
+                round(m3 / (sqrt(m2) * m2), 6) END AS skewness_qty,
+              CASE WHEN n > 1 AND m2 > 0 THEN
+                round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_qty
+       FROM cm ORDER BY l_returnflag""",
 
     "agg_entropy" ->
       """WITH hc AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,

@@ -136,6 +136,24 @@ object Windows {
           last(col("pv"), ignoreNulls = true).over(w)
             .as("last_purchase_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // cume_dist + nth_value (round-5 add): each part's cumulative price
+    // percentile within its brand, plus the brand's second-cheapest
+    // partkey visible from each row's prefix frame. The order carries
+    // the p_partkey tie-break (D1) so the prefix frame is deterministic;
+    // cume_dist is a ratio of two ints evaluated by the identical
+    // double division on both engines, rounded (D4). One brand-keyed
+    // shuffle serves both functions.
+    "window_cume_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          round(cume_dist().over(w), 6).as("price_pctile"),
+          nth_value(col("p_partkey"), 2).over(wf).as("second_cheapest"))
+        .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
     })
   )
 
@@ -233,6 +251,17 @@ object Windows {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS last_purchase_value
          FROM events
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "window_cume_nth" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+                round(cume_dist() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice, p_partkey), 6) AS price_pctile,
+                nth_value(p_partkey, 2) OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS second_cheapest
+         FROM part
+         ORDER BY p_brand, p_retailprice, p_partkey"""
   )
 }

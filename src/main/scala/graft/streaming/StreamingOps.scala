@@ -575,6 +575,27 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming exact-count CEP (round-5 add): A B{2} C within 1 h,
+    // the `Pattern.times(2)` capability on the shared buffered-window
+    // machinery (state shape, eviction and timer bounds unchanged; the
+    // verdict chains one more first-match scan than the 3-step pattern).
+    "stream_pattern_times" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new PatternTimesProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "click1_id", "click2_id",
+          "purchase_id", "us_to_complete"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
     // Streaming absence CEP (round-5 add): signups with NO purchase in
     // the following hour, the timer-sealed negation twin of the batch
     // `events_pattern_absence` — emission only when the watermark
@@ -1727,6 +1748,39 @@ object StreamingOps {
     }
   }
 
+  /** Streaming exact-count-quantifier verdict (see
+    * `stream_pattern_times`): A B{2} C within 1 h — Flink-CEP's
+    * `Pattern.times(2)` with relaxed contiguity. Binding is the chained
+    * first-match rule: c1 = first click after the signup, c2 = first
+    * click strictly after c1, purchase = first purchase after c2, all
+    * within the window; unbound steps cascade null. Same buffered-window
+    * machinery — the verdict is three ordered scans over the sealed
+    * buffer. */
+  private class PatternTimesProcessor extends AbcBufferProcessor[
+      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] {
+
+    override protected def verdict(key: Long, sid: Long, sTs: Long,
+        events: Seq[(Int, Long, Long)]):
+        (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long]) = {
+      val deadline = sTs + WindowUs
+      firstOf(events, 0, sTs, deadline) match {
+        case None => (key, sid, None, None, None, None)
+        case Some((_, c1Ts, c1Id)) =>
+          firstOf(events, 0, c1Ts, deadline) match {
+            case None => (key, sid, Some(c1Id), None, None, None)
+            case Some((_, c2Ts, c2Id)) =>
+              firstOf(events, 1, c2Ts, deadline) match {
+                case None =>
+                  (key, sid, Some(c1Id), Some(c2Id), None, None)
+                case Some((_, pTs, pId)) =>
+                  (key, sid, Some(c1Id), Some(c2Id), Some(pId),
+                    Some(pTs - sTs))
+              }
+          }
+      }
+    }
+  }
+
   /** Streaming absence-pattern verdict (see `stream_pattern_absence`):
     * signup NOT followed by a purchase within 1 h — Flink-CEP's
     * `notFollowedBy().within()`. A negation is only decidable once the
@@ -1886,6 +1940,12 @@ object StreamingOps {
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
     new PatternQuantifiedProcessor()
+
+  /** Test hook: the times(2)-pattern processor (class is private). */
+  private[graft] def patternTimesForTest(): StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long),
+      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
+    new PatternTimesProcessor()
 
   /** Test hook: the absence-pattern processor (class is private). */
   private[graft] def patternAbsenceForTest(): StatefulProcessor[
@@ -2273,6 +2333,53 @@ object StreamingOps {
        GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
+
+    // Batch recompute of the times(2) pattern (A B{2} C, chained
+    // first-match binding) + the same watermark cutoff convention as
+    // stream_funnel.
+    "stream_pattern_times" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id AS click1_id, c.c_ts AS c1_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s LEFT JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1),
+            s2 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click1_id,
+                     c.click_id AS click2_id, c.c_ts AS c2_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM f1 f LEFT JOIN ck c
+                     ON c.user_id = f.user_id
+                    AND c.c_ts > f.c1_ts
+                    AND c.c_ts <= f.s_ts + 3600000000),
+            f2 AS (SELECT * FROM s2 WHERE rn = 1),
+            s3 AS (SELECT f.user_id, f.signup_id, f.s_ts, f.click1_id,
+                     f.click2_id, p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY f.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM f2 f LEFT JOIN pu p
+                     ON p.user_id = f.user_id
+                    AND p.p_ts > f.c2_ts
+                    AND p.p_ts <= f.s_ts + 3600000000)
+       SELECT user_id, signup_id, click1_id, click2_id, purchase_id,
+              p_ts - s_ts AS us_to_complete
+       FROM s3, mx
+       WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
+       ORDER BY signup_id""",
 
     // Batch recompute of the absence pattern + the same watermark
     // cutoff convention as stream_funnel: a signup's non-match is only

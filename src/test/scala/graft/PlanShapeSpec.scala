@@ -139,6 +139,14 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
   }
 
+  test("events_pattern_times plans chained hash equi-joins, never a nested loop") {
+    val plan = finalPlan("events_pattern_times")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop over events:\n$plan")
+    assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
+  }
+
   test("events_pattern_optional plans hash equi-joins only (greedy fallback is a coalesce, not a loop)") {
     val plan = finalPlan("events_pattern_optional")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")

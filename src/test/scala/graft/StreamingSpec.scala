@@ -1252,6 +1252,80 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("stream_pattern_times: two-click binding, purchase-before-c2 ignored, cross-batch, holdback") {
+    // times(2)'s load-bearing rules on a real 3-batch run:
+    //  - u1: purchase 09:15 sits between c1 (09:10) and c2 (09:20) —
+    //    it must NOT close the match (B{2} needs both Bs first); the
+    //    09:30 purchase after c2 closes it. c2 + closing purchase
+    //    arrive in batch 2, pinning cross-batch buffering;
+    //  - u2: ONE click only → click1 bound, click2/purchase null;
+    //  - u3: no clicks → all steps null;
+    //  - u4: deadline (11:00) beyond final watermark (10:45) → no row.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_times_").toString
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1 — wm after: 09:15
+      Seq((t("2024-01-01 09:00:00"), 1L, "signup", 100L),
+        (t("2024-01-01 09:00:00"), 2L, "signup", 110L),
+        (t("2024-01-01 09:00:00"), 3L, "signup", 120L),
+        (t("2024-01-01 09:10:00"), 1L, "click", 300L),
+        (t("2024-01-01 09:15:00"), 1L, "purchase", 400L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct ms mtimes pin file → batch order
+      // batch 2 — all >= 09:15; wm after: 10:00
+      Seq((t("2024-01-01 09:20:00"), 1L, "click", 310L),
+        (t("2024-01-01 09:30:00"), 1L, "purchase", 410L),
+        (t("2024-01-01 09:20:00"), 2L, "click", 320L),
+        (t("2024-01-01 09:25:00"), 3L, "purchase", 420L),
+        (t("2024-01-01 10:00:00"), 4L, "signup", 130L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+      // batch 3 — seal: final wm 10:45 > the 10:00 deadlines, < u4's 11:00
+      Seq((t("2024-01-01 10:45:00"), 9L, "view", 900L))
+        .toDF("ts", "uid", "etype", "eid")
+        .repartition(1).write.mode("append").parquet(dir)
+      val sch = spark.read.parquet(dir).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("uid"), col("etype"), col("eid"))
+        .as[(Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(StreamingOps.patternTimesForTest(),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "signup_id", "click1_id", "click2_id",
+          "purchase_id", "us_to_complete")
+        .writeStream.format("memory").queryName("times_mb")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination()
+      assert(q.recentProgress.length > 2,
+        "input collapsed — cross-batch path untested")
+      def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) -1L else r.getLong(i)
+      val rows = spark.table("times_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), opt(r, 2), opt(r, 3),
+          opt(r, 4), opt(r, 5))).toSet
+      assert(rows == Set(
+        (1L, 100L, 300L, 310L, 410L, 1800000000L),
+        (2L, 110L, 320L, -1L, -1L, -1L),
+        (3L, 120L, -1L, -1L, -1L, -1L)),
+        s"times verdicts wrong: $rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stream_stream_join_outer: matches emit eagerly, null rows only after the watermark seals") {
     // Null-emission timing on a real 2-file run:
     //  batch 0 (file 1): purchase u1 09:00 + its 08:50 click MATCH and
