@@ -538,6 +538,34 @@ object ScalarQueries {
         .orderBy(col("day"))
     }),
 
+    // DAU/MAU stickiness (round-5 add): per calendar month, the monthly
+    // actives, the average daily actives, and their ratio — the
+    // engagement-depth metric next to events_dau's growth accounting.
+    // Same ONE (user, day) dedup shuffle; months and days are exact
+    // integer buckets, and both ratios are a single double division of
+    // exact longs (avg_dau = sum_dau/n_days, stickiness =
+    // sum_dau/(n_days·mau)) evaluated identically by both engines,
+    // rounded (D4).
+    "events_stickiness" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          (year(col("ts_utc")) * 100 + month(col("ts_utc"))).as("ym"))
+        .distinct()
+      val dau = ud.groupBy(col("ym"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val mau = ud.select(col("user_id"), col("ym")).distinct()
+        .groupBy(col("ym")).agg(count(lit(1)).as("mau"))
+      dau.groupBy(col("ym"))
+        .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        .join(mau, Seq("ym"))
+        .select(col("ym"), col("n_days"), col("mau"),
+          round(col("sum_dau") / col("n_days"), 6).as("avg_dau"),
+          round(col("sum_dau") / (col("n_days") * col("mau")), 6)
+            .as("stickiness"))
+        .orderBy(col("ym"))
+    }),
+
     // Markov transition matrix (round-5 add): per user, consecutive
     // event-type pairs in (ts, id) order; per (from, to) cell, the
     // transition count and P(to | from) — the path-analysis /
@@ -1340,6 +1368,26 @@ object ScalarQueries {
                 AS BIGINT) AS cum_users
        FROM dau d LEFT JOIN nu n ON d.day = n.day
        ORDER BY d.day""",
+
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                         AS day,
+                       year(CAST(ts AS TIMESTAMP)) * 100 +
+                         month(CAST(ts AS TIMESTAMP)) AS ym
+                     FROM events),
+            dau AS (SELECT ym, day, count(*) AS dau FROM ud
+                    GROUP BY 1, 2),
+            mau AS (SELECT ym, count(*) AS mau FROM
+                      (SELECT DISTINCT user_id, ym FROM ud)
+                    GROUP BY 1),
+            mo AS (SELECT ym, sum(dau) AS sum_dau, count(*) AS n_days
+                   FROM dau GROUP BY 1)
+       SELECT m.ym, m.n_days, u.mau,
+              round(m.sum_dau / m.n_days, 6) AS avg_dau,
+              round(m.sum_dau / (m.n_days * u.mau), 6) AS stickiness
+       FROM mo m JOIN mau u ON m.ym = u.ym
+       ORDER BY m.ym""",
 
     "events_transitions" ->
       """WITH e AS (SELECT user_id,

@@ -124,6 +124,30 @@ object Joins {
         .orderBy(col("p_id"))
     }),
 
+    // Forward as-of join (round-5 add): each purchase matched to the
+    // FIRST click AT OR AFTER it — the next-event direction ("what did
+    // the user do right after converting") that complements join_asof's
+    // backward lookup. Identical scale shape: user-keyed hash equi-join
+    // with the time bound as residual, one per-purchase row_number pick,
+    // ascending with id tie-break (D1).
+    "join_asof_forward" -> ((s, d) => {
+      val e = events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(asc_nulls_last("c_ts"), asc_nulls_last("c_id"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_ts"), col("c_id"), col("c_ts"))
+        .orderBy(col("p_id"))
+    }),
+
     // Pure interval join with NO equi-key (round-4 add): per purchase,
     // how many error events (ANY user) landed within ±1 s. Naively this
     // is a range-predicate-only join — a broadcast-nested-loop /
@@ -257,6 +281,18 @@ object Joins {
          QUALIFY row_number() OVER (PARTITION BY p.event_id
            ORDER BY CAST(c.ts AS TIMESTAMP) DESC NULLS LAST,
                     c.event_id DESC NULLS LAST) = 1
+         ORDER BY p_id""",
+
+    "join_asof_forward" ->
+      """SELECT p.event_id AS p_id, CAST(p.ts AS TIMESTAMP) AS p_ts,
+                c.event_id AS c_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = p.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+         QUALIFY row_number() OVER (PARTITION BY p.event_id
+           ORDER BY CAST(c.ts AS TIMESTAMP) ASC NULLS LAST,
+                    c.event_id ASC NULLS LAST) = 1
          ORDER BY p_id""",
 
     "join_interval_bucketed" ->

@@ -62,14 +62,19 @@ object FileFormats {
       dir
     })
 
-  /** The round-trip proof aggregate: exact longs (cnt, id_sum, ts µs
-    * sum), the quoting-sensitive string length sum, and the D2 decimal
-    * money sum — any per-row corruption shifts at least one. */
+  /** The round-trip proof aggregate: exact row count, XOR checksums of
+    * the id and µs-timestamp columns, the quoting-sensitive string
+    * length sum, and the D2 decimal money sum — any per-row corruption
+    * shifts at least one. The id/ts checksums are bit_xor, NOT sum:
+    * epoch-µs values are ~1.7e15, so a per-type long sum overflows at
+    * just ~5k rows/type ≫ any real corpus (it already overflowed at
+    * sf0.1) — XOR is order-independent, stays in one long at ANY
+    * cardinality, and pairs with cnt to still catch drops/dupes. */
   private def proofAgg(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("event_id")).as("id_sum"),
-        sum(expr("ts div 1000")).as("ts_us_sum"),
+        expr("bit_xor(event_id)").as("id_xor"),
+        expr("bit_xor(ts div 1000)").as("ts_us_xor"),
         sum(length(col("props"))).as("props_len_sum"),
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
@@ -85,6 +90,29 @@ object FileFormats {
     "source_json_roundtrip" -> ((s, d) =>
       proofAgg(s.read.schema(roundtripSchema)
         .json(stageEvents(s, d, "json")))),
+
+    // Partitioned sink + partition-pruned scan (round-5 add): events
+    // written `partitionBy(event_type)` — the directory layout a 100 TB
+    // ingest chooses so type-filtered queries OPEN only their
+    // partitions' files. The read filters two of five types; Catalyst
+    // lifts the predicate into PartitionFilters (FileSourceSpec asserts
+    // the scan's partitionFilters are non-empty and its data filters
+    // empty — directory pruning, not row filtering), and the proof
+    // aggregate gates the surviving values against the original parquet
+    // through DuckDB, so a partition-mangled write (lost rows, value
+    // column written into the wrong partition) fails the hash.
+    "sink_partitioned_prune" -> ((s, d) => {
+      val dir = staged.computeIfAbsent(s"partitioned:$d", { _ =>
+        val out = Files.createTempDirectory("graft_part_").toString
+        events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        out
+      })
+      proofAgg(s.read.parquet(dir)
+        .filter(col("event_type").isin("purchase", "signup")))
+    }),
 
     // Shuffle-free co-located fact⋈dim join: both sides bucketed on the
     // join key at write time (8 buckets here; O(100k) at 100 TB — see
@@ -114,9 +142,8 @@ object FileFormats {
     * every row and byte faithfully. */
   private val roundtripOracle =
     """SELECT event_type, count(*) AS cnt,
-              CAST(sum(event_id) AS BIGINT) AS id_sum,
-              CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
-                AS ts_us_sum,
+              bit_xor(event_id) AS id_xor,
+              bit_xor(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_us_xor,
               CAST(sum(length(props)) AS BIGINT) AS props_len_sum,
               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
        FROM events GROUP BY event_type ORDER BY event_type"""
@@ -124,6 +151,15 @@ object FileFormats {
   val oracle: Map[String, String] = Map(
     "source_csv_roundtrip" -> roundtripOracle,
     "source_json_roundtrip" -> roundtripOracle,
+    "sink_partitioned_prune" ->
+      """SELECT event_type, count(*) AS cnt,
+                bit_xor(event_id) AS id_xor,
+                bit_xor(epoch_us(CAST(ts AS TIMESTAMP))) AS ts_us_xor,
+                CAST(sum(length(props)) AS BIGINT) AS props_len_sum,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_value
+         FROM events WHERE event_type IN ('purchase', 'signup')
+         GROUP BY event_type ORDER BY event_type""",
     "join_bucketed" ->
       """SELECT c.c_mktsegment, count(*) AS cnt,
                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)

@@ -22,6 +22,29 @@ class FileSourceSpec extends GraftSpec {
       src.orderBy(col("n_nationkey")).collect().map(_.getInt(0)).toSeq)
   }
 
+  test("sink_partitioned_prune: scan prunes by directory, not by row filter") {
+    // The registered query's whole point is that the type predicate is
+    // answered by the partition LAYOUT: the scan must carry it as a
+    // partition filter and need no per-row data filter for it, and only
+    // the two matching partition directories' files may be read.
+    val df = SparkEntry.queries("sink_partitioned_prune")(spark, sf)
+    df.collect() // force staging + execution
+    // sparkPlan, not executedPlan: AQE hides the scan inside query
+    // stages; partition filters are bound at planning time either way
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in plan")
+    val s = scans.head
+    assert(s.partitionFilters.nonEmpty,
+      s"no partition filters: ${s.partitionFilters}")
+    assert(!s.dataFilters.exists(_.toString.contains("event_type")),
+      s"event_type leaked into data filters: ${s.dataFilters}")
+    assert(s.relation.location.inputFiles.length >
+      s.selectedPartitions.totalNumberOfFiles,
+      "pruning read every file — partition layout not exploited")
+  }
+
   test("json round-trip preserves rows and values") {
     val dir = Files.createTempDirectory("graft_json_").toString
     val src = Tables.region(spark, sf)
