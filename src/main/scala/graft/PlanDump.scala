@@ -64,7 +64,13 @@ object PlanDump {
     "events_type_overlap" ->
       "audience overlap (round-5 op): (user, type) distinct materialized once; self-equi-join on user_id bounded by the type alphabet; per-type sizes broadcast into the tiny cell table",
     "events_rfm" ->
-      "RFM segmentation (round-5 op): one purchase-keyed agg; corpus max + quintile bounds are 1-row broadcasts; scoring is a comparison, never a global ntile sort")
+      "RFM segmentation (round-5 op): one purchase-keyed agg; corpus max + quintile bounds are 1-row broadcasts; scoring is a comparison, never a global ntile sort",
+    "events_pattern_times" ->
+      "times(2) CEP (round-5 op): three user-keyed time-bounded hash equi-joins + min-struct picks chained c1 -> c2 -> purchase; one more link than the 3-step pattern, same shuffle shape, never a per-user loop",
+    "events_dau" ->
+      "daily actives (round-5 op): ONE (user, day) distinct shuffle feeds both the per-day DAU agg and the per-user first-day agg; the cumulative window runs on the day-cardinality rollup, never the corpus",
+    "sink_partitioned_prune" ->
+      "partitioned sink + pruned scan (round-5 op): the event_type predicate is PartitionFilters on the scan (directory pruning) — no per-row type filter, only 2 of 5 partitions' files read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,7 +78,11 @@ object ScaleProbe {
     "ts_ewma", "stream_ewma", "events_retention",
     "events_transitions", "stream_transitions", "events_attribution",
     "ts_zscore", "stream_zscore", "events_type_overlap", "events_rfm",
-    "events_ab_test", "agg_histogram")
+    "events_ab_test", "agg_histogram",
+    // round-5 continuation adds: times(2) CEP twins, forward as-of,
+    // growth-accounting rollups (all user-keyed — the user axis again)
+    "events_pattern_times", "stream_pattern_times",
+    "join_asof_forward", "events_dau", "events_stickiness")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

@@ -128,6 +128,70 @@ object Relational {
                  FROM graft_orders_sq o3
                  WHERE o3.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
+    }),
+
+    // TPC-H Q3-shaped composite (round-5 add): shipping-priority top-10 —
+    // segment-filtered customers ⋈ date-filtered orders ⋈ date-filtered
+    // lineitems, revenue per order, global top-10. The showcase for the
+    // optimizer end to end: both filters push to the scans, the join
+    // order is two key-partitioned hash joins, and the top-10 compiles
+    // to TakeOrderedAndProject (never a full sort). Revenue uses the
+    // agg_groupby_pricing discipline — per-row dec() of the identical
+    // IEEE product both engines compute, decimal-summed (D2), with the
+    // o_orderkey tie-break making the boundary deterministic (D1).
+    "tpch_q3_topn" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped composite (round-5 add): local-supplier volume —
+    // revenue per nation where the ordering customer and the line's
+    // supplier share the nation, region-restricted, one order-date
+    // year. Exercises the star-join planner shape at its fullest: the
+    // two dims (nation ⋈ region, 25×5 rows) BROADCAST into the
+    // supplier side while customer/orders/lineitem run key-partitioned
+    // hash joins; the c_nationkey = s_nationkey equality rides the
+    // supplier join as an extra key, never a post-join filter over a
+    // wider product. Same D2 revenue discipline as tpch_q3_topn.
+    "tpch_q5_local_volume" -> ((s, d) => {
+      val asia = nation(s, d).join(
+        broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val su = supplier(s, d)
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cu = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val l = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      cu.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
     })
   )
 
@@ -201,6 +265,37 @@ object Relational {
                > (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(38,6)))
                   FROM orders o3
                   WHERE o3.o_custkey = o.o_custkey)
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "tpch_q3_topn" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o.o_orderkey
+         LIMIT 10""",
+
+    "tpch_q5_local_volume" ->
+      """SELECT n.n_name,
+                CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1
+         ORDER BY revenue DESC, n.n_name"""
   )
 }

@@ -140,8 +140,9 @@ class OperatorSpec extends GraftSpec {
   test("csv/json round-trips carry the events table losslessly") {
     val base = Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"),
-        sum(expr("ts div 1000")).as("ts_us_sum"),
+      .agg(count(lit(1)).as("cnt"),
+        expr("bit_xor(event_id)").as("id_xor"),
+        expr("bit_xor(ts div 1000)").as("ts_us_xor"),
         sum(length(col("props"))).as("props_len_sum"),
         sum(Tables.dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("event_type")).collect().map(_.toSeq).toSeq

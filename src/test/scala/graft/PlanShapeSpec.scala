@@ -139,6 +139,25 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
   }
 
+  test("tpch_q3_topn pushes both date filters and takes ordered top-10 without a full sort") {
+    val plan = finalPlan("tpch_q3_topn")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 is a full sort:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r
+      .findFirstIn(plan).isDefined,
+      s"l_shipdate filter not pushed to the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+  }
+
+  test("tpch_q5_local_volume broadcasts the dims, equi-joins everything else") {
+    val plan = finalPlan("tpch_q5_local_volume")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation/region dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"unblocked join:\n$plan")
+  }
+
   test("events_pattern_times plans chained hash equi-joins, never a nested loop") {
     val plan = finalPlan("events_pattern_times")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
