@@ -451,6 +451,88 @@ object LlmOps {
         .filter(col("rn") <= 5)
         .select(col("lang"), col("term"), col("score"), col("rn"))
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    // BM25 relevance search (round-5 add): Okapi BM25 (k1=1.2, b=0.75)
+    // of every document against a fixed 3-term query — the lexical
+    // retrieval capability beside the ANN family. Scale shape: the
+    // corpus tokenizes ONCE with the term filter applied right at the
+    // explode (per-doc survivors ≤ |query|), tf is a (doc, term) agg of
+    // that filtered stream, df/N/Σdl are tiny broadcast aggregates, so
+    // the expensive side never shuffles more than |query|·docs rows.
+    // Determinism: every input to the score is an exact integer (tf,
+    // df, N, dl, Σdl); idf and each per-term score round once (D4,
+    // tfidf discipline); the ≤3 per-term scores add in FIXED order via
+    // a conditional pivot (never a float sum() whose partition order
+    // could differ); top-20 carries the doc_id tie-break (D1).
+    "llm_bm25" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("dl"))
+      val g = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      val tf = documents(s, d)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin("spark", "table", "fast"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(df), "term")
+        .join(docs, "doc_id").crossJoin(broadcast(g))
+        .withColumn("idf",
+          round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)), 6))
+        .withColumn("s",
+          round(col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * (col("dl") * col("n_docs")) / col("sum_dl"))),
+            6))
+      sc.groupBy(col("doc_id"))
+        .agg(max(when(col("term") === "spark", col("s"))).as("s1"),
+          max(when(col("term") === "table", col("s"))).as("s2"),
+          max(when(col("term") === "fast", col("s"))).as("s3"))
+        .withColumn("bm25",
+          round(coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0)) +
+            coalesce(col("s3"), lit(0.0)), 6))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Nearest-centroid assignment (round-5 add): every embedding
+    // assigned to its max-cosine centroid, centroids = the 8 smallest
+    // vec_ids (a deterministic seed set — one Lloyd assignment step,
+    // the building block IVF's coarse quantizer trains with). Scale
+    // shape: 8 centroids broadcast; the corpus streams past them once
+    // (8 sims/row, no shuffle before the per-vector argmax window keyed
+    // by vec_id); same zip_with/aggregate double dot product and D4
+    // rounding the cosine family hash-matches with. Ties break to the
+    // smaller centroid id (D1).
+    "llm_cluster_assign" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val withDot = emb.withColumn("self_dot",
+        aggregate(zip_with(col("vec"), col("vec"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      val cen = withDot.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+          col("self_dot").as("c_dot"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      withDot.crossJoin(broadcast(cen))
+        .withColumn("dot",
+          aggregate(zip_with(col("vec"), col("c_vec"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("sim",
+          round(col("dot") / (sqrt(col("self_dot")) * sqrt(col("c_dot"))),
+            6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cluster_id"), col("sim"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -746,6 +828,55 @@ object LlmOps {
                   ORDER BY round(sum_tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) DESC,
                            term) AS rn
          FROM agg a JOIN n ON a.lang = n.lang)
-       WHERE rn <= 5 ORDER BY lang, rn"""
+       WHERE rn <= 5 ORDER BY lang, rn""",
+
+    "llm_bm25" ->
+      """WITH docs AS (SELECT doc_id, lang,
+                         len(string_split(text, ' ')) AS dl
+                       FROM documents),
+            g AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT)
+                    AS sum_dl FROM docs),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IN ('spark', 'table', 'fast')
+                   GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT t.doc_id, t.term,
+                     round(round(ln((g.n_docs - f.df + 0.5) /
+                         (f.df + 0.5) + 1.0), 6) *
+                       (t.tf * 2.2) /
+                       (t.tf + 1.2 * (1.0 - 0.75 +
+                         0.75 * (dd.dl * g.n_docs) / g.sum_dl)), 6) AS s
+                   FROM tf t JOIN df f ON t.term = f.term
+                   JOIN docs dd ON dd.doc_id = t.doc_id
+                   CROSS JOIN g),
+            agg AS (SELECT doc_id,
+                      max(CASE WHEN term = 'spark' THEN s END) AS s1,
+                      max(CASE WHEN term = 'table' THEN s END) AS s2,
+                      max(CASE WHEN term = 'fast' THEN s END) AS s3
+                    FROM sc GROUP BY 1)
+       SELECT a.doc_id, dd.lang,
+              round(COALESCE(s1, 0.0) + COALESCE(s2, 0.0) +
+                COALESCE(s3, 0.0), 6) AS bm25
+       FROM agg a JOIN docs dd ON dd.doc_id = a.doc_id
+       ORDER BY bm25 DESC, a.doc_id LIMIT 20""",
+
+    "llm_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                    FROM embeddings),
+            d AS (SELECT vec_id, vec, list_dot_product(vec, vec)
+                    AS self_dot FROM e),
+            s AS (SELECT v.vec_id, c.vec_id AS c_id,
+                         round(list_dot_product(v.vec, c.vec)
+                           / (sqrt(v.self_dot) * sqrt(c.self_dot)), 6)
+                           AS sim
+                  FROM d v JOIN d c ON c.vec_id < 8)
+       SELECT vec_id, c_id AS cluster_id, sim FROM (
+         SELECT vec_id, c_id, sim,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, c_id) AS rn
+         FROM s) WHERE rn = 1
+       ORDER BY vec_id"""
   )
 }
