@@ -70,7 +70,11 @@ object PlanDump {
     "events_dau" ->
       "daily actives (round-5 op): ONE (user, day) distinct shuffle feeds both the per-day DAU agg and the per-user first-day agg; the cumulative window runs on the day-cardinality rollup, never the corpus",
     "sink_partitioned_prune" ->
-      "partitioned sink + pruned scan (round-5 op): the event_type predicate is PartitionFilters on the scan (directory pruning) — no per-row type filter, only 2 of 5 partitions' files read")
+      "partitioned sink + pruned scan (round-5 op): the event_type predicate is PartitionFilters on the scan (directory pruning) — no per-row type filter, only 2 of 5 partitions' files read",
+    "tpch_q3_topn" ->
+      "TPC-H Q3 composite (round-5 op): segment + date filters pushed to all three scans, two key-partitioned hash joins, top-10 as TakeOrderedAndProject — never a full sort",
+    "tpch_q5_local_volume" ->
+      "TPC-H Q5 composite (round-5 op): nation x region dims broadcast; customer/orders/lineitem key-partitioned hash joins with c_nationkey = s_nationkey riding the supplier join as a second key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
