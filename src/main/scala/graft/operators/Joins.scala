@@ -190,6 +190,22 @@ object Joins {
     // target — graft.sources.Bucketing). Synthetic batches from orders:
     // target = okey%10<8, updates = okey%7=0 at 1.1× price (per-row
     // decimal cast, no aggregation, so D2/D4 can't bite).
+    // Salted skew join, oracle-gated (round-5 add): the registered face
+    // of [[SkewJoin.saltedJoin]] — orders ⋈ customer salted 4 ways (fact
+    // rows take a deterministic row-hash salt, the dim side replicates
+    // ×4), then the mktsegment rollup. The RESULT is salt-invariant by
+    // construction (every salt sees the full dim), which is exactly what
+    // the DuckDB plain-join oracle certifies; SkewJoinSpec additionally
+    // asserts row-level equivalence with the unsalted join. The manual
+    // weapon for hot keys AQE's runtime skew-split can't absorb.
+    "join_skew_salted" -> ((s, d) =>
+      SkewJoin.saltedJoin(orders(s, d), customer(s, d),
+          "o_custkey", "c_custkey", 4)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy(col("c_mktsegment"))),
+
     "merge_upsert" -> ((s, d) => {
       val tgt = orders(s, d).filter(pmod(col("o_orderkey"), lit(10)) < 8)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("t_price"))
@@ -304,6 +320,13 @@ object Joins {
            ON abs(e.e_ts - p.p_ts) <= 1000000
          GROUP BY p.event_id
          ORDER BY p.event_id""",
+
+    "join_skew_salted" ->
+      """SELECT c.c_mktsegment, count(*) AS cnt,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
 
     "merge_upsert" ->
       """WITH tgt AS (SELECT o_orderkey AS k, o_totalprice AS t_price
