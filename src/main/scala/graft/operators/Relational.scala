@@ -16,6 +16,12 @@ import graft.Tables._
   * aggregate — the shuffle carries only (2 group cols × ~6 agg buffers),
   * not rows, so it scales to arbitrary lineitem sizes.
   */
+/** Row type for [[Relational]]'s typed-Dataset surface query — top level
+  * so the case-class `Encoder` derives cleanly (nested classes trip
+  * encoder codegen; see the CEP state-class history in StreamingOps). */
+case class LineitemSlim(l_orderkey: Long, l_quantity: Double,
+    l_extendedprice: Double, l_returnflag: String)
+
 object Relational {
 
   type Q = (SparkSession, String) => DataFrame
@@ -129,6 +135,49 @@ object Relational {
                  WHERE o3.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     }),
+
+    // Typed Dataset[T] surface (round-5 add): the same filter→group→agg
+    // flow through case-class Encoders — `as[LineitemSlim]`,
+    // `groupByKey(_.l_returnflag)`, typed-column aggregates — the
+    // type-safe API a library consumer writes when schema errors should
+    // fail at compile time. Scale notes kept honest: the FILTER stays a
+    // Column expression BEFORE `.as[]` so it still pushes to the scan
+    // (a typed lambda filter would not), and `groupByKey` on a field
+    // costs the same single hash shuffle as `groupBy` — the typed path
+    // changes the API, not the plan shape. D2 decimal sums as always.
+    "typed_dataset_agg" -> ((s, d) => {
+      import s.implicits._
+      val ds = lineitem(s, d)
+        .filter(col("l_quantity") > 10)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .as[LineitemSlim]
+      ds.groupByKey(_.l_returnflag)
+        .agg(count(lit(1)).as("n_items").as[Long],
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty")
+            .as[Double],
+          sum(dec(col("l_extendedprice"))).cast("double")
+            .as("sum_price").as[Double])
+        .toDF("l_returnflag", "n_items", "sum_qty", "sum_price")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Hour-of-week heatmap (round-5 add): events bucketed into the 7×24
+    // (weekday, hour) grid with event and distinct-user counts — the
+    // load-profile matrix behind every ops dashboard. Both axes are
+    // PURE integer epoch arithmetic (dow = (epoch_day + 4) mod 7 with
+    // 0 = Sunday — no calendar/tz functions whose week conventions
+    // differ across engines); one partial+final hash agg into ≤168
+    // cells, distinct-user via the same agg's count(distinct).
+    "events_heatmap" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"),
+          expr("pmod((ts div 1000) div 86400000000 + 4, 7)").as("dow"),
+          expr("((ts div 1000) div 3600000000) % 24").as("hr"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("dow"), col("hr"))),
 
     // TPC-H Q3-shaped composite (round-5 add): shipping-priority top-10 —
     // segment-filtered customers ⋈ date-filtered orders ⋈ date-filtered
@@ -266,6 +315,24 @@ object Relational {
                   FROM orders o3
                   WHERE o3.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "typed_dataset_agg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "events_heatmap" ->
+      """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+                  AS dow,
+                (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                  AS hr,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY dow, hr""",
 
     "tpch_q3_topn" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
