@@ -44,6 +44,59 @@ object WeightedAvgAggregator
   override def outputEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
 }
 
+/** Mergeable Misra–Gries frequent-items sketch (k = 64) — the
+  * heavy-hitters analog of `agg_hll_merge`'s two-phase HLL, as a custom
+  * `Aggregator`: each partition builds a ≤ k-entry local summary, and
+  * merge combines summaries with the (k+1)-th-count subtraction (the
+  * mergeable-summaries rule), so the shuffle carries at most k
+  * (key, count) pairs per partition whatever the key universe —
+  * THE property that lets a 100 TB heavy-hitters query avoid shuffling
+  * the full key space. Guarantee (ScalaTest-pinned, merge-order
+  * independent): true_count − n/k ≤ estimate ≤ true_count, so any key
+  * with frequency > n/k must survive; when distinct keys ≤ k the
+  * sketch is exact. The precise estimates below the guarantee depend
+  * on partition/merge order by design → no-oracle op.
+  */
+object TopKSketchAggregator
+    extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+
+  val K = 64
+
+  override def zero: Map[Long, Long] = Map.empty
+
+  override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] =
+    if (b.contains(v)) b.updated(v, b(v) + 1L)
+    else if (b.size < K) b.updated(v, 1L)
+    else b.iterator.collect { case (k, c) if c > 1 => k -> (c - 1L) }.toMap
+
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]):
+      Map[Long, Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val m = (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+      if (m.size <= K) m
+      else {
+        // subtract the (k+1)-th largest count, keep the survivors
+        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(K)
+        m.iterator.collect { case (k, c) if c > cut => k -> (c - cut) }
+          .toMap
+      }
+    }
+
+  /** Top-10 surviving keys by (estimate desc, key asc) — a bounded,
+    * deterministic-shape readout of the summary. */
+  override def finish(m: Map[Long, Long]): Seq[(Long, Long)] =
+    m.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    Encoders.kryo[Map[Long, Long]]
+
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object Udafs {
 
   type Q = (SparkSession, String) => DataFrame
@@ -56,6 +109,24 @@ object Udafs {
         .agg(dec(wavg(col("l_quantity"), col("l_extendedprice")))
           .cast("double").as("wavg_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Approximate heavy hitters via the mergeable MG sketch (see
+    // [[TopKSketchAggregator]]): top-10 users per event type. The
+    // partial+final plan ships ≤ 64 pairs per partition per type — at
+    // any corpus size the shuffle stays O(partitions·k), never
+    // O(distinct users). No-oracle (estimates are merge-order-dependent
+    // within the guarantee band); UdafSketchSpec pins the n/k error
+    // bound, heavy-key recall, and the exact-when-distinct≤k case.
+    "udaf_topk_sketch" -> ((s, d) => {
+      val mg = udaf(TopKSketchAggregator)
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(mg(col("user_id")).as("top"))
+        .select(col("event_type"), explode(col("top")).as("e"))
+        .select(col("event_type"), col("e._1").as("user_id"),
+          col("e._2").as("est_count"))
+        .orderBy(col("event_type"), col("est_count").desc, col("user_id"))
     })
   )
 
