@@ -234,6 +234,49 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Until-condition quantifier (round-5 add): A B* until C — signup,
+    // then EVERY click up to the FIRST purchase, the purchase closing
+    // the loop — Flink-CEP's `oneOrMore().until(condition)`, where the
+    // quantified step ends on a predicate rather than a clock. No
+    // time window: the close is the stop condition itself (an OPEN
+    // pattern — no purchase yet — reports a null count; the streaming
+    // family deliberately has no twin, since an unbounded-window
+    // buffer has no watermark to seal it — `within()` exists precisely
+    // to bound CEP state, see stream_pattern_abc). Two user-keyed
+    // equi-joins: min-struct first-purchase pick, then a bounded count
+    // join — same shuffle shape as the windowed chains.
+    "events_pattern_until" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      val closed = sg.join(pu,
+          col("user_id") === col("p_user") && col("p_ts") > col("s_ts"),
+          "left")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(when(col("purchase_id").isNotNull,
+          struct(col("p_ts"), col("purchase_id")))).as("fp"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fp.purchase_id").as("purchase_id"),
+          col("fp.p_ts").as("p_ts"))
+      closed.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") && col("c_ts") < col("p_ts"), "left")
+        .groupBy(col("user_id"), col("signup_id"), col("purchase_id"),
+          col("p_ts"), col("s_ts"))
+        .agg(count(col("click_id")).as("bn"))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          when(col("purchase_id").isNotNull, col("bn")).as("b_count"),
+          (col("p_ts") - col("s_ts")).as("us_to_close"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Optional-step pattern (round-5 add): A B? C within 1 h — signup,
     // OPTIONAL click, then purchase: Flink-CEP's `optional()` quantifier
     // with greedy preference. The with-click chain (first click after
@@ -509,6 +552,35 @@ object ScalarQueries {
           (expr("(2 * n_users * 1000000 + n0) div (2 * n0)") / lit(1e6))
             .as("retention"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Conversion-lag distribution (round-5 add): the funnel's
+    // signup→first-purchase lag, bucketed into 5-minute cells over the
+    // 1 h window — the latency histogram behind every conversion SLA
+    // dashboard. One user-keyed time-bounded join + min-struct pick
+    // (the events_funnel shape), then a hash agg into ≤12 integer
+    // buckets; lags and bucket edges are pure µs arithmetic.
+    "events_conversion_lag" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
+      sg.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("s_ts") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "inner")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(struct(col("p_ts"), col("purchase_id"))).as("fp"))
+        .select((col("fp.p_ts") - col("s_ts")).as("lag_us"))
+        .withColumn("bucket_5min", expr("lag_us div 300000000"))
+        .groupBy(col("bucket_5min"))
+        .agg(count(lit(1)).as("n_conversions"),
+          min(col("lag_us")).as("min_lag_us"),
+          max(col("lag_us")).as("max_lag_us"))
+        .orderBy(col("bucket_5min"))
     }),
 
     // Daily-actives rollup (round-5 add): per UTC day, DAU plus the
@@ -1161,6 +1233,34 @@ object ScalarQueries {
               p_ts - s_ts AS us_to_complete
        FROM s3 WHERE rn = 1 ORDER BY signup_id""",
 
+    "events_pattern_until" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM sg s LEFT JOIN pu p
+                     ON p.user_id = s.user_id
+                    AND p.p_ts > s.s_ts),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.purchase_id,
+              CASE WHEN f.purchase_id IS NOT NULL
+                   THEN count(b.click_id) END AS b_count,
+              f.p_ts - f.s_ts AS us_to_close
+       FROM f1 f LEFT JOIN ck b
+         ON b.user_id = f.user_id
+        AND b.c_ts > f.s_ts AND b.c_ts < f.p_ts
+       GROUP BY f.user_id, f.signup_id, f.purchase_id, f.p_ts, f.s_ts
+       ORDER BY f.signup_id""",
+
     "events_pattern_absence" ->
       """WITH sg AS (SELECT user_id, event_id AS signup_id,
                        epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts_us
@@ -1351,6 +1451,27 @@ object ScalarQueries {
                 AS DOUBLE) / 1000000 AS retention
        FROM cells c JOIN base b ON c.cwk = b.bwk
        ORDER BY cohort_week, week_offset""",
+
+    "events_conversion_lag" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT s.signup_id, p.p_ts - s.s_ts AS lag_us,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000)
+       SELECT lag_us // 300000000 AS bucket_5min,
+              count(*) AS n_conversions,
+              min(lag_us) AS min_lag_us,
+              max(lag_us) AS max_lag_us
+       FROM j WHERE rn = 1
+       GROUP BY 1 ORDER BY bucket_5min""",
 
     "events_dau" ->
       """WITH ud AS (SELECT DISTINCT user_id,
