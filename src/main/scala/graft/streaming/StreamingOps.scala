@@ -525,6 +525,35 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming conversion-lag histogram (round-5 add): CHAINED stateful
+    // operators — the timer-sealed funnel verdicts (transformWithState,
+    // append) feed a bucket aggregation in the SAME streaming query,
+    // sunk in complete mode (the ≤12-cell rollup is tiny, so complete's
+    // full-state retention is free). This is the multi-stateful-operator
+    // capability: CEP output consumed by downstream streaming analytics
+    // without landing in between. Oracle = the batch funnel under the
+    // same watermark cutoff, rolled into the same 5-min integer buckets.
+    "stream_conversion_lag" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val verdicts = ev.groupByKey(_._3)
+        .transformWithState(new FunnelProcessor(),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "signup_id", "purchase_id", "us_to_convert")
+      val lag = verdicts.filter(col("purchase_id").isNotNull)
+        .withColumn("bucket_5min", expr("us_to_convert div 300000000"))
+        .groupBy(col("bucket_5min"))
+        .agg(count(lit(1)).as("n_conversions"),
+          min(col("us_to_convert")).as("min_lag_us"),
+          max(col("us_to_convert")).as("max_lag_us"))
+      runToMemory(lag, "complete")
+        .orderBy(col("bucket_5min"))
+    }),
+
     // Streaming 3-step CEP (round-4 add): signup → first click → first
     // purchase within 1 h of signup, streaming twin of the batch
     // `events_pattern_abc`. Unlike the 2-step funnel (which only needs
@@ -2333,6 +2362,33 @@ object StreamingOps {
        GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
+
+    // Batch recompute of the streaming funnel's CONVERTED verdicts under
+    // the same ms watermark cutoff, rolled into 5-min lag buckets.
+    "stream_conversion_lag" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            j AS (SELECT s.signup_id, s.s_ts, p.purchase_id, p.p_ts,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000),
+            f AS (SELECT signup_id, p_ts - s_ts AS lag_us
+                  FROM j, mx
+                  WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm)
+       SELECT lag_us // 300000000 AS bucket_5min,
+              count(*) AS n_conversions,
+              min(lag_us) AS min_lag_us,
+              max(lag_us) AS max_lag_us
+       FROM f GROUP BY 1 ORDER BY bucket_5min""",
 
     // Batch recompute of the times(2) pattern (A B{2} C, chained
     // first-match binding) + the same watermark cutoff convention as

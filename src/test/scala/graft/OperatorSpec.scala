@@ -137,6 +137,37 @@ class OperatorSpec extends GraftSpec {
     assert(got == Map(1L -> -1L, 4L -> 5L, 6L -> -1L, 8L -> -1L, 9L -> 10L))
   }
 
+  test("pattern_until: B* counts to the FIRST C, later events ignored, open pattern null") {
+    import spark.implicits._
+    val m = 60L * 1000000000L // one minute in ns
+    val t0 = 1700000000000000000L
+    // u1: signup, 2 clicks, purchase, then MORE clicks + a purchase —
+    //     count stops at the first purchase (b_count = 2);
+    // u2: signup, clicks, NO purchase -> open pattern, null count;
+    // u3: purchase 2 h after signup still closes (no time window).
+    val dir = java.nio.file.Files.createTempDirectory("graft_until_")
+    Seq(
+      (1L, t0, 101L, "signup"), (2L, t0 + 5 * m, 101L, "click"),
+      (3L, t0 + 10 * m, 101L, "click"), (4L, t0 + 15 * m, 101L, "purchase"),
+      (5L, t0 + 20 * m, 101L, "click"), (6L, t0 + 25 * m, 101L, "purchase"),
+      (7L, t0, 102L, "signup"), (8L, t0 + 5 * m, 102L, "click"),
+      (9L, t0, 103L, "signup"), (10L, t0 + 120 * m, 103L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("events_pattern_until")(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)),
+          (if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((4L, 2L)),   // closed by purchase 4, two clicks before it
+      7L -> ((-1L, -1L)), // open: no purchase ever
+      9L -> ((10L, 0L))), // closes beyond 1 h — until() has no window
+      s"until verdicts wrong: $got")
+  }
+
   test("csv/json round-trips carry the events table losslessly") {
     val base = Tables.events(spark, sf)
       .groupBy(col("event_type"))
