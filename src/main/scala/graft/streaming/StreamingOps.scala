@@ -554,6 +554,27 @@ object StreamingOps {
         .orderBy(col("bucket_5min"))
     }),
 
+    // Streaming daily actives (round-5 add): chained stateful dedup →
+    // aggregation — `dropDuplicates(user, day)` feeds the per-day DAU
+    // count in the same query (complete-mode sink over the
+    // day-cardinality rollup). Dedup state is (user, day) pairs — the
+    // SAME cardinality the batch op shuffles; a production pipeline
+    // bounds it by dropping days behind the watermark horizon (the
+    // integer day key is derived from the watermarked event time, so
+    // the state's age is knowable). Oracle: the batch (user, day)
+    // distinct rollup — exact, since dedup-then-count is
+    // arrival-order-insensitive.
+    "stream_dau" -> ((s, d) => withRocksDb(s) {
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val dau = ev.dropDuplicates("user_id", "day")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      runToMemory(dau, "complete").orderBy(col("day"))
+    }),
+
     // Streaming 3-step CEP (round-4 add): signup → first click → first
     // purchase within 1 h of signup, streaming twin of the batch
     // `events_pattern_abc`. Unlike the 2-step funnel (which only needs
@@ -2362,6 +2383,15 @@ object StreamingOps {
        GROUP BY f.user_id, f.signup_id, f.click_id, f.purchase_id,
                 f.p_ts, f.s_ts
        ORDER BY f.signup_id""",
+
+    // Batch recompute of the streaming DAU: dedup-then-count is
+    // arrival-order-insensitive, so no watermark cutoff term.
+    "stream_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                         AS day
+                     FROM events)
+       SELECT day, count(*) AS dau FROM ud GROUP BY 1 ORDER BY day""",
 
     // Batch recompute of the streaming funnel's CONVERTED verdicts under
     // the same ms watermark cutoff, rolled into 5-min lag buckets.
