@@ -82,7 +82,10 @@ object ScaleProbe {
     // round-5 continuation adds: times(2) CEP twins, forward as-of,
     // growth-accounting rollups (all user-keyed — the user axis again)
     "events_pattern_times", "stream_pattern_times",
-    "join_asof_forward", "events_dau", "events_stickiness")
+    "join_asof_forward", "events_dau", "events_stickiness",
+    // chained-stateful + sketch family (all user-axis)
+    "stream_conversion_lag", "stream_dau", "udaf_topk_sketch",
+    "events_pattern_until", "events_conversion_lag")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
