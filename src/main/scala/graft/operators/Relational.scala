@@ -136,6 +136,31 @@ object Relational {
         ORDER BY o_orderkey""")
     }),
 
+    // Recursive CTE (round-5 add): hierarchy traversal — the classic
+    // relational-completeness gap (org charts, BOM explosions, graph
+    // reachability) newly expressible in Spark 4's `WITH RECURSIVE`.
+    // The hierarchy is derived from data: nation k's parent is k div 2
+    // (a binary heap rooted at 0), and the walk emits each node's depth
+    // and root path. Each recursion step is one equi-join of the
+    // frontier against the table — the same iterative-join shape
+    // llm_dedup_clusters hand-builds with pointer jumping; the engine
+    // now plans it from SQL.
+    "sql_recursive_cte" -> ((s, d) => {
+      nation(s, d).createOrReplaceTempView("graft_nation_rc")
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT n_nationkey, n_name, 0 AS depth,
+                 CAST(n_nationkey AS STRING) AS path
+          FROM graft_nation_rc WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, w.depth + 1,
+                 CONCAT(w.path, '>', CAST(n.n_nationkey AS STRING))
+          FROM graft_nation_rc n JOIN walk w
+            ON n.n_nationkey > 0 AND n.n_nationkey DIV 2 = w.n_nationkey)
+        SELECT n_nationkey, n_name, depth, path
+        FROM walk ORDER BY n_nationkey""")
+    }),
+
     // Typed Dataset[T] surface (round-5 add): the same filter→group→agg
     // flow through case-class Encoders — `as[LineitemSlim]`,
     // `groupByKey(_.l_returnflag)`, typed-column aggregates — the
@@ -315,6 +340,19 @@ object Relational {
                   FROM orders o3
                   WHERE o3.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+           SELECT n_nationkey, n_name, 0 AS depth,
+                  CAST(n_nationkey AS VARCHAR) AS path
+           FROM nation WHERE n_nationkey = 0
+           UNION ALL
+           SELECT n.n_nationkey, n.n_name, w.depth + 1,
+                  w.path || '>' || CAST(n.n_nationkey AS VARCHAR)
+           FROM nation n JOIN walk w
+             ON n.n_nationkey > 0 AND n.n_nationkey // 2 = w.n_nationkey)
+         SELECT n_nationkey, n_name, depth, path
+         FROM walk ORDER BY n_nationkey""",
 
     "typed_dataset_agg" ->
       """SELECT l_returnflag, count(*) AS n_items,
