@@ -136,6 +136,29 @@ object Relational {
         ORDER BY o_orderkey""")
     }),
 
+    // LATERAL correlated subquery (round-5 add): per-customer top-2
+    // orders via `JOIN LATERAL (... ORDER BY ... LIMIT 2)` — the
+    // correlated table-subquery surface. Catalyst DECORRELATES the
+    // lateral into a ranked window join (one shuffle, no per-row
+    // re-execution) — the same plan the hand-written window form gets,
+    // which is what makes the construct viable at 100 TB; the point of
+    // the op is that the SQL-facing API arrives at it too.
+    "sql_lateral_topn" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("graft_customer_lat")
+      orders(s, d).createOrReplaceTempView("graft_orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, c.c_mktsegment,
+               o.o_orderkey, o.o_totalprice
+        FROM graft_customer_lat c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM graft_orders_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    }),
+
     // Recursive CTE (round-5 add): hierarchy traversal — the classic
     // relational-completeness gap (org charts, BOM explosions, graph
     // reachability) newly expressible in Spark 4's `WITH RECURSIVE`.
@@ -340,6 +363,18 @@ object Relational {
                   FROM orders o3
                   WHERE o3.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+                o.o_orderkey, o.o_totalprice
+         FROM customer c
+         JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2) o ON true
+         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
 
     "sql_recursive_cte" ->
       """WITH RECURSIVE walk AS (

@@ -139,6 +139,15 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
   }
 
+  test("sql_lateral_topn decorrelates to a ranked join, never per-row re-execution") {
+    val plan = finalPlan("sql_lateral_topn")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral stayed a nested loop:\n$plan")
+    assert(plan.contains("Window") || plan.contains("HashJoin"),
+      s"no decorrelated join/window shape:\n$plan")
+  }
+
   test("tpch_q3_topn pushes both date filters and takes ordered top-10 without a full sort") {
     val plan = finalPlan("tpch_q3_topn")
     assert(plan.contains("TakeOrderedAndProject"),
