@@ -136,6 +136,24 @@ object Relational {
         ORDER BY o_orderkey""")
     }),
 
+    // UNPIVOT + GROUP BY ALL (round-5 add): wide→long reshaping in SQL
+    // — three measure columns melt into (metric, v) rows which roll up
+    // per (returnflag, metric); the inverse of agg_pivot's long→wide.
+    // UNPIVOT is a zero-shuffle projection (each input row emits 3
+    // narrow rows in place), so the only exchange is the final 18-cell
+    // agg; decimal sums (D2).
+    "sql_unpivot" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_lineitem_up")
+      s.sql("""
+        SELECT l_returnflag, metric,
+               CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM graft_lineitem_up
+          UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice,
+            l_discount))
+        GROUP BY ALL
+        ORDER BY l_returnflag, metric""")
+    }),
+
     // LATERAL correlated subquery (round-5 add): per-customer top-2
     // orders via `JOIN LATERAL (... ORDER BY ... LIMIT 2)` — the
     // correlated table-subquery surface. Catalyst DECORRELATES the
@@ -363,6 +381,15 @@ object Relational {
                   FROM orders o3
                   WHERE o3.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "sql_unpivot" ->
+      """SELECT l_returnflag, metric,
+                CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS total
+         FROM lineitem
+           UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice,
+             l_discount))
+         GROUP BY ALL
+         ORDER BY l_returnflag, metric""",
 
     "sql_lateral_topn" ->
       """SELECT c.c_custkey, c.c_mktsegment,
