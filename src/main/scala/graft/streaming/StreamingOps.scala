@@ -912,6 +912,58 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Full-outer time-bounded stream-stream join (round-5 add): the
+    // completion of the streaming join matrix — matches emit eagerly,
+    // a purchase's null row seals when the watermark passes its own
+    // event time, a click's null row when it passes the far edge of
+    // the purchases it could still match (c_ts + 30 min). Oracle
+    // recomputes both null-side cutoffs against the final per-side-MIN
+    // watermark, the rule stream_stream_join_outer pinned.
+    "stream_stream_join_full" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "0 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "0 seconds")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+        .select(col("p_id"), col("c_id"),
+          coalesce(col("p_user"), col("c_user")).as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
+    }),
+
+    // Left-semi time-bounded stream-stream join (round-5 add):
+    // purchases that HAD a same-user click in the preceding 30 min —
+    // the match set emits eagerly as clicks arrive (a semi verdict
+    // needs no sealing: one match suffices and duplicates are
+    // impossible by construction), so the oracle is the plain batch
+    // EXISTS with no watermark term.
+    "stream_stream_join_semi" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "0 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "0 seconds")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+        .select(col("p_id"), col("p_user").as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"))
+    }),
+
     "stream_static_join" -> ((s, d) => {
       val enriched = eventsStream(s, d)
         .join(broadcast(customer(s, d)),
@@ -2669,6 +2721,42 @@ object StreamingOps {
       """SELECT event_id, user_id, c_name, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+
+    // Batch full join + BOTH null-side watermark cutoffs: purchase
+    // nulls seal at their own event time, click nulls at the far edge
+    // (c_ts + 30 min) of the purchases they could still match.
+    "stream_stream_join_full" ->
+      """WITH mx AS (SELECT least(
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'purchase'),
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'click')) AS wm)
+         SELECT p.event_id AS p_id, c.event_id AS c_id,
+                coalesce(p.user_id, c.user_id) AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         WHERE (p.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+            OR (c.event_id IS NULL AND
+                epoch_ms(CAST(p.ts AS TIMESTAMP)) < (SELECT wm FROM mx))
+            OR (p.event_id IS NULL AND
+                epoch_ms(CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
+                  < (SELECT wm FROM mx))
+         ORDER BY p_id, c_id""",
+
+    // Batch EXISTS — semi matches emit eagerly, so no watermark term.
+    "stream_stream_join_semi" ->
+      """SELECT p.event_id AS p_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         WHERE EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click'
+             AND c.user_id = p.user_id
+             AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+             AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+         ORDER BY p_id""",
 
     "sink_foreachBatch" ->
       """SELECT event_type, count(*) AS cnt
