@@ -964,6 +964,35 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"))
     }),
 
+    // Anti time-bounded stream-stream join (round-5 add): purchases
+    // with NO same-user click in the preceding 30 min — the join-shaped
+    // absence detection (stream_pattern_absence's CEP twin as pure
+    // relational algebra). Spark rejects a literal streaming
+    // `left_anti` (right side would need full retention), but the
+    // watermarked LEFT-OUTER's null rows are BY DEFINITION the anti
+    // set, emitted exactly when the watermark seals each purchase's
+    // window — so the anti join is outer + null-filter, with the
+    // engine's existing state eviction doing the sealing.
+    "stream_stream_join_anti" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "0 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "0 seconds")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .filter(col("c_id").isNull)
+        .select(col("p_id"), col("p_user").as("user_id"))
+      runToMemory(joined, "append").orderBy(col("p_id"))
+    }),
+
     "stream_static_join" -> ((s, d) => {
       val enriched = eventsStream(s, d)
         .join(broadcast(customer(s, d)),
@@ -2745,6 +2774,25 @@ object StreamingOps {
                 epoch_ms(CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
                   < (SELECT wm FROM mx))
          ORDER BY p_id, c_id""",
+
+    // Batch NOT EXISTS + the purchase-side watermark cutoff: an anti
+    // verdict only emits once its window sealed.
+    "stream_stream_join_anti" ->
+      """WITH mx AS (SELECT least(
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'purchase'),
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'click')) AS wm)
+         SELECT p.event_id AS p_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         WHERE NOT EXISTS (
+             SELECT 1 FROM events c
+             WHERE c.event_type = 'click'
+               AND c.user_id = p.user_id
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+           AND epoch_ms(CAST(p.ts AS TIMESTAMP)) < (SELECT wm FROM mx)
+         ORDER BY p_id""",
 
     // Batch EXISTS — semi matches emit eagerly, so no watermark term.
     "stream_stream_join_semi" ->
