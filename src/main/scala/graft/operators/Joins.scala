@@ -223,6 +223,36 @@ object Joins {
             .when(col("k").isNull, lit("insert"))
             .otherwise(lit("keep")).as("action"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // SCD Type-2 merge (round-5 add): history-preserving upsert —
+    // where merge_upsert overwrites (type 1), type 2 CLOSES the old
+    // version (valid_to stamped) and OPENS a new one, keeping the full
+    // validity timeline. One inner join closes, one projection opens,
+    // one anti join keeps — all equi-keyed on the business key, union
+    // at the end; against a bucketed target every leg is shuffle-free
+    // (the merge_upsert/Bucketing posture). Updated rows take the
+    // merge_upsert decimal discipline (1.1× through dec()).
+    "merge_scd2" -> ((s, d) => {
+      val tgt = customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+          lit(0L).as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val upd = customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey").as("uk"),
+          dec(col("c_acctbal") * lit(1.1)).cast("double").as("new_bal"))
+      val closed = tgt.join(upd, col("k") === col("uk"), "inner")
+        .select(col("k"), dec(col("bal")).cast("double").as("bal"),
+          col("valid_from"), lit(1L).as("valid_to"))
+      val opened = upd.select(col("uk").as("k"),
+        col("new_bal").as("bal"), lit(1L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val kept = tgt.join(upd, col("k") === col("uk"), "left_anti")
+        .select(col("k"), dec(col("bal")).cast("double").as("bal"),
+          col("valid_from"), col("valid_to"))
+      kept.unionByName(closed).unionByName(opened)
+        .orderBy(col("k"), col("valid_from"))
     })
   )
 
@@ -320,6 +350,34 @@ object Joins {
            ON abs(e.e_ts - p.p_ts) <= 1000000
          GROUP BY p.event_id
          ORDER BY p.event_id""",
+
+    "merge_scd2" ->
+      """WITH upd AS (SELECT c_custkey AS uk,
+                        CAST(CAST(c_acctbal * 1.1 AS DECIMAL(38,6))
+                          AS DOUBLE) AS new_bal
+                      FROM customer WHERE c_custkey % 7 = 0),
+            kept AS (SELECT c.c_custkey AS k,
+                       CAST(CAST(c.c_acctbal AS DECIMAL(38,6)) AS DOUBLE)
+                         AS bal,
+                       CAST(0 AS BIGINT) AS valid_from,
+                       CAST(NULL AS BIGINT) AS valid_to
+                     FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM upd u
+                                       WHERE u.uk = c.c_custkey)),
+            closed AS (SELECT c.c_custkey AS k,
+                         CAST(CAST(c.c_acctbal AS DECIMAL(38,6)) AS DOUBLE)
+                           AS bal,
+                         CAST(0 AS BIGINT) AS valid_from,
+                         CAST(1 AS BIGINT) AS valid_to
+                       FROM customer c JOIN upd u ON u.uk = c.c_custkey),
+            opened AS (SELECT uk AS k, new_bal AS bal,
+                         CAST(1 AS BIGINT) AS valid_from,
+                         CAST(NULL AS BIGINT) AS valid_to
+                       FROM upd)
+       SELECT * FROM kept
+       UNION ALL SELECT * FROM closed
+       UNION ALL SELECT * FROM opened
+       ORDER BY k, valid_from""",
 
     "join_skew_salted" ->
       """SELECT c.c_mktsegment, count(*) AS cnt,
