@@ -74,7 +74,11 @@ object PlanDump {
     "tpch_q3_topn" ->
       "TPC-H Q3 composite (round-5 op): segment + date filters pushed to all three scans, two key-partitioned hash joins, top-10 as TakeOrderedAndProject — never a full sort",
     "tpch_q5_local_volume" ->
-      "TPC-H Q5 composite (round-5 op): nation x region dims broadcast; customer/orders/lineitem key-partitioned hash joins with c_nationkey = s_nationkey riding the supplier join as a second key")
+      "TPC-H Q5 composite (round-5 op): nation x region dims broadcast; customer/orders/lineitem key-partitioned hash joins with c_nationkey = s_nationkey riding the supplier join as a second key",
+    "sql_lateral_topn" ->
+      "LATERAL correlated top-2 (round-5 op): Catalyst decorrelates the lateral subquery into a ranked window join — one shuffle, no per-row re-execution",
+    "merge_scd2" ->
+      "SCD Type-2 merge (round-5 op): close/open/keep as three equi-keyed legs + union — no wide full-outer, each leg independently shuffle-free against a bucketed target")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
