@@ -939,6 +939,32 @@ object StreamingOps {
       runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
     }),
 
+    // Right-outer time-bounded stream-stream join (round-5 add): the
+    // mirror of stream_stream_join_outer with the preserved side on the
+    // right — every CLICK with its matching purchases OR a null row
+    // once the watermark passes the far edge of the purchases it could
+    // still match (c_ts + 30 min, the same rule as the full join's
+    // click-null side).
+    "stream_stream_join_right" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_utc").as("p_ts"),
+          col("user_id").as("p_user"))
+        .withWatermark("p_ts", "0 seconds")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts_utc").as("c_ts"),
+          col("user_id").as("c_user"))
+        .withWatermark("c_ts", "0 seconds")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "right_outer")
+        .select(col("p_id"), col("c_id"),
+          coalesce(col("p_user"), col("c_user")).as("user_id"))
+      runToMemory(joined, "append").orderBy(col("c_id"), col("p_id"))
+    }),
+
     // Left-semi time-bounded stream-stream join (round-5 add):
     // purchases that HAD a same-user click in the preceding 30 min —
     // the match set emits eagerly as clicks arrive (a semi verdict
@@ -2774,6 +2800,25 @@ object StreamingOps {
                 epoch_ms(CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
                   < (SELECT wm FROM mx))
          ORDER BY p_id, c_id""",
+
+    // Batch right join + the click-side far-edge cutoff on null rows.
+    "stream_stream_join_right" ->
+      """WITH mx AS (SELECT least(
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'purchase'),
+                       (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP)))
+                        FROM events WHERE event_type = 'click')) AS wm)
+         SELECT p.event_id AS p_id, c.event_id AS c_id,
+                coalesce(p.user_id, c.user_id) AS user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         WHERE p.event_id IS NOT NULL
+            OR epoch_ms(CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
+                 < (SELECT wm FROM mx)
+         ORDER BY c_id, p_id""",
 
     // Batch NOT EXISTS + the purchase-side watermark cutoff: an anti
     // verdict only emits once its window sealed.
