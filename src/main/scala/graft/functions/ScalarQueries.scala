@@ -554,6 +554,28 @@ object ScalarQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Volume-burst detection (round-5 add): per (type, hour), the event
+    // count against its trailing-24h baseline, flagged when the hour
+    // runs ≥ 3× the trailing average — the ops-alerting shape next to
+    // ts_zscore's per-user value anomalies. ALL-INTEGER: the flag is
+    // the cross-multiplied cnt·n_trail > 3·trail_sum (never a double
+    // division), so no rounding can flip a boundary hour (D2/D4). One
+    // corpus agg into (type, hour) cells, one tiny type-keyed window.
+    "events_burst" -> ((s, d) => {
+      val hc = events(s, d)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hb"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hb"))
+        .rowsBetween(-24, -1)
+      hc.withColumn("trail_sum", sum(col("cnt")).over(w))
+        .withColumn("n_trail", count(col("cnt")).over(w))
+        .withColumn("is_burst",
+          col("n_trail") > 0 &&
+            col("cnt") * col("n_trail") > col("trail_sum") * 3)
+        .orderBy(col("event_type"), col("hb"))
+    }),
+
     // Conversion-lag distribution (round-5 add): the funnel's
     // signup→first-purchase lag, bucketed into 5-minute cells over the
     // 1 h window — the latency histogram behind every conversion SLA
@@ -1451,6 +1473,24 @@ object ScalarQueries {
                 AS DOUBLE) / 1000000 AS retention
        FROM cells c JOIN base b ON c.cwk = b.bwk
        ORDER BY cohort_week, week_offset""",
+
+    "events_burst" ->
+      """WITH hc AS (SELECT event_type,
+                       epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+                         AS hb,
+                       count(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, hb, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type
+                      ORDER BY hb ROWS BETWEEN 24 PRECEDING
+                      AND 1 PRECEDING) AS BIGINT) AS trail_sum,
+                    CAST(count(cnt) OVER (PARTITION BY event_type
+                      ORDER BY hb ROWS BETWEEN 24 PRECEDING
+                      AND 1 PRECEDING) AS BIGINT) AS n_trail
+                  FROM hc)
+       SELECT event_type, hb, cnt, trail_sum, n_trail,
+              (n_trail > 0 AND cnt * n_trail > trail_sum * 3) AS is_burst
+       FROM t ORDER BY event_type, hb""",
 
     "events_conversion_lag" ->
       """WITH sg AS (SELECT user_id, event_id AS signup_id,

@@ -177,6 +177,32 @@ object Relational {
         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
     }),
 
+    // Table profiling (round-5 add): per-column null and distinct
+    // counts + row count for lineitem in ONE scan — the data-quality /
+    // catalog-statistics pass every 100 TB ingest runs before anything
+    // else. All counts are exact integers (no approx, no doubles);
+    // Spark plans the multi-count-distinct via a single expand +
+    // partial/final agg, so the corpus is read once however many
+    // columns are profiled.
+    "profile_table" -> ((s, d) =>
+      lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .as("nulls_returnflag"),
+          countDistinct(col("l_returnflag")).as("dist_returnflag"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+            .as("nulls_orderkey"),
+          countDistinct(col("l_orderkey")).as("dist_orderkey"),
+          sum(when(col("l_partkey").isNull, 1L).otherwise(0L))
+            .as("nulls_partkey"),
+          countDistinct(col("l_partkey")).as("dist_partkey"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+            .as("nulls_quantity"),
+          countDistinct(col("l_quantity")).as("dist_quantity"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+            .as("nulls_shipdate"),
+          countDistinct(col("l_shipdate")).as("dist_shipdate"))),
+
     // Recursive CTE (round-5 add): hierarchy traversal — the classic
     // relational-completeness gap (org charts, BOM explosions, graph
     // reachability) newly expressible in Spark 4's `WITH RECURSIVE`.
@@ -402,6 +428,25 @@ object Relational {
            ORDER BY o_totalprice DESC, o_orderkey
            LIMIT 2) o ON true
          ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
+
+    "profile_table" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_returnflag,
+                count(DISTINCT l_returnflag) AS dist_returnflag,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_orderkey,
+                count(DISTINCT l_orderkey) AS dist_orderkey,
+                CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_partkey,
+                count(DISTINCT l_partkey) AS dist_partkey,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_quantity,
+                count(DISTINCT l_quantity) AS dist_quantity,
+                CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nulls_shipdate,
+                count(DISTINCT l_shipdate) AS dist_shipdate
+         FROM lineitem""",
 
     "sql_recursive_cte" ->
       """WITH RECURSIVE walk AS (
