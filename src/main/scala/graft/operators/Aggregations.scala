@@ -250,6 +250,31 @@ object Aggregations {
             .as("kurtosis_qty"))
         .orderBy(col("l_returnflag"))),
 
+    // Exact weighted median (round-5 add): the price-weighted median
+    // quantity per return flag — order rows by quantity, take the first
+    // quantity whose cumulative weight reaches half the total. Both the
+    // cumulative and total weights are DECIMAL sums (D2) and the
+    // half-crossing test is the decimal cross-multiplication
+    // 2·cum ≥ tot (no division, no double). The crossing QUANTITY is
+    // invariant to intra-tie ordering (any tie permutation crosses
+    // within the same quantity group), so the result is deterministic
+    // without a unique-key tie-break. One partition-keyed sort window +
+    // tiny final agg.
+    "agg_weighted_median" -> ((s, d) => {
+      val wc = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("l_returnflag"))
+      lineitem(s, d)
+        .withColumn("cum", sum(dec(col("l_extendedprice"))).over(wc))
+        .withColumn("tot", sum(dec(col("l_extendedprice"))).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("weighted_median_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Shannon entropy of each event type's hour-of-day distribution
     // (round-5 add): how concentrated in the day a given event type is.
     // Float discipline is llm_ngram_lm's fixed-point idiom: each hour
@@ -538,6 +563,21 @@ object Aggregations {
               CASE WHEN n > 1 AND m2 > 0 THEN
                 round(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis_qty
        FROM cm ORDER BY l_returnflag""",
+
+    "agg_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_quantity,
+                      sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey,
+                                       l_linenumber, l_extendedprice
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                      sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                        OVER (PARTITION BY l_returnflag) AS tot
+                    FROM lineitem)
+       SELECT l_returnflag, min(l_quantity) AS weighted_median_qty
+       FROM t WHERE cum * 2 >= tot
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_entropy" ->
       """WITH hc AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hr,
