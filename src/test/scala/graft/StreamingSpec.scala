@@ -14,6 +14,45 @@ import graft.streaming.StreamingOps
   */
 class StreamingSpec extends GraftSpec {
 
+  test("StreamingQueryListener observes every batch and the full input row count") {
+    // The monitoring surface (Flink's metrics/reporter analog): a
+    // registered listener must see start / per-batch progress /
+    // termination, and the progress events' numInputRows must sum to
+    // the corpus — the numbers an operator dashboard would chart.
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val started = new AtomicBoolean(false)
+    val terminated = new AtomicBoolean(false)
+    val rows = new AtomicLong(0L)
+    val batches = new AtomicLong(0L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        started.set(true)
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        batches.incrementAndGet()
+        rows.addAndGet(e.progress.numInputRows)
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated.set(true)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = SparkEntry.queries("stream_tumbling")(spark, sf)
+      assert(out.count() > 0)
+      // listener events are delivered asynchronously post-termination
+      val deadline = System.currentTimeMillis() + 20000
+      while (!terminated.get() && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val corpus = Tables.events(spark, sf).count()
+      assert(started.get(), "no start event delivered")
+      assert(terminated.get(), "no termination event delivered")
+      assert(batches.get() > 0, "no progress events delivered")
+      assert(rows.get() == corpus,
+        s"listener saw ${rows.get()} input rows, corpus has $corpus")
+    } finally spark.streams.removeListener(listener)
+  }
+
   private def ckpt = Files.createTempDirectory("graft_test_ckpt_").toString
 
   test("stream_watermark_late: late rows behind the watermark are dropped") {
