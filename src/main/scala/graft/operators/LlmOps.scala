@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
 import graft.functions.MinHash
 
@@ -453,6 +454,45 @@ object LlmOps {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // Zipf rank-frequency fit (round-5 add): OLS of ln(count) on
+    // ln(rank) over the corpus vocabulary — the power-law exponent
+    // (slope ≈ −1 for natural text) that tells a corpus planner how
+    // skewed the token distribution is before sizing shuffles and
+    // salting. Exactness: each point's ln rounds ONCE to 6 dp and is
+    // decimal-cast, so the five moment sums reduce order-independently
+    // (agg_regression's D2 discipline on derived points); the global
+    // rank window runs on the post-agg VOCABULARY (tiny), never the
+    // corpus. 1-row output.
+    "llm_zipf_fit" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      // micro-nat fixed point (llm_ngram_lm idiom): each point's ln
+      // rounds ONCE to an integer micro-unit, per-row products stay in
+      // long (≤ ~3.4e14), only the unbounded SUMS go through decimal
+      val ranked = tf.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+        .select(
+          round(log(col("rnk").cast("double")) * 1e6, 0).cast("long")
+            .as("xu"),
+          round(log(col("cnt").cast("double")) * 1e6, 0).cast("long")
+            .as("yu"))
+      val d0 = DecimalType(38, 0)
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("xu").cast(d0)).cast("double").as("sx"),
+          sum(col("yu").cast(d0)).cast("double").as("sy"),
+          sum((col("xu") * col("yu")).cast(d0)).cast("double").as("sxy"),
+          sum((col("xu") * col("xu")).cast(d0)).cast("double").as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"),
+          round((col("sy") / col("n") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) *
+              (col("sx") / col("n"))) / lit(1e6), 6).as("intercept"))
+    }),
+
     // BM25 relevance search (round-5 add): Okapi BM25 (k1=1.2, b=0.75)
     // of every document against a fixed 3-term query — the lexical
     // retrieval capability beside the ANN family. Scale shape: the
@@ -829,6 +869,32 @@ object LlmOps {
                            term) AS rn
          FROM agg a JOIN n ON a.lang = n.lang)
        WHERE rn <= 5 ORDER BY lang, rn""",
+
+    "llm_zipf_fit" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM tf GROUP BY 1),
+            r AS (SELECT CAST(round(ln(CAST(row_number() OVER (
+                      ORDER BY cnt DESC, term) AS DOUBLE)) * 1000000, 0)
+                      AS BIGINT) AS xu,
+                    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0)
+                      AS BIGINT) AS yu
+                  FROM c),
+            m AS (SELECT count(*) AS n,
+                    CAST(sum(CAST(xu AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(yu AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(xu * yu AS DECIMAL(38,0))) AS DOUBLE)
+                      AS sxy,
+                    CAST(sum(CAST(xu * xu AS DECIMAL(38,0))) AS DOUBLE)
+                      AS sxx
+                  FROM r)
+       SELECT n,
+              round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                AS zipf_slope,
+              round((sy / n -
+                ((n * sxy - sx * sy) / (n * sxx - sx * sx)) *
+                (sx / n)) / 1000000.0, 6) AS intercept
+       FROM m""",
 
     "llm_bm25" ->
       """WITH docs AS (SELECT doc_id, lang,
