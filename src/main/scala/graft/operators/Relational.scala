@@ -180,10 +180,12 @@ object Relational {
     // Table profiling (round-5 add): per-column null and distinct
     // counts + row count for lineitem in ONE scan — the data-quality /
     // catalog-statistics pass every 100 TB ingest runs before anything
-    // else. All counts are exact integers (no approx, no doubles);
-    // Spark plans the multi-count-distinct via a single expand +
-    // partial/final agg, so the corpus is read once however many
-    // columns are profiled.
+    // else. All counts are exact integers (no approx, no doubles).
+    // Scale note, honestly: Spark plans k exact count-distincts via ONE
+    // scan but an Expand that multiplies shuffle volume ~k× — the right
+    // exact-profile shape for scheduled quality gates; an interactive
+    // 100 TB profile would swap in approx_count_distinct per column
+    // (same single scan, no expand, HLL partials).
     "profile_table" -> ((s, d) =>
       lineitem(s, d)
         .agg(count(lit(1)).as("n_rows"),
