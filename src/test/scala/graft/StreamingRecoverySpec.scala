@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+
+import graft.streaming.StreamingOps
+
+/** Checkpoint-RESTART recovery for the round-5 `transformWithState`
+  * processors (SURVEY.md §5; round-5 verdict's top hardening gap). The
+  * multi-batch tests in [[StreamingSpec]] pin cross-batch state inside
+  * ONE query run; these kill the query between batches and start a NEW
+  * query from the same checkpoint, so the custom state rows
+  * (`EwmaState`, `CountWinState`, `AbcState`) must round-trip through
+  * the state-store encoder and the event-time timers must re-fire after
+  * recovery — the path a production restart (deploy, preemption,
+  * executor loss) exercises and where a state-schema bug would hide.
+  * All three run on the RocksDB provider, the 100 TB posture's store.
+  */
+class StreamingRecoverySpec extends GraftSpec {
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+
+  test("EwmaProcessor: lag context and timers survive a query restart") {
+    // Run 1 seals e1/e2 (their micro-values move from the buffer into
+    // the 9-long lag context) and leaves e3 buffered. Run 2 is a NEW
+    // query from the checkpoint: e3's average must still see e1/e2 —
+    // possible only if the recovered EwmaState carries the lag array —
+    // and the emission itself requires the rearmed timer to fire after
+    // recovery. Expected values are StreamingSpec's hand-computed set.
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_ew_rs_").toString
+      val in = s"$dir/in"
+      val checkpoint = s"$dir/ckpt"
+      def stage(rows: Seq[(Timestamp, Long, Long, Long)]): Unit =
+        rows.toDF("ts", "uid", "eid", "v_us").repartition(1)
+          .write.mode("append").parquet(in)
+
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long, Double)]]
+      def runOnce(): Unit = {
+        val emitted =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+        val sch = spark.read.parquet(in).schema
+        val q = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "0 seconds")
+          .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+            col("uid"), col("eid"), col("v_us"))
+          .as[(Timestamp, Long, Long, Long, Long)]
+          .groupByKey(_._3)
+          .transformWithState(StreamingOps.ewmaForTest(),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("event_id", "user_id", "ewma")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach(r =>
+              emitted.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        runs += emitted.asScala.toSet
+      }
+
+      // run 1 — final wm 09:30: e1/e2 seal and emit, e3 held in buffer
+      stage(Seq((t("2024-01-01 09:00:00"), 1L, 101L, 1000000L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2000000L),
+        (t("2024-01-01 09:30:00"), 1L, 103L, 3000000L)))
+      runOnce()
+      // run 2 (restart) — e4 advances wm to 09:50, sealing the RECOVERED
+      // e3; e4 itself sits at the final wm and stays held
+      stage(Seq((t("2024-01-01 09:50:00"), 1L, 104L, 4000000L)))
+      runOnce()
+
+      assert(runs(0) == Set((101L, 1L, 1.0), (102L, 1L, 1.666667)),
+        s"pre-restart emissions wrong: ${runs(0)}")
+      assert(runs(1) == Set((103L, 1L, 2.428571)),
+        s"post-restart emission must use the recovered lag context: ${runs(1)}")
+    }
+  }
+
+  test("count-window processor: window index and rank base survive a restart") {
+    // Run 1 emits window 0 (ranks 1-2) and EVICTS it — after that,
+    // nEmitted=1 / baseRank=2 exist only in state. Run 2 restarts and
+    // must emit the straddling window with index 1 (not 0) over ranks
+    // 3-4, proving both counters and the surviving buffer row (e103)
+    // were recovered. winSize=2, tumbling (slide = winSize).
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_cw_rs_").toString
+      val in = s"$dir/in"
+      val checkpoint = s"$dir/ckpt"
+      def stage(rows: Seq[(Timestamp, Long, Long, Long)]): Unit =
+        rows.toDF("ts", "uid", "eid", "v_us").repartition(1)
+          .write.mode("append").parquet(in)
+
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long, Long, Long, Double)]]
+      def runOnce(): Unit = {
+        val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Long, Long, Double)]()
+        val sch = spark.read.parquet(in).schema
+        val q = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "0 seconds")
+          .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+            col("uid"), col("eid"), col("v_us"))
+          .as[(Timestamp, Long, Long, Long, Long)]
+          .groupByKey(_._3)
+          .transformWithState(StreamingOps.countWindowForTest(2),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "win_idx", "w_first_us", "w_last_us", "sum_value")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach(r => emitted.add((r.getLong(0),
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        runs += emitted.asScala.toSet
+      }
+
+      // run 1 — final wm 09:30: ranks 1-2 seal -> window 0; e103 buffered
+      stage(Seq((t("2024-01-01 09:00:00"), 1L, 101L, 1000000L),
+        (t("2024-01-01 09:10:00"), 1L, 102L, 2000000L),
+        (t("2024-01-01 09:30:00"), 1L, 103L, 3000000L)))
+      runOnce()
+      // run 2 (restart) — e105 advances wm to 10:30, sealing e103/e104
+      // -> window 1 across the restart boundary; e105 held at final wm
+      stage(Seq((t("2024-01-01 09:45:00"), 1L, 104L, 4000000L),
+        (t("2024-01-01 10:30:00"), 1L, 105L, 5000000L)))
+      runOnce()
+
+      assert(runs(0) == Set(
+        (1L, 0L, us("2024-01-01 09:00:00"), us("2024-01-01 09:10:00"), 3.0)),
+        s"pre-restart window wrong: ${runs(0)}")
+      assert(runs(1) == Set(
+        (1L, 1L, us("2024-01-01 09:30:00"), us("2024-01-01 09:45:00"), 7.0)),
+        s"post-restart window must continue the recovered index: ${runs(1)}")
+    }
+  }
+
+  test("ABC pattern processor: pending signup and buffered events survive a restart") {
+    // Run 1 leaves u5's signup pending in AbcState (nothing can emit —
+    // the chain is incomplete and the 1 h deadline is ahead of the
+    // watermark). Run 2 restarts and delivers the click+purchase tail:
+    // the completed chain must bind to the RECOVERED signup, and the
+    // view sentinel seals it. A second user's signup whose deadline
+    // passes only after the restart must emit its no-progress row from
+    // recovered state too (timer re-fire path, not just data binding).
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_abc_rs_").toString
+      val in = s"$dir/in"
+      val checkpoint = s"$dir/ckpt"
+      def stage(rows: Seq[(Timestamp, Long, String, Long)]): Unit =
+        rows.toDF("ts", "uid", "etype", "eid").repartition(1)
+          .write.mode("append").parquet(in)
+
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(Long, Long, Long, Long, Long)]]
+      def runOnce(): Unit = {
+        val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Long, Long, Long, Long, Long)]()
+        val sch = spark.read.parquet(in).schema
+        val q = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts", "0 seconds")
+          .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+            col("uid"), col("etype"), col("eid"))
+          .as[(Timestamp, Long, Long, String, Long)]
+          .groupByKey(_._3)
+          .transformWithState(StreamingOps.patternAbcForTest(),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "signup_id", "click_id", "purchase_id",
+            "us_to_complete")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach { r =>
+              def opt(i: Int): Long = if (r.isNullAt(i)) -1L else r.getLong(i)
+              emitted.add((r.getLong(0), r.getLong(1), opt(2), opt(3), opt(4)))
+            }
+          }
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint).start()
+        q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        runs += emitted.asScala.toSet
+      }
+
+      // run 1 — u5 and u6 sign up; final wm 09:29 (u6's signup). Both
+      // deadlines (10:05 / 10:29) are ahead of the wm: nothing emits.
+      // u6 sits strictly inside the final 10:30 watermark (not AT it —
+      // the timer boundary is strict, pinned in StreamingSpec).
+      stage(Seq((t("2024-01-01 09:05:00"), 5L, "signup", 130L),
+        (t("2024-01-01 09:29:00"), 6L, "signup", 140L)))
+      runOnce()
+      // run 2 (restart) — u5's tail arrives; the 10:30 sentinel seals
+      // u5's completed chain AND expires u6's untouched deadline.
+      stage(Seq((t("2024-01-01 09:40:00"), 5L, "click", 330L),
+        (t("2024-01-01 09:55:00"), 5L, "purchase", 440L),
+        (t("2024-01-01 10:30:00"), 9L, "view", 900L)))
+      runOnce()
+
+      assert(runs(0) == Set.empty[(Long, Long, Long, Long, Long)],
+        s"nothing may emit before the deadlines: ${runs(0)}")
+      assert(runs(1) == Set(
+        (5L, 130L, 330L, 440L, 3000000000L),
+        (6L, 140L, -1L, -1L, -1L)),
+        s"post-restart chain must bind the recovered signup: ${runs(1)}")
+    }
+  }
+}
