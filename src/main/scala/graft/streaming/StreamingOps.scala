@@ -147,6 +147,13 @@ object StreamingOps {
     * `transformWithState`), restoring the previous provider after — one
     * definition instead of a save/set/finally block per caller. */
   private[graft] def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    // NOT an optimization toggle: `transformWithState` REQUIRES the
+    // RocksDB provider — the HDFS-backed store rejects it outright with
+    // STATE_STORE_MULTIPLE_COLUMN_FAMILIES (verified on this Spark:
+    // value state + timers = multiple column families per store). So
+    // every test/bench number for the tws family IS a RocksDB number,
+    // and the 100 TB state posture (changelog checkpointing, off-heap
+    // state, bounded memory per store) is the only supported regime.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key,
