@@ -136,24 +136,39 @@ object Aggregations {
 
     // Sample covariance + Pearson correlation of quantity vs extended
     // price per return flag (round-5 add) — the bivariate half of the
-    // exact-stats story. Same discipline as agg_stats_exact: every sum
-    // accumulates as DECIMAL(38,6) (associative, partition-order
-    // independent, D2) and the double arithmetic on the REDUCED
-    // aggregates is the identical expression both engines evaluate;
-    // built-in corr()/covar_samp() would hit D2 (double accumulation
-    // order) AND engine-specific formulations. n=1 groups → NULL.
+    // exact-stats story. Round-6 accumulation rework (same outputs):
+    // instead of five double→DECIMAL(38,6) casts PER ROW (BigDecimal
+    // materialization was the measured 2–5× cost vs neighbor aggs),
+    // each row converts ONCE per column to integer micro-units —
+    // quantity is integral (1..50) so `BIGINT` is exact; price has 2
+    // decimals so cents (`DECIMAL(38,6) * 100 → BIGINT`, the ts_zscore
+    // discipline) are exact — and every moment is a LONG product.
+    // Long sums where the bound proves no overflow at any real scale
+    // (Σq ≤ 50n, Σq² ≤ 2500n → safe past 10^15 rows); DECIMAL(38,0)
+    // sums for the cents moments (Σpc² ≈ 10^14·n would wrap a long by
+    // ~10^5 rows per partition — the decimal sum stays compact-long
+    // inside Spark until it actually exceeds 10^18, so it costs ~long
+    // adds). The double finish divides the micro-unit sums back
+    // (/100, /10⁴) and is the IDENTICAL expression DuckDB evaluates
+    // (D2: every sum is exact integer arithmetic, order-independent);
+    // built-in corr()/covar_samp() would accumulate doubles in
+    // partition order AND differ in formulation. n=1 groups → NULL.
     "agg_corr_covar" -> ((s, d) =>
       lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 100" +
+            " AS BIGINT)").as("pc"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sx"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
-          sum(dec(col("l_quantity") * col("l_extendedprice")))
-            .cast("double").as("sxy"),
-          sum(dec(col("l_quantity") * col("l_quantity")))
-            .cast("double").as("sxx"),
-          sum(dec(col("l_extendedprice") * col("l_extendedprice")))
-            .cast("double").as("syy"))
+          sum(col("q")).cast("double").as("sx"),
+          (sum(expr("CAST(pc AS DECIMAL(38,0))")).cast("double") /
+            lit(100.0)).as("sy"),
+          (sum(expr("CAST(q * pc AS DECIMAL(38,0))")).cast("double") /
+            lit(100.0)).as("sxy"),
+          sum(col("q") * col("q")).cast("double").as("sxx"),
+          (sum(expr("CAST(pc * pc AS DECIMAL(38,0))")).cast("double") /
+            lit(10000.0)).as("syy"))
         .select(col("l_returnflag"), col("n"),
           when(col("n") > 1,
             round((col("sxy") - col("sx") * col("sy") / col("n")) /
@@ -167,23 +182,28 @@ object Aggregations {
 
     // Ordinary-least-squares aggregate (round-5 add): slope / intercept /
     // R² of extended price on quantity per return flag, from the SAME
-    // five decimal moment sums as agg_corr_covar — built-in regr_slope/
+    // five micro-unit moment sums as agg_corr_covar (round-6: integer
+    // accumulation, see that op's rationale) — built-in regr_slope/
     // regr_intercept would accumulate doubles in partition order (D2).
     // The double finish runs on the reduced aggregates only and is the
     // identical expression both engines evaluate; degenerate groups
     // (n<2 or zero x-variance) → NULL.
     "agg_regression" -> ((s, d) =>
       lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 100" +
+            " AS BIGINT)").as("pc"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sx"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
-          sum(dec(col("l_quantity") * col("l_extendedprice")))
-            .cast("double").as("sxy"),
-          sum(dec(col("l_quantity") * col("l_quantity")))
-            .cast("double").as("sxx"),
-          sum(dec(col("l_extendedprice") * col("l_extendedprice")))
-            .cast("double").as("syy"))
+          sum(col("q")).cast("double").as("sx"),
+          (sum(expr("CAST(pc AS DECIMAL(38,0))")).cast("double") /
+            lit(100.0)).as("sy"),
+          (sum(expr("CAST(q * pc AS DECIMAL(38,0))")).cast("double") /
+            lit(100.0)).as("sxy"),
+          sum(col("q") * col("q")).cast("double").as("sxx"),
+          (sum(expr("CAST(pc * pc AS DECIMAL(38,0))")).cast("double") /
+            lit(10000.0)).as("syy"))
         .select(col("l_returnflag"), col("n"),
           when(col("n") > 1 &&
               col("sxx") - col("sx") * col("sx") / col("n") =!= 0.0,
@@ -208,25 +228,29 @@ object Aggregations {
         .orderBy(col("l_returnflag"))),
 
     // Exact higher-moment aggregate (round-5 add): population skewness /
-    // excess kurtosis of l_quantity per return flag, from FOUR decimal
-    // moment sums (l_quantity is integral 1..50, so q²/q³/q⁴ are exact
-    // in double and in DECIMAL(38,6) — D2: the decimal partials reduce
-    // order-independently; the double finish runs on the reduced
-    // aggregates only and is the identical expression DuckDB evaluates).
+    // excess kurtosis of l_quantity per return flag, from FOUR integer
+    // moment sums (round-6 rework, same outputs: l_quantity is integral
+    // 1..50, so q..q⁴ are exact LONG products per row — no per-row
+    // decimal materialization). s1/s2 sum as longs (bounds 50n / 2500n:
+    // overflow-safe past 10^15 rows); s3/s4 as DECIMAL(38,0) (q⁴ ≤
+    // 6.25·10⁶ per row would wrap a long near 10^12 rows — the 100 TB
+    // regime). D2 holds: every sum is exact integer arithmetic,
+    // order-independent; the double finish runs on the reduced
+    // aggregates only and is the identical expression DuckDB evaluates.
     // Built-in skewness()/kurtosis() would accumulate doubles in
     // partition order — the same D2 rationale as agg_corr_covar. One
     // partial+final hash agg, 5-row result.
     "agg_skew_kurt" -> ((s, d) =>
       lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("s1"),
-          sum(dec(col("l_quantity") * col("l_quantity")))
-            .cast("double").as("s2"),
-          sum(dec(col("l_quantity") * col("l_quantity") *
-            col("l_quantity"))).cast("double").as("s3"),
-          sum(dec(col("l_quantity") * col("l_quantity") *
-            col("l_quantity") * col("l_quantity")))
+          sum(col("q")).cast("double").as("s1"),
+          sum(col("q") * col("q")).cast("double").as("s2"),
+          sum(expr("CAST(q * q * q AS DECIMAL(38,0))"))
+            .cast("double").as("s3"),
+          sum(expr("CAST(q * q * q * q AS DECIMAL(38,0))"))
             .cast("double").as("s4"))
         .withColumn("mean", col("s1") / col("n"))
         .withColumn("m2",
@@ -493,16 +517,21 @@ object Aggregations {
          FROM m ORDER BY l_returnflag""",
 
     "agg_corr_covar" ->
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxy,
-                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxx,
-                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS syy
-                    FROM lineitem GROUP BY 1)
+      """WITH r AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 100
+                        AS BIGINT) AS pc
+                    FROM lineitem),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(q) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 100.0 AS sy,
+                      CAST(sum(CAST(q * pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 100.0 AS sxy,
+                      CAST(sum(q * q) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 10000.0 AS syy
+                    FROM r GROUP BY 1)
          SELECT l_returnflag, n,
                 round((sxy - sx * sy / n) / NULLIF(n - 1, 0), 6)
                   AS covar_qty_price,
@@ -512,16 +541,21 @@ object Aggregations {
          FROM m ORDER BY l_returnflag""",
 
     "agg_regression" ->
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                      CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                      CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxy,
-                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxx,
-                      CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS syy
-                    FROM lineitem GROUP BY 1)
+      """WITH r AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q,
+                      CAST(CAST(l_extendedprice AS DECIMAL(38,6)) * 100
+                        AS BIGINT) AS pc
+                    FROM lineitem),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(q) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 100.0 AS sy,
+                      CAST(sum(CAST(q * pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 100.0 AS sxy,
+                      CAST(sum(q * q) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE)
+                        / 10000.0 AS syy
+                    FROM r GROUP BY 1)
          SELECT l_returnflag, n,
                 CASE WHEN n > 1 AND sxx - sx * sx / n <> 0 THEN
                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
@@ -538,15 +572,17 @@ object Aggregations {
          FROM m ORDER BY l_returnflag""",
 
     "agg_skew_kurt" ->
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-                      CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                      CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS s2,
-                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity
-                        AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-                      CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
-                        AS DECIMAL(38,6))) AS DOUBLE) AS s4
-                    FROM lineitem GROUP BY 1),
+      """WITH r AS (SELECT l_returnflag,
+                      CAST(l_quantity AS BIGINT) AS q
+                    FROM lineitem),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(q) AS DOUBLE) AS s1,
+                      CAST(sum(q * q) AS DOUBLE) AS s2,
+                      CAST(sum(CAST(q * q * q AS DECIMAL(38,0)))
+                        AS DOUBLE) AS s3,
+                      CAST(sum(CAST(q * q * q * q AS DECIMAL(38,0)))
+                        AS DOUBLE) AS s4
+                    FROM r GROUP BY 1),
             c AS (SELECT l_returnflag, n, s1, s2, s3, s4,
                     s1 / n AS mean FROM m),
             cm AS (SELECT l_returnflag, n, mean,
