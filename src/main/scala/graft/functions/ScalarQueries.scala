@@ -555,12 +555,20 @@ object ScalarQueries {
     }),
 
     // Volume-burst detection (round-5 add): per (type, hour), the event
-    // count against its trailing-24h baseline, flagged when the hour
-    // runs ≥ 3× the trailing average — the ops-alerting shape next to
-    // ts_zscore's per-user value anomalies. ALL-INTEGER: the flag is
-    // the cross-multiplied cnt·n_trail > 3·trail_sum (never a double
-    // division), so no rounding can flip a boundary hour (D2/D4). One
-    // corpus agg into (type, hour) cells, one tiny type-keyed window.
+    // count against its baseline of the trailing 24 OBSERVED hour
+    // buckets, flagged when the hour runs ≥ 3× that baseline average —
+    // the ops-alerting shape next to ts_zscore's per-user value
+    // anomalies. NOTE the frame semantics precisely: the window is ROWS
+    // over the pre-aggregated (type, hour) cells, so hours with zero
+    // events are absent (not zero-valued) and the baseline can span
+    // more than 24 wall-clock hours across gaps — "trailing 24 observed
+    // hours", the robust choice for alerting (a quiet night does not
+    // dilute the baseline toward zero and fire on the morning ramp; a
+    // gap-as-zero variant would densify the hour grid first, the
+    // ts_gapfill shape). ALL-INTEGER: the flag is the cross-multiplied
+    // cnt·n_trail > 3·trail_sum (never a double division), so no
+    // rounding can flip a boundary hour (D2/D4). One corpus agg into
+    // (type, hour) cells, one tiny type-keyed window.
     "events_burst" -> ((s, d) => {
       val hc = events(s, d)
         .groupBy(col("event_type"),

@@ -44,6 +44,14 @@ object WeightedAvgAggregator
   override def outputEncoder: Encoder[JBigDecimal] = Encoders.DECIMAL
 }
 
+/** Array-backed Misra–Gries buffer: `keys(0..n)` / `counts(0..n)` are the
+  * live summary entries; the arrays keep fixed capacity K so reduce/merge
+  * mutate in place with zero per-row allocation. Top-level (not nested)
+  * so the product encoder's codegen never falls back to Janino-hostile
+  * nested-class paths — the round-4 state-encoder lesson.
+  */
+final case class MgBuffer(keys: Array[Long], counts: Array[Long], var n: Int)
+
 /** Mergeable Misra–Gries frequent-items sketch (k = 64) — the
   * heavy-hitters analog of `agg_hll_merge`'s two-phase HLL, as a custom
   * `Aggregator`: each partition builds a ≤ k-entry local summary, and
@@ -56,42 +64,97 @@ object WeightedAvgAggregator
   * with frequency > n/k must survive; when distinct keys ≤ k the
   * sketch is exact. The precise estimates below the guarantee depend
   * on partition/merge order by design → no-oracle op.
+  *
+  * Hot-path discipline: the buffer is a pair of fixed-capacity primitive
+  * arrays mutated in place — the found/append path is a ≤ 64-long linear
+  * scan with no allocation, and the saturated decrement compacts in
+  * place (vs the previous immutable-Map rebuild: O(K) boxing allocation
+  * per saturated row). The buffer rides the product/row encoder, not
+  * kryo, so spill/shuffle serialization stays on the columnar row path.
   */
 object TopKSketchAggregator
-    extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+    extends Aggregator[Long, MgBuffer, Seq[(Long, Long)]] {
 
   val K = 64
 
-  override def zero: Map[Long, Long] = Map.empty
+  override def zero: MgBuffer =
+    MgBuffer(new Array[Long](K), new Array[Long](K), 0)
 
-  override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] =
-    if (b.contains(v)) b.updated(v, b(v) + 1L)
-    else if (b.size < K) b.updated(v, 1L)
-    else b.iterator.collect { case (k, c) if c > 1 => k -> (c - 1L) }.toMap
-
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]):
-      Map[Long, Long] =
-    if (a.isEmpty) b
-    else if (b.isEmpty) a
-    else {
-      val m = (a.keySet ++ b.keySet).iterator
-        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
-      if (m.size <= K) m
-      else {
-        // subtract the (k+1)-th largest count, keep the survivors
-        val cut = m.values.toIndexedSeq.sorted(Ordering[Long].reverse)(K)
-        m.iterator.collect { case (k, c) if c > cut => k -> (c - cut) }
-          .toMap
-      }
+  override def reduce(b: MgBuffer, v: Long): MgBuffer = {
+    val ks = b.keys; val cs = b.counts; val n = b.n
+    var i = 0
+    while (i < n) {
+      if (ks(i) == v) { cs(i) += 1L; return b }
+      i += 1
     }
+    if (n < K) { ks(n) = v; cs(n) = 1L; b.n = n + 1 }
+    else {
+      // saturated: decrement every counter, drop zeros, compact in
+      // place (the MG rule — the incoming key is NOT inserted)
+      var w = 0; var j = 0
+      while (j < n) {
+        val c = cs(j) - 1L
+        if (c > 0L) { ks(w) = ks(j); cs(w) = c; w += 1 }
+        j += 1
+      }
+      b.n = w
+    }
+    b
+  }
+
+  override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
+    if (b.n == 0) return a
+    if (a.n == 0) {
+      System.arraycopy(b.keys, 0, a.keys, 0, b.n)
+      System.arraycopy(b.counts, 0, a.counts, 0, b.n)
+      a.n = b.n
+      return a
+    }
+    // combine into a scratch region (merge is per-partition-boundary,
+    // not per-row — an allocation here is off the hot path)
+    val cap = a.n + b.n
+    val ks = new Array[Long](cap); val cs = new Array[Long](cap)
+    System.arraycopy(a.keys, 0, ks, 0, a.n)
+    System.arraycopy(a.counts, 0, cs, 0, a.n)
+    var n = a.n
+    var i = 0
+    while (i < b.n) {
+      val k = b.keys(i); val c = b.counts(i)
+      var j = 0; var found = false
+      while (j < a.n && !found) {
+        if (ks(j) == k) { cs(j) += c; found = true }
+        j += 1
+      }
+      if (!found) { ks(n) = k; cs(n) = c; n += 1 }
+      i += 1
+    }
+    if (n > K) {
+      // subtract the (k+1)-th largest count, keep the survivors
+      // (at most K entries can exceed the (k+1)-th largest)
+      val sorted = java.util.Arrays.copyOfRange(cs, 0, n)
+      java.util.Arrays.sort(sorted)
+      val cut = sorted(n - 1 - K)
+      var w = 0; var j = 0
+      while (j < n) {
+        if (cs(j) > cut) { a.keys(w) = ks(j); a.counts(w) = cs(j) - cut; w += 1 }
+        j += 1
+      }
+      a.n = w
+    } else {
+      System.arraycopy(ks, 0, a.keys, 0, n)
+      System.arraycopy(cs, 0, a.counts, 0, n)
+      a.n = n
+    }
+    a
+  }
 
   /** Top-10 surviving keys by (estimate desc, key asc) — a bounded,
     * deterministic-shape readout of the summary. */
-  override def finish(m: Map[Long, Long]): Seq[(Long, Long)] =
-    m.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+  override def finish(m: MgBuffer): Seq[(Long, Long)] =
+    (0 until m.n).map(i => (m.keys(i), m.counts(i)))
+      .sortBy { case (k, c) => (-c, k) }.take(10)
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] =
-    Encoders.kryo[Map[Long, Long]]
+  override def bufferEncoder: Encoder[MgBuffer] = Encoders.product[MgBuffer]
 
   override def outputEncoder: Encoder[Seq[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -562,21 +562,27 @@ object StreamingOps {
     }),
 
     // Streaming daily actives (round-5 add): chained stateful dedup →
-    // aggregation — `dropDuplicates(user, day)` feeds the per-day DAU
-    // count in the same query (complete-mode sink over the
-    // day-cardinality rollup). Dedup state is (user, day) pairs — the
-    // SAME cardinality the batch op shuffles; a production pipeline
-    // bounds it by dropping days behind the watermark horizon (the
-    // integer day key is derived from the watermarked event time, so
-    // the state's age is knowable). Oracle: the batch (user, day)
-    // distinct rollup — exact, since dedup-then-count is
-    // arrival-order-insensitive.
+    // aggregation — watermark-bounded dedup feeds the per-day DAU count
+    // in the same query (complete-mode sink over the day-cardinality
+    // rollup). STATE BOUND: `dropDuplicatesWithinWatermark` under a
+    // 1-day watermark delay evicts a (user, day) entry once the
+    // watermark passes first-seen + 1 day, so dedup state holds only
+    // ~2 days of (user, day) pairs however long the stream runs — vs
+    // plain `dropDuplicates(user, day)`, whose integer day key is not
+    // an event-time column and therefore NEVER evicts. Exactness is
+    // provable: two events sharing a (user, day) key are < 24 h apart
+    // by construction, and the watermark (max event ts − 1 day) cannot
+    // pass first_ts + 1 day before the last same-day event arrives —
+    // so every within-day duplicate is suppressed and the output is
+    // bit-identical to the batch (user, day) distinct rollup. The 1-day
+    // delay costs nothing downstream: the day rollup runs in complete
+    // mode, which re-emits every batch regardless of watermark.
     "stream_dau" -> ((s, d) => withRocksDb(s) {
       val ev = eventsStream(s, d)
-        .withWatermark("ts_utc", "0 seconds")
+        .withWatermark("ts_utc", "1 day")
         .select(col("ts_utc"), col("user_id"),
           expr("(ts div 1000) div 86400000000").as("day"))
-      val dau = ev.dropDuplicates("user_id", "day")
+      val dau = ev.dropDuplicatesWithinWatermark("user_id", "day")
         .groupBy(col("day"))
         .agg(count(lit(1)).as("dau"))
       runToMemory(dau, "complete").orderBy(col("day"))
