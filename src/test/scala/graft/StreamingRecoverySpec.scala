@@ -230,4 +230,73 @@ class StreamingRecoverySpec extends GraftSpec {
         s"post-restart chain must bind the recovered signup: ${runs(1)}")
     }
   }
+
+  test("foreachBatch exactly-once: batchId-keyed overwrite heals a torn batch on replay") {
+    // The no-Kafka-jars substitute for a two-phase-commit sink: Spark
+    // guarantees foreachBatch AT-LEAST-once (a batch that fails before
+    // its checkpoint commit is REPLAYED under the SAME batchId), so a
+    // sink becomes effectively exactly-once iff the write is idempotent
+    // in batchId — here a deterministic per-batch target directory with
+    // mode("overwrite"). The test drives the full failure path: batch 1
+    // tears (partial output lands, then the writer dies before the
+    // commit log records it), the torn output is observably visible —
+    // exactly the duplicate state a naive append sink would keep — and
+    // the restarted query replays batch 1 under the same id, where
+    // overwrite replaces the torn files. Final output must equal the
+    // input exactly: no loss, no duplicates, no torn sentinel.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fb_eo_").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val checkpoint = s"$dir/ckpt"
+    def stage(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "event_type").repartition(1)
+        .write.mode("append").parquet(in)
+
+    // driver-side fault injection: which batchId tears on its next run
+    val crashOnBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def runOnce(): Option[Throwable] = {
+      val sch = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val target = s"$out/batch_id=$batchId"
+          if (batchId == crashOnBatch.get()) {
+            // torn write: some output lands, then the sink dies BEFORE
+            // foreachBatch returns, so the commit log never records
+            // this batchId as done
+            Seq((-999L, "torn")).toDF("event_id", "event_type")
+              .write.mode("overwrite").parquet(target)
+            throw new RuntimeException("injected sink crash")
+          }
+          // the idempotent pattern under test: deterministic
+          // batchId-keyed target + overwrite
+          batch.write.mode("overwrite").parquet(target)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try { q.awaitTermination(); None }
+      catch { case e: Throwable => Some(e) }
+    }
+
+    stage(Seq((1L, "a"), (2L, "b")))
+    assert(runOnce().isEmpty, "batch 0 must commit cleanly")
+
+    stage(Seq((3L, "c"), (4L, "d")))
+    crashOnBatch.set(1L)
+    assert(runOnce().isDefined, "the injected crash must fail the query")
+    // the torn partial output IS visible now — the state a naive
+    // append-mode sink would be stuck with
+    val torn = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(torn.contains(-999L), s"expected the torn sentinel on disk: $torn")
+
+    crashOnBatch.set(-1L)
+    assert(runOnce().isEmpty, "the restarted query must replay batch 1 and succeed")
+    val healed = spark.read.parquet(out)
+      .select(col("event_id"), col("event_type"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(healed == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1)),
+      s"exactly-once violated — expected the exact input across batch dirs, got: $healed")
+  }
 }
