@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *    corpus) in which the Bloom pre-filter's pruning of the train
   *    stream is supposed to win — measured instead of asserted.
   *
+  *  - `bucketed` — orders/customer replicated with referentially-
+  *    consistent key shifts (pmod-filter fractions preserved): the
+  *    merge-family and bucketed-join growth regime, with a per-factor
+  *    AQE-final plan assertion that the co-located join stays
+  *    exchange-free over bucket-aware scans.
+  *  - `events` — user-axis replication for the CEP/streaming family.
+  *
   * Run:  sbt "runMain graft.ScaleProbe [--modes identical,perturbed]
   *            [--out PROBE.json] factor..."
   * The --out JSON ({mode → factor → op → {sec, rows}}) is the per-round
@@ -53,8 +60,25 @@ object ScaleProbe {
   // alternatives (LSH sketch, IVF-ANN) are exactly what this mode measures.
   private val PerturbedQueries = Seq("llm_embedding_lsh", "llm_ann_ivf")
 
+  // The pair-emitting subset of the identical regime, split out so the
+  // 64× point (where a full identical sweep would mostly re-measure the
+  // linear keyed-agg family) stays affordable: these are the ops whose
+  // candidate-generation shape decides super- vs sub-linear growth —
+  // the round-6 evidence gap named by the round-5 review.
+  private val PairQueries = Seq(
+    "llm_jaccard_pairs", "llm_minhash_lsh", "llm_neardup_crosslang",
+    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh")
+
   private val TrainHeavyQueries =
     Seq("llm_decontaminate", "llm_decontaminate_bloom")
+
+  // The merge family rides the bucketed-target posture (Joins.scala's
+  // merge notes): probed on a k×-scaled orders/customer pair whose key
+  // shifts preserve the pmod-filter fractions, so src/tgt populations —
+  // and thus the merge's work — grow exactly linearly. join_bucketed
+  // itself is probed twice (ingest-inclusive cold, then staging-cache
+  // warm) plus an AQE-final plan assertion per factor (see main loop).
+  private val BucketedQueries = Seq("merge_upsert", "merge_scd2")
 
   // The CEP / interval / time-series family scales on the USER axis
   // (more users in the same time window — event volume per user is
@@ -89,9 +113,11 @@ object ScaleProbe {
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries
+    case "pairs" => PairQueries
     case "perturbed" => PerturbedQueries
     case "trainheavy" => TrainHeavyQueries
     case "events" => EventQueries
+    case "bucketed" => BucketedQueries
     case m => throw new IllegalArgumentException(s"unknown probe mode $m")
   }
 
@@ -156,6 +182,47 @@ object ScaleProbe {
             timed("lsh_candidates")(
               operators.TrainingDataOps.embeddingLshCandidates(spark, dir)
                 .count())
+          if (mode == "bucketed") {
+            // First join_bucketed invocation pays the bucketed INGEST
+            // (writeBucketed of both k×-scaled tables — the shuffle
+            // moved to write time); the second hits the per-dir staging
+            // cache and times the pure bucket-local join. Both curves
+            // matter: ingest is the amortized cost, the warm join is
+            // what every subsequent query pays.
+            timed("join_bucketed_ingest")(
+              Bench.force(SparkEntry.queries("join_bucketed")(spark, dir)))
+            timed("join_bucketed")(
+              Bench.force(SparkEntry.queries("join_bucketed")(spark, dir)))
+            // Exchange-free proof under AQE at THIS factor: disable
+            // broadcast to force the sort-merge path the tables would
+            // take at 100 TB (a broadcast join is also shuffle-free but
+            // proves nothing about bucketing), then require the
+            // AQE-final plan to be bucket-aware with no hash exchange.
+            val key = s"graft_b_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+            val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+            val prev = spark.conf.get(bcastKey)
+            try {
+              spark.conf.set(bcastKey, "-1")
+              val probe = sources.Bucketing.bucketedJoin(spark,
+                  s"${key}_orders", s"${key}_customer",
+                  "o_custkey", "c_custkey")
+                .agg(count(lit(1)).as("n"))
+              timed("join_bucketed_smj")(probe.head().getLong(0))
+              val plan = probe.queryExecution.executedPlan.toString
+              require(!plan.contains("Exchange hashpartitioning"),
+                s"bucketed join shuffles at ${k}x:\n$plan")
+              require(plan.contains("Bucketed: true"),
+                s"scan not bucket-aware at ${k}x:\n$plan")
+              println(s"[scaleprobe] bucketed ${k}x: AQE-final plan is " +
+                "exchange-free over bucket-aware scans")
+            } finally {
+              spark.conf.set(bcastKey, prev)
+              // managed bucketed tables are per-factor (key embeds the
+              // temp dir) — drop so the warehouse dir doesn't accrete
+              spark.sql(s"DROP TABLE IF EXISTS ${key}_orders")
+              spark.sql(s"DROP TABLE IF EXISTS ${key}_customer")
+            }
+          }
         } finally {
           // staged corpora are k× the base tables — reclaim per factor
           import scala.jdk.CollectionConverters._
@@ -188,9 +255,13 @@ object ScaleProbe {
     * deterministic function of (replica index, id) — no randomness. */
   private def stage(s: SparkSession, baseSf: String, dir: String,
       k: Int, mode: String): Unit = {
-    val eventsStaged = mode == "events"
-    (Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem") ++ (if (eventsStaged) Nil else Seq("events"))).foreach { t =>
+    val stagedTables: Set[String] = mode match {
+      case "events" => Set("events")
+      case "bucketed" => Set("orders", "customer")
+      case _ => Set.empty
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").filterNot(stagedTables).foreach { t =>
       Files.createSymbolicLink(Paths.get(s"$dir/$t.parquet"),
         Paths.get(s"$baseSf/$t.parquet"))
     }
@@ -200,7 +271,7 @@ object ScaleProbe {
     val docs = s.read.parquet(s"$baseSf/documents.parquet")
     val emb = s.read.parquet(s"$baseSf/embeddings.parquet")
     mode match {
-      case "identical" =>
+      case "identical" | "pairs" =>
         val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
         (0 until k).map(i => docs.withColumn("doc_id",
             col("doc_id") + lit(i * maxDoc)))
@@ -246,6 +317,32 @@ object ScaleProbe {
               regexp_replace(col("text"), " ", s" q$i"))
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      case "bucketed" =>
+        // Key-shifted orders/customer replicas for the bucketed-join /
+        // merge probes. Shifts keep referential integrity (o_custkey
+        // moves with c_custkey) AND the merge ops' pmod-filter
+        // fractions: the order shift is ≡ 0 (mod lcm(10,7) = 70) so
+        // merge_upsert's tgt (pmod 10 < 8) and src (pmod 7 = 0) stay
+        // the same proportion of every replica; the customer shift is
+        // ≡ 0 (mod 7) for merge_scd2's update set. Work therefore
+        // grows exactly linearly in k and any super-linear probe curve
+        // indicts the operator, not the data.
+        link("documents"); link("embeddings")
+        val ord = s.read.parquet(s"$baseSf/orders.parquet")
+        val cust = s.read.parquet(s"$baseSf/customer.parquet")
+        val maxOrder = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+        val maxCust = cust.agg(max("c_custkey")).head().getLong(0) + 1
+        val orderShift = ((maxOrder + 69) / 70) * 70
+        val custShift = ((maxCust + 6) / 7) * 7
+        (0 until k).map(i => ord
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * orderShift))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * custShift)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        (0 until k).map(i => cust
+            .withColumn("c_custkey", col("c_custkey") + lit(i * custShift)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
       case "events" =>
         // USER-axis growth: every replica shifts user_id AND event_id, so
         // the same time window holds k× the users (per-user history depth
