@@ -481,7 +481,42 @@ object Aggregations {
           count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
           sum(when(col("o_orderstatus") === "O",
             dec(col("o_totalprice")))).cast("double").as("open_value"))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // Count-Min sketch (round-6 add): point-frequency estimation from a
+    // FIXED-SIZE summary — 4 depths × 1024 cells of bigint counts
+    // (≤ 32 KB) whatever the key cardinality, the third mergeable
+    // sketch next to HLL (agg_hll_merge) and Misra–Gries
+    // (udaf_topk_sketch). CM is a LINEAR sketch: the cell table is a
+    // plain (depth, cell)-keyed count — partial/final hash agg,
+    // map-side combine, and the merged sketch is IDENTICAL under any
+    // partitioning or merge order (not merely within a guarantee band,
+    // like MG). That linearity also makes it the one sketch with an
+    // EXACT DuckDB oracle: both engines compute the same cells and the
+    // same estimates. Hash = engine-portable multiplicative Knuth
+    // (2654435761, the llm_sample_topk_hash constant) with a per-depth
+    // offset, top-10-of-32 bits as the cell (low multiplicative bits
+    // are weak). Readout: est(u) = min over depths of u's cell count —
+    // ≥ true count always (only collisions inflate), for a fixed probe
+    // set of users. At 100 TB the sketch ships 4096 rows per partition
+    // while exact per-key counts would shuffle the key universe.
+    "agg_cm_sketch" -> ((s, d) => {
+      val cellExpr =
+        "pmod((%s + dep * 1000003 + 1) * 2654435761, 4294967296) div 4194304"
+      val cells = events(s, d)
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(3))).as("dep"))
+        .withColumn("cell", expr(cellExpr.format("user_id")))
+        .groupBy(col("dep"), col("cell"))
+        .agg(count(lit(1)).as("c"))
+      val probes = s.range(1, 21).select(col("id").as("q_user"))
+        .select(col("q_user"), explode(sequence(lit(0), lit(3))).as("dep"))
+        .withColumn("cell", expr(cellExpr.format("q_user")))
+      probes.join(cells, Seq("dep", "cell"), "left")
+        .groupBy(col("q_user"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+        .orderBy(col("q_user"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -738,6 +773,25 @@ object Aggregations {
                      FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
                   AS open_value
          FROM orders GROUP BY o_orderpriority
-         ORDER BY o_orderpriority"""
+         ORDER BY o_orderpriority""",
+
+    "agg_cm_sketch" ->
+      """WITH cells AS (
+           SELECT t.dep,
+                  ((user_id + t.dep * 1000003 + 1) * 2654435761
+                    % 4294967296) // 4194304 AS cell,
+                  count(*) AS c
+           FROM events, LATERAL unnest(generate_series(0, 3)) AS t(dep)
+           GROUP BY 1, 2),
+            probes AS (
+           SELECT q.q_user, t.dep,
+                  ((q.q_user + t.dep * 1000003 + 1) * 2654435761
+                    % 4294967296) // 4194304 AS cell
+           FROM (SELECT unnest(generate_series(1, 20)) AS q_user) q,
+                LATERAL unnest(generate_series(0, 3)) AS t(dep))
+       SELECT p.q_user, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+       FROM probes p
+       LEFT JOIN cells c ON c.dep = p.dep AND c.cell = p.cell
+       GROUP BY 1 ORDER BY 1"""
   )
 }

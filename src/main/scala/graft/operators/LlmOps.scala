@@ -406,24 +406,61 @@ object LlmOps {
     "llm_minhash_lsh" -> ((s, d) => {
       val bandsUdf = udf((tokens: Seq[String]) =>
         MinHash.bandSignatures(MinHash.sketch(tokens)))
-      val banded = documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
+      // Exact-duplicate collapse FIRST (round-6; the dedup-first
+      // discipline the pipeline ops measured flat): identical
+      // (text, lang) docs share sketch, bands, bucket and lang — so
+      // band only ONE representative per group. Without this, k
+      // verbatim replicas multiply every band bucket by k and the band
+      // join emits ~32·k² rows per base pair into the distinct
+      // (identical docs agree on ALL 32 bands — the 64× ScaleProbe
+      // regime OOM'd a 128 GiB JVM on exactly that); with it the band
+      // join runs at distinct-text scale and the replica pairs are
+      // reconstructed by expansion joins whose row count equals the
+      // OUTPUT, never a band-multiplied intermediate. Output set is
+      // provably unchanged: within a group every pair shares all bands
+      // (J = 1 candidates, always admitted); across groups band/lang/
+      // bucket agreement is a pure function of (text, lang).
+      val docs = documents(s, d)
+      val reps = docs.groupBy(col("text"), col("lang"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          min(col("n_chars")).as("n_chars"))
+      val members = docs.join(reps, Seq("text", "lang"))
+        .select(col("rep_id"), col("doc_id"))
+      val banded = reps
+        .select(col("rep_id"), col("lang"), col("n_chars"),
           floor(col("n_chars") / 10).as("bucket"),
           explode(bandsUdf(toks)).as("band_sig"))
       val a = banded
       val b = banded
         .withColumn("bucket",
           explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
-        .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
+        .select(col("rep_id").as("rep_id2"), col("lang").as("lang2"),
           col("n_chars").as("n_chars2"), col("bucket"),
           col("band_sig").as("band_sig2"))
-      a.join(b, col("band_sig") === col("band_sig2") &&
+      val repPairs = a.join(b, col("band_sig") === col("band_sig2") &&
           col("lang") === col("lang2") && a("bucket") === b("bucket") &&
-          col("doc_id") < col("doc_id2") &&
+          col("rep_id") < col("rep_id2") &&
           abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
-        .select(col("doc_id"), col("doc_id2"))
+        .select(col("rep_id"), col("rep_id2"))
         .distinct()
-        .orderBy(col("doc_id"), col("doc_id2"))
+      // cross-group expansion: each rep pair fans out to its member
+      // cross product, orientation normalized doc_id < doc_id2 via
+      // least/greatest (members of two groups interleave in id space)
+      val m1 = members.select(col("rep_id").as("r1"), col("doc_id").as("d1"))
+      val m2 = members.select(col("rep_id").as("r2"), col("doc_id").as("d2"))
+      val cross = repPairs
+        .join(m1, col("rep_id") === col("r1"))
+        .join(m2, col("rep_id2") === col("r2"))
+        .select(least(col("d1"), col("d2")).as("doc_id"),
+          greatest(col("d1"), col("d2")).as("doc_id2"))
+      // within-group pairs: verbatim replicas always co-band
+      val within = m1.join(m2,
+          col("r1") === col("r2") && col("d1") < col("d2"), "inner")
+        .select(col("d1").as("doc_id"), col("d2").as("doc_id2"))
+      // cross and within are disjoint and each internally duplicate-free
+      // (rep pairs are distinct; member ids are unique) — no final
+      // distinct over the expanded set
+      cross.unionAll(within).orderBy(col("doc_id"), col("doc_id2"))
     }),
 
     "llm_cosine_topk" -> ((s, d) => {

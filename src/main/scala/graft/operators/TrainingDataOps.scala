@@ -774,6 +774,88 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact duplicated-substring SPANS (round-6 add): per doc, the
+    // merged character ranges covered by any 50-char window that also
+    // appears in at least one OTHER doc — the windowed equivalent of
+    // suffix-array exact-substring dedup (the "remove the duplicated
+    // span, keep the rest" granularity, vs llm_dup_ngram_coverage's
+    // token-level coverage FRACTION). Every stage is keyed: position
+    // explode → window-keyed distinct-doc agg (map-side partial) →
+    // join back on the window → per-doc gaps-and-islands merge (one
+    // doc-keyed sort window; adjacent/overlapping hits fuse, so a long
+    // shared run costs one span however many windows tile it). A gram
+    // shared by k docs costs k rows, never k²; at 100 TB the agg keys
+    // by xxhash64(window) (8-byte shuffle keys), the registered op
+    // keys by the substring so the oracle stays exact. The fraction is
+    // the integer half-up ratio (2·c·10⁶ + n) div (2n) — no double
+    // accumulation anywhere.
+    "llm_dup_spans" -> ((s, d) => {
+      val W = 50
+      val docs = documents(s, d)
+      val pos = docs.filter(length(col("text")) >= W)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - W)).as("p"))
+        .select(col("doc_id"), col("p"),
+          expr(s"substring(text, p + 1, $W)").as("w"))
+      val shared = pos.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("w"))
+      val dup = pos.join(shared, Seq("w")).select(col("doc_id"), col("p"))
+      val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val spans = dup
+        .withColumn("prev_p", lag(col("p"), 1).over(wn))
+        // window length is constant, so interval ends are monotone in p:
+        // a new island starts exactly when the gap to the previous start
+        // exceeds W (adjacent tiles fuse into one span)
+        .withColumn("island", sum(
+          when(col("prev_p").isNull || col("p") - col("prev_p") > W, 1L)
+            .otherwise(0L)).over(wn))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("p")).as("s"), (max(col("p")) + lit(W)).as("e"))
+      val per = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("e") - col("s")).as("dup_chars"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+          (expr("(2 * coalesce(dup_chars, 0) * 1000000 + n_chars) " +
+            "div (2 * n_chars)") / lit(1e6)).as("dup_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixture weights (round-6 add): per-source-
+    // language sampling weights w_l ∝ n_l^α with α = 1/2 — the
+    // upsample-the-tail rebalancing of multilingual pretraining mixes
+    // (llm_mix_weights realizes FIXED target weights; this op derives
+    // the targets from corpus counts). One lang-cardinality aggregate;
+    // everything after it is driver-free arithmetic on a tiny table.
+    // Determinism discipline: n^(1/2) in micro-units via exact INTEGER
+    // sqrt — floor(sqrt(n·10¹²)) with a ±1 correction off the
+    // correctly-rounded IEEE double (both engines' sqrt is correctly
+    // rounded; the correction makes the floor exact regardless), so no
+    // double round() half-tie can ever flip a digit (the round-4
+    // llm_ngram_lm lesson). The normalizing sum is a bigint sum of
+    // micro-sqrts; each weight is the half-up integer ratio. (The 10¹²
+    // unit scale bounds n at ~9·10⁶ per stratum before bigint overflow
+    // — at true 100 TB counts, drop to 10⁸ units and 4 dp.)
+    "llm_mix_temperature" -> ((s, d) => {
+      val x = "n_docs * 1000000000000"
+      val byLang = documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("r0", expr(s"cast(floor(sqrt($x)) as bigint)"))
+        .withColumn("r1", expr(s"r0 + if((r0 + 1) * (r0 + 1) <= $x, 1, 0)"))
+        .withColumn("w_us", expr(s"r1 - if(r1 * r1 > $x, 1, 0)"))
+        .drop("r0", "r1")
+      val tot = byLang.agg(sum(col("w_us")).as("tot"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("w_us"),
+          (expr("(2 * w_us * 1000000 + tot) div (2 * tot)") / lit(1e6))
+            .as("weight"))
+        .orderBy(col("lang"))
+    }),
+
     // Rows-only: Karp-Rabin rolling hashes aren't SQL-expressible.
     "llm_fingerprint" -> ((s, d) => {
       val fullU = udf((t: String) => RollingHash.full(t))
@@ -1139,6 +1221,60 @@ object TrainingDataOps {
               END AS dup_frac
        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
        ORDER BY d.doc_id""",
+
+    "llm_dup_spans" ->
+      """WITH pos AS (SELECT doc_id, g.p AS p,
+                        substr(text, g.p + 1, 50) AS w
+                      FROM documents,
+                        LATERAL unnest(generate_series(0, length(text) - 50))
+                          AS g(p)
+                      WHERE length(text) >= 50),
+            shared AS (SELECT w FROM pos GROUP BY w
+                       HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT doc_id, p FROM pos
+                    WHERE w IN (SELECT w FROM shared)),
+            lagd AS (SELECT doc_id, p,
+                       lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+                     FROM dup),
+            isl AS (SELECT doc_id, p,
+                      sum(CASE WHEN prev_p IS NULL OR p - prev_p > 50
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p) AS island
+                    FROM lagd),
+            spans AS (SELECT doc_id, island, min(p) AS s, max(p) + 50 AS e
+                      FROM isl GROUP BY 1, 2),
+            per AS (SELECT doc_id, count(*) AS n_dup_spans,
+                      sum(e - s) AS dup_chars
+                    FROM spans GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+              CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+              ((2 * coalesce(p.dup_chars, 0) * 1000000 + d.n_chars)
+                 // (2 * d.n_chars)) / 1e6 AS dup_char_frac
+       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
+
+    "llm_mix_temperature" ->
+      """WITH bl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+            r0t AS (SELECT lang, n_docs,
+                      CAST(floor(sqrt(n_docs * 1000000000000)) AS BIGINT)
+                        AS r0
+                    FROM bl),
+            r1t AS (SELECT lang, n_docs,
+                      r0 + (CASE WHEN (r0 + 1) * (r0 + 1)
+                                      <= n_docs * 1000000000000
+                                 THEN 1 ELSE 0 END) AS r1
+                    FROM r0t),
+            wt AS (SELECT lang, n_docs,
+                     r1 - (CASE WHEN r1 * r1 > n_docs * 1000000000000
+                                THEN 1 ELSE 0 END) AS w_us
+                   FROM r1t),
+            tt AS (SELECT sum(w_us) AS tot FROM wt)
+       SELECT lang, n_docs, w_us,
+              ((2 * w_us * 1000000 + tot) // (2 * tot)) / 1e6 AS weight
+       FROM wt CROSS JOIN tt
+       ORDER BY lang""",
 
     "llm_ngram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

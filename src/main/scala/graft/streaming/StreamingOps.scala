@@ -63,6 +63,15 @@ private[streaming] case class TransState(
     timerAt: Long, prevCode: Long,
     ts: Array[Long], eid: Array[Long], cod: Array[Long])
 
+/** State row for [[StreamingOps]]'s Misra–Gries heavy-hitters processor:
+  * the ≤ 64-entry (key, count) summary as parallel primitive arrays
+  * (same codegen rationale as [[FunnelState]]) plus the total events
+  * seen — the monotone counter the update-mode readout collapses on.
+  * THIS state row is the whole point of the op: fixed-size however many
+  * distinct users flow through the stream. */
+private[streaming] case class MgState(
+    keys: Array[Long], counts: Array[Long], n: Int, seen: Long)
+
 /** §2.I Structured Streaming operators (SURVEY.md §2.1 I).
   *
   * Execution discipline (D7): every oracle-checked op replays the events
@@ -443,6 +452,36 @@ object StreamingOps {
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "total_value")
       collapseUpdates(runToMemory(out, "update"))
+    }),
+
+    // Streaming heavy hitters via a Misra–Gries sketch (round-6 add):
+    // the unbounded-stream twin of `udaf_topk_sketch`, as a
+    // transformWithState processor whose per-key state is the FIXED
+    // ≤ 64-entry summary — the sketch IS the state bound, so a stream
+    // of any length and any user cardinality holds ≤ 64 (key, count)
+    // pairs per event type (vs stream_stateful_agg's O(keys) state).
+    // Update-mode emission of the current top-10 after each batch; the
+    // readout keeps each type's latest emission via the monotone seen
+    // counter. No-oracle (MG estimates depend on arrival order within
+    // the guarantee band); UdafSketchSpec pins the est ≤ true ≤
+    // est + seen/k band against the exact batch counts.
+    "stream_topk_sketch" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_type"), col("user_id")).as[(String, Long)]
+      val out = ev.groupByKey(_._1)
+        .transformWithState(new MgSketchProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("event_type", "user_id", "est_count", "seen")
+      val mem = runToMemory(out, "update")
+      // keep each type's LAST emission via one window pass (a
+      // memory-sink self-join would conflict on attribute ids)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      mem.withColumn("max_seen", max(col("seen")).over(w))
+        .filter(col("seen") === col("max_seen"))
+        .select(col("event_type"), col("user_id"), col("est_count"))
+        .orderBy(col("event_type"), col("est_count").desc, col("user_id"))
     }),
 
     // Event-time TIMERS exercised for real (round-3 add; until now the
@@ -1085,6 +1124,67 @@ object StreamingOps {
       }
       agg.update((n, acc))
       Iterator.single((key, n, acc))
+    }
+  }
+
+  /** Streaming Misra–Gries heavy hitters (k = 64) per key — the
+    * unbounded-stream twin of [[graft.functions.TopKSketchAggregator]],
+    * sharing its update rule exactly: found → increment; room → insert
+    * at 1; saturated → decrement every counter, drop zeros, do NOT
+    * insert. The per-key [[MgState]] never exceeds k entries, so state
+    * is O(types·k) at any stream length — the property that makes
+    * streaming heavy hitters viable where exact per-user counts would
+    * grow state with the user universe. Emits the current top 10 after
+    * each batch's updates (update-mode discipline); `seen` is the
+    * monotone collapse key for the readout. Same guarantee band as the
+    * batch sketch: est ≤ true ≤ est + seen/k per type. */
+  private class MgSketchProcessor extends StatefulProcessor[
+      String, (String, Long), (String, Long, Long, Long)] {
+
+    private val K = 64
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[MgState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MgState]("mg",
+        Encoders.product[MgState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val prev = Option(st.get()).getOrElse(
+        MgState(new Array[Long](K), new Array[Long](K), 0, 0L))
+      // state arrays may deserialize exactly-sized; restore capacity K
+      val ks = java.util.Arrays.copyOf(prev.keys, K)
+      val cs = java.util.Arrays.copyOf(prev.counts, K)
+      var n = prev.n
+      var seen = prev.seen
+      rows.foreach { case (_, u) =>
+        seen += 1L
+        var i = 0; var found = false
+        while (i < n && !found) {
+          if (ks(i) == u) { cs(i) += 1L; found = true }
+          i += 1
+        }
+        if (!found) {
+          if (n < K) { ks(n) = u; cs(n) = 1L; n += 1 }
+          else {
+            var w = 0; var j = 0
+            while (j < n) {
+              val c = cs(j) - 1L
+              if (c > 0L) { ks(w) = ks(j); cs(w) = c; w += 1 }
+              j += 1
+            }
+            n = w
+          }
+        }
+      }
+      st.update(MgState(ks, cs, n, seen))
+      val snapSeen = seen
+      (0 until n).map(i => (ks(i), cs(i)))
+        .sortBy { case (k2, c) => (-c, k2) }.take(10)
+        .iterator.map { case (u, c) => (key, u, c, snapSeen) }
     }
   }
 

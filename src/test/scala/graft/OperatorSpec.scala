@@ -21,7 +21,8 @@ class OperatorSpec extends GraftSpec {
         "llm_fingerprint", "llm_ann_ivf", "llm_ann_lsh", "llm_embedding_lsh",
         "mm_decode_features", "mm_resize", "mm_frame_sample",
         "llm_pack_greedy", "agg_approx_percentile",
-        "stream_approx_distinct", "udaf_topk_sketch"))
+        "stream_approx_distinct", "udaf_topk_sketch",
+        "stream_topk_sketch"))
   }
 
   test("flagship entry returns rows (driver t1 smoke)") {

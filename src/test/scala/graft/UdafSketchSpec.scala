@@ -47,6 +47,35 @@ class UdafSketchSpec extends GraftSpec {
     }
   }
 
+  test("stream_topk_sketch: streaming MG obeys the batch guarantee band") {
+    // The transformWithState twin must honor the same Misra–Gries
+    // band as the batch aggregator — est ≤ true, and any surviving
+    // estimate within n/k of its true count — against exact per
+    // (type, user) counts from the batch events table. Also pins the
+    // bounded-output shape: ≤ 10 rows per event type.
+    import spark.implicits._
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val perType = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = SparkEntry.queries("stream_topk_sketch")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val k = functions.TopKSketchAggregator.K.toLong
+    got.foreach { r =>
+      val (et, uid, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val tru = exact((et, uid))
+      val n = perType(et)
+      assert(est <= tru, s"overestimate for ($et,$uid): $est > $tru")
+      assert(est >= tru - n / k,
+        s"estimate below the n/k band for ($et,$uid): $est vs $tru (n=$n)")
+    }
+    got.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.length <= 10, s"more than 10 rows for $et")
+    }
+  }
+
   test("udaf_topk_sketch: exact when distinct keys <= k") {
     import spark.implicits._
     // 50 distinct keys < k=64 — MG never decrements, counts are exact
