@@ -277,11 +277,36 @@ object TrainingDataOps {
     // candidate; tight corpus-scale cells make the bound bite.
     "llm_embedding_topk_pairs" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val emb = embeddings(s, d)
       val k = 20
-      val e1 = emb.select(col("label").as("la"), col("vec_id"),
+      val emb0 = embeddings(s, d)
+      // Exact-vector collapse FIRST (round-6; the llm_minhash_lsh /
+      // llm_embedding_neardup discipline): every member pair of a
+      // duplicate GROUP pair shares one cosine, so the pair machinery
+      // runs on distinct vectors and the k verbatim-replica k² blowup
+      // never forms. The top-k over member pairs is reconstructed from
+      // rep-level "bundles": a bundle (r1, r2, sim) stands for all
+      // member cross pairs of the two groups (or all within-group pairs
+      // when r1 = r2), every one at the same sim.
+      val withRep = emb0
+        .withColumn("eh", xxhash64(col("embedding")))
+        .withColumn("rep_id", min(col("vec_id"))
+          .over(Window.partitionBy(col("eh"), col("embedding"))))
+        .withColumn("mrk", row_number()
+          .over(Window.partitionBy(col("eh"), col("embedding"))
+            .orderBy(col("vec_id"))))
+      val reps = withRep.filter(col("mrk") === 1)
+        .select(col("rep_id"), col("embedding"), col("label"))
+      // (k+1)-member id prefix per group: the k lexicographically
+      // smallest (id, id2) pairs that any bundle can contribute use
+      // only each side's k+1 smallest members — a pair touching the
+      // (k+2)-nd member is beaten by ≥ k+1 same-bundle pairs that swap
+      // in a smaller member — so the expansion is bundle-bounded, never
+      // group-size-bounded.
+      val prefix = withRep.filter(col("mrk") <= k + 1)
+        .select(col("rep_id"), col("vec_id"))
+      val e1 = reps.select(col("label").as("la"), col("rep_id").as("r1"),
         col("embedding").as("v1"))
-      val e2 = emb.select(col("label").as("lb"), col("vec_id").as("vec_id2"),
+      val e2 = reps.select(col("label").as("lb"), col("rep_id").as("r2"),
         col("embedding").as("v2"))
       // NOTE: the sameCell subtree evaluates twice — once to derive the
       // admission bound, once in the final union. That is the deliberate
@@ -291,15 +316,29 @@ object TrainingDataOps {
       // most of the big part. Caching is wrong here — same-cell pairs can
       // be arbitrarily large in aggregate and would pin executor memory.
       val sameCell = e1
-        .join(e2, col("la") === col("lb") && col("vec_id") < col("vec_id2"),
+        .join(e2, col("la") === col("lb") && col("r1") < col("r2"),
           "inner")
         .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
-        .select(col("vec_id"), col("vec_id2"), col("sim"))
+        .select(col("r1"), col("r2"), col("sim"))
+      // self-bundles: groups with ≥ 2 members contribute within-group
+      // pairs at the self-cosine (identically 1 up to float rounding —
+      // computed with the same expression the oracle uses, not assumed)
+      val selfB = reps
+        .join(prefix.groupBy(col("rep_id")).agg(count(lit(1)).as("pc")),
+          Seq("rep_id"))
+        .filter(col("pc") >= 2)
+        .select(col("rep_id").as("r1"), col("rep_id").as("r2"),
+          round(expr("cosine_sim(embedding, embedding)"), 6).as("sim"))
+      // each bundle holds ≥ 1 member pair, so the k-th best BUNDLE sim
+      // lower-bounds the k-th best member-pair sim — a valid (slightly
+      // conservative) pruning bound
       val bound = sameCell.select(col("sim"))
+        .unionAll(selfB.select(col("sim")))
         .orderBy(col("sim").desc).limit(k)
         .agg(coalesce(when(count(lit(1)) === k, min(col("sim"))), lit(-1.0))
           .as("b"))
-      val cells = ivfCells(emb)
+      val cells = ivfCells(reps
+        .select(col("rep_id").as("vec_id"), col("embedding"), col("label")))
       val cellPairs = cells
         .select(col("c_label").as("la"), col("centroid").as("ca"),
           col("r").as("ra"))
@@ -313,10 +352,24 @@ object TrainingDataOps {
         .select(col("la"), col("lb"))
       val crossCell = e1.join(broadcast(cellPairs), Seq("la"))
         .join(e2, Seq("lb"))
-        .filter(col("vec_id") < col("vec_id2"))
+        .filter(col("r1") < col("r2"))
         .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
-        .select(col("vec_id"), col("vec_id2"), col("sim"))
-      sameCell.unionByName(crossCell)
+        .select(col("r1"), col("r2"), col("sim"))
+      val bundles = sameCell.unionByName(crossCell).unionByName(selfB)
+      // bundles at the k highest DISTINCT sims are a superset of every
+      // bundle that can reach the top-k pairs (each bundle ≥ 1 pair);
+      // the cut is a TakeOrdered + 1-row broadcast, no global window
+      val simCut = bundles.select(col("sim")).distinct()
+        .orderBy(col("sim").desc).limit(k)
+        .agg(min(col("sim")).as("cut"))
+      val p1 = prefix.select(col("rep_id").as("r1"), col("vec_id").as("d1"))
+      val p2 = prefix.select(col("rep_id").as("r2"), col("vec_id").as("d2"))
+      bundles.crossJoin(broadcast(simCut))
+        .filter(col("sim") >= col("cut"))
+        .join(p1, Seq("r1")).join(p2, Seq("r2"))
+        .filter(col("r1") =!= col("r2") || col("d1") < col("d2"))
+        .select(least(col("d1"), col("d2")).as("vec_id"),
+          greatest(col("d1"), col("d2")).as("vec_id2"), col("sim"))
         .orderBy(col("sim").desc, col("vec_id"), col("vec_id2"))
         .limit(k)
     }),
@@ -636,8 +689,23 @@ object TrainingDataOps {
     // candidate here, but the pruning bound — not the data — is the design.
     "llm_embedding_neardup" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val emb = embeddings(s, d)
-      val cells = ivfCells(emb)
+      val emb0 = embeddings(s, d)
+      // Exact-vector collapse FIRST (round-6; the llm_minhash_lsh /
+      // llm_embedding_lsh discipline): identical embeddings share every
+      // cosine, so the cell-pair machinery runs on DISTINCT vectors
+      // only — k verbatim replicas would otherwise multiply every
+      // in-cell pair set by k² (the 64× probe regime). One exchange
+      // keyed by (xxhash64(embedding), embedding) — 8-byte shuffle
+      // routing, full-vector in-partition equality.
+      val withRep = emb0
+        .withColumn("eh", xxhash64(col("embedding")))
+        .withColumn("rep_id", min(col("vec_id"))
+          .over(Window.partitionBy(col("eh"), col("embedding"))))
+      val reps = withRep.filter(col("vec_id") === col("rep_id"))
+        .select(col("rep_id"), col("embedding"), col("label"))
+      val members = withRep.select(col("rep_id"), col("vec_id"))
+      val cells = ivfCells(reps
+        .select(col("rep_id").as("vec_id"), col("embedding"), col("label")))
       // raw cosine as low as 0.3999995 still rounds to the 0.4 cutoff, so
       // the pruning angle uses a slightly looser threshold (safe side).
       val theta = math.acos(0.399999)
@@ -649,18 +717,39 @@ object TrainingDataOps {
         .withColumn("cang", clampAcos(expr("cosine_sim(ca, cb)")))
         .filter(col("cang") <= lit(theta) + col("ra") + col("rb") + lit(1e-9))
         .select(col("la"), col("lb"))
-      val e1 = emb.select(col("vec_id"), col("embedding").as("v1"),
+      // Rep-level qualifying neighbors, with TWO conditional minima:
+      // m_lt (least qualifying rep strictly below — the rep's own
+      // dup_of) and m_all (least qualifying rep in any direction — what
+      // a non-rep replica may point at when it beats the group rep).
+      val e1 = reps.select(col("rep_id"), col("embedding").as("v1"),
         col("label").as("la"))
-      val e2 = emb.select(col("vec_id").as("vec_id2"),
+      val e2 = reps.select(col("rep_id").as("rep_id2"),
         col("embedding").as("v2"), col("label").as("lb"))
-      val dups = e1.join(broadcast(cellPairs), Seq("la"))
+      val repDups = e1.join(broadcast(cellPairs), Seq("la"))
         .join(e2, Seq("lb"))
-        .filter(col("vec_id2") < col("vec_id"))
+        .filter(col("rep_id2") =!= col("rep_id"))
         .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
-        .groupBy(col("vec_id")).agg(min(col("vec_id2")).as("dup_of"))
-      emb.select(col("vec_id"))
-        .join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("dup_of").isNull.as("kept"), col("dup_of"))
+        .groupBy(col("rep_id")).agg(
+          min(when(col("rep_id2") < col("rep_id"), col("rep_id2")))
+            .as("m_lt"),
+          min(col("rep_id2")).as("m_all"))
+      // Output-preserving expansion. For the rep r of a group:
+      // dup_of(r) = m_lt (the original semantics over distinct vectors —
+      // the least member of any group IS its rep, so no smaller
+      // qualifying id exists outside the rep set). For a non-rep x:
+      // every qualifying y < x is either the own-group rep r (< x, J=1)
+      // or a qualifying group's least member rep'; the minimum is
+      // least(r, m_all) — when m_all ≥ r the constraint rep' < x is
+      // irrelevant (r wins), and when m_all < r it is implied
+      // (m_all < r < x).
+      members.join(repDups, Seq("rep_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") === col("rep_id"), col("m_lt"))
+            .otherwise(
+              least(col("rep_id"), coalesce(col("m_all"), col("rep_id"))))
+            .as("dup_of"))
+        .select(col("vec_id"), col("dup_of").isNull.as("kept"),
+          col("dup_of"))
         .orderBy(col("vec_id"))
     }),
 

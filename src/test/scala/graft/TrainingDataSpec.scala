@@ -18,6 +18,64 @@ class TrainingDataSpec extends GraftSpec {
     assert(functions.SimHash.fingerprint(Seq("y", "x", "x", "z")) == a)
   }
 
+  test("embedding neardup + topk_pairs: exact-collapse expansion matches brute force on a dup-heavy corpus") {
+    // The round-6 collapse rework runs the pair machinery on DISTINCT
+    // vectors and reconstructs replica answers by expansion — but the
+    // stock SFs carry few exact-duplicate embeddings, so this corpus
+    // exercises the expansion arithmetic directly: 8 base directions
+    // replicated into groups of size 1..8, ids interleaved so group
+    // reps are NOT contiguous. Truth is brute-force n² computed here.
+    import spark.implicits._
+    val dim = 8
+    val base = (0 until 8).map { g =>
+      Array.tabulate(dim)(j =>
+        (math.sin(g * 1.7 + j) + (if (j == g % dim) 2.0 else 0.0)).toFloat)
+    }
+    // member ids: vec g gets ids {g, g+10, g+20, ...} (g+1 members)
+    val rows = for (g <- 0 until 8; m <- 0 to g)
+      yield (g.toLong + m * 10L, base(g), s"l${g % 3}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_emb_")
+      .toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val ids = rows.map(_._1).sorted
+
+    // neardup truth: dup_of(x) = least y < x with cos6 >= 0.4
+    val truthDup = ids.map { x =>
+      x -> ids.filter(y => y < x && cos6(byId(x), byId(y)) >= 0.4)
+        .minOption
+    }.toMap
+    val gotDup = SparkEntry.queries("llm_embedding_neardup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(gotDup == truthDup,
+      s"neardup expansion drifted from brute force:\n got=$gotDup\n exp=$truthDup")
+
+    // topk truth: top-20 pairs by (cos6 desc, id, id2)
+    val allPairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+    } yield (ids(i), ids(j), cos6(byId(ids(i)), byId(ids(j))))
+    val truthTop = allPairs.sortBy { case (a, b, s2) => (-s2, a, b) }.take(20)
+    val gotTop = SparkEntry.queries("llm_embedding_topk_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotTop == truthTop,
+      s"topk expansion drifted from brute force:\n got=$gotTop\n exp=$truthTop")
+  }
+
   test("simhash dedup candidates are deterministic across runs") {
     val r1 = SparkEntry.queries("llm_simhash_dedup")(spark, sf).collect().toSeq
     val r2 = SparkEntry.queries("llm_simhash_dedup")(spark, sf).collect().toSeq
