@@ -78,7 +78,15 @@ object PlanDump {
     "sql_lateral_topn" ->
       "LATERAL correlated top-2 (round-5 op): Catalyst decorrelates the lateral subquery into a ranked window join — one shuffle, no per-row re-execution",
     "merge_scd2" ->
-      "SCD Type-2 merge (round-5 op): close/open/keep as three equi-keyed legs + union — no wide full-outer, each leg independently shuffle-free against a bucketed target")
+      "SCD Type-2 merge (round-5 op): close/open/keep as three equi-keyed legs + union — no wide full-outer, each leg independently shuffle-free against a bucketed target",
+    "llm_minhash_lsh" ->
+      "MinHash LSH (round-6 rework): exact (text, lang) collapse agg FIRST, band equi-join over representatives only, then two output-sized expansion joins — the band-multiplied k² intermediate of the raw form never appears in the plan",
+    "agg_cm_sketch" ->
+      "Count-Min sketch (round-6 op): explode(4 depths) → (dep, cell) partial+final hash agg into ≤4096 cells; probe readout joins the broadcast-tiny probe side against the cell table — key-universe-sized state never forms",
+    "llm_dup_spans" ->
+      "duplicated-substring spans (round-6 op): position explode → window-keyed distinct-doc agg → equi-join back → ONE doc-keyed sort window for the gaps-and-islands merge — a shared run costs one span, every stage keyed",
+    "llm_mix_temperature" ->
+      "temperature mixture weights (round-6 op): lang-cardinality agg + 1-row broadcast total; the integer-sqrt correction is scalar arithmetic in the projection, no extra shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -175,6 +175,13 @@ object ScaleProbe {
             // full-evaluation force (see Bench.force): count() would let
             // the optimizer skip column reads and unique-key join work.
             timed(name)(Bench.force(SparkEntry.queries(name)(spark, dir)))
+            // drop leftover localCheckpoint RDDs (crosslang, dedup audit)
+            // between queries — accumulated checkpoint blocks pin storage
+            // memory across the long probe session and inflate later
+            // queries' sorts by whole multiples (measured: llm_ngram_lm
+            // 8 s → 25 s, ts_zscore 2 s → 15 s late in a 100+-query run)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
           }
           if (mode == "perturbed")
             // candidate volume BEFORE verification — the quantity whose

@@ -454,6 +454,35 @@ object StreamingOps {
       collapseUpdates(runToMemory(out, "update"))
     }),
 
+    // Streaming Count-Min sketch (round-6 add): agg_cm_sketch's cell
+    // table as a complete-mode streaming aggregate. CM is a LINEAR
+    // sketch — cell counts are plain keyed sums — so after the final
+    // micro-batch the streaming cells are bit-identical to the batch
+    // sketch whatever the batching or arrival order, and (unique among
+    // the sketch twins) the streaming op keeps the EXACT DuckDB oracle.
+    // State is the ≤ 4·1024-cell table however many distinct users
+    // flow through — the stream_topk_sketch bound without even its
+    // order-dependence caveat. Readout = the same broadcast probe join,
+    // run batch-side over the final cells.
+    "stream_cm_sketch" -> ((s, d) => {
+      val cellExpr =
+        "pmod((%s + dep * 1000003 + 1) * 2654435761, 4294967296) div 4194304"
+      val cells = eventsStream(s, d)
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(3))).as("dep"))
+        .withColumn("cell", expr(cellExpr.format("user_id")))
+        .groupBy(col("dep"), col("cell"))
+        .agg(count(lit(1)).as("c"))
+      val mem = runToMemory(cells, "complete")
+      val probes = s.range(1, 21).select(col("id").as("q_user"))
+        .select(col("q_user"), explode(sequence(lit(0), lit(3))).as("dep"))
+        .withColumn("cell", expr(cellExpr.format("q_user")))
+      probes.join(mem, Seq("dep", "cell"), "left")
+        .groupBy(col("q_user"))
+        .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+        .orderBy(col("q_user"))
+    }),
+
     // Streaming heavy hitters via a Misra–Gries sketch (round-6 add):
     // the unbounded-stream twin of `udaf_topk_sketch`, as a
     // transformWithState processor whose per-key state is the FIXED
@@ -2262,6 +2291,11 @@ object StreamingOps {
     new RunningAggProcessor()
 
   val oracle: Map[String, String] = Map(
+    // CM is linear: the streaming cells equal the batch cells exactly,
+    // so the streaming twin shares agg_cm_sketch's oracle verbatim.
+    "stream_cm_sketch" ->
+      graft.operators.Aggregations.oracle("agg_cm_sketch"),
+
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
                 date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
