@@ -993,6 +993,28 @@ object ScalarQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("word"))),
 
+    // URL parsing family (round-6 add): `parse_url` over URLs
+    // synthesized deterministically from document attributes (the
+    // llm_redact synthetic-input pattern — the corpus carries no URL
+    // column, and the oracle then states the expected decomposition
+    // directly instead of re-implementing a parser in SQL). Exercises
+    // HOST / PATH / QUERY / per-key QUERY / PROTOCOL — the log-ingest
+    // normalization family every clickstream pipeline needs. Pure
+    // per-row projection: no shuffle, codegen end to end.
+    "fn_url" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang"),
+            lit("&v=2")).as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+          expr("parse_url(url, 'PROTOCOL')").as("scheme"))
+        .orderBy(col("doc_id"))),
+
     "fn_date" -> ((s, d) =>
       orders(s, d).select(
         col("o_orderkey"),
@@ -1805,6 +1827,20 @@ object ScalarQueries {
                 regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
                 regexp_matches(p_brand, 'Brand#1[0-9]') AS is_teen_brand
          FROM part ORDER BY p_partkey""",
+
+    // States the expected decomposition of the deterministically
+    // synthesized URLs directly — asserting parse_url's parts, not
+    // re-implementing a parser in SQL.
+    "fn_url" ->
+      """SELECT doc_id,
+                'https://' || source || '.example.com/docs/' || doc_id
+                  || '?lang=' || lang || '&v=2' AS url,
+                source || '.example.com' AS host,
+                '/docs/' || doc_id AS path,
+                'lang=' || lang || '&v=2' AS query,
+                lang AS q_lang,
+                'https' AS scheme
+         FROM documents ORDER BY doc_id""",
 
     "fn_wordcount" ->
       """SELECT word, count(*) AS cnt

@@ -230,6 +230,49 @@ object Relational {
         FROM walk ORDER BY n_nationkey""")
     }),
 
+    // PageRank over the customer↔supplier trade graph (round-6 add):
+    // the general iterative-graph workload next to llm_dedup_clusters'
+    // pointer jumping — driver loop runs a FIXED 10 iterations, each
+    // one edge join + one dst-keyed agg, localCheckpoint truncating
+    // lineage per round (without it iteration k replays the whole
+    // DAG k times). DETERMINISM: ranks are integer micro-units with
+    // floor division everywhere (contribution = rank div degree,
+    // damping = (85·in) div 100) — bit-identical on any partitioning
+    // and mirrorable in DuckDB's `//`, unlike double PageRank whose
+    // sum order drifts (D2). All values non-negative so floor = trunc
+    // on both engines. Scale: edges/ranks stay distributed; the driver
+    // holds only the loop counter; each iteration is one shuffle on
+    // dst — the GraphX/Pregel cost shape without the library.
+    "graph_pagerank" -> ((s, d) => {
+      val edges0 = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000L)).as("p"))
+        .distinct()
+      val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      var rank = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+      for (_ <- 1 to 10) {
+        val contrib = rank
+          .join(deg, col("node") === col("src"))
+          .join(edges, Seq("src"))
+          .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
+        rank = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+              .as("rank"))
+          .localCheckpoint()
+      }
+      rank.orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // Typed Dataset[T] surface (round-5 add): the same filter→group→agg
     // flow through case-class Encoders — `as[LineitemSlim]`,
     // `groupByKey(_.l_returnflag)`, typed-column aggregates — the
@@ -462,6 +505,37 @@ object Relational {
              ON n.n_nationkey > 0 AND n.n_nationkey // 2 = w.n_nationkey)
          SELECT n_nationkey, n_name, depth, path
          FROM walk ORDER BY n_nationkey""",
+
+    // 10 unrolled iterations (DuckDB, like PostgreSQL, forbids
+    // aggregation over the recursive reference, so WITH RECURSIVE can't
+    // express per-iteration in-sums) — generated, not hand-copied.
+    "graph_pagerank" -> {
+      val head =
+        """WITH e0 AS (SELECT DISTINCT o_custkey AS c,
+                         l_suppkey + 1000000 AS p
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+              e AS (SELECT c AS src, p AS dst FROM e0
+                    UNION ALL SELECT p, c FROM e0),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+              n AS (SELECT DISTINCT src AS node FROM e),
+              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"""
+      val iters = (1 to 10).map { i =>
+        // CAST back to BIGINT each round: DuckDB's sum(BIGINT) widens
+        // to HUGEINT, which the driver's arrow read degrades to double
+        s""", r$i AS (SELECT n.node,
+                CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100
+                  AS BIGINT) AS rank
+              FROM n LEFT JOIN (
+                SELECT e.dst, sum(r${i - 1}.rank // deg.deg) AS in_sum
+                FROM r${i - 1}
+                JOIN deg ON deg.src = r${i - 1}.node
+                JOIN e ON e.src = r${i - 1}.node
+                GROUP BY 1) s ON s.dst = n.node)"""
+      }.mkString
+      head + iters +
+        " SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 20"
+    },
 
     "typed_dataset_agg" ->
       """SELECT l_returnflag, count(*) AS n_items,
