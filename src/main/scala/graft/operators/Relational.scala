@@ -254,21 +254,38 @@ object Relational {
       val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
         .localCheckpoint()
+      // Loop-invariant layout, paid ONCE: fold the static out-degree
+      // into the edge table and pre-partition it by dst — the
+      // destination of every rank contribution. Each round then (a)
+      // broadcasts the NODE-cardinality rank table into a map-side
+      // join against the in-place edges (no edge shuffle, ever), and
+      // (b) aggregates contributions on dst with the partitioning
+      // already in place (no exchange). The loop moves only
+      // O(nodes) bytes per round however many edges exist — the
+      // Pregel message-combining shape. At node counts beyond the
+      // broadcast threshold a deployment drops the broadcast() hint
+      // and the same plan shuffles rank instead (one node-sized
+      // exchange per round — still never the edges).
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+      val edgesD = edges.join(deg, Seq("src"))
+        .repartition(col("dst")).localCheckpoint()
       val nodes = edges.select(col("src").as("node")).distinct()
         .localCheckpoint()
       var rank = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-      for (_ <- 1 to 10) {
-        val contrib = rank
-          .join(deg, col("node") === col("src"))
-          .join(edges, Seq("src"))
+      for (i <- 1 to 10) {
+        val contrib = edgesD
+          .join(broadcast(rank), col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
-        rank = nodes.join(contrib, col("node") === col("dst"), "left")
+        val next = nodes
+          .join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
               .as("rank"))
-          .localCheckpoint()
+        // cut EVERY round: broadcast(rank) evaluates its subtree when
+        // the broadcast builds, so an un-cut round would replay the
+        // previous round's join inside this round's broadcast job —
+        // the node-cardinality materialization is the cheap side
+        rank = next.localCheckpoint()
       }
       rank.orderBy(col("rank").desc, col("node")).limit(20)
     }),

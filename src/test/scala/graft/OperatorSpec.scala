@@ -206,4 +206,22 @@ class OperatorSpec extends GraftSpec {
       case _ => true
     })
   }
+
+  test("graph_pagerank is bit-identical across shuffle partitionings (D2)") {
+    // The integer micro-unit + floor-division claim: the 10-iteration
+    // rank vector must not depend on how partial sums associate. Run
+    // the op under two different shuffle widths and require EXACT
+    // equality — a double-accumulation PageRank fails this.
+    def run(): Seq[(Long, Long)] =
+      SparkEntry.queries("graph_pagerank")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = run()
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      run()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b, s"rank vector drifted with partitioning:\n $a\n vs $b")
+    assert(a.nonEmpty && a.forall(_._2 > 0L))
+  }
 }
