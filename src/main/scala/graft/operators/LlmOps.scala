@@ -270,6 +270,13 @@ object LlmOps {
         .orderBy(col("lang"))
     }),
 
+    // Deliberately NOT exact-collapse-first (unlike llm_minhash_lsh /
+    // the embedding pair ops): this op's candidate volume ≈ its OUTPUT
+    // volume (the blocked join has no band/cell multiplicity), so
+    // collapsing and re-expanding replica pairs moves the same ~output
+    // rows through two extra joins instead of one merge-scan — measured
+    // 100 s vs 38 s at the 64× dup regime. Collapse pays only where
+    // candidates exceed output by a structural factor.
     "llm_jaccard_pairs" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
       val docs = documents(s, d)
