@@ -231,6 +231,58 @@ class StreamingRecoverySpec extends GraftSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark dedup state survives a query restart") {
+    // stream_dau's round-6 state shape: the dedup-within-watermark
+    // store must recover across a restart so a (user, day) pair first
+    // seen BEFORE the restart still suppresses its duplicate arriving
+    // AFTER it. Run 1 seeds users 1 and 2 on day 0; run 2 (a NEW query
+    // from the same checkpoint) replays user 1 on the same day plus a
+    // new user 3. Correct recovery ⇒ day-0 DAU = 3. Lost dedup state
+    // would double-count user 1 (DAU 4); a lost aggregation state
+    // would count only the new arrivals (DAU 2) — the assertion
+    // separates all three outcomes.
+    import spark.implicits._
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft_ddw_rs_").toString
+      val in = s"$dir/in"
+      val checkpoint = s"$dir/ckpt"
+      def stage(rows: Seq[(Timestamp, Long)]): Unit =
+        rows.toDF("ts_utc", "user_id").repartition(1)
+          .write.mode("append").parquet(in)
+
+      var last: Map[Long, Long] = Map.empty
+      def runOnce(): Unit = {
+        val name = s"ddw_rs_${System.nanoTime()}"
+        val sch = spark.read.parquet(in).schema
+        val dau = spark.readStream.schema(sch).parquet(in)
+          .withWatermark("ts_utc", "1 day")
+          .select(col("ts_utc"), col("user_id"),
+            expr("unix_micros(ts_utc) div 86400000000").as("day"))
+          .dropDuplicatesWithinWatermark("user_id", "day")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"))
+        val q = dau.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint).start()
+        q.awaitTermination()
+        last = spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+
+      stage(Seq((t("2024-01-01 01:00:00"), 1L),
+        (t("2024-01-01 02:00:00"), 2L)))
+      runOnce()
+      assert(last == Map(19723L -> 2L),
+        s"pre-restart day-0 DAU wrong: $last")
+      // restart: user 1's duplicate + new user 3, same day
+      stage(Seq((t("2024-01-01 03:00:00"), 1L),
+        (t("2024-01-01 04:00:00"), 3L)))
+      runOnce()
+      assert(last == Map(19723L -> 3L),
+        s"recovered dedup state must suppress the replayed (1, day) pair: $last")
+    }
+  }
+
   test("foreachBatch exactly-once: batchId-keyed overwrite heals a torn batch on replay") {
     // The no-Kafka-jars substitute for a two-phase-commit sink: Spark
     // guarantees foreachBatch AT-LEAST-once (a batch that fails before
