@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Merge per-mode ScaleProbe JSONs into one PROBE_rN.json and print
-growth-exponent summaries (fit of log(sec) vs log(factor) over the
-measured points) for the pair-emitting family."""
+growth-exponent summaries (least-squares fit of log(sec) vs log(factor)
+over ALL measured points, so a non-monotone middle point — e.g. a
+cache-warm run — shows up as a poor fit rather than vanishing into an
+endpoint slope) for the pair-emitting family."""
 import json
 import math
 import sys
@@ -34,10 +36,18 @@ for mode, per in sorted(merged["modes"].items()):
         if len(pts) < 2:
             print(f"  {op}: insufficient points")
             continue
-        lo, hi = pts[0], pts[-1]
-        # growth exponent: sec ~ factor^e over the measured span
-        e = (math.log(hi[1] / lo[1]) / math.log(hi[0] / lo[0])
-             if lo[1] > 0 else float("nan"))
+        # growth exponent: least-squares slope of log(sec) on
+        # log(factor) over every measured point (not just endpoints)
+        lpts = [(math.log(f), math.log(s)) for f, s, _ in pts if s > 0]
+        if len(lpts) >= 2:
+            n = len(lpts)
+            mx = sum(x for x, _ in lpts) / n
+            my = sum(y for _, y in lpts) / n
+            sxx = sum((x - mx) ** 2 for x, _ in lpts)
+            e = (sum((x - mx) * (y - my) for x, y in lpts) / sxx
+                 if sxx > 0 else float("nan"))
+        else:
+            e = float("nan")
         rows = "/".join(str(p[2]) for p in pts)
         secs = "/".join(f"{p[1]:.2f}" for p in pts)
         print(f"  {op}: sec {secs}  exp={e:+.2f}  rows {rows}")

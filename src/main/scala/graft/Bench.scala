@@ -42,6 +42,9 @@ object Bench {
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        // snapshot so cleanup drops only THIS run's RDDs — unpersisting
+        // someone else's localCheckpoint destroys its only copy
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch {
           case e: Throwable =>
@@ -58,8 +61,9 @@ object Bench {
         // unpersist leaves the blocks resident while the next query
         // runs — measured llm_embedding_lsh 8.0 s after the dedup
         // family with blocking=false vs 3.9 s (= isolated) blocking.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preexisting(id) }
+          .values.foreach(_.unpersist(blocking = true))
         sec
       }
       // Hermetic sweep: every streaming op leaves residue a later query

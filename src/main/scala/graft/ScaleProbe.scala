@@ -172,16 +172,23 @@ object ScaleProbe {
             println(f"[scaleprobe] $mode ${k}x $name: $sec%.2f s ($n rows)")
           }
           queriesFor(mode).foreach { name =>
+            // snapshot BEFORE the query so cleanup can target only the
+            // RDDs this query created: unpersisting a localCheckpoint
+            // RDD destroys its only copy (lineage is truncated), so a
+            // blanket unpersist would brick any pre-existing memoized
+            // DataFrame built on a checkpoint block
+            val preexisting = spark.sparkContext.getPersistentRDDs.keySet
             // full-evaluation force (see Bench.force): count() would let
             // the optimizer skip column reads and unique-key join work.
             timed(name)(Bench.force(SparkEntry.queries(name)(spark, dir)))
-            // drop leftover localCheckpoint RDDs (crosslang, dedup audit)
-            // between queries — accumulated checkpoint blocks pin storage
+            // drop THIS query's leftover localCheckpoint RDDs (crosslang,
+            // dedup audit) — accumulated checkpoint blocks pin storage
             // memory across the long probe session and inflate later
             // queries' sorts by whole multiples (measured: llm_ngram_lm
             // 8 s → 25 s, ts_zscore 2 s → 15 s late in a 100+-query run)
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+            spark.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => preexisting(id) }
+              .values.foreach(_.unpersist(blocking = false))
           }
           if (mode == "perturbed")
             // candidate volume BEFORE verification — the quantity whose

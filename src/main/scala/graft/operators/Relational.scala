@@ -41,6 +41,82 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** One PageRank round as a standalone plan — exposed so PlanShapeSpec
+    * can assert the loop-iteration shape (broadcast on the rank side,
+    * NO shuffle exchange anywhere: edges are pre-partitioned by dst and
+    * the dst agg reuses that partitioning) that the registered query's
+    * checkpointed loop hides from `.explain`. */
+  private[graft] def pagerankRound(edgesD: DataFrame, nodes: DataFrame,
+      rank: DataFrame): DataFrame = {
+    val contrib = edgesD
+      .join(broadcast(rank), col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
+    nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+          .as("rank"))
+  }
+
+  /** Loop-invariant PageRank layout, paid ONCE: fold the static
+    * out-degree into the edge table and pre-partition it by dst — the
+    * destination of every rank contribution. Each round then (a)
+    * broadcasts the NODE-cardinality rank table into a map-side join
+    * against the in-place edges (no edge shuffle, ever), and (b)
+    * aggregates contributions on dst with the partitioning already in
+    * place (no exchange). The loop moves only O(nodes) bytes per round
+    * however many edges exist — the Pregel message-combining shape. At
+    * node counts beyond the broadcast threshold a deployment drops the
+    * broadcast() hint and the same plan shuffles rank instead (one
+    * node-sized exchange per round — still never the edges). Returns
+    * (edgesD, nodes, rank0). */
+  private[graft] def pagerankLayout(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val edges0 = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        // supplier node-id offset: 10¹² sits far above any reachable
+        // custkey (custkey ~ 1.5·10⁵·SF, so collision would need
+        // SF ~ 7·10⁶) yet leaves 6×10⁶ headroom under bigint for
+        // suppkey — at 10⁶ the two id spaces collided from SF ≳ 7
+        (col("l_suppkey") + lit(1000000000000L)).as("p"))
+      .distinct()
+    val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // persist(), NOT localCheckpoint: a checkpoint rewrites the plan to
+    // a Scan ExistingRDD whose partitioning is UNKNOWN to Catalyst, so
+    // every round would re-shuffle its (map-side-combined) contributions
+    // to satisfy the dst aggregation — PlanShapeSpec caught exactly
+    // that. The cached plan keeps hashpartitioning(dst) visible
+    // (canChangeCachedPlanOutputPartitioning defaults false), so the
+    // per-round agg runs with the partitioning in place, no exchange.
+    // Lineage truncation isn't needed here — the table is loop-invariant
+    // and computed once; only rank (below) needs per-round cuts.
+    val edgesD = edges.join(deg, Seq("src"))
+      .repartition(col("dst")).persist()
+    edgesD.count() // materialize the cache before the loop reads it 10×
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val rank0 = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+    (edgesD, nodes, rank0)
+  }
+
+  private def pagerankQuery(s: SparkSession, d: String): DataFrame = {
+    val (edgesD, nodes, rank0) = pagerankLayout(s, d)
+    var rank = rank0
+    for (_ <- 1 to 10) {
+      // cut EVERY round: broadcast(rank) evaluates its subtree when
+      // the broadcast builds, so an un-cut round would replay the
+      // previous round's join inside this round's broadcast job —
+      // the node-cardinality materialization is the cheap side
+      rank = pagerankRound(edgesD, nodes, rank).localCheckpoint()
+    }
+    rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     // D1 note: (l_orderkey, l_linenumber) is NOT unique in this corpus
     // (verified: 1161/11785/118144 duplicate groups at sf0.001/0.01/0.1);
@@ -243,51 +319,57 @@ object Relational {
     // on both engines. Scale: edges/ranks stay distributed; the driver
     // holds only the loop counter; each iteration is one shuffle on
     // dst — the GraphX/Pregel cost shape without the library.
-    "graph_pagerank" -> ((s, d) => {
+    "graph_pagerank" -> ((s, d) => pagerankQuery(s, d)),
+
+    // Connected components over the (sparse) high-quantity trade graph —
+    // the second iterative-graph op, completing the pair with
+    // graph_pagerank (sum-flow) via MIN-LABEL PROPAGATION: 8 fixed
+    // rounds of comp(v) ← min(comp(v), min over in-edges of comp(u)),
+    // each node's label converging to the least node id within 8 hops
+    // (= the component min once the propagation radius covers the
+    // component diameter — ScalaTest pins that 8 rounds reach the
+    // fixpoint at test scale; a deployment doubles rounds or switches
+    // to llm_dedup_clusters' pointer jumping for log-diameter
+    // convergence). Same loop layout as pagerank: edges pre-partitioned
+    // by dst ONCE, each round broadcasts the node-cardinality label
+    // table into a map-side join and min-aggregates with the
+    // partitioning in place — O(nodes) bytes per round, edges never
+    // shuffle; min is order-insensitive so the result is bit-identical
+    // on any partitioning (D2 for free, no micro-units needed).
+    "graph_connected_components" -> ((s, d) => {
       val edges0 = orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        .join(lineitem(s, d).filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + lit(1000000L)).as("p"))
+          // same 10¹² supplier offset as graph_pagerank (collision-free
+          // to SF ~ 7·10⁶)
+          (col("l_suppkey") + lit(1000000000000L)).as("p"))
         .distinct()
+      // persist(), NOT localCheckpoint (the pagerank lesson): cached
+      // plans keep hashpartitioning(dst) visible to Catalyst, so the
+      // per-round min-agg needs no exchange; a checkpoint would hide it.
       val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
-        .localCheckpoint()
-      // Loop-invariant layout, paid ONCE: fold the static out-degree
-      // into the edge table and pre-partition it by dst — the
-      // destination of every rank contribution. Each round then (a)
-      // broadcasts the NODE-cardinality rank table into a map-side
-      // join against the in-place edges (no edge shuffle, ever), and
-      // (b) aggregates contributions on dst with the partitioning
-      // already in place (no exchange). The loop moves only
-      // O(nodes) bytes per round however many edges exist — the
-      // Pregel message-combining shape. At node counts beyond the
-      // broadcast threshold a deployment drops the broadcast() hint
-      // and the same plan shuffles rank instead (one node-sized
-      // exchange per round — still never the edges).
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val edgesD = edges.join(deg, Seq("src"))
-        .repartition(col("dst")).localCheckpoint()
+        .repartition(col("dst")).persist()
+      edges.count() // materialize before the loop reads it 8×
       val nodes = edges.select(col("src").as("node")).distinct()
         .localCheckpoint()
-      var rank = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-      for (i <- 1 to 10) {
-        val contrib = edgesD
-          .join(broadcast(rank), col("src") === col("node"))
-          .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
-        val next = nodes
-          .join(broadcast(contrib), col("node") === col("dst"), "left")
+      var lbl = nodes.withColumn("comp", col("node")).localCheckpoint()
+      for (_ <- 1 to 8) {
+        val in = edges.join(broadcast(lbl), col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
+        // cut EVERY round (the pagerank discipline): broadcast(lbl)
+        // builds eagerly, so an un-cut round would replay the previous
+        // round's join inside this round's broadcast job
+        lbl = lbl.join(broadcast(in), col("node") === col("dst"), "left")
           .select(col("node"),
-            (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
-              .as("rank"))
-        // cut EVERY round: broadcast(rank) evaluates its subtree when
-        // the broadcast builds, so an un-cut round would replay the
-        // previous round's join inside this round's broadcast job —
-        // the node-cardinality materialization is the cheap side
-        rank = next.localCheckpoint()
+            least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+              .as("comp"))
+          .localCheckpoint()
       }
-      rank.orderBy(col("rank").desc, col("node")).limit(20)
+      lbl.orderBy(col("node"))
     }),
 
     // Typed Dataset[T] surface (round-5 add): the same filter→group→agg
@@ -529,7 +611,7 @@ object Relational {
     "graph_pagerank" -> {
       val head =
         """WITH e0 AS (SELECT DISTINCT o_custkey AS c,
-                         l_suppkey + 1000000 AS p
+                         l_suppkey + 1000000000000 AS p
                        FROM orders JOIN lineitem
                          ON o_orderkey = l_orderkey),
               e AS (SELECT c AS src, p AS dst FROM e0
@@ -552,6 +634,32 @@ object Relational {
       }.mkString
       head + iters +
         " SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 20"
+    },
+
+    // 8 unrolled min-label-propagation rounds (same generated-CTE shape
+    // as graph_pagerank's oracle — DuckDB forbids aggregation over the
+    // recursive reference).
+    "graph_connected_components" -> {
+      val head =
+        """WITH e0 AS (SELECT DISTINCT o_custkey AS c,
+                         l_suppkey + 1000000000000 AS p
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey
+                       WHERE l_quantity >= 48),
+              e AS (SELECT c AS src, p AS dst FROM e0
+                    UNION ALL SELECT p, c FROM e0),
+              n AS (SELECT DISTINCT src AS node FROM e),
+              l0 AS (SELECT node, node AS comp FROM n)"""
+      val iters = (1 to 8).map { i =>
+        s""", l$i AS (SELECT l${i - 1}.node,
+                least(l${i - 1}.comp,
+                      coalesce(m.nbr, l${i - 1}.comp)) AS comp
+              FROM l${i - 1} LEFT JOIN (
+                SELECT e.dst, min(l${i - 1}.comp) AS nbr
+                FROM l${i - 1} JOIN e ON e.src = l${i - 1}.node
+                GROUP BY 1) m ON m.dst = l${i - 1}.node)"""
+      }.mkString
+      head + iters + " SELECT node, comp FROM l8 ORDER BY node"
     },
 
     "typed_dataset_agg" ->

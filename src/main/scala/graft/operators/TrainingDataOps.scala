@@ -730,26 +730,48 @@ object TrainingDataOps {
     "llm_embedding_neardup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb0 = embeddings(s, d)
-      // Exact-vector collapse FIRST (round-6; the llm_minhash_lsh /
-      // llm_embedding_lsh discipline): identical embeddings share every
-      // cosine, so the cell-pair machinery runs on DISTINCT vectors
-      // only — k verbatim replicas would otherwise multiply every
-      // in-cell pair set by k² (the 64× probe regime). One exchange
-      // keyed by (xxhash64(embedding), embedding) — 8-byte shuffle
-      // routing, full-vector in-partition equality.
-      val withRep = emb0
-        .withColumn("eh", xxhash64(col("embedding")))
-        .withColumn("rep_id", min(col("vec_id"))
-          .over(Window.partitionBy(col("eh"), col("embedding"))))
-      // reps feeds cells + e1 + e2, members feeds the expansion — cut
-      // so consumers don't replay the collapse window (stageCut idiom)
+      // ADAPTIVE exact-vector collapse (round-7): the collapse/expansion
+      // machinery below is what makes dup-heavy corpora survive (the
+      // 64× probe regime — k verbatim replicas multiply in-cell pair
+      // sets by k²), but on a dup-FREE corpus its two extra joins are
+      // pure overhead (measured 1.82 → 3.79 s at sf0.1). One
+      // deterministic precheck aggregate decides the path:
+      // count == countDistinct(xxhash64(embedding)) → no two vectors
+      // even share a hash → certainly no exact duplicates → skip the
+      // collapse. A 64-bit hash collision can only UNDERcount distinct,
+      // i.e. force the (always-correct) collapse path — the precheck
+      // errs on the safe side, and its single-row driver read is one
+      // map-side-combined aggregate over 8-byte hashes.
+      val preRow = emb0
+        .agg(count(lit(1)).as("n"),
+          countDistinct(xxhash64(col("embedding"))).as("nd")).head()
+      val hasDups = preRow.getLong(0) != preRow.getLong(1)
       val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
         .exists(_.equalsIgnoreCase("false"))
       def cut(df: DataFrame): DataFrame =
         if (ckpt) df.localCheckpoint() else df
-      val reps = cut(withRep.filter(col("vec_id") === col("rep_id"))
-        .select(col("rep_id"), col("embedding"), col("label")))
-      val members = cut(withRep.select(col("rep_id"), col("vec_id")))
+      // Dup-heavy path: collapse to per-group representative vectors
+      // first (round-6; the llm_minhash_lsh / llm_embedding_lsh
+      // discipline) — identical embeddings share every cosine, so the
+      // cell-pair machinery runs on DISTINCT vectors only. One exchange
+      // keyed by (xxhash64(embedding), embedding) — 8-byte shuffle
+      // routing, full-vector in-partition equality. reps feeds
+      // cells + e1 + e2, members feeds the expansion — cut so consumers
+      // don't replay the collapse window (stageCut idiom). Dup-free
+      // path: every vector is its own rep; the parquet scan is cheap to
+      // replay, so no cut either.
+      val withRep = if (!hasDups) null else emb0
+        .withColumn("eh", xxhash64(col("embedding")))
+        .withColumn("rep_id", min(col("vec_id"))
+          .over(Window.partitionBy(col("eh"), col("embedding"))))
+      val reps =
+        if (hasDups) cut(withRep.filter(col("vec_id") === col("rep_id"))
+          .select(col("rep_id"), col("embedding"), col("label")))
+        else emb0.select(col("vec_id").as("rep_id"), col("embedding"),
+          col("label"))
+      val members =
+        if (hasDups) cut(withRep.select(col("rep_id"), col("vec_id")))
+        else null
       val cells = ivfCells(reps
         .select(col("rep_id").as("vec_id"), col("embedding"), col("label")))
       // raw cosine as low as 0.3999995 still rounds to the 0.4 cutoff, so
@@ -771,30 +793,45 @@ object TrainingDataOps {
         col("label").as("la"))
       val e2 = reps.select(col("rep_id").as("rep_id2"),
         col("embedding").as("v2"), col("label").as("lb"))
-      val repDups = e1.join(broadcast(cellPairs), Seq("la"))
+      // Dup-heavy path needs BOTH directions (m_all drives the non-rep
+      // expansion); dup-free path needs only ordered pairs — half the
+      // cosine evaluations and one conditional min fewer.
+      val candPairs = e1.join(broadcast(cellPairs), Seq("la"))
         .join(e2, Seq("lb"))
-        .filter(col("rep_id2") =!= col("rep_id"))
-        .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
-        .groupBy(col("rep_id")).agg(
-          min(when(col("rep_id2") < col("rep_id"), col("rep_id2")))
-            .as("m_lt"),
-          min(col("rep_id2")).as("m_all"))
-      // Output-preserving expansion. For the rep r of a group:
-      // dup_of(r) = m_lt (the original semantics over distinct vectors —
-      // the least member of any group IS its rep, so no smaller
-      // qualifying id exists outside the rep set). For a non-rep x:
-      // every qualifying y < x is either the own-group rep r (< x, J=1)
-      // or a qualifying group's least member rep'; the minimum is
-      // least(r, m_all) — when m_all ≥ r the constraint rep' < x is
-      // irrelevant (r wins), and when m_all < r it is implied
-      // (m_all < r < x).
-      members.join(repDups, Seq("rep_id"), "left")
-        .select(col("vec_id"),
-          when(col("vec_id") === col("rep_id"), col("m_lt"))
-            .otherwise(
-              least(col("rep_id"), coalesce(col("m_all"), col("rep_id"))))
-            .as("dup_of"))
-        .select(col("vec_id"), col("dup_of").isNull.as("kept"),
+      val repDups =
+        if (hasDups) candPairs
+          .filter(col("rep_id2") =!= col("rep_id"))
+          .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
+          .groupBy(col("rep_id")).agg(
+            min(when(col("rep_id2") < col("rep_id"), col("rep_id2")))
+              .as("m_lt"),
+            min(col("rep_id2")).as("m_all"))
+        else candPairs
+          .filter(col("rep_id2") < col("rep_id"))
+          .filter(round(expr("cosine_sim(v1, v2)"), 6) >= 0.4)
+          .groupBy(col("rep_id")).agg(min(col("rep_id2")).as("m_lt"))
+      // Output-preserving expansion (dup-heavy path). For the rep r of
+      // a group: dup_of(r) = m_lt (the original semantics over distinct
+      // vectors — the least member of any group IS its rep, so no
+      // smaller qualifying id exists outside the rep set). For a
+      // non-rep x: every qualifying y < x is either the own-group rep r
+      // (< x, J=1) or a qualifying group's least member rep'; the
+      // minimum is least(r, m_all) — when m_all ≥ r the constraint
+      // rep' < x is irrelevant (r wins), and when m_all < r it is
+      // implied (m_all < r < x). Dup-free path: every vector is a rep,
+      // so dup_of = m_lt directly — one id-keyed left join back.
+      val out =
+        if (hasDups) members.join(repDups, Seq("rep_id"), "left")
+          .select(col("vec_id"),
+            when(col("vec_id") === col("rep_id"), col("m_lt"))
+              .otherwise(
+                least(col("rep_id"), coalesce(col("m_all"), col("rep_id"))))
+              .as("dup_of"))
+        else emb0.select(col("vec_id"))
+          .join(repDups.withColumnRenamed("rep_id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"), col("m_lt").as("dup_of"))
+      out.select(col("vec_id"), col("dup_of").isNull.as("kept"),
           col("dup_of"))
         .orderBy(col("vec_id"))
     }),
@@ -919,10 +956,16 @@ object TrainingDataOps {
     // join back on the window → per-doc gaps-and-islands merge (one
     // doc-keyed sort window; adjacent/overlapping hits fuse, so a long
     // shared run costs one span however many windows tile it). A gram
-    // shared by k docs costs k rows, never k²; at 100 TB the agg keys
-    // by xxhash64(window) (8-byte shuffle keys), the registered op
-    // keys by the substring so the oracle stays exact. The fraction is
-    // the integer half-up ratio (2·c·10⁶ + n) div (2n) — no double
+    // shared by k docs costs k rows, never k². All corpus-sized shuffles
+    // key on xxhash64(window) — 8-byte sort/shuffle keys instead of the
+    // raw 50-char substring (shuffle-key bytes ÷ ~6) — and the "shared
+    // by ≥2 docs" test is min(doc_id) ≠ max(doc_id) (a cheap partial
+    // agg; countDistinct would expand the corpus-position-sized explode
+    // by (key, doc) before counting). Hash collisions can only ADD
+    // candidate positions, so a residual SUBSTRING-keyed recheck over
+    // the (small) candidate set restores exactness — no collision risk
+    // is accepted, the oracle SQL is unchanged. The fraction is the
+    // integer half-up ratio (2·c·10⁶ + n) div (2n) — no double
     // accumulation anywhere.
     "llm_dup_spans" -> ((s, d) => {
       val W = 50
@@ -939,11 +982,24 @@ object TrainingDataOps {
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), length(col("text")) - W)).as("p"))
         .select(col("doc_id"), col("p"),
-          expr(s"substring(text, p + 1, $W)").as("w")))
-      val shared = pos.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("w"))
-      val dup = pos.join(shared, Seq("w")).select(col("doc_id"), col("p"))
+          expr(s"substring(text, p + 1, $W)").as("w"))
+        .withColumn("h", xxhash64(col("w"))))
+      // Stage 1 (hash-keyed, corpus-sized): candidate hashes seen in ≥2
+      // distinct docs. min≠max over the 8-byte key collapses map-side to
+      // one 24-byte row per (partition, hash) — the superset is exact on
+      // the hash, over-inclusive only under a 64-bit collision.
+      val candH = pos.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("h"))
+      val cand = pos.join(candH, Seq("h"))
+        .select(col("doc_id"), col("p"), col("w"))
+      // Stage 2 (substring-keyed residual, candidate-sized — dup
+      // positions plus any collision strays): keep a position only if
+      // its RAW window really occurs in ≥2 distinct docs.
+      val sharedW = cand.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("w"))
+      val dup = cand.join(sharedW, Seq("w")).select(col("doc_id"), col("p"))
       val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val spans = dup
         .withColumn("prev_p", lag(col("p"), 1).over(wn))

@@ -637,12 +637,17 @@ object StreamingOps {
     // watermark passes first-seen + 1 day, so dedup state holds only
     // ~2 days of (user, day) pairs however long the stream runs — vs
     // plain `dropDuplicates(user, day)`, whose integer day key is not
-    // an event-time column and therefore NEVER evicts. Exactness is
-    // provable: two events sharing a (user, day) key are < 24 h apart
-    // by construction, and the watermark (max event ts − 1 day) cannot
-    // pass first_ts + 1 day before the last same-day event arrives —
-    // so every within-day duplicate is suppressed and the output is
-    // bit-identical to the batch (user, day) distinct rollup. The 1-day
+    // an event-time column and therefore NEVER evicts. Exactness holds
+    // under BOUNDED ARRIVAL DISORDER (≤ 1 day, guaranteed here by the
+    // harness's in-order file replay): two events sharing a (user, day)
+    // key are < 24 h apart in EVENT time, and as long as each duplicate
+    // ARRIVES before the watermark (max seen ts − 1 day) passes
+    // first_seen + 1 day, it is suppressed and the output is
+    // bit-identical to the batch (user, day) distinct rollup. A same-day
+    // duplicate delivered later than that (arrival disorder > 1 day)
+    // would be re-admitted after state eviction and double-counted —
+    // the inherent trade of any bounded-state dedup; widen the
+    // watermark delay to the deployment's real disorder bound. The 1-day
     // delay costs nothing downstream: the day rollup runs in complete
     // mode, which re-emits every batch regardless of watermark.
     "stream_dau" -> ((s, d) => withRocksDb(s) {

@@ -224,4 +224,33 @@ class OperatorSpec extends GraftSpec {
     assert(a == b, s"rank vector drifted with partitioning:\n $a\n vs $b")
     assert(a.nonEmpty && a.forall(_._2 > 0L))
   }
+
+  test("graph_connected_components: 8 rounds reach the fixpoint " +
+      "(every edge's endpoints share a label)") {
+    // Label propagation has converged to true components iff labels are
+    // edge-consistent (comp(u) == comp(v) for every edge) — by induction
+    // each label is then the component min. If 8 rounds ever stop
+    // covering the diameter at test scale this fails, telling us to
+    // raise the round count in op + oracle together.
+    val comp = SparkEntry.queries("graph_connected_components")(spark, sf)
+    val e0 = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"),
+        (col("l_suppkey") + lit(1000000000000L)).as("v"))
+      .distinct()
+    val inconsistent = e0
+      .join(comp.select(col("node").as("u"), col("comp").as("cu")), Seq("u"))
+      .join(comp.select(col("node").as("v"), col("comp").as("cv")), Seq("v"))
+      .filter(col("cu") =!= col("cv"))
+    assert(inconsistent.isEmpty,
+      s"unconverged edges: ${inconsistent.count()}")
+    // and labels are genuine component minima: every label is a node id
+    // ≤ all nodes carrying it
+    val badMin = comp.groupBy(col("comp")).agg(min(col("node")).as("mn"))
+      .filter(col("comp") =!= col("mn"))
+    assert(badMin.isEmpty, "a component label is not its min node id")
+  }
 }

@@ -391,4 +391,36 @@ class PlanShapeSpec extends GraftSpec {
       !plan.contains("CartesianProduct"),
       s"EXISTS did not decorrelate:\n$plan")
   }
+
+  test("graph_pagerank loop iteration: rank broadcasts, edges never " +
+      "shuffle (no exchange inside the loop)") {
+    // The registered query's per-round localCheckpoint hides every loop
+    // iteration from the final .explain (PLANS.md has no pagerank entry
+    // for the same reason), so assert the shape of ONE round directly:
+    // the rank/contrib tables ride BroadcastExchange, and the
+    // dst-pre-partitioned edge table satisfies the dst aggregation's
+    // distribution in place — a shuffle exchange anywhere in the round
+    // means the O(nodes)-bytes-per-round claim is broken.
+    val (edgesD, nodes, rank0) =
+      operators.Relational.pagerankLayout(spark, sf)
+    val df = operators.Relational.pagerankRound(edgesD, nodes, rank0)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val init = s.indexOf("== Initial Plan ==")
+    val plan = if (init >= 0) s.substring(0, init) else s
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank side not broadcast:\n$plan")
+    // The printed plan embeds the cached edge table's BUILD plan (below
+    // the InMemoryRelation line) — its exchanges are the paid-once
+    // layout. Everything ABOVE InMemoryRelation is what the loop runs
+    // per round, and must contain no shuffle: an exchange there means
+    // Catalyst lost the dst partitioning and re-shuffles every round.
+    assert(plan.contains("InMemoryRelation"),
+      s"edge table not read from the loop-invariant cache:\n$plan")
+    val loopPlan = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!loopPlan.contains("Exchange hashpartitioning") &&
+      !loopPlan.contains("Exchange rangepartitioning") &&
+      !loopPlan.contains("Exchange SinglePartition"),
+      s"shuffle exchange inside the pagerank loop:\n$plan")
+  }
 }
