@@ -681,7 +681,8 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new PatternAbcProcessor(),
+        .transformWithState(new CepPatternProcessor(abcPattern,
+          abcProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "click_id", "purchase_id",
@@ -702,7 +703,8 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new PatternQuantifiedProcessor(),
+        .transformWithState(new CepPatternProcessor(quantifiedPattern,
+          quantifiedProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "click_id", "purchase_id",
@@ -723,7 +725,8 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new PatternTimesProcessor(),
+        .transformWithState(new CepPatternProcessor(timesPattern,
+          timesProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "click1_id", "click2_id",
@@ -746,7 +749,8 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new PatternAbsenceProcessor(),
+        .transformWithState(new CepPatternProcessor(absencePattern,
+          absenceProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "s_ts_us", "followed"), "append")
@@ -767,7 +771,8 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new PatternOptionalProcessor(),
+        .transformWithState(new CepPatternProcessor(optionalPattern,
+          optionalProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "click_id", "purchase_id",
@@ -1989,154 +1994,62 @@ object StreamingOps {
       }
     }
 
-    /** Earliest (ts, id) event of `typeCode` in (`lo`, `hi`] — the
-      * deterministic "first" rule every chain step uses. */
-    protected final def firstOf(events: Seq[(Int, Long, Long)],
-        typeCode: Int, lo: Long, hi: Long): Option[(Int, Long, Long)] =
-      events.iterator
-        .filter { case (t, ts, _) => t == typeCode && ts > lo && ts <= hi }
-        .reduceOption { (a, b) =>
-          if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
   }
 
-  /** Streaming 3-step pattern verdict (see `stream_pattern_abc`): first
-    * click after signup, first purchase after that click, all ≤ signup
-    * + 1 h. */
-  private class PatternAbcProcessor extends AbcBufferProcessor[
-      (Long, Long, Option[Long], Option[Long], Option[Long])] {
+  /** The composable-CEP bridge: any [[Cep.Pattern]] rides the shared
+    * buffered-window machinery (state shape, eviction, timer bounds all
+    * inherited); `project` maps each anchor's sealed [[Cep.Outcome]] to
+    * the query's output row. The five `stream_pattern_*` operators are
+    * all instances of this one class since round 7 — the Flink-CEP
+    * library surface (compose a pattern, get an operator) instead of an
+    * automaton per query. */
+  private class CepPatternProcessor[O](pattern: Cep.Pattern,
+      project: (Long, Long, Long, Cep.Outcome) => O)
+      extends AbcBufferProcessor[O] {
+
+    override protected def wanted(typeCode: Int): Boolean =
+      pattern.wantedTypes(typeCode)
 
     override protected def verdict(key: Long, sid: Long, sTs: Long,
-        events: Seq[(Int, Long, Long)]):
-        (Long, Long, Option[Long], Option[Long], Option[Long]) = {
-      val deadline = sTs + WindowUs
-      firstOf(events, 0, sTs, deadline) match {
-        case None => (key, sid, None, None, None)
-        case Some((_, cTs, cId)) =>
-          firstOf(events, 1, cTs, deadline) match {
-            case None => (key, sid, Some(cId), None, None)
-            case Some((_, pTs, pId)) =>
-              (key, sid, Some(cId), Some(pId), Some(pTs - sTs))
-          }
-      }
-    }
+        events: Seq[(Int, Long, Long)]): O =
+      project(key, sid, sTs, pattern.eval(sTs, events))
   }
 
-  /** Streaming quantified-pattern verdict (see
-    * `stream_pattern_quantified`): A B+ C within 1 h — signup, then ≥ 1
-    * clicks, then a purchase. The bound steps are the FIRST click after
-    * the signup and the FIRST purchase after that click (same total
-    * order as the 3-step chain); the greedy B+ then counts EVERY click
-    * strictly between signup and that purchase — Flink-CEP's
-    * `oneOrMore().greedy()`, where the quantified step absorbs all Bs
-    * preceding the C that closes the match. b_count is null until the
-    * chain completes (no purchase ⇒ no match ⇒ nothing quantified). */
-  private class PatternQuantifiedProcessor extends AbcBufferProcessor[
-      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] {
+  /** The five registered CEP patterns, composed through the [[Cep]]
+    * builder (1 h window, click = type 0, purchase = type 1). Each
+    * pattern's matching semantics are documented at its registered
+    * query; the builder guarantees they all share the deterministic
+    * first-match total order and the sealed-window evaluation point. */
+  private val CepWindowUs = 3600000000L
+  private[streaming] val abcPattern = Cep.begin(CepWindowUs)
+    .followedBy("click", 0).followedBy("purchase", 1)
+  private[streaming] val quantifiedPattern = Cep.begin(CepWindowUs)
+    .oneOrMoreGreedy("click", 0).followedBy("purchase", 1)
+  private[streaming] val timesPattern = Cep.begin(CepWindowUs)
+    .followedBy("click", 0, times = 2).followedBy("purchase", 1)
+  private[streaming] val absencePattern = Cep.begin(CepWindowUs)
+    .notFollowedBy("purchase", 1)
+  private[streaming] val optionalPattern = Cep.begin(CepWindowUs)
+    .optionallyFollowedBy("click", 0).followedBy("purchase", 1)
 
-    override protected def verdict(key: Long, sid: Long, sTs: Long,
-        events: Seq[(Int, Long, Long)]):
-        (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long]) = {
-      val deadline = sTs + WindowUs
-      firstOf(events, 0, sTs, deadline) match {
-        case None => (key, sid, None, None, None, None)
-        case Some((_, cTs, cId)) =>
-          firstOf(events, 1, cTs, deadline) match {
-            case None => (key, sid, Some(cId), None, None, None)
-            case Some((_, pTs, pId)) =>
-              val bCount = events.count { case (t, ts, _) =>
-                t == 0 && ts > sTs && ts < pTs }
-              (key, sid, Some(cId), Some(pId), Some(bCount.toLong),
-                Some(pTs - sTs))
-          }
-      }
-    }
-  }
-
-  /** Streaming exact-count-quantifier verdict (see
-    * `stream_pattern_times`): A B{2} C within 1 h — Flink-CEP's
-    * `Pattern.times(2)` with relaxed contiguity. Binding is the chained
-    * first-match rule: c1 = first click after the signup, c2 = first
-    * click strictly after c1, purchase = first purchase after c2, all
-    * within the window; unbound steps cascade null. Same buffered-window
-    * machinery — the verdict is three ordered scans over the sealed
-    * buffer. */
-  private class PatternTimesProcessor extends AbcBufferProcessor[
-      (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] {
-
-    override protected def verdict(key: Long, sid: Long, sTs: Long,
-        events: Seq[(Int, Long, Long)]):
-        (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long]) = {
-      val deadline = sTs + WindowUs
-      firstOf(events, 0, sTs, deadline) match {
-        case None => (key, sid, None, None, None, None)
-        case Some((_, c1Ts, c1Id)) =>
-          firstOf(events, 0, c1Ts, deadline) match {
-            case None => (key, sid, Some(c1Id), None, None, None)
-            case Some((_, c2Ts, c2Id)) =>
-              firstOf(events, 1, c2Ts, deadline) match {
-                case None =>
-                  (key, sid, Some(c1Id), Some(c2Id), None, None)
-                case Some((_, pTs, pId)) =>
-                  (key, sid, Some(c1Id), Some(c2Id), Some(pId),
-                    Some(pTs - sTs))
-              }
-          }
-      }
-    }
-  }
-
-  /** Streaming absence-pattern verdict (see `stream_pattern_absence`):
-    * signup NOT followed by a purchase within 1 h — Flink-CEP's
-    * `notFollowedBy().within()`. A negation is only decidable once the
-    * watermark seals the window (any earlier emission could be
-    * invalidated by a late in-window purchase), which is exactly the
-    * timer-sealed evaluation point the buffered-window base class
-    * provides — the verdict itself is one scan for a purchase in
-    * (s_ts, s_ts + 1 h]. Clicks are never buffered ([[wanted]]), so
-    * per-key state is the pending signups plus one window of
-    * purchases. Emits (user, signup, s_ts, followed); the registered
-    * query keeps the followed=false rows — the processor reports every
-    * sealed verdict so the stream also serves the complement. */
-  private class PatternAbsenceProcessor
-      extends AbcBufferProcessor[(Long, Long, Long, Boolean)] {
-
-    override protected def wanted(typeCode: Int): Boolean = typeCode == 1
-
-    override protected def verdict(key: Long, sid: Long, sTs: Long,
-        events: Seq[(Int, Long, Long)]): (Long, Long, Long, Boolean) =
-      (key, sid, sTs, firstOf(events, 1, sTs, sTs + WindowUs).isDefined)
-  }
-
-  /** Streaming optional-step verdict (see `stream_pattern_optional`):
-    * A B? C within 1 h — Flink-CEP's `optional()` quantifier, greedy:
-    * the with-click chain (first click after signup, first purchase
-    * after that click) is attempted first; only if it cannot COMPLETE
-    * does the match fall back to the click-skipped branch (first
-    * purchase directly after the signup — possibly one that PRECEDED
-    * the dangling click). Same buffered-window machinery; the verdict
-    * is two ordered scans over the sealed buffer. */
-  private class PatternOptionalProcessor extends AbcBufferProcessor[
-      (Long, Long, Option[Long], Option[Long], Option[Long])] {
-
-    override protected def verdict(key: Long, sid: Long, sTs: Long,
-        events: Seq[(Int, Long, Long)]):
-        (Long, Long, Option[Long], Option[Long], Option[Long]) = {
-      val deadline = sTs + WindowUs
-      val withB = for {
-        (_, cTs, cId) <- firstOf(events, 0, sTs, deadline)
-        (_, pTs, pId) <- firstOf(events, 1, cTs, deadline)
-      } yield (key, sid, Option(cId), Option(pId), Option(pTs - sTs))
-      withB.getOrElse {
-        firstOf(events, 1, sTs, deadline) match {
-          case Some((_, pTs, pId)) =>
-            (key, sid, None, Some(pId), Some(pTs - sTs))
-          case None =>
-            (key, sid, firstOf(events, 0, sTs, deadline).map(_._3),
-              None, None)
-        }
-      }
-    }
-  }
+  /** Outcome → output-row projections, shared by the registered queries
+    * and the test hooks. */
+  private val abcProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("click"), o.id("purchase"),
+        o.ts("purchase").map(_ - sTs))
+  private val quantifiedProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("click"), o.id("purchase"),
+        o.counts.get("click"), o.ts("purchase").map(_ - sTs))
+  private val timesProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("click1"), o.id("click2"), o.id("purchase"),
+        o.ts("purchase").map(_ - sTs))
+  private val absenceProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, sTs, !o.matched)
+  private val optionalProject = abcProject
 
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
@@ -2231,7 +2144,7 @@ object StreamingOps {
   private[graft] def patternAbcForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long])] =
-    new PatternAbcProcessor()
+    new CepPatternProcessor(abcPattern, abcProject)
 
   /** Test hook: the dynamic-gap session processor (class is private). */
   private[graft] def sessionDynamicForTest(): StatefulProcessor[
@@ -2243,24 +2156,24 @@ object StreamingOps {
   private[graft] def patternQuantifiedForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
-    new PatternQuantifiedProcessor()
+    new CepPatternProcessor(quantifiedPattern, quantifiedProject)
 
   /** Test hook: the times(2)-pattern processor (class is private). */
   private[graft] def patternTimesForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])] =
-    new PatternTimesProcessor()
+    new CepPatternProcessor(timesPattern, timesProject)
 
   /** Test hook: the absence-pattern processor (class is private). */
   private[graft] def patternAbsenceForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Long, Boolean)] =
-    new PatternAbsenceProcessor()
+    new CepPatternProcessor(absencePattern, absenceProject)
 
   private[graft] def patternOptionalForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long], Option[Long])] =
-    new PatternOptionalProcessor()
+    new CepPatternProcessor(optionalPattern, optionalProject)
 
   private[graft] def countWindowForTest(winSize: Int): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, Long, Long),

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Cep
+
+/** Unit semantics of the CEP pattern combinator on hand-computed
+  * buffers: the builder must reproduce the exact verdicts the five
+  * hand-built `stream_pattern_*` automata produced (their oracle
+  * equivalence is re-proven end-to-end by CORRECTNESS; this pins the
+  * corner cases a corpus may not exercise). Events are
+  * (typeCode, tsUs, eventId); anchor at ts 0, window 100. */
+class CepSpec extends AnyFunSuite {
+
+  private val W = 100L
+  private def abc = Cep.begin(W)
+    .followedBy("b", 0).followedBy("c", 1)
+
+  test("followedBy chains first-matches with id tie-break") {
+    // two type-0 at the same ts: lower id binds
+    val o = abc.eval(0, Seq((0, 10, 7), (0, 10, 3), (1, 20, 9)))
+    assert(o.matched && o.bindings("b") == ((10L, 3L)) &&
+      o.bindings("c") == ((20L, 9L)))
+  }
+
+  test("unbound step cascade-nulls the rest, partials reported") {
+    val o = abc.eval(0, Seq((0, 10, 1))) // b binds, no c
+    assert(!o.matched && o.id("b").contains(1L) && o.id("c").isEmpty)
+    val o2 = abc.eval(0, Seq((1, 20, 9))) // c exists but no b: c never scanned
+    assert(!o2.matched && o2.bindings.isEmpty)
+  }
+
+  test("within(): events past the window never bind") {
+    val o = abc.eval(0, Seq((0, 10, 1), (1, 101, 2)))
+    assert(!o.matched && o.id("c").isEmpty)
+    // boundary is inclusive (ts <= anchor + window]
+    val o2 = abc.eval(0, Seq((0, 10, 1), (1, 100, 2)))
+    assert(o2.matched)
+  }
+
+  test("times(2) binds two chained firsts as name1/name2") {
+    val p = Cep.begin(W).followedBy("b", 0, times = 2).followedBy("c", 1)
+    val o = p.eval(0, Seq((0, 10, 1), (0, 15, 2), (0, 12, 3), (1, 50, 4)))
+    // b1 = first b, b2 = first b strictly after b1 (ts 12 beats ts 15)
+    assert(o.matched && o.id("b1").contains(1L) && o.id("b2").contains(3L))
+    val partial = p.eval(0, Seq((0, 10, 1), (1, 50, 4)))
+    assert(!partial.matched && partial.id("b1").contains(1L) &&
+      partial.id("b2").isEmpty && partial.id("c").isEmpty)
+  }
+
+  test("oneOrMore greedy: pivot is the first hit, count spans anchor " +
+      "to the closing binding") {
+    val p = Cep.begin(W).oneOrMoreGreedy("b", 0).followedBy("c", 1)
+    // bs at 10, 20, 40; c at 30: pivot b@10, close c@30, count bs < 30
+    val o = p.eval(0,
+      Seq((0, 10, 1), (0, 20, 2), (0, 40, 3), (1, 30, 4)))
+    assert(o.matched && o.id("b").contains(1L) &&
+      o.counts("b") == 2L && o.id("c").contains(4L))
+    // no close → pivot reported, no count
+    val o2 = p.eval(0, Seq((0, 10, 1)))
+    assert(!o2.matched && o2.id("b").contains(1L) && o2.counts.isEmpty)
+  }
+
+  test("optional is greedy with skip fallback and partial reporting") {
+    val p = Cep.begin(W)
+      .optionallyFollowedBy("b", 0).followedBy("c", 1)
+    // greedy completes: b@10 then c@20
+    val g = p.eval(0, Seq((0, 10, 1), (1, 20, 2)))
+    assert(g.matched && g.id("b").contains(1L) && g.id("c").contains(2L))
+    // greedy branch can't complete (c precedes the only b) → skip
+    // branch matches the earlier c, b reported UNBOUND
+    val s = p.eval(0, Seq((0, 30, 1), (1, 20, 2)))
+    assert(s.matched && s.id("b").isEmpty && s.id("c").contains(2L))
+    // neither completes → greedy partial (dangling b reported)
+    val n = p.eval(0, Seq((0, 30, 1)))
+    assert(!n.matched && n.id("b").contains(1L) && n.id("c").isEmpty)
+  }
+
+  test("notFollowedBy: matched iff absent, violation hit reported") {
+    val p = Cep.begin(W).notFollowedBy("c", 1)
+    assert(p.eval(0, Seq((0, 10, 1))).matched)
+    val v = p.eval(0, Seq((1, 50, 9)))
+    assert(!v.matched && v.id("c").contains(9L))
+    // out-of-window violation doesn't count
+    assert(p.eval(0, Seq((1, 150, 9))).matched)
+  }
+
+  test("notFollowedBy scans from the previous binding, not the anchor") {
+    val p = Cep.begin(W).followedBy("b", 0).notFollowedBy("c", 1)
+    // c BEFORE b: not a violation of "b not followed by c"
+    val o = p.eval(0, Seq((1, 5, 9), (0, 10, 1)))
+    assert(o.matched && o.id("b").contains(1L))
+    val v = p.eval(0, Seq((0, 10, 1), (1, 15, 9)))
+    assert(!v.matched)
+  }
+
+  test("builder rejects duplicate names and post-negation steps") {
+    intercept[IllegalArgumentException] {
+      Cep.begin(W).followedBy("b", 0).followedBy("b", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.begin(W).notFollowedBy("c", 1).followedBy("b", 0)
+    }
+  }
+
+  test("wantedTypes lists exactly the referenced type codes") {
+    assert(Cep.begin(W).notFollowedBy("c", 1).wantedTypes == Set(1))
+    assert(abc.wantedTypes == Set(0, 1))
+  }
+}

@@ -1666,6 +1666,61 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("Trigger.ProcessingTime smoke: explicit wall-clock trigger drives " +
+      "a processing-time timer to fire without new input") {
+    // Completes the Flink time-semantics matrix: event-time ops run
+    // under AvailableNow everywhere else (deterministic, oracle-able);
+    // this pins the PROCESSING-time corner — an explicit
+    // Trigger.ProcessingTime cadence scheduling batches by wall clock,
+    // with a processing-time timer closing idle state between them.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ptt_").toString
+    val in = s"$dir/in"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq((7L, 1.0), (7L, 2.0)).toDF("user_id", "value").repartition(1)
+        .write.mode("append").parquet(in)
+      val emitted =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      val sch = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(sch).parquet(in)
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new StreamingOps.IdleTimeoutProcessor(300L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "phase", "n")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "100 milliseconds"))
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            emitted.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt).start()
+      import scala.jdk.CollectionConverters._
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(cond, s"timed out waiting for $what: ${emitted.asScala.toSeq}")
+      }
+      try {
+        await(emitted.asScala.exists(t => t == ((7L, "active", 2L))),
+          "active emission from the data batch")
+        // no further input: only the wall-clock cadence can fire this
+        await(emitted.asScala.exists(t => t == ((7L, "idle_closed", 2L))),
+          "timer close-out under Trigger.ProcessingTime")
+      } finally { q.stop(); q.awaitTermination() }
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("transformWithState agrees with the mapGroupsWithState path") {
     val tws = SparkEntry.queries("stream_stateful_tws")(spark, sf)
       .collect().map(_.toString).toSeq
