@@ -365,6 +365,43 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Browse-abandonment pattern (round-7 add): signup → FIRST click
+    // within 1 h, then NO purchase between that click and the signup's
+    // deadline — batch twin of `stream_pattern_abandon` (the Cep-
+    // composed followedBy + notFollowedBy shape). Negation scans from
+    // the CLICK: an earlier purchase does not redeem the abandonment.
+    // Two stages, both scale-safe: the funnel family's window-bounded
+    // join + min-struct agg binds the first click in one user-keyed
+    // shuffle (no pair blowup — the agg folds a signup's many clicks
+    // map-side), then a left-anti join drops redeemed clicks (a signup
+    // with thousands of in-window purchases costs one hash probe).
+    "events_pattern_abandon" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts_us").as("s_ts"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+          col("ts_us").as("c_ts"))
+      val firstClick = sg.join(ck,
+          col("user_id") === col("c_user") &&
+            col("c_ts") > col("s_ts") &&
+            col("c_ts") <= col("s_ts") + lit(3600000000L), "inner")
+        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
+        .agg(min(struct(col("c_ts"), col("c_id"))).as("fc"))
+        .select(col("user_id"), col("signup_id"), col("s_ts"),
+          col("fc.c_id").as("click_id"), col("fc.c_ts").as("c_ts_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
+      firstClick.join(pu,
+          col("user_id") === col("p_user") &&
+            col("p_ts") > col("c_ts_us") &&
+            col("p_ts") <= col("s_ts") + lit(3600000000L), "left_anti")
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          col("c_ts_us"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Strict-contiguity CEP step (round-5 add): Flink's `next()` — the
     // signup's verdict hangs on the user's IMMEDIATELY following event
     // (strictly later ts; earliest (ts, id) wins), not on any later
@@ -1327,6 +1364,33 @@ object ScalarQueries {
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
        ORDER BY s.signup_id""",
+
+    "events_pattern_abandon" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.click_id, f.c_ts AS c_ts_us
+       FROM f1 f
+       WHERE NOT EXISTS (SELECT 1 FROM pu p
+                         WHERE p.user_id = f.user_id
+                           AND p.p_ts > f.c_ts
+                           AND p.p_ts <= f.s_ts + 3600000000)
+       ORDER BY f.signup_id""",
 
     "events_pattern_strict" ->
       """WITH sg AS (SELECT user_id, event_id AS signup_id,

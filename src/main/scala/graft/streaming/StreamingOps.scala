@@ -781,6 +781,38 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Browse-abandonment CEP (round-7 add): signup → first click, then
+    // NOT followed by a purchase before the signup's 1 h deadline — the
+    // abandoned-intent pattern every conversion dashboard wants, and
+    // the first pattern here composed ENTIRELY through the Cep builder
+    // (followedBy + terminal notFollowedBy — a step composition none of
+    // the five pre-existing automata had) rather than a bespoke
+    // processor: the operator is the pattern declaration plus an output
+    // projection. Negation after a bound step is timer-sealed like
+    // stream_pattern_absence (any earlier emission could be voided by a
+    // late in-window purchase), and the negation scans from the CLICK,
+    // not the signup — a purchase BEFORE the click does not redeem the
+    // abandonment (Flink notFollowedBy contiguity).
+    "stream_pattern_abandon" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CepPatternProcessor(abandonPattern,
+          abandonProject),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "click_id", "c_ts_us", "matched"),
+        "append")
+        .filter(col("matched"))
+        .select(col("user_id"), col("signup_id"), col("click_id"),
+          col("c_ts_us"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Count-based tumbling windows (round-5 add): Flink's
     // `countWindow(5)` per user — inexpressible with Spark's time-based
     // window(). Each full run of 5 events in EVENT-TIME order emits one
@@ -2031,6 +2063,8 @@ object StreamingOps {
     .notFollowedBy("purchase", 1)
   private[streaming] val optionalPattern = Cep.begin(CepWindowUs)
     .optionallyFollowedBy("click", 0).followedBy("purchase", 1)
+  private[streaming] val abandonPattern = Cep.begin(CepWindowUs)
+    .followedBy("click", 0).notFollowedBy("purchase", 1)
 
   /** Outcome → output-row projections, shared by the registered queries
     * and the test hooks. */
@@ -2050,6 +2084,9 @@ object StreamingOps {
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
       (key, sid, sTs, !o.matched)
   private val optionalProject = abcProject
+  private val abandonProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("click"), o.ts("click"), o.matched)
 
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
@@ -2660,6 +2697,39 @@ object StreamingOps {
                            AND p.p_ts > s.s_ts_us
                            AND p.p_ts <= s.s_ts_us + 3600000000)
        ORDER BY s.signup_id""",
+
+    // Batch recompute of the abandonment pattern: first click per signup
+    // (stream_pattern_abc's first-match rule), then NOT EXISTS purchase
+    // in (click, deadline], same watermark-seal cutoff.
+    "stream_pattern_abandon" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     c.click_id, c.c_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY c.c_ts, c.click_id) AS rn
+                   FROM sg s JOIN ck c
+                     ON c.user_id = s.user_id
+                    AND c.c_ts > s.s_ts
+                    AND c.c_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.click_id, f.c_ts AS c_ts_us
+       FROM f1 f, mx
+       WHERE (f.s_ts + 3600000000) // 1000 <= mx.wm
+         AND NOT EXISTS (SELECT 1 FROM pu p
+                         WHERE p.user_id = f.user_id
+                           AND p.p_ts > f.c_ts
+                           AND p.p_ts <= f.s_ts + 3600000000)
+       ORDER BY f.signup_id""",
 
     // Batch recompute of the optional pattern + the stream_pattern_abc
     // deadline cutoff: a signup's verdict is final only once the
