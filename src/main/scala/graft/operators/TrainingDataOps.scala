@@ -970,57 +970,114 @@ object TrainingDataOps {
     "llm_dup_spans" -> ((s, d) => {
       val W = 50
       val docs = documents(s, d)
-      // pos feeds both the shared-window agg and the dup probe join —
-      // cut so the substring explode runs once, not per consumer
-      // (stageCut idiom; corpus-position-sized, the op's natural stage
-      // boundary at 100 TB too)
+      // ADAPTIVE text-collapse (round-7; the dup-heavy discipline): the
+      // op's candidate volume is CORPUS POSITIONS, so k verbatim text
+      // replicas multiply every stage k× while per-doc output stays
+      // constant — 16× identical replication measured 74–130 s direct
+      // vs seconds collapsed. Collapse is EXACT: a k ≥ 2 group's member
+      // shares every window with its replicas, so its coverage is the
+      // full [0, n_chars] span (one island) whenever n_chars ≥ W; a
+      // singleton's spans depend only on DISTINCT texts (any other doc
+      // containing its window is some text — replica counts don't
+      // change membership), so the machinery runs on representatives
+      // and answers broadcast back by one id-keyed join. Both paths are
+      // exact, so the precheck picks by duplication MASS (collapse when
+      // rows ≥ 1.25 × distinct-hash count): a 0.2 %-dup corpus skips a
+      // pointless text-keyed shuffle, a replica-heavy one never pays
+      // the k× position explosion. `spark.graft.dupSpansCollapse` =
+      // always|never overrides for tests.
+      val pre = docs.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("text"))).as("nd")).head()
+      val collapse = s.conf.getOption("spark.graft.dupSpansCollapse") match {
+        case Some(v) if v.equalsIgnoreCase("always") => true
+        case Some(v) if v.equalsIgnoreCase("never") => false
+        case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+      }
       val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
         .exists(_.equalsIgnoreCase("false"))
       def cut(df: DataFrame): DataFrame =
         if (ckpt) df.localCheckpoint() else df
-      val pos = cut(docs.filter(length(col("text")) >= W)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), length(col("text")) - W)).as("p"))
-        .select(col("doc_id"), col("p"),
-          expr(s"substring(text, p + 1, $W)").as("w"))
-        .withColumn("h", xxhash64(col("w"))))
-      // Stage 1 (hash-keyed, corpus-sized): candidate hashes seen in ≥2
-      // distinct docs. min≠max over the 8-byte key collapses map-side to
-      // one 24-byte row per (partition, hash) — the superset is exact on
-      // the hash, over-inclusive only under a 64-bit collision.
-      val candH = pos.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx")).select(col("h"))
-      val cand = pos.join(candH, Seq("h"))
-        .select(col("doc_id"), col("p"), col("w"))
-      // Stage 2 (substring-keyed residual, candidate-sized — dup
-      // positions plus any collision strays): keep a position only if
-      // its RAW window really occurs in ≥2 distinct docs.
-      val sharedW = cand.groupBy(col("w"))
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .filter(col("mn") =!= col("mx")).select(col("w"))
-      val dup = cand.join(sharedW, Seq("w")).select(col("doc_id"), col("p"))
-      val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val spans = dup
-        .withColumn("prev_p", lag(col("p"), 1).over(wn))
-        // window length is constant, so interval ends are monotone in p:
-        // a new island starts exactly when the gap to the previous start
-        // exceeds W (adjacent tiles fuse into one span)
-        .withColumn("island", sum(
-          when(col("prev_p").isNull || col("p") - col("prev_p") > W, 1L)
-            .otherwise(0L)).over(wn))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("p")).as("s"), (max(col("p")) + lit(W)).as("e"))
-      val per = spans.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_spans"),
-          sum(col("e") - col("s")).as("dup_chars"))
-      docs.select(col("doc_id"), col("n_chars"))
-        .join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
-          (expr("(2 * coalesce(dup_chars, 0) * 1000000 + n_chars) " +
-            "div (2 * n_chars)") / lit(1e6)).as("dup_char_frac"))
+      // Per-doc merged dup-span rollup over `src` (doc_id, text): the
+      // round-7 hash-keyed machinery. pos feeds both the shared-window
+      // agg and the dup probe join — cut so the substring explode runs
+      // once (stageCut idiom; corpus-position-sized, the op's natural
+      // stage boundary at 100 TB too).
+      def spansPer(src: DataFrame): DataFrame = {
+        val pos = cut(src.filter(length(col("text")) >= W)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), length(col("text")) - W)).as("p"))
+          .select(col("doc_id"), col("p"),
+            expr(s"substring(text, p + 1, $W)").as("w"))
+          .withColumn("h", xxhash64(col("w"))))
+        // Stage 1 (hash-keyed, corpus-sized): candidate hashes seen in
+        // ≥2 distinct docs. min≠max over the 8-byte key collapses
+        // map-side to one 24-byte row per (partition, hash) — the
+        // superset is exact on the hash, over-inclusive only under a
+        // 64-bit collision.
+        val candH = pos.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx")).select(col("h"))
+        val cand = pos.join(candH, Seq("h"))
+          .select(col("doc_id"), col("p"), col("w"))
+        // Stage 2 (substring-keyed residual, candidate-sized — dup
+        // positions plus any collision strays): keep a position only if
+        // its RAW window really occurs in ≥2 distinct docs.
+        val sharedW = cand.groupBy(col("w"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx")).select(col("w"))
+        val dup = cand.join(sharedW, Seq("w"))
+          .select(col("doc_id"), col("p"))
+        val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        dup
+          .withColumn("prev_p", lag(col("p"), 1).over(wn))
+          // window length is constant, so interval ends are monotone in
+          // p: a new island starts exactly when the gap to the previous
+          // start exceeds W (adjacent tiles fuse into one span)
+          .withColumn("island", sum(
+            when(col("prev_p").isNull || col("p") - col("prev_p") > W, 1L)
+              .otherwise(0L)).over(wn))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("p")).as("s"), (max(col("p")) + lit(W)).as("e"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s")).as("dup_chars"))
+      }
+      val rolled =
+        if (!collapse)
+          docs.select(col("doc_id"), col("n_chars"))
+            .join(spansPer(docs), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_chars"),
+              coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+              coalesce(col("dup_chars"), lit(0L)).cast("long")
+                .as("dup_chars"))
+        else {
+          val withRep = docs
+            .withColumn("th", xxhash64(col("text")))
+            .withColumn("rep_id", min(col("doc_id"))
+              .over(Window.partitionBy(col("th"), col("text"))))
+            .withColumn("k", count(lit(1))
+              .over(Window.partitionBy(col("th"), col("text"))))
+          val members = cut(withRep.select(col("doc_id"), col("rep_id"),
+            col("k"), col("n_chars")))
+          val reps = cut(withRep.filter(col("doc_id") === col("rep_id"))
+            .select(col("doc_id"), col("text")))
+          val perRep = spansPer(reps)
+            .select(col("doc_id").as("rep_id"), col("n_dup_spans"),
+              col("dup_chars"))
+          val full = col("k") >= 2 && col("n_chars") >= W
+          members.join(perRep, Seq("rep_id"), "left")
+            .select(col("doc_id"), col("n_chars"),
+              when(full, lit(1L))
+                .otherwise(coalesce(col("n_dup_spans"), lit(0L)))
+                .as("n_dup_spans"),
+              when(full, col("n_chars").cast("long"))
+                .otherwise(coalesce(col("dup_chars"), lit(0L))
+                  .cast("long"))
+                .as("dup_chars"))
+        }
+      rolled.select(col("doc_id"), col("n_dup_spans"), col("dup_chars"),
+          (expr("(2 * dup_chars * 1000000 + n_chars) div (2 * n_chars)")
+            / lit(1e6)).as("dup_char_frac"))
         .orderBy(col("doc_id"))
     }),
 

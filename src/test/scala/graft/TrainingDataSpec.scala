@@ -457,4 +457,42 @@ class TrainingDataSpec extends GraftSpec {
       assert(c == truth(id), s"doc $id contamination verdict mismatch")
     }
   }
+
+  test("llm_dup_spans text-collapse path is exact under heavy duplication") {
+    // The round-7 adaptive collapse runs the position machinery on
+    // DISTINCT texts and reconstructs member answers (full-coverage
+    // override for k ≥ 2 groups, rep join-back for singletons). The
+    // stock SFs are nearly dup-free, so stage a replica-heavy corpus:
+    // sf0.001's 500 docs plus two extra copies of every third doc
+    // (groups of size 3 among singletons) — then the forced-collapse
+    // output must be row-identical to the forced-direct output.
+    val src = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ds_")
+      .toString
+    val extra1 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val extra2 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(200000L))
+    src.unionByName(extra1).unionByName(extra2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.dupSpansCollapse", mode)
+      try SparkEntry.queries("llm_dup_spans")(spark, dir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.dupSpansCollapse")
+    }
+    val direct = run("never")
+    val collapsed = run("always")
+    assert(direct == collapsed,
+      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
+        s"${direct.diff(collapsed).take(5)}")
+    // and the replica groups really hit the full-coverage override:
+    // every replicated doc reports one full span (or nothing, iff the
+    // text is shorter than one 50-char window)
+    val full = collapsed.map(_.stripPrefix("[").stripSuffix("]").split(","))
+      .filter(a => a(0).toLong >= 100000L)
+    assert(full.nonEmpty && full.forall(a =>
+      a(1).toLong == 1L || a(2).toLong == 0L))
+    assert(full.exists(a => a(1).toLong == 1L))
+  }
 }
