@@ -53,7 +53,9 @@ object ScaleProbe {
     "llm_prep_pipeline", "llm_ann_lsh",
     // round-5 adds: identical replicas make every 5-gram corpus-shared
     // (nd ≥ k for all grams) — coverage stays a keyed agg, rows linear
-    "llm_repetition", "llm_dup_ngram_coverage")
+    "llm_repetition", "llm_dup_ngram_coverage",
+    // round-7 add (see PairQueries note)
+    "llm_dup_spans")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -67,7 +69,10 @@ object ScaleProbe {
   // the round-6 evidence gap named by the round-5 review.
   private val PairQueries = Seq(
     "llm_jaccard_pairs", "llm_minhash_lsh", "llm_neardup_crosslang",
-    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh")
+    "llm_embedding_topk_pairs", "llm_embedding_neardup", "llm_embedding_lsh",
+    // round-7 add: corpus-position candidate volume — the op whose 16×
+    // direct path measured 74–130 s before the adaptive text collapse
+    "llm_dup_spans")
 
   private val TrainHeavyQueries =
     Seq("llm_decontaminate", "llm_decontaminate_bloom")
