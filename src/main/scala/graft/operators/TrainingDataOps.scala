@@ -197,6 +197,107 @@ object TrainingDataOps {
           element_at(ws, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Merged exact-duplicate substring spans per doc — (doc_id, s, e)
+    * character ranges covered by any 50-char window that also appears
+    * in at least one OTHER doc; shared by `llm_dup_spans` (rollup) and
+    * `llm_dup_spans_strip` (gap reassembly).
+    *
+    * ADAPTIVE text-collapse (round-7; the dup-heavy discipline): the
+    * candidate volume is CORPUS POSITIONS, so k verbatim text replicas
+    * multiply every stage k× while per-doc output stays constant — 16×
+    * identical replication measured 74–130 s direct vs 3 s collapsed.
+    * Collapse is EXACT: a k ≥ 2 group's member shares every window with
+    * its replicas, so its coverage is the full [0, n_chars] span (one
+    * island) whenever n_chars ≥ W; a singleton's spans depend only on
+    * DISTINCT texts (any other doc containing its window is some text —
+    * replica counts don't change membership), so the machinery runs on
+    * representatives and spans broadcast back by one id-keyed join.
+    * Both paths are exact, so the precheck picks by duplication MASS
+    * (collapse when rows ≥ 1.25 × distinct-hash count): a 0.2 %-dup
+    * corpus skips a pointless text-keyed shuffle, a replica-heavy one
+    * never pays the k× position explosion.
+    * `spark.graft.dupSpansCollapse` = always|never overrides for tests.
+    *
+    * The machinery keys its corpus-sized shuffles on xxhash64(window)
+    * (8-byte keys, min≠max partial agg) with a substring-keyed residual
+    * recheck over the small candidate set — collisions can only ADD
+    * candidates, so exactness is preserved. */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val W = 50
+    val docs = documents(s, d)
+    val pre = docs.agg(count(lit(1)).as("n"),
+      countDistinct(xxhash64(col("text"))).as("nd")).head()
+    val collapse = s.conf.getOption("spark.graft.dupSpansCollapse") match {
+      case Some(v) if v.equalsIgnoreCase("always") => true
+      case Some(v) if v.equalsIgnoreCase("never") => false
+      case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+    }
+    val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+      .exists(_.equalsIgnoreCase("false"))
+    def cut(df: DataFrame): DataFrame =
+      if (ckpt) df.localCheckpoint() else df
+    // Raw machinery over `src` (doc_id, text) → (doc_id, s, e). pos
+    // feeds both the shared-window agg and the dup probe join — cut so
+    // the substring explode runs once (stageCut idiom; corpus-position-
+    // sized, the op's natural stage boundary at 100 TB too).
+    def spansRaw(src: DataFrame): DataFrame = {
+      val pos = cut(src.filter(length(col("text")) >= W)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), length(col("text")) - W)).as("p"))
+        .select(col("doc_id"), col("p"),
+          expr(s"substring(text, p + 1, $W)").as("w"))
+        .withColumn("h", xxhash64(col("w"))))
+      val candH = pos.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("h"))
+      val cand = pos.join(candH, Seq("h"))
+        .select(col("doc_id"), col("p"), col("w"))
+      val sharedW = cand.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx")).select(col("w"))
+      val dup = cand.join(sharedW, Seq("w"))
+        .select(col("doc_id"), col("p"))
+      val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      dup
+        .withColumn("prev_p", lag(col("p"), 1).over(wn))
+        // window length is constant, so interval ends are monotone in
+        // p: a new island starts exactly when the gap to the previous
+        // start exceeds W (adjacent tiles fuse into one span)
+        .withColumn("island", sum(
+          when(col("prev_p").isNull || col("p") - col("prev_p") > W, 1L)
+            .otherwise(0L)).over(wn))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("p")).cast("long").as("s"),
+          (max(col("p")) + lit(W)).cast("long").as("e"))
+        .select(col("doc_id"), col("s"), col("e"))
+    }
+    if (!collapse) spansRaw(docs.select(col("doc_id"), col("text")))
+    else {
+      val withRep = docs
+        .withColumn("th", xxhash64(col("text")))
+        .withColumn("rep_id", min(col("doc_id"))
+          .over(Window.partitionBy(col("th"), col("text"))))
+        .withColumn("k", count(lit(1))
+          .over(Window.partitionBy(col("th"), col("text"))))
+      val members = cut(withRep.select(col("doc_id"), col("rep_id"),
+        col("k"), col("n_chars")))
+      val reps = cut(withRep.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("text")))
+      val repSpans = spansRaw(reps)
+        .select(col("doc_id").as("rep_id"), col("s"), col("e"))
+      // k ≥ 2 members: full coverage, one synthetic span; singletons:
+      // the rep machinery's spans, joined back by id
+      val fullMembers = members
+        .filter(col("k") >= 2 && col("n_chars") >= W)
+        .select(col("doc_id"), lit(0L).as("s"),
+          col("n_chars").cast("long").as("e"))
+      val singles = members.filter(col("k") === 1)
+        .join(repSpans, Seq("rep_id"))
+        .select(col("doc_id"), col("s"), col("e"))
+      fullMembers.unionByName(singles)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // SimHash near-dup candidates: 4×16-bit pigeonhole blocks (hamming ≤ 3
     // ⇒ at least one identical block) + the corpus (lang, size) blocking.
@@ -967,117 +1068,54 @@ object TrainingDataOps {
     // is accepted, the oracle SQL is unchanged. The fraction is the
     // integer half-up ratio (2·c·10⁶ + n) div (2n) — no double
     // accumulation anywhere.
-    "llm_dup_spans" -> ((s, d) => {
-      val W = 50
-      val docs = documents(s, d)
-      // ADAPTIVE text-collapse (round-7; the dup-heavy discipline): the
-      // op's candidate volume is CORPUS POSITIONS, so k verbatim text
-      // replicas multiply every stage k× while per-doc output stays
-      // constant — 16× identical replication measured 74–130 s direct
-      // vs seconds collapsed. Collapse is EXACT: a k ≥ 2 group's member
-      // shares every window with its replicas, so its coverage is the
-      // full [0, n_chars] span (one island) whenever n_chars ≥ W; a
-      // singleton's spans depend only on DISTINCT texts (any other doc
-      // containing its window is some text — replica counts don't
-      // change membership), so the machinery runs on representatives
-      // and answers broadcast back by one id-keyed join. Both paths are
-      // exact, so the precheck picks by duplication MASS (collapse when
-      // rows ≥ 1.25 × distinct-hash count): a 0.2 %-dup corpus skips a
-      // pointless text-keyed shuffle, a replica-heavy one never pays
-      // the k× position explosion. `spark.graft.dupSpansCollapse` =
-      // always|never overrides for tests.
-      val pre = docs.agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("text"))).as("nd")).head()
-      val collapse = s.conf.getOption("spark.graft.dupSpansCollapse") match {
-        case Some(v) if v.equalsIgnoreCase("always") => true
-        case Some(v) if v.equalsIgnoreCase("never") => false
-        case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-      }
-      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
-        .exists(_.equalsIgnoreCase("false"))
-      def cut(df: DataFrame): DataFrame =
-        if (ckpt) df.localCheckpoint() else df
-      // Per-doc merged dup-span rollup over `src` (doc_id, text): the
-      // round-7 hash-keyed machinery. pos feeds both the shared-window
-      // agg and the dup probe join — cut so the substring explode runs
-      // once (stageCut idiom; corpus-position-sized, the op's natural
-      // stage boundary at 100 TB too).
-      def spansPer(src: DataFrame): DataFrame = {
-        val pos = cut(src.filter(length(col("text")) >= W)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(0), length(col("text")) - W)).as("p"))
-          .select(col("doc_id"), col("p"),
-            expr(s"substring(text, p + 1, $W)").as("w"))
-          .withColumn("h", xxhash64(col("w"))))
-        // Stage 1 (hash-keyed, corpus-sized): candidate hashes seen in
-        // ≥2 distinct docs. min≠max over the 8-byte key collapses
-        // map-side to one 24-byte row per (partition, hash) — the
-        // superset is exact on the hash, over-inclusive only under a
-        // 64-bit collision.
-        val candH = pos.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .filter(col("mn") =!= col("mx")).select(col("h"))
-        val cand = pos.join(candH, Seq("h"))
-          .select(col("doc_id"), col("p"), col("w"))
-        // Stage 2 (substring-keyed residual, candidate-sized — dup
-        // positions plus any collision strays): keep a position only if
-        // its RAW window really occurs in ≥2 distinct docs.
-        val sharedW = cand.groupBy(col("w"))
-          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-          .filter(col("mn") =!= col("mx")).select(col("w"))
-        val dup = cand.join(sharedW, Seq("w"))
-          .select(col("doc_id"), col("p"))
-        val wn = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-        dup
-          .withColumn("prev_p", lag(col("p"), 1).over(wn))
-          // window length is constant, so interval ends are monotone in
-          // p: a new island starts exactly when the gap to the previous
-          // start exceeds W (adjacent tiles fuse into one span)
-          .withColumn("island", sum(
-            when(col("prev_p").isNull || col("p") - col("prev_p") > W, 1L)
-              .otherwise(0L)).over(wn))
-          .groupBy(col("doc_id"), col("island"))
-          .agg(min(col("p")).as("s"), (max(col("p")) + lit(W)).as("e"))
+    "llm_dup_spans" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"), col("n_chars"))
+        .join(dupSpans(s, d)
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_dup_spans"),
-            sum(col("e") - col("s")).as("dup_chars"))
-      }
-      val rolled =
-        if (!collapse)
-          docs.select(col("doc_id"), col("n_chars"))
-            .join(spansPer(docs), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("n_chars"),
-              coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-              coalesce(col("dup_chars"), lit(0L)).cast("long")
-                .as("dup_chars"))
-        else {
-          val withRep = docs
-            .withColumn("th", xxhash64(col("text")))
-            .withColumn("rep_id", min(col("doc_id"))
-              .over(Window.partitionBy(col("th"), col("text"))))
-            .withColumn("k", count(lit(1))
-              .over(Window.partitionBy(col("th"), col("text"))))
-          val members = cut(withRep.select(col("doc_id"), col("rep_id"),
-            col("k"), col("n_chars")))
-          val reps = cut(withRep.filter(col("doc_id") === col("rep_id"))
-            .select(col("doc_id"), col("text")))
-          val perRep = spansPer(reps)
-            .select(col("doc_id").as("rep_id"), col("n_dup_spans"),
-              col("dup_chars"))
-          val full = col("k") >= 2 && col("n_chars") >= W
-          members.join(perRep, Seq("rep_id"), "left")
-            .select(col("doc_id"), col("n_chars"),
-              when(full, lit(1L))
-                .otherwise(coalesce(col("n_dup_spans"), lit(0L)))
-                .as("n_dup_spans"),
-              when(full, col("n_chars").cast("long"))
-                .otherwise(coalesce(col("dup_chars"), lit(0L))
-                  .cast("long"))
-                .as("dup_chars"))
-        }
-      rolled.select(col("doc_id"), col("n_dup_spans"), col("dup_chars"),
-          (expr("(2 * dup_chars * 1000000 + n_chars) div (2 * n_chars)")
-            / lit(1e6)).as("dup_char_frac"))
+            sum(col("e") - col("s")).as("dup_chars")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+          (expr("(2 * coalesce(dup_chars, 0) * 1000000 + n_chars) " +
+            "div (2 * n_chars)") / lit(1e6)).as("dup_char_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Duplicated-span STRIP (round-7 add): the pipeline ACTION the spans
+    // diagnostic implies — emit each doc's text with every duplicated
+    // span removed and the rest kept, the "remove the shared run, keep
+    // the unique remainder" granularity of exact-substring dedup (vs
+    // dropping whole near-dup docs). Per doc the kept text is the
+    // concatenation of the gaps between its (merged, non-overlapping)
+    // spans: spans collect into one small per-doc array and a single
+    // `aggregate` HOF walks it left to right — no second corpus shuffle
+    // beyond the span machinery itself (shared with `llm_dup_spans`,
+    // including its adaptive text-collapse), and the per-doc span count
+    // is bounded by n_chars/W so the array never blows up.
+    "llm_dup_spans_strip" -> ((s, d) => {
+      val spans = dupSpans(s, d)
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+          .as("sp"))
+      documents(s, d).select(col("doc_id"), col("text"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("sp").isNull, col("text")).otherwise(expr(
+            """aggregate(
+                 sp,
+                 named_struct('prev', 0L, 'acc', ''),
+                 (st, x) -> named_struct(
+                   'prev', x.e,
+                   'acc', concat(st.acc,
+                     substring(text, cast(st.prev as int) + 1,
+                       cast(x.s - st.prev as int)))),
+                 st -> concat(st.acc,
+                   substring(text, cast(st.prev as int) + 1,
+                     length(text) - cast(st.prev as int))))"""))
+            .as("kept_text"))
+        .select(col("doc_id"), col("kept_text"),
+          length(col("kept_text")).cast("long").as("kept_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1537,6 +1575,52 @@ object TrainingDataOps {
               ((2 * coalesce(p.dup_chars, 0) * 1000000 + d.n_chars)
                  // (2 * d.n_chars)) / 1e6 AS dup_char_frac
        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
+
+    // Same span machinery, then per-doc gap reassembly: kept text =
+    // the between-span substrings (plus the tail past the last span),
+    // string_agg'd in position order.
+    "llm_dup_spans_strip" ->
+      """WITH pos AS (SELECT doc_id, g.p AS p,
+                        substr(text, g.p + 1, 50) AS w
+                      FROM documents,
+                        LATERAL unnest(generate_series(0, length(text) - 50))
+                          AS g(p)
+                      WHERE length(text) >= 50),
+            shared AS (SELECT w FROM pos GROUP BY w
+                       HAVING count(DISTINCT doc_id) >= 2),
+            dup AS (SELECT doc_id, p FROM pos
+                    WHERE w IN (SELECT w FROM shared)),
+            lagd AS (SELECT doc_id, p,
+                       lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+                     FROM dup),
+            isl AS (SELECT doc_id, p,
+                      sum(CASE WHEN prev_p IS NULL OR p - prev_p > 50
+                               THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p) AS island
+                    FROM lagd),
+            spans AS (SELECT doc_id, island, min(p) AS s, max(p) + 50 AS e
+                      FROM isl GROUP BY 1, 2),
+            gaps AS (SELECT doc_id,
+                       coalesce(lag(e) OVER (PARTITION BY doc_id
+                                             ORDER BY s), 0) AS gs,
+                       s AS ge
+                     FROM spans
+                     UNION ALL
+                     SELECT doc_id, max(e) AS gs, NULL AS ge
+                     FROM spans GROUP BY doc_id),
+            segs AS (SELECT g.doc_id, g.gs,
+                       substr(d.text, CAST(g.gs AS BIGINT) + 1,
+                         coalesce(g.ge, length(d.text)) - g.gs) AS seg
+                     FROM gaps g JOIN documents d ON d.doc_id = g.doc_id),
+            kept AS (SELECT doc_id,
+                       string_agg(seg, '' ORDER BY gs) AS kept_text
+                     FROM segs GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(k.kept_text, d.text) AS kept_text,
+              CAST(length(coalesce(k.kept_text, d.text)) AS BIGINT)
+                AS kept_chars
+       FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
        ORDER BY d.doc_id""",
 
     "llm_mix_temperature" ->

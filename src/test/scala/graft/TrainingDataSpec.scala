@@ -475,9 +475,9 @@ class TrainingDataSpec extends GraftSpec {
       .withColumn("doc_id", col("doc_id") + lit(200000L))
     src.unionByName(extra1).unionByName(extra2)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String): Seq[String] = {
+    def run(mode: String, q: String = "llm_dup_spans"): Seq[String] = {
       spark.conf.set("spark.graft.dupSpansCollapse", mode)
-      try SparkEntry.queries("llm_dup_spans")(spark, dir)
+      try SparkEntry.queries(q)(spark, dir)
         .collect().map(_.toString).toSeq
       finally spark.conf.unset("spark.graft.dupSpansCollapse")
     }
@@ -486,6 +486,10 @@ class TrainingDataSpec extends GraftSpec {
     assert(direct == collapsed,
       s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
         s"${direct.diff(collapsed).take(5)}")
+    // the strip op shares dupSpans — its gap reassembly must agree too
+    assert(run("never", "llm_dup_spans_strip") ==
+      run("always", "llm_dup_spans_strip"),
+      "strip collapse path diverged")
     // and the replica groups really hit the full-coverage override:
     // every replicated doc reports one full span (or nothing, iff the
     // text is shorter than one 50-char window)
