@@ -58,17 +58,15 @@ object Relational {
   }
 
   /** Loop-invariant PageRank layout, paid ONCE: fold the static
-    * out-degree into the edge table and pre-partition it by dst — the
-    * destination of every rank contribution. Each round then (a)
-    * broadcasts the NODE-cardinality rank table into a map-side join
-    * against the in-place edges (no edge shuffle, ever), and (b)
+    * out-degree into the edge table before [[GraphLoop.pin]]ning it by
+    * dst — the destination of every rank contribution. Each round then
+    * (a) broadcasts the NODE-cardinality rank table into a map-side
+    * join against the in-place edges (no edge shuffle, ever), and (b)
     * aggregates contributions on dst with the partitioning already in
-    * place (no exchange). The loop moves only O(nodes) bytes per round
-    * however many edges exist — the Pregel message-combining shape. At
-    * node counts beyond the broadcast threshold a deployment drops the
-    * broadcast() hint and the same plan shuffles rank instead (one
-    * node-sized exchange per round — still never the edges). Returns
-    * (edgesD, nodes, rank0). */
+    * place (no exchange). The loop-shape rationale (persist vs
+    * checkpoint, per-round cuts, O(nodes) bytes/round) lives on
+    * [[GraphLoop]]. Returns (edgesD, nodes, rank0); callers release
+    * edgesD after their loop. */
   private[graft] def pagerankLayout(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val edges0 = orders(s, d)
@@ -82,39 +80,57 @@ object Relational {
         // suppkey — at 10⁶ the two id spaces collided from SF ≳ 7
         (col("l_suppkey") + lit(1000000000000L)).as("p"))
       .distinct()
-    val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
-      .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
-      .localCheckpoint()
+    val edges = GraphLoop.symmetrize(edges0, "c", "p").localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // persist(), NOT localCheckpoint: a checkpoint rewrites the plan to
-    // a Scan ExistingRDD whose partitioning is UNKNOWN to Catalyst, so
-    // every round would re-shuffle its (map-side-combined) contributions
-    // to satisfy the dst aggregation — PlanShapeSpec caught exactly
-    // that. The cached plan keeps hashpartitioning(dst) visible
-    // (canChangeCachedPlanOutputPartitioning defaults false), so the
-    // per-round agg runs with the partitioning in place, no exchange.
-    // Lineage truncation isn't needed here — the table is loop-invariant
-    // and computed once; only rank (below) needs per-round cuts.
-    val edgesD = edges.join(deg, Seq("src"))
-      .repartition(col("dst")).persist()
-    edgesD.count() // materialize the cache before the loop reads it 10×
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    val edgesD = GraphLoop.pin(edges.join(deg, Seq("src")))
+    val nodes = GraphLoop.nodesOf(edges)
     val rank0 = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
     (edgesD, nodes, rank0)
   }
 
   private def pagerankQuery(s: SparkSession, d: String): DataFrame = {
     val (edgesD, nodes, rank0) = pagerankLayout(s, d)
-    var rank = rank0
-    for (_ <- 1 to 10) {
-      // cut EVERY round: broadcast(rank) evaluates its subtree when
-      // the broadcast builds, so an un-cut round would replay the
-      // previous round's join inside this round's broadcast job —
-      // the node-cardinality materialization is the cheap side
-      rank = pagerankRound(edgesD, nodes, rank).localCheckpoint()
-    }
+    val rank = GraphLoop.iterate(rank0, 10)(
+      r => pagerankRound(edgesD, nodes, r))
+    GraphLoop.release(edgesD) // every round checkpointed — cache is dead
     rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  /** Connected-components layout: the (sparse) high-quantity trade
+    * graph, same supplier offset and [[GraphLoop]] discipline as
+    * pagerank (no degree fold — min-label needs only the edges).
+    * Returns (edges, lbl0); callers release edges after their loop. */
+  private[graft] def ccLayout(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val pairs = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + lit(1000000000000L)).as("p"))
+      .distinct()
+    val edges = GraphLoop.pin(GraphLoop.symmetrize(pairs, "c", "p"))
+    val lbl0 = GraphLoop.nodesOf(edges)
+      .withColumn("comp", col("node")).localCheckpoint()
+    (edges, lbl0)
+  }
+
+  /** One min-label propagation round: comp(v) ← min(comp(v), min over
+    * in-edges of comp(u)), plus the `changed` fixpoint flag
+    * [[GraphLoop.iterateUntilFixed]] consumes. Exposed standalone so
+    * PlanShapeSpec can assert the round's zero-exchange shape exactly
+    * as it does pagerank's. */
+  private[graft] def ccRound(edges: DataFrame, lbl: DataFrame)
+      : DataFrame = {
+    val in = edges.join(broadcast(lbl), col("src") === col("node"))
+      .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
+    lbl.join(broadcast(in), col("node") === col("dst"), "left")
+      .select(col("node"),
+        least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+          .as("comp"),
+        (coalesce(col("nbr_min"), col("comp")) < col("comp"))
+          .as("changed"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -323,52 +339,26 @@ object Relational {
 
     // Connected components over the (sparse) high-quantity trade graph —
     // the second iterative-graph op, completing the pair with
-    // graph_pagerank (sum-flow) via MIN-LABEL PROPAGATION: 8 fixed
-    // rounds of comp(v) ← min(comp(v), min over in-edges of comp(u)),
-    // each node's label converging to the least node id within 8 hops
-    // (= the component min once the propagation radius covers the
-    // component diameter — ScalaTest pins that 8 rounds reach the
-    // fixpoint at test scale; a deployment doubles rounds or switches
-    // to llm_dedup_clusters' pointer jumping for log-diameter
-    // convergence). Same loop layout as pagerank: edges pre-partitioned
-    // by dst ONCE, each round broadcasts the node-cardinality label
-    // table into a map-side join and min-aggregates with the
-    // partitioning in place — O(nodes) bytes per round, edges never
-    // shuffle; min is order-insensitive so the result is bit-identical
-    // on any partitioning (D2 for free, no micro-units needed).
+    // graph_pagerank (sum-flow) via MIN-LABEL PROPAGATION: rounds of
+    // comp(v) ← min(comp(v), min over in-edges of comp(u)), iterated
+    // UNTIL NO LABEL CHANGES (round-8: the fixed 8-round unroll was
+    // only true CC when every component's min-label radius fit 8 — now
+    // the loop is scale-correct by construction, with a 64-round cap
+    // documented on GraphLoop; the pointer-jumping alternative for
+    // huge-diameter graphs is llm_dedup_clusters). The DuckDB oracle
+    // still unrolls 8 rounds — OperatorSpec pins that 8 rounds ARE the
+    // fixpoint on this corpus, so converged == unrolled at every test
+    // SF. Loop shape is GraphLoop's (edges pinned by dst once, each
+    // round broadcasts the node-cardinality label table, min-agg runs
+    // with the partitioning in place — O(nodes) bytes/round, edges
+    // never shuffle; PlanShapeSpec asserts the round); min is
+    // order-insensitive so the result is bit-identical on any
+    // partitioning (D2 for free, no micro-units needed).
     "graph_connected_components" -> ((s, d) => {
-      val edges0 = orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(lineitem(s, d).filter(col("l_quantity") >= 48)
-          .select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"),
-          // same 10¹² supplier offset as graph_pagerank (collision-free
-          // to SF ~ 7·10⁶)
-          (col("l_suppkey") + lit(1000000000000L)).as("p"))
-        .distinct()
-      // persist(), NOT localCheckpoint (the pagerank lesson): cached
-      // plans keep hashpartitioning(dst) visible to Catalyst, so the
-      // per-round min-agg needs no exchange; a checkpoint would hide it.
-      val edges = edges0.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(edges0.select(col("p").as("src"), col("c").as("dst")))
-        .repartition(col("dst")).persist()
-      edges.count() // materialize before the loop reads it 8×
-      val nodes = edges.select(col("src").as("node")).distinct()
-        .localCheckpoint()
-      var lbl = nodes.withColumn("comp", col("node")).localCheckpoint()
-      for (_ <- 1 to 8) {
-        val in = edges.join(broadcast(lbl), col("src") === col("node"))
-          .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
-        // cut EVERY round (the pagerank discipline): broadcast(lbl)
-        // builds eagerly, so an un-cut round would replay the previous
-        // round's join inside this round's broadcast job
-        lbl = lbl.join(broadcast(in), col("node") === col("dst"), "left")
-          .select(col("node"),
-            least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-              .as("comp"))
-          .localCheckpoint()
-      }
+      val (edges, lbl0) = ccLayout(s, d)
+      val lbl = GraphLoop.iterateUntilFixed(lbl0, 64, "changed")(
+        l => ccRound(edges, l))
+      GraphLoop.release(edges) // every round checkpointed — cache is dead
       lbl.orderBy(col("node"))
     }),
 

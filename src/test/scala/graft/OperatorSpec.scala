@@ -225,14 +225,23 @@ class OperatorSpec extends GraftSpec {
     assert(a.nonEmpty && a.forall(_._2 > 0L))
   }
 
-  test("graph_connected_components: 8 rounds reach the fixpoint " +
-      "(every edge's endpoints share a label)") {
-    // Label propagation has converged to true components iff labels are
-    // edge-consistent (comp(u) == comp(v) for every edge) — by induction
-    // each label is then the component min. If 8 rounds ever stop
-    // covering the diameter at test scale this fails, telling us to
-    // raise the round count in op + oracle together.
+  test("graph_connected_components: converged labels are edge-consistent " +
+      "and equal the oracle's 8-round unroll") {
+    // Round-8: the op iterates until no label changes (scale-correct
+    // CC) while the DuckDB oracle still unrolls 8 fixed rounds — parity
+    // holds iff 8 rounds ARE the fixpoint on this corpus, so pin that
+    // directly: the registered (converged) output must equal an 8-round
+    // fixed unroll of the same round function. If the corpus ever grows
+    // a component with min-label radius > 8 this fails, telling us to
+    // raise the oracle's unroll.
     val comp = SparkEntry.queries("graph_connected_components")(spark, sf)
+    val (edges8, lbl0) = operators.Relational.ccLayout(spark, sf)
+    val unrolled = operators.GraphLoop.iterate(lbl0, 8)(
+      l => operators.Relational.ccRound(edges8, l).drop("changed"))
+    operators.GraphLoop.release(edges8)
+    assert(comp.orderBy(col("node")).collect().toSeq ==
+      unrolled.orderBy(col("node")).collect().toSeq,
+      "converged output diverges from the oracle's 8-round unroll")
     val e0 = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, sf).filter(col("l_quantity") >= 48)

@@ -403,24 +403,43 @@ class PlanShapeSpec extends GraftSpec {
     // means the O(nodes)-bytes-per-round claim is broken.
     val (edgesD, nodes, rank0) =
       operators.Relational.pagerankLayout(spark, sf)
-    val df = operators.Relational.pagerankRound(edgesD, nodes, rank0)
+    try assertLoopRoundShape(
+      operators.Relational.pagerankRound(edgesD, nodes, rank0), "pagerank")
+    finally operators.GraphLoop.release(edgesD)
+  }
+
+  test("graph_connected_components loop iteration: labels broadcast, " +
+      "edges never shuffle (no exchange inside the loop)") {
+    // Same assert as pagerank's — round-8 factored both ops onto
+    // GraphLoop, and this pins the CC round's zero-exchange claim that
+    // had been comment-only.
+    val (edges, lbl0) = operators.Relational.ccLayout(spark, sf)
+    try assertLoopRoundShape(
+      operators.Relational.ccRound(edges, lbl0), "connected-components")
+    finally operators.GraphLoop.release(edges)
+  }
+
+  /** One graph-loop round must read edges from the loop-invariant
+    * cache, broadcast the node-cardinality state, and contain no
+    * shuffle exchange — a shuffle anywhere in the round means the
+    * O(nodes)-bytes-per-round claim is broken. The printed plan embeds
+    * the cached edge table's BUILD plan (below the InMemoryRelation
+    * line) — its exchanges are the paid-once layout; everything ABOVE
+    * InMemoryRelation is what the loop runs per round. */
+  private def assertLoopRoundShape(df: org.apache.spark.sql.DataFrame,
+      label: String): Unit = {
     df.collect()
     val s = df.queryExecution.executedPlan.toString
     val init = s.indexOf("== Initial Plan ==")
     val plan = if (init >= 0) s.substring(0, init) else s
     assert(plan.contains("BroadcastHashJoin"),
-      s"rank side not broadcast:\n$plan")
-    // The printed plan embeds the cached edge table's BUILD plan (below
-    // the InMemoryRelation line) — its exchanges are the paid-once
-    // layout. Everything ABOVE InMemoryRelation is what the loop runs
-    // per round, and must contain no shuffle: an exchange there means
-    // Catalyst lost the dst partitioning and re-shuffles every round.
+      s"$label state side not broadcast:\n$plan")
     assert(plan.contains("InMemoryRelation"),
-      s"edge table not read from the loop-invariant cache:\n$plan")
+      s"$label edge table not read from the loop-invariant cache:\n$plan")
     val loopPlan = plan.substring(0, plan.indexOf("InMemoryRelation"))
     assert(!loopPlan.contains("Exchange hashpartitioning") &&
       !loopPlan.contains("Exchange rangepartitioning") &&
       !loopPlan.contains("Exchange SinglePartition"),
-      s"shuffle exchange inside the pagerank loop:\n$plan")
+      s"shuffle exchange inside the $label loop:\n$plan")
   }
 }
