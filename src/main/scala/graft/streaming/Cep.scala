@@ -30,19 +30,25 @@ package graft.streaming
   *    kept iff the REMAINDER completes; otherwise the skip branch is
   *    tried; if neither completes, the greedy partial is reported.
   *  - `oneOrMore` (greedy) binds its first occurrence as the chain
-  *    pivot; once the following step closes the match it absorbs every
-  *    occurrence strictly between the anchor and the closing binding
-  *    (count exposed via [[Cep.Outcome.counts]]).
+  *    pivot; once the remainder completes it absorbs every occurrence
+  *    strictly between the previous step's binding and the earliest
+  *    later-step binding (the window end when nothing later binds —
+  *    e.g. a terminal `oneOrMore`); count exposed via
+  *    [[Cep.Outcome.counts]]. Both bounds are the relaxed-contiguity
+  *    reading: occurrences before the pattern's progress point or
+  *    after the close never count, wherever the step sits in the chain.
   *  - `notFollowedBy` is terminal negation: decidable only at seal
   *    (any earlier emission could be voided by a late in-window event);
   *    a violating hit is reported under the step's name and fails the
   *    match.
   *
   * Events are (typeCode, tsMicros, eventId) rows — the buffer shape of
-  * `AbcBufferProcessor`. A fuller library would also parameterize the
-  * anchor predicate and the type mapping; here the anchor/type wiring
-  * stays in the processor (it owns the input schema) and the pattern
-  * owns the composition.
+  * `AbcBufferProcessor`. The anchor event type and the string→typeCode
+  * mapping are processor PARAMETERS (round-8): the processor owns the
+  * input schema, the pattern owns the composition, and a query picks
+  * both — `stream_funnel` anchors on signups over purchase-only
+  * buffering through the same class that runs the click/purchase
+  * patterns.
   */
 object Cep {
 
@@ -136,20 +142,24 @@ object Cep {
             case None => (Map.empty, Map.empty, false)
             case Some(pivot) =>
               val (b, c, m) = go(tail, pivot._1)
-              // the closing binding = the immediately following step's
-              // (first) hit; absorbed occurrences lie strictly between
-              // the anchor and it
-              val closeTs = if (!m) None else tail.headOption.flatMap {
-                case Bind(nn, _, nT) =>
-                  b.get(if (nT == 1) nn else s"${nn}1").map(_._1)
-                case Opt(nn, _) => b.get(nn).map(_._1)
-                case _ => None
-              }
-              val cc = closeTs match {
-                case Some(hi) => c + (name -> events.count {
-                  case (t, ts, _) => t == tc && ts > anchorTs && ts < hi
+              // the close = the EARLIEST later-step binding (every hit
+              // in b is from a step after this one, so the min ts is
+              // the first event the remainder consumed — robust to a
+              // skipped Opt or a chained quantifier head, where
+              // inspecting only tail.head missed the close). A matched
+              // tail with no bindings (terminal oneOrMore, or only
+              // skipped/absent steps after it) absorbs to the window
+              // end. Absorbed occurrences lie strictly between the
+              // PREVIOUS step's binding (lo — not the anchor: for a
+              // mid-pattern quantifier, occurrences before the
+              // pattern's progress point never count) and the close.
+              val cc = if (!m) c else {
+                val hi = b.values.map(_._1).minOption
+                  .getOrElse(deadline + 1L)
+                c + (name -> events.count {
+                  case (t, ts, _) =>
+                    t == tc && ts > lo && ts < hi && ts <= deadline
                 }.toLong)
-                case None => c
               }
               (Map(name -> pivot) ++ b, cc, m)
           }

@@ -9,32 +9,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger}
 import graft.Tables._
 
-/** State row for [[StreamingOps]]'s streaming funnel processor: pending
-  * signups of one user plus the purchases that may still precede a FUTURE
-  * signup. Stored as parallel primitive-array columns — logically
-  * `items: Seq[(signupId, signupTsUs, bestPurchTsUs, bestPurchId)]` and
-  * `purchases: Seq[(pTsUs, pId)]` split field-per-array — because
-  * `Array[Long]` serializes via `UnsafeArrayData.fromPrimitiveArray` in
-  * generated code, whereas a `Seq` of tuples inside an object-nested
-  * private case class made Janino reject the generated encoder (a failed
-  * compile + interpreted serde on EVERY state access). Top-level +
-  * flat primitive arrays keeps the per-key hot path in codegen. */
-private[streaming] case class FunnelState(
-    sId: Array[Long], sTs: Array[Long], bTs: Array[Long], bId: Array[Long],
-    pTs: Array[Long], pId: Array[Long])
-
-/** State row for [[StreamingOps]]'s 3-step pattern processor: pending
-  * signups plus the buffered click/purchase events of the live 1 h
-  * horizon, as parallel primitive-array columns (same codegen rationale
-  * as [[FunnelState]]). Logically `signups: Seq[(id, tsUs)]` and
-  * `events: Seq[(typeCode 0=click/1=purchase, tsUs, eventId)]`. */
+/** State row for [[StreamingOps]]'s CEP pattern processors: pending
+  * anchors plus the buffered pattern-relevant events of the live window
+  * horizon. Stored as parallel primitive-array columns — logically
+  * `anchors: Seq[(id, tsUs)]` and `events: Seq[(typeCode, tsUs,
+  * eventId)]` split field-per-array — because `Array[Long]` serializes
+  * via `UnsafeArrayData.fromPrimitiveArray` in generated code, whereas
+  * a `Seq` of tuples inside an object-nested private case class made
+  * Janino reject the generated encoder (a failed compile + interpreted
+  * serde on EVERY state access). Top-level + flat primitive arrays
+  * keeps the per-key hot path in codegen. */
 private[streaming] case class AbcState(
     sId: Array[Long], sTs: Array[Long],
     eType: Array[Int], eTs: Array[Long], eId: Array[Long])
 
 /** State row for [[StreamingOps]]'s count-window processor: the events
   * of one user not yet evicted, as parallel primitive arrays (same
-  * codegen rationale as [[FunnelState]]), plus the count of windows
+  * codegen rationale as [[AbcState]]), plus the count of windows
   * already emitted (keeps window indices contiguous across
   * micro-batches) and the count of events already evicted (`baseRank` —
   * a buffered event's global 1-based rank is baseRank + its sorted
@@ -49,7 +40,7 @@ private[streaming] case class CountWinState(
   * micro-unit values in rank order (the lag context every future event's
   * average needs — the WHOLE emitted history reduces to this) plus the
   * unsealed event buffer, as parallel primitive arrays (same codegen
-  * rationale as [[FunnelState]]). */
+  * rationale as [[AbcState]]). */
 private[streaming] case class EwmaState(
     timerAt: Long, lagV: Array[Long],
     ts: Array[Long], eid: Array[Long], vus: Array[Long])
@@ -58,14 +49,14 @@ private[streaming] case class EwmaState(
   * sealed event's type code (−1 before any event seals — the single
   * value the whole emitted history reduces to) plus the unsealed event
   * buffer, as parallel primitive arrays (same codegen rationale as
-  * [[FunnelState]]). */
+  * [[AbcState]]). */
 private[streaming] case class TransState(
     timerAt: Long, prevCode: Long,
     ts: Array[Long], eid: Array[Long], cod: Array[Long])
 
 /** State row for [[StreamingOps]]'s Misra–Gries heavy-hitters processor:
   * the ≤ 64-entry (key, count) summary as parallel primitive arrays
-  * (same codegen rationale as [[FunnelState]]) plus the total events
+  * (same codegen rationale as [[AbcState]]) plus the total events
   * seen — the monotone counter the update-mode readout collapses on.
   * THIS state row is the whole point of the op: fixed-size however many
   * distinct users flow through the stream. */
@@ -571,19 +562,23 @@ object StreamingOps {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
-    // Streaming CEP funnel (round-4 add): the event-time-timer twin of
-    // the batch `events_funnel` op — per signup, the FIRST purchase by
-    // the same user within 1 h, or an explicit non-conversion verdict.
-    // The verdict for a signup is only knowable once the watermark
-    // passes its 1 h deadline (an earlier-timestamped purchase may still
-    // arrive until then), so the processor NEVER emits from
-    // handleInputRows: it accumulates the best candidate purchase per
-    // pending signup in state and emits exactly when the signup's
-    // deadline timer fires — the Flink-CEP followedBy().within() pattern
-    // on Spark's transformWithState. Under AvailableNow the trailing
-    // no-data batch carries the final watermark (= max event time), so
-    // signups whose deadline cleared it emit and the rest stay pending —
-    // the same ms-precision cutoff the batch oracle recomputes.
+    // Streaming CEP funnel (round-4 add; a Cep pattern instance since
+    // round-8): the event-time-timer twin of the batch `events_funnel`
+    // op — per signup, the FIRST purchase by the same user within 1 h,
+    // or an explicit non-conversion verdict. Literally
+    // `begin(1h).followedBy(purchase)` anchored on signups, through the
+    // same CepPatternProcessor as every other stream_pattern_* op (the
+    // hand-built FunnelProcessor automaton is retired — the anchor
+    // type is a processor parameter now). The verdict for a signup is
+    // only knowable once the watermark passes its 1 h deadline (an
+    // earlier-timestamped purchase may still arrive until then), so
+    // nothing emits from handleInputRows: events buffer in state and
+    // each signup evaluates exactly when its deadline timer fires —
+    // the Flink-CEP followedBy().within() pattern on Spark's
+    // transformWithState. Under AvailableNow the trailing no-data batch
+    // carries the final watermark (= max event time), so signups whose
+    // deadline cleared it emit and the rest stay pending — the same
+    // ms-precision cutoff the batch oracle recomputes.
     "stream_funnel" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
       val ev = eventsStream(s, d)
@@ -592,7 +587,7 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val out = ev.groupByKey(_._3)
-        .transformWithState(new FunnelProcessor(),
+        .transformWithState(new CepPatternProcessor(funnelPattern, funnelProject),
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "purchase_id", "us_to_convert"),
@@ -616,7 +611,7 @@ object StreamingOps {
           col("user_id"), col("event_type"), col("event_id"))
         .as[(java.sql.Timestamp, Long, Long, String, Long)]
       val verdicts = ev.groupByKey(_._3)
-        .transformWithState(new FunnelProcessor(),
+        .transformWithState(new CepPatternProcessor(funnelPattern, funnelProject),
           TimeMode.EventTime(), OutputMode.Append())
         .toDF("user_id", "signup_id", "purchase_id", "us_to_convert")
       val lag = verdicts.filter(col("purchase_id").isNotNull)
@@ -917,7 +912,7 @@ object StreamingOps {
     // type → its type). State is ONE long (last sealed code) + the
     // unsealed horizon. The type alphabet is the op's configured CEP
     // alphabet (patterns always have a finite one), coded to ints so
-    // the state row stays primitive-array (the FunnelState codegen
+    // the state row stays primitive-array (the AbcState codegen
     // rule). Oracle: the batch lag SQL over the sealed prefix.
     "stream_transitions" -> ((s, d) => withRocksDb(s) {
       import s.implicits._
@@ -1411,146 +1406,6 @@ object StreamingOps {
     }
   }
 
-  /** [[FunnelState]] ↔ working-tuple converters. Items are
-    * (signupId, signupTsUs, bestPurchaseTsUs, bestPurchaseId) with
-    * Long.MaxValue sentinels while no in-window purchase has been seen;
-    * buffered purchases are (pTsUs, pId) with pTs > watermark — a
-    * purchase at or below the watermark can never match a
-    * later-arriving signup (late floor: s_ts ≥ wm, matches need
-    * p_ts > s_ts). In a SUSTAINED stream the watermark advances every
-    * batch, so the buffer holds only the out-of-orderness window; in a
-    * single-batch replay (AvailableNow over one file) the watermark is
-    * still 0 when the data batch commits, so the buffer transiently
-    * holds that batch's purchases until the trailing no-data batch
-    * evicts them — bounded by one batch, not by history. */
-  private def funnelItems(s: FunnelState): Seq[(Long, Long, Long, Long)] =
-    Array.tabulate(s.sId.length)(i =>
-      (s.sId(i), s.sTs(i), s.bTs(i), s.bId(i))).toSeq
-
-  private def funnelPurchases(s: FunnelState): Seq[(Long, Long)] =
-    Array.tabulate(s.pTs.length)(i => (s.pTs(i), s.pId(i))).toSeq
-
-  private def packFunnel(items: Seq[(Long, Long, Long, Long)],
-      purchases: Seq[(Long, Long)]): FunnelState =
-    FunnelState(
-      items.map(_._1).toArray, items.map(_._2).toArray,
-      items.map(_._3).toArray, items.map(_._4).toArray,
-      purchases.map(_._1).toArray, purchases.map(_._2).toArray)
-
-  /** Streaming funnel processor (see the `stream_funnel` registration):
-    * signups arm an event-time timer at signupTs + 1 h; purchases only
-    * UPDATE the best (earliest (ts, id)) candidate of every pending
-    * in-window signup; emission happens exclusively in
-    * handleExpiredTimer once the watermark passes a deadline — the only
-    * point where "first purchase within the hour" is final. One armed
-    * timer per key (the earliest pending deadline), re-armed as
-    * deadlines mature; timers and state are both dropped when the last
-    * pending signup emits. All decisions run in exact event
-    * MICROSECONDS; only the deadline-vs-watermark race runs at the
-    * engine's millisecond timer precision (floor(µs/1000), mirrored by
-    * the oracle's epoch_ms arithmetic). */
-  private class FunnelProcessor extends StatefulProcessor[
-      Long, (java.sql.Timestamp, Long, Long, String, Long),
-      (Long, Long, Option[Long], Option[Long])] {
-
-    private val WindowUs = 3600000000L // 1 h in µs
-    private val None_ = Long.MaxValue
-
-    @transient private var pend:
-      org.apache.spark.sql.streaming.ValueState[FunnelState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      pend = getHandle.getValueState[FunnelState]("pend",
-        Encoders.product[FunnelState], TTLConfig.NONE)
-
-    override def handleInputRows(key: Long,
-        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
-        timerValues: TimerValues):
-        Iterator[(Long, Long, Option[Long], Option[Long])] = {
-      // sort by (eventTime, eventId) so a same-batch purchase lands on
-      // signups that precede it in event time, not in arrival order
-      val evs = rows.toArray.sortBy(r => (r._2, r._5))
-      val cur = Option(pend.get())
-      val items = scala.collection.mutable.ArrayBuffer(
-        cur.map(funnelItems).getOrElse(Nil): _*)
-      val purch = scala.collection.mutable.ArrayBuffer(
-        cur.map(funnelPurchases).getOrElse(Nil): _*)
-      evs.foreach { case (_, tsUs, _, etype, eid) =>
-        etype match {
-          case "signup" =>
-            // seed the best candidate from ALREADY-SEEN purchases: the
-            // watermark is ms-truncated, so a purchase can be processed
-            // in an earlier batch than a not-late signup with a smaller
-            // µs timestamp — without this scan that conversion is lost
-            var bTs = None_; var bId = None_
-            purch.foreach { case (pTs, pId) =>
-              if (pTs > tsUs && pTs <= tsUs + WindowUs &&
-                  (pTs < bTs || (pTs == bTs && pId < bId))) {
-                bTs = pTs; bId = pId
-              }
-            }
-            items += ((eid, tsUs, bTs, bId))
-          case "purchase" =>
-            var i = 0
-            while (i < items.length) {
-              val (sid, sTs, bTs, bId) = items(i)
-              if (tsUs > sTs && tsUs <= sTs + WindowUs &&
-                  (tsUs < bTs || (tsUs == bTs && eid < bId)))
-                items(i) = (sid, sTs, tsUs, eid)
-              i += 1
-            }
-            purch += ((tsUs, eid))
-          case _ => ()
-        }
-      }
-      // evict purchases no future signup can match (p_ts ≤ wm floor)
-      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000
-      val livePurch = purch.filter { case (pTs, _) => pTs > wmUs }.toSeq
-      if (items.nonEmpty || livePurch.nonEmpty)
-        pend.update(packFunnel(items.toSeq, livePurch))
-      else pend.clear()
-      rearm(items.toSeq, livePurch)
-      Iterator.empty
-    }
-
-    /** One armed timer per key: the earliest signup deadline, or — with
-      * only buffered purchases left — a cleanup tick when the last
-      * purchase falls behind the watermark, so signup-less keys cannot
-      * retain state forever. */
-    private def rearm(items: Seq[(Long, Long, Long, Long)],
-        purchases: Seq[(Long, Long)]): Unit = {
-      getHandle.listTimers()
-        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      val deadlines =
-        items.map { case (_, sTs, _, _) => (sTs + WindowUs) / 1000 } ++
-          (if (items.isEmpty && purchases.nonEmpty)
-            Seq(purchases.map(_._1).max / 1000 + 1)
-          else Nil)
-      if (deadlines.nonEmpty) getHandle.registerTimer(deadlines.min)
-    }
-
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
-        Iterator[(Long, Long, Option[Long], Option[Long])] = {
-      val wm = timerValues.getCurrentWatermarkInMs()
-      val cur = Option(pend.get())
-      val (matured, rest) =
-        cur.map(funnelItems).getOrElse(Nil).partition {
-          case (_, sTs, _, _) => (sTs + WindowUs) / 1000 <= wm
-        }
-      val livePurch = cur.map(funnelPurchases).getOrElse(Nil)
-        .filter { case (pTs, _) => pTs > wm * 1000 }
-      if (rest.nonEmpty || livePurch.nonEmpty)
-        pend.update(packFunnel(rest, livePurch))
-      else pend.clear()
-      rearm(rest, livePurch)
-      matured.sortBy(_._1).iterator.map { case (sid, sTs, bTs, bId) =>
-        if (bTs == None_) (key, sid, None, None)
-        else (key, sid, Some(bId), Some(bTs - sTs))
-      }
-    }
-  }
-
   /** [[AbcState]] ↔ working-tuple converters: pending signups plus the
     * buffered click/purchase events of the live 1 h horizon. Event
     * tuples are (typeCode 0=click/1=purchase, tsUs, eventId). */
@@ -1906,25 +1761,32 @@ object StreamingOps {
       events.map(_._1).toArray, events.map(_._2).toArray,
       events.map(_._3).toArray)
 
-  /** Shared buffered-window machinery for the chained CEP processors
-    * (`stream_pattern_abc`, `stream_pattern_quantified`): signups and
-    * the window's click/purchase events are buffered per key; each
-    * signup's verdict is evaluated once, in handleExpiredTimer, from
-    * the buffered events — the point where the watermark has sealed the
-    * window and "first"/"count" are final. Concrete processors supply
-    * only the per-signup [[verdict]]. Buffer eviction: an event with
-    * ts ≤ watermark − 1 h cannot qualify for any live signup (deadline
-    * > watermark ⇒ s_ts > wm − 1 h, and matches need ts > s_ts) nor any
-    * future one (arrival floor: s_ts ≥ wm), so the per-key state is
-    * bounded by one window of events — Flink-CEP's `within()` bound,
-    * not an unbounded history. */
-  private abstract class AbcBufferProcessor[O] extends StatefulProcessor[
+  /** Shared buffered-window machinery for the chained CEP processors:
+    * anchor events (rows whose type is `anchorType` — the pattern's
+    * "begin") and the window's pattern-relevant events are buffered per
+    * key; each anchor's verdict is evaluated once, in
+    * handleExpiredTimer, from the buffered events — the point where the
+    * watermark has sealed the window and "first"/"count"/"absent" are
+    * final. Concrete processors supply the per-anchor [[verdict]];
+    * `typeCodes` maps the input's string event types to the compact
+    * int codes the buffer stores (round-8: both are parameters — the
+    * anchor/type wiring had been hardwired to signup/click/purchase,
+    * which kept the funnel ops on a hand-built automaton). Buffer
+    * eviction: an event with ts ≤ watermark − window cannot qualify for
+    * any live anchor (deadline > watermark ⇒ a_ts > wm − window, and
+    * matches need ts > a_ts) nor any future one (arrival floor:
+    * a_ts ≥ wm), so the per-key state is bounded by one window of
+    * events — Flink-CEP's `within()` bound, not an unbounded history. */
+  private abstract class AbcBufferProcessor[O](
+      anchorType: String = "signup",
+      typeCodes: Map[String, Int] = Map("click" -> 0, "purchase" -> 1))
+      extends StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long), O] {
 
     protected val WindowUs = 3600000000L
 
-    /** Chain evaluation for one matured signup, from the sealed window's
-      * buffered events (typeCode 0=click/1=purchase, tsUs, eventId). */
+    /** Chain evaluation for one matured anchor, from the sealed window's
+      * buffered events (typeCode, tsUs, eventId). */
     protected def verdict(key: Long, sid: Long, sTs: Long,
         events: Seq[(Int, Long, Long)]): O
 
@@ -1987,10 +1849,9 @@ object StreamingOps {
       val events = scala.collection.mutable.ArrayBuffer(
         cur.map(abcEvents).getOrElse(Nil): _*)
       rows.foreach { case (_, tsUs, _, etype, eid) =>
-        etype match {
-          case "signup" => signups += ((eid, tsUs))
-          case "click" => if (wanted(0)) events += ((0, tsUs, eid))
-          case "purchase" => if (wanted(1)) events += ((1, tsUs, eid))
+        if (etype == anchorType) signups += ((eid, tsUs))
+        else typeCodes.get(etype) match {
+          case Some(tc) if wanted(tc) => events += ((tc, tsUs, eid))
           case _ => ()
         }
       }
@@ -2036,8 +1897,10 @@ object StreamingOps {
     * library surface (compose a pattern, get an operator) instead of an
     * automaton per query. */
   private class CepPatternProcessor[O](pattern: Cep.Pattern,
-      project: (Long, Long, Long, Cep.Outcome) => O)
-      extends AbcBufferProcessor[O] {
+      project: (Long, Long, Long, Cep.Outcome) => O,
+      anchorType: String = "signup",
+      typeCodes: Map[String, Int] = Map("click" -> 0, "purchase" -> 1))
+      extends AbcBufferProcessor[O](anchorType, typeCodes) {
 
     override protected def wanted(typeCode: Int): Boolean =
       pattern.wantedTypes(typeCode)
@@ -2053,6 +1916,8 @@ object StreamingOps {
     * query; the builder guarantees they all share the deterministic
     * first-match total order and the sealed-window evaluation point. */
   private val CepWindowUs = 3600000000L
+  private[streaming] val funnelPattern = Cep.begin(CepWindowUs)
+    .followedBy("purchase", 1)
   private[streaming] val abcPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0).followedBy("purchase", 1)
   private[streaming] val quantifiedPattern = Cep.begin(CepWindowUs)
@@ -2068,6 +1933,9 @@ object StreamingOps {
 
   /** Outcome → output-row projections, shared by the registered queries
     * and the test hooks. */
+  private val funnelProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("purchase"), o.ts("purchase").map(_ - sTs))
   private val abcProject =
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
       (key, sid, o.id("click"), o.id("purchase"),
@@ -2171,11 +2039,13 @@ object StreamingOps {
       (Long, Long, Long, Long, BigDecimal)] =
     new SessionTimeoutProcessor()
 
-  /** Test hook: the streaming-funnel processor (class is private). */
+  /** Test hook: the streaming-funnel pattern processor (class is
+    * private). Since round-8 the funnel IS a Cep pattern instance —
+    * `begin(1h).followedBy(purchase)` anchored on signups. */
   private[graft] def funnelForTest(): StatefulProcessor[
       Long, (java.sql.Timestamp, Long, Long, String, Long),
       (Long, Long, Option[Long], Option[Long])] =
-    new FunnelProcessor()
+    new CepPatternProcessor(funnelPattern, funnelProject)
 
   /** Test hook: the 3-step pattern processor (class is private). */
   private[graft] def patternAbcForTest(): StatefulProcessor[

@@ -47,8 +47,8 @@ class CepSpec extends AnyFunSuite {
       partial.id("b2").isEmpty && partial.id("c").isEmpty)
   }
 
-  test("oneOrMore greedy: pivot is the first hit, count spans anchor " +
-      "to the closing binding") {
+  test("oneOrMore greedy: pivot is the first hit, count spans the " +
+      "previous binding to the closing binding") {
     val p = Cep.begin(W).oneOrMoreGreedy("b", 0).followedBy("c", 1)
     // bs at 10, 20, 40; c at 30: pivot b@10, close c@30, count bs < 30
     val o = p.eval(0,
@@ -58,6 +58,36 @@ class CepSpec extends AnyFunSuite {
     // no close → pivot reported, no count
     val o2 = p.eval(0, Seq((0, 10, 1)))
     assert(!o2.matched && o2.id("b").contains(1L) && o2.counts.isEmpty)
+  }
+
+  test("oneOrMore mid-pattern: occurrences before the previous step's " +
+      "binding never count (relaxed contiguity, not anchor-relative)") {
+    val p = Cep.begin(W).followedBy("a", 2)
+      .oneOrMoreGreedy("b", 0).followedBy("c", 1)
+    // b@5 precedes a@10 — it is NOT part of the a→b+→c chain
+    val o = p.eval(0, Seq((0, 5, 9), (2, 10, 1), (0, 15, 2), (0, 20, 3),
+      (1, 30, 4)))
+    assert(o.matched && o.id("a").contains(1L) &&
+      o.id("b").contains(2L) && o.counts("b") == 2L &&
+      o.id("c").contains(4L))
+  }
+
+  test("oneOrMore terminal: a matched pattern with nothing after the " +
+      "quantifier absorbs to the window end") {
+    val p = Cep.begin(W).oneOrMoreGreedy("b", 0)
+    val o = p.eval(0, Seq((0, 10, 1), (0, 50, 2), (0, 120, 3)))
+    // b@120 is out of window (W=100): matched, count = the 2 in-window
+    assert(o.matched && o.id("b").contains(1L) && o.counts("b") == 2L)
+    assert(!p.eval(0, Seq((0, 120, 3))).matched)
+  }
+
+  test("oneOrMore close survives a skipped optional: the close is the " +
+      "EARLIEST later binding, not specifically the next step's") {
+    val p = Cep.begin(W).oneOrMoreGreedy("b", 0)
+      .optionallyFollowedBy("o", 2).followedBy("c", 1)
+    // no type-2 events: Opt skips, c@30 still closes the quantifier
+    val o = p.eval(0, Seq((0, 10, 1), (0, 20, 2), (0, 40, 3), (1, 30, 4)))
+    assert(o.matched && o.counts("b") == 2L && o.id("c").contains(4L))
   }
 
   test("optional is greedy with skip fallback and partial reporting") {
