@@ -334,31 +334,109 @@ object TrainingDataOps {
     // counts are collision-free on this corpus (verified vs the string
     // oracle) and the shuffle carries 8-byte values instead of ~17-char
     // strings — measured 18 s → ~4 s at sf0.1.
+    // Top-20 trigram-Jaccard pairs. ADAPTIVE text-collapse (round-8;
+    // the dup-heavy discipline): candidate volume is block population
+    // squared, so k verbatim replicas multiply the shingle pipeline's
+    // in-block pairs k² (identical/16× probe measured 16.2 s direct —
+    // the slowest LLM probe). The same precheck as llm_dup_spans picks
+    // the path by duplication mass (collapse when rows ≥ 1.25 ×
+    // distinct (lang, text) count): the machinery then runs on replica-
+    // group representatives only, and the top-20 reconstructs from
+    // bundles — a bundle is all member pairs of one rep pair (equal j:
+    // replicas have identical shingles, lang and n_chars, so blocking
+    // and similarity are group-invariant) or one k ≥ 2 group's internal
+    // pairs (j = 1 when the shingle set is nonempty; empty sets yield
+    // null j in BOTH paths and drop). Only bundles whose BEST pair
+    // ranks in the global top-20 can contribute at all (a contributing
+    // bundle's lex-least pair outranks its contribution and distinct
+    // bundles own distinct pairs), and a bundle's best pair is
+    // (rep, rep2) / (gid, second member) because reps are group minima
+    // — so rank bundles by (j desc, best pair), expand only the ≤ 20
+    // winners over each side's 21-smallest member prefix (any pair
+    // outside the prefix grid has ≥ 21 lex-smaller same-j pairs in its
+    // own bundle), and re-sort. No stage is ever quadratic in k.
+    // `spark.graft.ngramJaccardCollapse` = always|never overrides for
+    // the both-paths-identical test.
     "llm_ngram_jaccard" -> ((s, d) => {
-      // Materialise the token array first: element_at over the raw
-      // `split(...)` expression re-evaluates the split per element inside
-      // the shingle lambda (~3×shingles splits/row — measured 4.8 s of the
-      // old 11 s at sf0.1 in shingle construction alone).
       graft.functions.SortedIntersectSize.register(s)
       val wsCol = col("ws_arr")
       // Sorted so the per-pair intersection below is a native merge scan
-      // (sorted_intersect_size) instead of a hash build per candidate pair.
+      // (sorted_intersect_size) instead of a hash build per candidate
+      // pair. Materialise the token array first: element_at over the raw
+      // `split(...)` expression re-evaluates the split per element inside
+      // the shingle lambda (~3×shingles splits/row — measured 4.8 s of
+      // the old 11 s at sf0.1 in shingle construction alone).
       val sh = when(size(wsCol) >= 3,
         sort_array(array_distinct(transform(sequence(lit(1), size(wsCol) - 2),
           i => xxhash64(concat_ws(" ", element_at(wsCol, i),
             element_at(wsCol, i + 1), element_at(wsCol, i + 2)))))))
         .otherwise(array().cast("array<bigint>"))
-      val docs = documents(s, d)
+      def shingled(src: DataFrame): DataFrame = src
         .withColumn("ws_arr", ws)
         .select(col("doc_id"), col("lang"), col("n_chars"), sh.as("sh"),
           floor(col("n_chars") / 10).as("bucket"))
-      Blocking.sizeBlockedPairs(docs, "sh")
-        .withColumn("inter", expr("sorted_intersect_size(sh, sh2)"))
-        .withColumn("j", round(col("inter") /
-          (size(col("sh")) + size(col("sh2")) - col("inter")), 6))
-        .filter(col("j") > 0)
-        .select(col("doc_id"), col("doc_id2"), col("j"))
-        .orderBy(col("j").desc, col("doc_id"), col("doc_id2"))
+      def pairsOf(docs: DataFrame): DataFrame =
+        Blocking.sizeBlockedPairs(docs, "sh")
+          .withColumn("inter", expr("sorted_intersect_size(sh, sh2)"))
+          .withColumn("j", round(col("inter") /
+            (size(col("sh")) + size(col("sh2")) - col("inter")), 6))
+          .filter(col("j") > 0)
+          .select(col("doc_id"), col("doc_id2"), col("j"))
+      val docsAll = documents(s, d)
+      val pre = docsAll.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("lang"), col("text"))).as("nd")).head()
+      val collapse =
+        s.conf.getOption("spark.graft.ngramJaccardCollapse") match {
+          case Some(v) if v.equalsIgnoreCase("always") => true
+          case Some(v) if v.equalsIgnoreCase("never") => false
+          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+        }
+      val top =
+        if (!collapse) pairsOf(shingled(docsAll))
+        else {
+          val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
+            .exists(_.equalsIgnoreCase("false"))
+          def cut(df: DataFrame): DataFrame =
+            if (ckpt) df.localCheckpoint() else df
+          // group on (hash, lang, text): lang is a blocking key, so
+          // replicas are only exchangeable inside one language
+          val withG = cut(docsAll
+            .withColumn("th", xxhash64(col("lang"), col("text")))
+            .withColumn("gid", min(col("doc_id")).over(
+              Window.partitionBy(col("th"), col("lang"), col("text"))))
+            .select(col("doc_id"), col("gid"), col("lang"),
+              col("n_chars"), col("text")))
+          val members = withG.select(col("doc_id"), col("gid"))
+          val reps = cut(shingled(
+            withG.filter(col("doc_id") === col("gid"))
+              .drop("gid")))
+          val cross = pairsOf(reps)
+            .select(col("doc_id").as("gid1"), col("doc_id2").as("gid2"),
+              col("j"), col("doc_id").as("best_a"),
+              col("doc_id2").as("best_b"))
+          val prefix = members
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("gid")).orderBy(col("doc_id"))))
+            .filter(col("rn") <= 21)
+          val within = reps.filter(size(col("sh")) > 0)
+            .select(col("doc_id").as("gid"))
+            .join(prefix.filter(col("rn") === 2)
+              .select(col("gid"), col("doc_id").as("best_b")), Seq("gid"))
+            .select(col("gid").as("gid1"), col("gid").as("gid2"),
+              lit(1.0).as("j"), col("gid").as("best_a"), col("best_b"))
+          val bundles = cross.unionByName(within)
+            .orderBy(col("j").desc, col("best_a"), col("best_b"))
+            .limit(20)
+          broadcast(bundles.drop("best_a", "best_b"))
+            .join(prefix.select(col("gid").as("gid1"),
+              col("doc_id").as("a")), Seq("gid1"))
+            .join(prefix.select(col("gid").as("gid2"),
+              col("doc_id").as("b")), Seq("gid2"))
+            .filter(col("gid1") =!= col("gid2") || col("a") < col("b"))
+            .select(least(col("a"), col("b")).as("doc_id"),
+              greatest(col("a"), col("b")).as("doc_id2"), col("j"))
+        }
+      top.orderBy(col("j").desc, col("doc_id"), col("doc_id2"))
         .limit(20)
     }),
 

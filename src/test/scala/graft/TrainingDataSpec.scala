@@ -458,6 +458,36 @@ class TrainingDataSpec extends GraftSpec {
     }
   }
 
+  test("llm_ngram_jaccard collapse path equals the direct path on a " +
+      "replica-heavy corpus") {
+    // Same staging as the dup_spans test: sf0.001 plus two extra copies
+    // of every third doc. The forced-collapse top-20 (rep machinery +
+    // bundle expansion) must be row-identical to the forced-direct
+    // top-20 — this covers within-group j=1 pairs, cross-group bundle
+    // expansion, and the (j desc, id, id2) tie order across both kinds.
+    val src = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nj_")
+      .toString
+    val extra1 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val extra2 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(200000L))
+    src.unionByName(extra1).unionByName(extra2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.ngramJaccardCollapse", mode)
+      try SparkEntry.queries("llm_ngram_jaccard")(spark, dir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.ngramJaccardCollapse")
+    }
+    val direct = run("never")
+    val collapsed = run("always")
+    assert(direct == collapsed,
+      s"collapse path diverged:\n direct   $direct\n collapsed $collapsed")
+    // replica groups dominate the top: the staged corpus has j=1 pairs
+    assert(collapsed.nonEmpty && collapsed.size == 20)
+  }
+
   test("llm_dup_spans text-collapse path is exact under heavy duplication") {
     // The round-7 adaptive collapse runs the position machinery on
     // DISTINCT texts and reconstructs member answers (full-coverage
