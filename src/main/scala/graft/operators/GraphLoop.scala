@@ -79,27 +79,37 @@ object GraphLoop {
     state
   }
 
-  /** Iterate until a fixpoint: `round` must emit a boolean `changedCol`
-    * marking rows whose state advanced this round; the loop stops when
-    * no row changed (the column is dropped between rounds and from the
-    * result). The per-round convergence probe is one driver-side
-    * boolean off the just-checkpointed node-cardinality state — the
-    * same O(1)-row driver-read class as the adaptive-collapse prechecks,
-    * and the price of being scale-correct: a fixed unroll is only true
+  /** Iterate until a fixpoint, detected through a MONOTONE state
+    * metric: `metricCol` must be non-increasing per row across rounds
+    * (min-label propagation's labels are), so the exact decimal sum is
+    * strictly decreasing until — and only until — the fixpoint, and one
+    * sum-equality test per round IS the no-row-changed test without
+    * joining consecutive states. decimal(38,0) keeps the sum exact at
+    * any node count × id magnitude (a bigint sum overflows near 10¹⁹).
+    * The per-round probe is one driver-side scalar off the
+    * just-checkpointed node-cardinality state — the same O(1)-row
+    * driver-read class as the adaptive-collapse prechecks, and the
+    * price of being scale-correct: a fixed unroll is only true
     * convergence when every component's radius fits the unroll.
+    * Detection costs one trailing no-change round (the round that
+    * proves the sum stopped moving), exactly like a changed-flag loop.
     * `maxRounds` bounds propagation-radius pathologies (a path graph
     * converges in O(diameter) rounds — a deployment seeing the cap
     * switches to the pointer-jumping variant, `llm_dedup_clusters`,
     * for log-diameter convergence). */
-  def iterateUntilFixed(init: DataFrame, maxRounds: Int,
-      changedCol: String)(round: DataFrame => DataFrame): DataFrame = {
+  def iterateMonotone(init: DataFrame, maxRounds: Int,
+      metricCol: String)(round: DataFrame => DataFrame): DataFrame = {
     var state = init
+    var prev: java.math.BigDecimal = null
     var rounds = 0
-    var changed = true
-    while (changed && rounds < maxRounds) {
+    var moving = true
+    while (moving && rounds < maxRounds) {
       val next = round(state).localCheckpoint()
-      changed = !next.filter(col(changedCol)).isEmpty
-      state = next.drop(changedCol)
+      val m = next.agg(sum(col(metricCol).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      moving = prev == null || m.compareTo(prev) != 0
+      prev = m
+      state = next
       rounds += 1
     }
     state

@@ -45,17 +45,20 @@ object Relational {
     * can assert the loop-iteration shape (broadcast on the rank side,
     * NO shuffle exchange anywhere: edges are pre-partitioned by dst and
     * the dst agg reuses that partitioning) that the registered query's
-    * checkpointed loop hides from `.explain`. */
-  private[graft] def pagerankRound(edgesD: DataFrame, nodes: DataFrame,
-      rank: DataFrame): DataFrame = {
-    val contrib = edgesD
+    * checkpointed loop hides from `.explain`. ONE broadcast + ONE
+    * in-place aggregation per round (round-8; was two of each): the
+    * layout symmetrizes the graph, so every node has in-edges and the
+    * dangling-node left join the textbook formulation needs was
+    * provably vacuous — the dst agg's output IS the complete next rank
+    * vector. Halves the loop's job count, which is what the
+    * node-cardinality rounds actually pay for at bench scale. */
+  private[graft] def pagerankRound(edgesD: DataFrame,
+      rank: DataFrame): DataFrame =
+    edgesD
       .join(broadcast(rank), col("src") === col("node"))
       .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
-    nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
-      .select(col("node"),
-        (lit(150000L) + expr("(85 * coalesce(in_sum, 0L)) div 100"))
-          .as("rank"))
-  }
+      .select(col("dst").as("node"),
+        (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank"))
 
   /** Loop-invariant PageRank layout, paid ONCE: fold the static
     * out-degree into the edge table before [[GraphLoop.pin]]ning it by
@@ -80,7 +83,12 @@ object Relational {
         // suppkey — at 10⁶ the two id spaces collided from SF ≳ 7
         (col("l_suppkey") + lit(1000000000000L)).as("p"))
       .distinct()
-    val edges = GraphLoop.symmetrize(edges0, "c", "p").localCheckpoint()
+      // cut the BASE pair table, not the symmetrized view: every
+      // downstream consumer (two union legs, deg, nodes) re-derives
+      // the union cheaply from the checkpoint instead of re-running
+      // the orders×lineitem join per leg
+      .localCheckpoint()
+    val edges = GraphLoop.symmetrize(edges0, "c", "p")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesD = GraphLoop.pin(edges.join(deg, Seq("src")))
     val nodes = GraphLoop.nodesOf(edges)
@@ -89,17 +97,23 @@ object Relational {
   }
 
   private def pagerankQuery(s: SparkSession, d: String): DataFrame = {
-    val (edgesD, nodes, rank0) = pagerankLayout(s, d)
-    val rank = GraphLoop.iterate(rank0, 10)(
-      r => pagerankRound(edgesD, nodes, r))
+    val (edgesD, _, rank0) = pagerankLayout(s, d)
+    val rank = GraphLoop.iterate(rank0, 10)(r => pagerankRound(edgesD, r))
     GraphLoop.release(edgesD) // every round checkpointed — cache is dead
     rank.orderBy(col("rank").desc, col("node")).limit(20)
   }
 
   /** Connected-components layout: the (sparse) high-quantity trade
     * graph, same supplier offset and [[GraphLoop]] discipline as
-    * pagerank (no degree fold — min-label needs only the edges).
-    * Returns (edges, lbl0); callers release edges after their loop. */
+    * pagerank (no degree fold — min-label needs only the edges), PLUS
+    * one self-loop edge per node: min over in-edges∪self ≡
+    * least(own label, neighbor min), which folds the whole round into
+    * the dst aggregation — no second join to carry the node's own
+    * label (round-8; the loop had been two broadcasts + two joins per
+    * round). Self-loops grow the edge table by |nodes| ≪ |edges| and
+    * change no label (a node's own label is always a candidate of
+    * itself). Returns (edges, lbl0); callers release edges after their
+    * loop. */
   private[graft] def ccLayout(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val pairs = orders(s, d)
@@ -110,28 +124,29 @@ object Relational {
       .select(col("o_custkey").as("c"),
         (col("l_suppkey") + lit(1000000000000L)).as("p"))
       .distinct()
-    val edges = GraphLoop.pin(GraphLoop.symmetrize(pairs, "c", "p"))
+      // cut before the 3-leg union (2 symmetrize legs + self-loops) —
+      // same rationale as pagerankLayout's base-pair cut
+      .localCheckpoint()
+    val sym = GraphLoop.symmetrize(pairs, "c", "p")
+    val loops = sym.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst"))
+    val edges = GraphLoop.pin(sym.unionAll(loops))
     val lbl0 = GraphLoop.nodesOf(edges)
       .withColumn("comp", col("node")).localCheckpoint()
     (edges, lbl0)
   }
 
-  /** One min-label propagation round: comp(v) ← min(comp(v), min over
-    * in-edges of comp(u)), plus the `changed` fixpoint flag
-    * [[GraphLoop.iterateUntilFixed]] consumes. Exposed standalone so
-    * PlanShapeSpec can assert the round's zero-exchange shape exactly
-    * as it does pagerank's. */
+  /** One min-label propagation round: comp(v) ← min over in-edges∪self
+    * of comp(u) — the self-loops in [[ccLayout]]'s edge table make the
+    * single dst aggregation the whole round. Labels are non-increasing
+    * per node, so [[GraphLoop.iterateMonotone]] detects the fixpoint on
+    * the exact label sum. Exposed standalone so PlanShapeSpec can
+    * assert the round's zero-exchange shape exactly as pagerank's. */
   private[graft] def ccRound(edges: DataFrame, lbl: DataFrame)
-      : DataFrame = {
-    val in = edges.join(broadcast(lbl), col("src") === col("node"))
-      .groupBy(col("dst")).agg(min(col("comp")).as("nbr_min"))
-    lbl.join(broadcast(in), col("node") === col("dst"), "left")
-      .select(col("node"),
-        least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-          .as("comp"),
-        (coalesce(col("nbr_min"), col("comp")) < col("comp"))
-          .as("changed"))
-  }
+      : DataFrame =
+    edges.join(broadcast(lbl), col("src") === col("node"))
+      .groupBy(col("dst")).agg(min(col("comp")).as("comp"))
+      .select(col("dst").as("node"), col("comp"))
 
   val queries: Map[String, Q] = Map(
     // D1 note: (l_orderkey, l_linenumber) is NOT unique in this corpus
@@ -356,7 +371,7 @@ object Relational {
     // partitioning (D2 for free, no micro-units needed).
     "graph_connected_components" -> ((s, d) => {
       val (edges, lbl0) = ccLayout(s, d)
-      val lbl = GraphLoop.iterateUntilFixed(lbl0, 64, "changed")(
+      val lbl = GraphLoop.iterateMonotone(lbl0, 64, "comp")(
         l => ccRound(edges, l))
       GraphLoop.release(edges) // every round checkpointed — cache is dead
       lbl.orderBy(col("node"))

@@ -237,7 +237,7 @@ class OperatorSpec extends GraftSpec {
     val comp = SparkEntry.queries("graph_connected_components")(spark, sf)
     val (edges8, lbl0) = operators.Relational.ccLayout(spark, sf)
     val unrolled = operators.GraphLoop.iterate(lbl0, 8)(
-      l => operators.Relational.ccRound(edges8, l).drop("changed"))
+      l => operators.Relational.ccRound(edges8, l))
     operators.GraphLoop.release(edges8)
     assert(comp.orderBy(col("node")).collect().toSeq ==
       unrolled.orderBy(col("node")).collect().toSeq,

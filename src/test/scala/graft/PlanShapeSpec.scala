@@ -401,10 +401,10 @@ class PlanShapeSpec extends GraftSpec {
     // dst-pre-partitioned edge table satisfies the dst aggregation's
     // distribution in place — a shuffle exchange anywhere in the round
     // means the O(nodes)-bytes-per-round claim is broken.
-    val (edgesD, nodes, rank0) =
+    val (edgesD, _, rank0) =
       operators.Relational.pagerankLayout(spark, sf)
     try assertLoopRoundShape(
-      operators.Relational.pagerankRound(edgesD, nodes, rank0), "pagerank")
+      operators.Relational.pagerankRound(edgesD, rank0), "pagerank")
     finally operators.GraphLoop.release(edgesD)
   }
 
