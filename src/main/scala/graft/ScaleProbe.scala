@@ -77,6 +77,19 @@ object ScaleProbe {
   private val TrainHeavyQueries =
     Seq("llm_decontaminate", "llm_decontaminate_bloom")
 
+  // The iterative-graph family (round-8): the loop's claim is O(nodes)
+  // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest
+  // probe grows edges with the node set FIXED — lineitem replicas
+  // rewire l_suppkey by a per-replica cyclic shift (a bijection on the
+  // dense supplier key space: node set unchanged, ~k× distinct
+  // (cust, supp) pairs after the layout's distinct). A probe curve
+  // tracking k at the per-round level would indict the loop (edges
+  // re-shuffling); the expected shape is scan-linear growth of the
+  // layout + the in-place agg's input, with constant broadcast sizes
+  // and constant per-round output.
+  private val GraphQueries =
+    Seq("graph_pagerank", "graph_connected_components")
+
   // The merge family rides the bucketed-target posture (Joins.scala's
   // merge notes): probed on a k×-scaled orders/customer pair whose key
   // shifts preserve the pmod-filter fractions, so src/tgt populations —
@@ -123,6 +136,7 @@ object ScaleProbe {
     case "trainheavy" => TrainHeavyQueries
     case "events" => EventQueries
     case "bucketed" => BucketedQueries
+    case "graph" => GraphQueries
     case m => throw new IllegalArgumentException(s"unknown probe mode $m")
   }
 
@@ -277,6 +291,7 @@ object ScaleProbe {
     val stagedTables: Set[String] = mode match {
       case "events" => Set("events")
       case "bucketed" => Set("orders", "customer")
+      case "graph" => Set("orders", "lineitem")
       case _ => Set.empty
     }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -362,6 +377,27 @@ object ScaleProbe {
             .withColumn("c_custkey", col("c_custkey") + lit(i * custShift)))
           .reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      case "graph" =>
+        // EDGE-axis growth with a fixed node set (see GraphQueries):
+        // order keys shift (referential integrity), custkeys stay, and
+        // l_suppkey cycles by 37·i within the dense supplier key space —
+        // an addition-mod-n bijection, so no new supplier nodes appear
+        // and each replica contributes a distinct (cust, supp) pair set.
+        link("documents"); link("embeddings")
+        val ord = s.read.parquet(s"$baseSf/orders.parquet")
+        val li = s.read.parquet(s"$baseSf/lineitem.parquet")
+        val maxOrder = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+        val maxSupp = li.agg(max("l_suppkey")).head().getLong(0)
+        (0 until k).map(i => ord
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * maxOrder)))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        (0 until k).map(i => li
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOrder))
+            .withColumn("l_suppkey",
+              pmod(col("l_suppkey") - 1 + lit(i * 37L), lit(maxSupp)) + 1))
+          .reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       case "events" =>
         // USER-axis growth: every replica shifts user_id AND event_id, so
         // the same time window holds k× the users (per-user history depth

@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Cep
+
+/** Batch evaluation of a [[Cep.Pattern]] — the round-8 generator that
+  * makes the `events_pattern_*` batch ops and their `stream_pattern_*`
+  * twins PROVABLY the same pattern: both faces now consume the one
+  * Pattern object (the streaming side via `CepPatternProcessor`'s
+  * sealed-buffer `Cep.eval`, this side by compiling the step list to
+  * the join algebra the hand-written batch queries used), so a verdict
+  * divergence can only be an engine bug, never a spec drift.
+  *
+  * The compilation emits exactly the four leg shapes every hand-built
+  * batch pattern query was made of — nothing else, so the plans (and
+  * their scale posture) are unchanged:
+  *
+  *  - ANCHOR scan: the anchor-typed events become one row per pending
+  *    match, carrying (user_id, anchor_id, anchor_ts).
+  *  - BIND leg (`followedBy` / `times` chain link / `oneOrMore` pivot):
+  *    one time-bounded equi-join on user_id ((lo, anchor+W] window) +
+  *    a min-struct aggregation — earliest (ts, id) wins, the same
+  *    total order as `Cep.eval`'s firstOf; an unbound step cascades
+  *    null through the remaining legs via the null join bound. Each
+  *    leg is a hash-partitioned shuffle join + partial agg, never a
+  *    per-user nested loop; AQE handles hot users.
+  *  - COUNT leg (`oneOrMore` absorption): one bounded count join over
+  *    (previous binding, close) where close = the earliest later
+  *    binding (the window end for a terminal quantifier) — the bounds
+  *    `Cep.eval` uses since the round-8 relaxed-contiguity fix.
+  *  - ABSENT leg (terminal `notFollowedBy`): one left-anti join over
+  *    (lo, anchor+W]. A pattern ending in negation yields MATCHED rows
+  *    only (the anti-join survivors), so its earlier bind legs run as
+  *    inner joins — a partially-bound anchor can never match, and the
+  *    anti-join must not resurrect it through a null scan bound.
+  *  - OPT branch (`optional`, greedy): the with-step chain and the
+  *    skip chain are built as two leg sequences sharing the prefix
+  *    state and resolved by one equi-join on anchor_id + `when`
+  *    projections (kept iff the with-remainder completes, else the
+  *    skip remainder, else the greedy partial) — a coalesce, not a
+  *    loop, exactly the hand-written `events_pattern_optional` shape.
+  *
+  * Output: one row per anchor (per surviving anchor when the pattern
+  * ends in `notFollowedBy`) with `user_id, anchor_id, anchor_ts` plus
+  * `<step>_id`/`<step>_ts` per bound step (`<name><k>_…` for a
+  * times-chain) and `<name>_count` per quantifier (null unless the
+  * full pattern matched, like the streaming outcome's counts map).
+  *
+  * Supported compositions mirror the registered patterns; the builder
+  * already guarantees negation is terminal, and this compiler
+  * additionally requires at most one `optional` with only plain
+  * `followedBy` steps after it, and only plain `followedBy` steps
+  * after a quantifier (the close must be a deterministic binding).
+  */
+object BatchCep {
+
+  /** Evaluate `pattern` over `ev` (columns `user_id, event_id, ts_us,
+    * event_type`). `typeNames` maps the pattern's int type codes to
+    * event_type strings; `anchorType` picks the anchor rows. */
+  def bindings(ev: DataFrame, pattern: Cep.Pattern, anchorType: String,
+      typeNames: Map[Int, String]): DataFrame = {
+    val W = pattern.windowUs
+    val matchedOnly = pattern.steps.lastOption.exists(_.isInstanceOf[Cep.Absent])
+
+    def cand(tc: Int): DataFrame =
+      ev.filter(col("event_type") === typeNames(tc))
+        .select(col("user_id").as("cand_user"),
+          col("event_id").as("cand_id"), col("ts_us").as("cand_ts"))
+
+    final case class State(df: DataFrame, groupCols: Vector[String],
+        lo: String)
+
+    // One bind leg: first `tc` event in (lo, anchor_ts + W], min-struct
+    // pick, binding columns appended to the carried group key.
+    def bindLeg(st: State, stepName: String, tc: Int,
+        inner: Boolean): State = {
+      val joined = st.df.join(cand(tc),
+        col("user_id") === col("cand_user") &&
+          col("cand_ts") > col(st.lo) &&
+          col("cand_ts") <= col("anchor_ts") + lit(W),
+        if (inner) "inner" else "left")
+      val pick =
+        if (inner) min(struct(col("cand_ts"), col("cand_id")))
+        else min(when(col("cand_id").isNotNull,
+          struct(col("cand_ts"), col("cand_id"))))
+      val agg = joined.groupBy(st.groupCols.map(col): _*)
+        .agg(pick.as("h"))
+        .select(st.groupCols.map(col) ++ Seq(
+          col("h.cand_ts").as(s"${stepName}_ts"),
+          col("h.cand_id").as(s"${stepName}_id")): _*)
+      State(agg, st.groupCols ++ Seq(s"${stepName}_ts", s"${stepName}_id"),
+        s"${stepName}_ts")
+    }
+
+    // Steps strictly after an Opt must be plain Binds (checked below);
+    // run them as a chain and report the name list for resolution.
+    def bindChain(st: State, steps: List[Cep.Step],
+        inner: Boolean): (State, Vector[String]) =
+      steps.foldLeft((st, Vector.empty[String])) {
+        case ((s0, names), Cep.Bind(name, tc, n)) =>
+          (1 to n).foldLeft((s0, names)) { case ((s1, ns), k) =>
+            val nm = if (n == 1) name else s"$name$k"
+            (bindLeg(s1, nm, tc, inner), ns :+ nm)
+          }
+        case (_, other) => throw new IllegalArgumentException(
+          s"BatchCep: unsupported step after optional/quantifier: $other")
+      }
+
+    val anchors = ev.filter(col("event_type") === anchorType)
+      .select(col("user_id"), col("event_id").as("anchor_id"),
+        col("ts_us").as("anchor_ts"))
+    var st = State(anchors, Vector("user_id", "anchor_id", "anchor_ts"), "anchor_ts")
+    // (quantifier name, type code, lo column at the quantifier's step,
+    // step names bound after it — the close candidates in chain order)
+    var quant: Option[(String, Int, String)] = None
+    var afterQuant = Vector.empty[String]
+
+    var rest = pattern.steps.toList
+    while (rest.nonEmpty) rest match {
+      case Cep.Bind(name, tc, n) :: tail =>
+        (1 to n).foreach { k =>
+          val nm = if (n == 1) name else s"$name$k"
+          st = bindLeg(st, nm, tc, matchedOnly)
+          if (quant.isDefined) afterQuant :+= nm
+        }
+        rest = tail
+
+      case Cep.OneOrMore(name, tc) :: tail =>
+        require(quant.isEmpty, "BatchCep: one quantifier per pattern")
+        val loAtQuant = st.lo
+        st = bindLeg(st, name, tc, matchedOnly) // the greedy pivot
+        quant = Some((name, tc, loAtQuant))
+        rest = tail
+
+      case Cep.Opt(name, tc) :: tail =>
+        require(quant.isEmpty,
+          "BatchCep: optional after a quantifier is unsupported")
+        // GREEDY branch resolution (see object doc). Both branches
+        // carry the prefix state; the skip side renames its remainder
+        // bindings so the resolving join is unambiguous.
+        val (withSt, names) =
+          bindChain(bindLeg(st, name, tc, inner = false), tail,
+            inner = false)
+        val (skipSt0, _) = bindChain(st, tail, inner = false)
+        val skipSt = names.foldLeft(
+          skipSt0.df.select((Vector("anchor_id") ++
+            names.flatMap(n => Seq(s"${n}_ts", s"${n}_id"))).map(col): _*)) {
+          (df, n) => df.withColumnRenamed(s"${n}_ts", s"sk_${n}_ts")
+            .withColumnRenamed(s"${n}_id", s"sk_${n}_id")
+        }.withColumnRenamed("anchor_id", "sk_anchor_id")
+        val last = names.last
+        val withComplete = col(s"${last}_id").isNotNull
+        val skipComplete = col(s"sk_${last}_id").isNotNull
+        val resolved = withSt.df.join(skipSt,
+            col("anchor_id") === col("sk_anchor_id"))
+          .select(st.groupCols.map(col) ++ Seq(
+            when(withComplete, col(s"${name}_ts"))
+              .otherwise(when(skipComplete, lit(null).cast("long"))
+                .otherwise(col(s"${name}_ts"))).as(s"${name}_ts"),
+            when(withComplete, col(s"${name}_id"))
+              .otherwise(when(skipComplete, lit(null).cast("long"))
+                .otherwise(col(s"${name}_id"))).as(s"${name}_id")) ++
+            names.flatMap { n => Seq(
+              when(withComplete, col(s"${n}_ts"))
+                .otherwise(when(skipComplete, col(s"sk_${n}_ts"))
+                  .otherwise(col(s"${n}_ts"))).as(s"${n}_ts"),
+              when(withComplete, col(s"${n}_id"))
+                .otherwise(when(skipComplete, col(s"sk_${n}_id"))
+                  .otherwise(col(s"${n}_id"))).as(s"${n}_id"))
+            }: _*)
+        st = State(resolved,
+          st.groupCols ++ Seq(s"${name}_ts", s"${name}_id") ++
+            names.flatMap(n => Seq(s"${n}_ts", s"${n}_id")),
+          s"${names.last}_ts")
+        rest = Nil
+
+      case Cep.Absent(name, tc) :: Nil =>
+        // terminal negation: survivors only (matchedOnly made every
+        // earlier bind leg inner, so st.lo is never null here)
+        val df = st.df.join(cand(tc),
+          col("user_id") === col("cand_user") &&
+            col("cand_ts") > col(st.lo) &&
+            col("cand_ts") <= col("anchor_ts") + lit(W),
+          "left_anti")
+        st = State(df, st.groupCols, st.lo)
+        rest = Nil
+
+      case other :: _ => throw new IllegalArgumentException(
+        s"BatchCep: unsupported step composition at $other")
+      case Nil => ()
+    }
+
+    quant match {
+      case None => st.df
+      case Some((name, tc, loAtQuant)) =>
+        // close = earliest later binding (chain bindings are monotone
+        // in ts, so the first BOUND later step is the min — coalesce in
+        // chain order); a terminal quantifier absorbs to the window end
+        val hi: Column =
+          if (afterQuant.isEmpty) col("anchor_ts") + lit(W + 1L)
+          else coalesce(afterQuant.map(n => col(s"${n}_ts")) :+
+            lit(null).cast("long"): _*)
+        val matchedNow: Column =
+          if (afterQuant.isEmpty) col(s"${name}_id").isNotNull
+          else col(s"${afterQuant.last}_id").isNotNull
+        st.df.join(cand(tc),
+            col("user_id") === col("cand_user") &&
+              col("cand_ts") > col(loAtQuant) && col("cand_ts") < hi &&
+              col("cand_ts") <= col("anchor_ts") + lit(W),
+            "left")
+          .groupBy(st.groupCols.map(col): _*)
+          .agg(count(col("cand_id")).as("qn"))
+          .select(st.groupCols.map(col) :+
+            when(matchedNow, col("qn")).as(s"${name}_count"): _*)
+    }
+  }
+}

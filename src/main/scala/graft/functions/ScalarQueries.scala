@@ -57,23 +57,16 @@ object ScalarQueries {
     // purchase pair volume is bounded by the 1-hour window, not the
     // corpus.
     "events_funnel" -> ((s, d) => {
+      // Since round-8 the batch CEP family compiles the SAME Pattern
+      // objects the streaming processors evaluate (BatchCep emits the
+      // join/min-struct legs these ops were hand-written as — plan
+      // shape unchanged, spec now shared).
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
-      sg.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("s_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp"))
-        .select(col("user_id"), col("signup_id"),
-          col("fp.purchase_id").as("purchase_id"),
-          (col("fp.p_ts") - col("s_ts")).as("us_to_convert"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.funnelPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("purchase_id"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_convert"))
         .orderBy(col("signup_id"))
     }),
 
@@ -88,35 +81,11 @@ object ScalarQueries {
     // hot user.
     "events_pattern_abc" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"),
-          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
-      val step1 = sg.join(ck,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("s_ts") &&
-            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("click_id").isNotNull,
-          struct(col("c_ts"), col("click_id")))).as("fc"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
-      step1.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("c_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp"))
-        .select(col("user_id"), col("signup_id"), col("click_id"),
-          col("fp.purchase_id").as("purchase_id"),
-          (col("fp.p_ts") - col("s_ts")).as("us_to_complete"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.abcPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click_id"), col("purchase_id"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_complete"))
         .orderBy(col("signup_id"))
     }),
 
@@ -133,47 +102,12 @@ object ScalarQueries {
     // hash-partitioned, never a per-user nested loop.
     "events_pattern_quantified" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"),
-          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
-      val step1 = sg.join(ck,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("s_ts") &&
-            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("click_id").isNotNull,
-          struct(col("c_ts"), col("click_id")))).as("fc"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
-      val step2 = step1.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("c_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"), col("fp.purchase_id").as("purchase_id"),
-          col("fp.p_ts").as("p_ts"))
-      val ck2 = ck.select(col("c_user").as("b_user"),
-        col("click_id").as("b_id"), col("c_ts").as("b_ts"))
-      step2.join(ck2,
-          col("user_id") === col("b_user") &&
-            col("b_ts") > col("s_ts") && col("b_ts") < col("p_ts"), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"), col("purchase_id"), col("p_ts"))
-        .agg(count(col("b_id")).as("bn"))
-        .select(col("user_id"), col("signup_id"), col("click_id"),
-          col("purchase_id"),
-          when(col("purchase_id").isNotNull, col("bn")).as("b_count"),
-          (col("p_ts") - col("s_ts")).as("us_to_complete"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.quantifiedPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click_id"), col("purchase_id"),
+          col("click_count").as("b_count"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_complete"))
         .orderBy(col("signup_id"))
     }),
 
@@ -189,48 +123,11 @@ object ScalarQueries {
     // nested loop).
     "events_pattern_times" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"),
-          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
-      val step1 = sg.join(ck,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("s_ts") &&
-            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("click_id").isNotNull,
-          struct(col("c_ts"), col("click_id")))).as("fc"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("fc.click_id").as("click1_id"), col("fc.c_ts").as("c1_ts"))
-      val ck2 = ck.select(col("c_user").as("c2_user"),
-        col("click_id").as("c2_id"), col("c_ts").as("c2_ts"))
-      val step2 = step1.join(ck2,
-          col("user_id") === col("c2_user") &&
-            col("c2_ts") > col("c1_ts") &&
-            col("c2_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click1_id"))
-        .agg(min(when(col("c2_id").isNotNull,
-          struct(col("c2_ts"), col("c2_id")))).as("fc2"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click1_id"), col("fc2.c2_id").as("click2_id"),
-          col("fc2.c2_ts").as("c2_ts"))
-      step2.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("c2_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click1_id"), col("click2_id"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp"))
-        .select(col("user_id"), col("signup_id"), col("click1_id"),
-          col("click2_id"), col("fp.purchase_id").as("purchase_id"),
-          (col("fp.p_ts") - col("s_ts")).as("us_to_complete"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.timesPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click1_id"), col("click2_id"), col("purchase_id"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_complete"))
         .orderBy(col("signup_id"))
     }),
 
@@ -289,55 +186,11 @@ object ScalarQueries {
     // as the quantified pattern.
     "events_pattern_optional" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"),
-          col("event_id").as("click_id"), col("ts_us").as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"),
-          col("event_id").as("purchase_id"), col("ts_us").as("p_ts"))
-      val step1 = sg.join(ck,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("s_ts") &&
-            col("c_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("click_id").isNotNull,
-          struct(col("c_ts"), col("click_id")))).as("fc"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("fc.click_id").as("click_id"), col("fc.c_ts").as("c_ts"))
-      val chain = step1.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("c_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("click_id"), col("fp.purchase_id").as("p1_id"),
-          col("fp.p_ts").as("p1_ts"))
-      val direct = sg.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("s_ts") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("signup_id"))
-        .agg(min(when(col("purchase_id").isNotNull,
-          struct(col("p_ts"), col("purchase_id")))).as("fp0"))
-        .select(col("signup_id").as("d_sig"),
-          col("fp0.purchase_id").as("p0_id"), col("fp0.p_ts").as("p0_ts"))
-      chain.join(direct, col("signup_id") === col("d_sig"))
-        .select(col("user_id"), col("signup_id"),
-          when(col("p1_id").isNotNull, col("click_id"))
-            .otherwise(when(col("p0_id").isNotNull,
-              lit(null).cast("long")).otherwise(col("click_id")))
-            .as("click_id"),
-          coalesce(col("p1_id"), col("p0_id")).as("purchase_id"),
-          when(col("p1_id").isNotNull, col("p1_ts") - col("s_ts"))
-            .otherwise(when(col("p0_id").isNotNull,
-              col("p0_ts") - col("s_ts")))
-            .as("us_to_complete"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.optionalPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click_id"), col("purchase_id"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_complete"))
         .orderBy(col("signup_id"))
     }),
 
@@ -352,16 +205,10 @@ object ScalarQueries {
     // AQE handles hot users.
     "events_pattern_absence" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts_us"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
-      sg.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("s_ts_us") &&
-            col("p_ts") <= col("s_ts_us") + lit(3600000000L), "left_anti")
-        .select(col("user_id"), col("signup_id"), col("s_ts_us"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.absencePattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("anchor_ts").as("s_ts_us"))
         .orderBy(col("signup_id"))
     }),
 
@@ -377,28 +224,10 @@ object ScalarQueries {
     // with thousands of in-window purchases costs one hash probe).
     "events_pattern_abandon" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
-          col("ts_us").as("c_ts"))
-      val firstClick = sg.join(ck,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("s_ts") &&
-            col("c_ts") <= col("s_ts") + lit(3600000000L), "inner")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(struct(col("c_ts"), col("c_id"))).as("fc"))
-        .select(col("user_id"), col("signup_id"), col("s_ts"),
-          col("fc.c_id").as("click_id"), col("fc.c_ts").as("c_ts_us"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts_us").as("p_ts"))
-      firstClick.join(pu,
-          col("user_id") === col("p_user") &&
-            col("p_ts") > col("c_ts_us") &&
-            col("p_ts") <= col("s_ts") + lit(3600000000L), "left_anti")
-        .select(col("user_id"), col("signup_id"), col("click_id"),
-          col("c_ts_us"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.abandonPattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click_id"), col("click_ts").as("c_ts_us"))
         .orderBy(col("signup_id"))
     }),
 

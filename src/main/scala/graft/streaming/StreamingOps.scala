@@ -1940,19 +1940,25 @@ object StreamingOps {
     * query; the builder guarantees they all share the deterministic
     * first-match total order and the sealed-window evaluation point. */
   private val CepWindowUs = 3600000000L
-  private[streaming] val funnelPattern = Cep.begin(CepWindowUs)
+  /** The canonical click/purchase type codes the patterns below use —
+    * shared with the BATCH face ([[graft.functions.BatchCep]] compiles
+    * these same Pattern objects), so both engines provably run one
+    * spec. */
+  private[graft] val cepTypeNames: Map[Int, String] =
+    Map(0 -> "click", 1 -> "purchase")
+  private[graft] val funnelPattern = Cep.begin(CepWindowUs)
     .followedBy("purchase", 1)
-  private[streaming] val abcPattern = Cep.begin(CepWindowUs)
+  private[graft] val abcPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0).followedBy("purchase", 1)
-  private[streaming] val quantifiedPattern = Cep.begin(CepWindowUs)
+  private[graft] val quantifiedPattern = Cep.begin(CepWindowUs)
     .oneOrMoreGreedy("click", 0).followedBy("purchase", 1)
-  private[streaming] val timesPattern = Cep.begin(CepWindowUs)
+  private[graft] val timesPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0, times = 2).followedBy("purchase", 1)
-  private[streaming] val absencePattern = Cep.begin(CepWindowUs)
+  private[graft] val absencePattern = Cep.begin(CepWindowUs)
     .notFollowedBy("purchase", 1)
-  private[streaming] val optionalPattern = Cep.begin(CepWindowUs)
+  private[graft] val optionalPattern = Cep.begin(CepWindowUs)
     .optionallyFollowedBy("click", 0).followedBy("purchase", 1)
-  private[streaming] val abandonPattern = Cep.begin(CepWindowUs)
+  private[graft] val abandonPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0).notFollowedBy("purchase", 1)
 
   /** Outcome → output-row projections, shared by the registered queries
