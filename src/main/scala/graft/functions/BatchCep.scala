@@ -127,6 +127,38 @@ object BatchCep {
         }
         rest = tail
 
+      case Cep.Next(name, tc) :: tail =>
+        // strict contiguity: one min-struct leg over the FULL alphabet
+        // (the struct carries the type), resolved to a null binding
+        // when the immediate event mismatches — strictness over a
+        // type-filtered candidate set would be wrong, which is why
+        // `typeNames` for a Next pattern must map every event type
+        // (mirror of Cep.Pattern.needsAllTypes on the streaming side)
+        require(!matchedOnly,
+          "BatchCep: next() inside a negation pattern is unsupported")
+        val allCand = ev
+          .filter(col("event_type").isin(typeNames.values.toSeq: _*))
+          .select(col("user_id").as("cand_user"),
+            col("event_id").as("cand_id"), col("ts_us").as("cand_ts"),
+            col("event_type").as("cand_type"))
+        val joined = st.df.join(allCand,
+          col("user_id") === col("cand_user") &&
+            col("cand_ts") > col(st.lo) &&
+            col("cand_ts") <= col("anchor_ts") + lit(W), "left")
+        val agg = joined.groupBy(st.groupCols.map(col): _*)
+          .agg(min(when(col("cand_id").isNotNull,
+            struct(col("cand_ts"), col("cand_id"), col("cand_type"))))
+            .as("h"))
+        val isMatch = col("h.cand_type") === typeNames(tc)
+        val sel = agg.select(st.groupCols.map(col) ++ Seq(
+          when(isMatch, col("h.cand_ts")).as(s"${name}_ts"),
+          when(isMatch, col("h.cand_id")).as(s"${name}_id")): _*)
+        st = State(sel,
+          st.groupCols ++ Seq(s"${name}_ts", s"${name}_id"),
+          s"${name}_ts")
+        if (quant.isDefined) afterQuant :+= name
+        rest = tail
+
       case Cep.OneOrMore(name, tc) :: tail =>
         require(quant.isEmpty, "BatchCep: one quantifier per pattern")
         val loAtQuant = st.lo

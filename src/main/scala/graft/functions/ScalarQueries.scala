@@ -243,22 +243,10 @@ object ScalarQueries {
     // window, which is already the unmatched-left NULL verdict.
     "events_pattern_strict" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val sg = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("signup_id"),
-          col("ts_us").as("s_ts"))
-      val nx = ev.select(col("user_id").as("n_user"),
-        col("event_id").as("n_id"), col("ts_us").as("n_ts"),
-        col("event_type").as("n_type"))
-      sg.join(nx,
-          col("user_id") === col("n_user") &&
-            col("n_ts") > col("s_ts") &&
-            col("n_ts") <= col("s_ts") + lit(3600000000L), "left")
-        .groupBy(col("user_id"), col("signup_id"), col("s_ts"))
-        .agg(min(when(col("n_id").isNotNull,
-          struct(col("n_ts"), col("n_id"), col("n_type")))).as("nx"))
-        .select(col("user_id"), col("signup_id"),
-          when(col("nx.n_type") === "click", col("nx.n_id"))
-            .as("next_click_id"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.strictPattern,
+          "signup", graft.streaming.StreamingOps.cepAllTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("click_id").as("next_click_id"))
         .orderBy(col("signup_id"))
     }),
 

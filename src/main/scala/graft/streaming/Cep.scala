@@ -64,6 +64,12 @@ object Cep {
     extends Step
   /** Greedy optional step (Flink `optional()`). */
   final case class Opt(name: String, typeCode: Int) extends Step
+  /** Strict contiguity (Flink `next()`): binds iff the IMMEDIATELY
+    * following event — of ANY type in the processor's alphabet — is of
+    * `typeCode`; any intervening event fails the step. Patterns with a
+    * Next step need the FULL alphabet buffered ([[Pattern.needsAllTypes]]
+    * — "immediately following" is undecidable over a filtered buffer). */
+  final case class Next(name: String, typeCode: Int) extends Step
   /** Greedy one-or-more (Flink `oneOrMore().greedy()`). */
   final case class OneOrMore(name: String, typeCode: Int) extends Step
   /** Terminal negation (Flink `notFollowedBy()` + `within()`). */
@@ -98,10 +104,17 @@ object Cep {
       append(OneOrMore(name, typeCode))
     def notFollowedBy(name: String, typeCode: Int): Pattern =
       append(Absent(name, typeCode))
+    def next(name: String, typeCode: Int): Pattern =
+      append(Next(name, typeCode))
 
     /** Event types the pattern reads — the processor buffers only these
       * (an absence pattern halves its state by skipping the rest). */
     def wantedTypes: Set[Int] = steps.map(_.typeCode).toSet
+
+    /** True when a strict-contiguity step is present: deciding "the
+      * immediately following event" needs every alphabet type in the
+      * buffer, so the processor must ignore [[wantedTypes]] filtering. */
+    def needsAllTypes: Boolean = steps.exists(_.isInstanceOf[Next])
 
     /** Evaluate against one anchor's sealed window. `events` is the
       * buffered (typeCode, tsUs, eventId) rows; scans are bounded by
@@ -175,6 +188,22 @@ object Cep {
                 else (Map(name -> h) ++ greedy._1, greedy._2, false)
               }
             case None => go(tail, lo)
+          }
+
+        case Next(name, tc) :: tail =>
+          // first event of ANY buffered type strictly after lo — the
+          // caller guarantees the buffer holds the full alphabet
+          // (needsAllTypes); a non-matching immediate event fails the
+          // step with no binding (strict contiguity admits no gap)
+          val nxt = events.iterator
+            .filter { case (_, ts, _) => ts > lo && ts <= deadline }
+            .reduceOption { (a, b) =>
+              if (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)) a else b }
+          nxt match {
+            case Some((t, ts, id)) if t == tc =>
+              val (b, c, m) = go(tail, ts)
+              (Map(name -> ((ts, id))) ++ b, c, m)
+            case _ => (Map.empty, Map.empty, false)
           }
 
         case Absent(name, tc) :: tail =>

@@ -832,6 +832,35 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming strict-contiguity step (round-8 add): Flink's `next()`
+    // — per signup, iff the user's IMMEDIATELY following event (of ANY
+    // type, other signups included — a gap of even one view breaks
+    // contiguity) is a click within 1 h, bind it; the twin of
+    // `events_pattern_strict`, through the same CepPatternProcessor as
+    // the rest of the family. The pattern's `needsAllTypes` makes the
+    // buffer hold the full alphabet (strictness is undecidable over a
+    // filtered buffer) — state stays bounded by the same 1 h horizon,
+    // just denser; the full type map rides the round-8 typeCodes
+    // parameter. Verdict at watermark seal, as always: an
+    // earlier-timestamped event arriving late could void "immediately
+    // following" until the window is final.
+    "stream_pattern_strict" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CepPatternProcessor(strictPattern,
+          strictProject, typeCodes = cepAllTypeNames.map(_.swap)),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "next_click_id"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
     // Count-based tumbling windows (round-5 add): Flink's
     // `countWindow(5)` per user — inexpressible with Spark's time-based
     // window(). Each full run of 5 events in EVENT-TIME order emits one
@@ -1874,7 +1903,9 @@ object StreamingOps {
         cur.map(abcEvents).getOrElse(Nil): _*)
       rows.foreach { case (_, tsUs, _, etype, eid) =>
         if (etype == anchorType) signups += ((eid, tsUs))
-        else typeCodes.get(etype) match {
+        // NOT an else: a strict-contiguity alphabet maps the anchor
+        // type too (another user's signup IS "the next event")
+        typeCodes.get(etype) match {
           case Some(tc) if wanted(tc) => events += ((tc, tsUs, eid))
           case _ => ()
         }
@@ -1927,7 +1958,7 @@ object StreamingOps {
       extends AbcBufferProcessor[O](anchorType, typeCodes) {
 
     override protected def wanted(typeCode: Int): Boolean =
-      pattern.wantedTypes(typeCode)
+      pattern.needsAllTypes || pattern.wantedTypes(typeCode)
 
     override protected def verdict(key: Long, sid: Long, sTs: Long,
         events: Seq[(Int, Long, Long)]): O =
@@ -1960,6 +1991,15 @@ object StreamingOps {
     .optionallyFollowedBy("click", 0).followedBy("purchase", 1)
   private[graft] val abandonPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0).notFollowedBy("purchase", 1)
+  private[graft] val strictPattern = Cep.begin(CepWindowUs)
+    .next("click", 0)
+  /** The FULL event alphabet, for strict-contiguity patterns — next()
+    * must see every event type to decide "immediately following"
+    * (including other signups: an intervening signup breaks
+    * contiguity, exactly as the batch op's unfiltered scan had it). */
+  private[graft] val cepAllTypeNames: Map[Int, String] =
+    Map(0 -> "click", 1 -> "purchase", 2 -> "view", 3 -> "error",
+      4 -> "signup")
 
   /** Outcome → output-row projections, shared by the registered queries
     * and the test hooks. */
@@ -1985,6 +2025,9 @@ object StreamingOps {
   private val abandonProject =
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
       (key, sid, o.id("click"), o.ts("click"), o.matched)
+  private val strictProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("click"))
 
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
@@ -2630,6 +2673,34 @@ object StreamingOps {
                            AND p.p_ts > f.c_ts
                            AND p.p_ts <= f.s_ts + 3600000000)
        ORDER BY f.signup_id""",
+
+    // Batch recompute of the strict-contiguity step (the
+    // events_pattern_strict oracle + the stream family's
+    // watermark-seal cutoff): next event of ANY type per signup,
+    // click iff it is one.
+    "stream_pattern_strict" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            nx AS (SELECT user_id, event_id AS n_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS n_ts,
+                       event_type AS n_type
+                   FROM events),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            j AS (SELECT s.user_id, s.signup_id, s.s_ts, n.n_id,
+                    n.n_type,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY n.n_ts, n.n_id) AS rn
+                  FROM sg s LEFT JOIN nx n
+                    ON n.user_id = s.user_id
+                   AND n.n_ts > s.s_ts
+                   AND n.n_ts <= s.s_ts + 3600000000)
+       SELECT user_id, signup_id,
+              CASE WHEN n_type = 'click' THEN n_id END AS next_click_id
+       FROM j, mx
+       WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= mx.wm
+       ORDER BY signup_id""",
 
     // Batch recompute of the optional pattern + the stream_pattern_abc
     // deadline cutoff: a signup's verdict is final only once the

@@ -25,10 +25,14 @@ class BatchCepParitySpec extends GraftSpec {
 
   private val W = 3600000000L
 
-  /** (events DF with user_id/event_id/ts_us/event_type, label). */
-  private case class Corpus(ev: DataFrame, label: String) {
+  /** (events DF with user_id/event_id/ts_us/event_type, label).
+    * `typeNames` is the pattern alphabet — the click/purchase pair for
+    * the relaxed-contiguity family, the FULL map for strict patterns
+    * (both faces must see the same universe). */
+  private case class Corpus(ev: DataFrame, label: String,
+      typeNames: Map[Int, String] = StreamingOps.cepTypeNames) {
     lazy val perUser: Map[Long, Seq[(Int, Long, Long)]] = {
-      val tn = StreamingOps.cepTypeNames.map(_.swap)
+      val tn = typeNames.map(_.swap)
       ev.collect().groupBy(_.getLong(0)).map { case (u, rows) =>
         u -> rows.toSeq.flatMap { r =>
           tn.get(r.getString(3)).map(tc => (tc, r.getLong(2), r.getLong(1)))
@@ -44,7 +48,7 @@ class BatchCepParitySpec extends GraftSpec {
         id -> p.eval(ts, perUser.getOrElse(u, Nil))
       }.toMap
     def batch(p: Cep.Pattern): Map[Long, org.apache.spark.sql.Row] =
-      BatchCep.bindings(ev, p, "signup", StreamingOps.cepTypeNames)
+      BatchCep.bindings(ev, p, "signup", typeNames)
         .collect().map(r => r.getLong(1) -> r).toMap
   }
 
@@ -190,5 +194,20 @@ class BatchCepParitySpec extends GraftSpec {
     val o = synth.evalAll(p)
     assert(o.values.exists(_.counts.get("click").exists(_ >= 2)),
       "synthetic corpus lost its terminal-absorption case")
+  }
+
+  test("strict next() bindings equal Cep.eval over the full alphabet") {
+    val p = StreamingOps.strictPattern
+    Seq(real.copy(typeNames = StreamingOps.cepAllTypeNames),
+      synth.copy(typeNames = StreamingOps.cepAllTypeNames)).foreach { c =>
+      checkBindings(c, "strict", p, Seq("click"))
+    }
+    // the synthetic corpus must exercise both verdicts: an immediate
+    // click (u1's signup? -> first event after 1000 is the tied clicks)
+    // and a broken-contiguity case (u3: purchase intervenes)
+    val o = synth.copy(typeNames = StreamingOps.cepAllTypeNames)
+      .evalAll(p)
+    assert(o.values.exists(_.matched) && o.values.exists(!_.matched),
+      "synthetic corpus lost its strict matched/broken split")
   }
 }

@@ -123,6 +123,24 @@ class CepSpec extends AnyFunSuite {
     assert(!v.matched)
   }
 
+  test("next(): only the IMMEDIATELY following event can bind") {
+    val p = Cep.begin(W).next("b", 0)
+    // immediate type-0 → bound
+    assert(p.eval(0, Seq((0, 10, 1), (1, 20, 2))).id("b").contains(1L))
+    // an intervening type-1 breaks contiguity — no binding at all
+    val broken = p.eval(0, Seq((1, 5, 9), (0, 10, 1)))
+    assert(!broken.matched && broken.bindings.isEmpty)
+    // empty window → unmatched
+    assert(!p.eval(0, Seq((0, 150, 1))).matched)
+    // tie at the same ts: lower id IS the next event
+    assert(p.eval(0, Seq((0, 10, 3), (1, 10, 7))).id("b").contains(3L))
+    assert(!p.eval(0, Seq((1, 10, 3), (0, 10, 7))).matched)
+    // chains: the step after next() scans from the bound event
+    val q = Cep.begin(W).next("b", 0).followedBy("c", 1)
+    val o = q.eval(0, Seq((0, 10, 1), (1, 30, 2)))
+    assert(o.matched && o.id("b").contains(1L) && o.id("c").contains(2L))
+  }
+
   test("builder rejects duplicate names and post-negation steps") {
     intercept[IllegalArgumentException] {
       Cep.begin(W).followedBy("b", 0).followedBy("b", 1)
