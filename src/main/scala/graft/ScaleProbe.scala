@@ -204,10 +204,14 @@ object ScaleProbe {
             // dedup audit) — accumulated checkpoint blocks pin storage
             // memory across the long probe session and inflate later
             // queries' sorts by whole multiples (measured: llm_ngram_lm
-            // 8 s → 25 s, ts_zscore 2 s → 15 s late in a 100+-query run)
+            // 8 s → 25 s, ts_zscore 2 s → 15 s late in a 100+-query run).
+            // BLOCKING, the Bench lesson: a lazy unpersist leaves the
+            // blocks resident while the NEXT query runs — round-8's
+            // ngram_jaccard collapse checkpoint (k×-corpus texts) left
+            // non-blocking measured llm_ngram_lm 7 s → 26 s at 16×
             spark.sparkContext.getPersistentRDDs
               .filterNot { case (id, _) => preexisting(id) }
-              .values.foreach(_.unpersist(blocking = false))
+              .values.foreach(_.unpersist(blocking = true))
           }
           if (mode == "perturbed")
             // candidate volume BEFORE verification — the quantity whose
