@@ -47,6 +47,41 @@ object LlmOps {
     * survivor iff an earlier survivor has token-set Jaccard ≥ 0.5 under
     * the (lang, |Δn_chars| ≤ 10) blocking. `dup_of` < doc_id always, so
     * the edges form a forest — which llm_dedup_clusters exploits. */
+  /** Pointer-jumped duplicate clusters — (doc_id, cluster_id), the
+    * transitive closure of the dedup verdicts' `dup_of` edges, each
+    * cluster labeled by its minimal member. localCheckpoint (eager)
+    * truncates lineage each round — without it iteration k re-runs the
+    * whole verdict DAG k times and the loop goes quadratic (measured:
+    * sf0.1 ran past 10 min; with checkpointing it's seconds). On a
+    * cluster use a reliable checkpoint dir instead (localCheckpoint
+    * pins to executor storage). Superseded rounds' blocks are reclaimed
+    * by Spark's ContextCleaner once the discarded DataFrames are GC'd
+    * (referenceTracking is on by default) — no explicit unpersist,
+    * which would also have to reach through the checkpointed plan's
+    * RDD. Shared by `llm_dedup_clusters` and `llm_dedup_keep_best`. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    var cur = dedupVerdicts(s, d)
+      .select(col("doc_id"),
+        coalesce(col("dup_of"), col("doc_id")).as("root"))
+      .localCheckpoint()
+    var done = false
+    while (!done) {
+      val parents = cur.select(col("doc_id").as("p_id"),
+        col("root").as("p_root"))
+      // the jump and the convergence flag come out of the same join —
+      // one checkpointed pass per round, no second comparison join
+      val next = cur.join(parents, col("root") === col("p_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("p_root"), col("root")).as("root"),
+          (col("p_root").isNotNull && col("p_root") =!= col("root"))
+            .as("changed"))
+        .localCheckpoint()
+      done = next.filter(col("changed")).isEmpty
+      cur = next.select(col("doc_id"), col("root"))
+    }
+    cur.select(col("doc_id"), col("root").as("cluster_id"))
+  }
+
   private def dedupVerdicts(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     val base = documents(s, d).select(col("doc_id"), col("lang"),
@@ -372,36 +407,30 @@ object LlmOps {
     // depth — fixpoint in ceil(log2(depth)) rounds. The driver loop only
     // checks a convergence flag (isEmpty); all data stays distributed —
     // the same driver-coordinated shape GraphX/connected-components uses.
-    "llm_dedup_clusters" -> ((s, d) => {
-      // localCheckpoint (eager) truncates lineage each round — without it
-      // iteration k re-runs the whole verdict DAG k times and the loop
-      // goes quadratic (measured: sf0.1 ran past 10 min; with
-      // checkpointing it's seconds). On a cluster use a reliable
-      // checkpoint dir instead (localCheckpoint pins to executor storage).
-      // Superseded rounds' blocks are reclaimed by Spark's ContextCleaner
-      // once the discarded DataFrames are GC'd (referenceTracking is on
-      // by default) — no explicit unpersist, which would also have to
-      // reach through the checkpointed plan's RDD.
-      var cur = dedupVerdicts(s, d)
-        .select(col("doc_id"),
-          coalesce(col("dup_of"), col("doc_id")).as("root"))
-        .localCheckpoint()
-      var done = false
-      while (!done) {
-        val parents = cur.select(col("doc_id").as("p_id"),
-          col("root").as("p_root"))
-        // the jump and the convergence flag come out of the same join —
-        // one checkpointed pass per round, no second comparison join
-        val next = cur.join(parents, col("root") === col("p_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("p_root"), col("root")).as("root"),
-            (col("p_root").isNotNull && col("p_root") =!= col("root"))
-              .as("changed"))
-          .localCheckpoint()
-        done = next.filter(col("changed")).isEmpty
-        cur = next.select(col("doc_id"), col("root"))
-      }
-      cur.select(col("doc_id"), col("root").as("cluster_id"))
+    "llm_dedup_clusters" -> ((s, d) =>
+      dedupClusters(s, d).orderBy(col("doc_id"))),
+
+    // Cluster-then-keep-best (round-8 add): the selection policy real
+    // dedup pipelines run — within each duplicate cluster keep the
+    // HIGHEST-QUALITY member (ties → smallest doc_id), not the smallest
+    // id. Composes the pointer-jumped clusters with the quality score's
+    // exact-decimal arithmetic (D2: decimal comparisons are
+    // engine-portable; a double-scored argmax could flip on a rounding
+    // tie). The argmax is a min-struct aggregation on cluster_id plus
+    // one cluster-keyed equi-join back — never a per-cluster window, so
+    // a pathological giant cluster costs a partial-agg, not a
+    // single-partition sort.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      val q = TrainingDataOps.qualityDecimal(s, d)
+      val scored = dedupClusters(s, d).join(q, Seq("doc_id"))
+      val best = scored.groupBy(col("cluster_id"))
+        .agg(min(struct((lit(BigDecimal("0")) - col("q")).as("nq"),
+          col("doc_id").as("bid"))).as("b"))
+        .select(col("cluster_id"), col("b.bid").as("best_id"))
+      scored.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"),
+          col("q").cast("double").as("quality"),
+          (col("doc_id") === col("best_id")).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -818,6 +847,72 @@ object LlmOps {
        SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
        FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id
        ORDER BY v.doc_id""",
+
+    // The clusters CTE (above) + exact-decimal quality + per-cluster
+    // argmax (quality DESC, doc_id ASC — the decimal compare is the
+    // point: a double tie could rank differently across engines).
+    "llm_dedup_keep_best" ->
+      """WITH RECURSIVE
+            keep AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
+                       min(doc_id) OVER (PARTITION BY text) AS keeper
+                     FROM documents),
+            surv AS MATERIALIZED (SELECT * FROM keep WHERE doc_id = keeper),
+            tok AS MATERIALIZED (SELECT DISTINCT doc_id,
+                      unnest(string_split(text, ' ')) AS w
+                    FROM surv),
+            card AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+            pair AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+                       count(*) AS inter
+                     FROM tok a
+                     JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+                     JOIN surv sa ON sa.doc_id = a.doc_id
+                     JOIN surv sb ON sb.doc_id = b.doc_id
+                     WHERE sa.lang = sb.lang
+                       AND abs(sa.n_chars - sb.n_chars) <= 10
+                     GROUP BY 1, 2),
+            nd AS (SELECT p.doc_id, min(cand) AS nd_of
+                   FROM pair p
+                   JOIN card ca ON ca.doc_id = p.cand
+                   JOIN card cb ON cb.doc_id = p.doc_id
+                   WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+                   GROUP BY 1),
+            v AS MATERIALIZED (SELECT k.doc_id,
+                    CASE WHEN k.doc_id != k.keeper THEN k.keeper
+                         ELSE nd.nd_of END AS dup_of
+                  FROM keep k LEFT JOIN nd ON nd.doc_id = k.doc_id),
+            walk(doc_id, cur) AS (
+              SELECT doc_id, dup_of FROM v WHERE dup_of IS NOT NULL
+              UNION ALL
+              SELECT w.doc_id, v2.dup_of
+              FROM walk w JOIN v v2 ON v2.doc_id = w.cur
+              WHERE v2.dup_of IS NOT NULL),
+            roots AS (SELECT doc_id, min(cur) AS root
+                      FROM walk GROUP BY 1),
+            cl AS (SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
+                   FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id),
+            q AS (SELECT doc_id,
+                    CAST(0.5 * (1 - CAST(round(len(list_filter(
+                          string_split(text, ' '),
+                          w -> w = 'the' OR w = 'a' OR w = 'of'))
+                        / len(string_split(text, ' ')), 6)
+                        AS DECIMAL(12,6))) +
+                      0.3 * least(
+                        CAST(round(n_chars / len(string_split(text, ' ')), 4)
+                          AS DECIMAL(10,4)) * 0.125,
+                        CAST(1.0 AS DECIMAL(12,6))) +
+                      0.2 * (1 - CAST(round(len(list_filter(
+                          string_split(text, ' '), w -> len(w) <= 2))
+                        / len(string_split(text, ' ')), 6)
+                        AS DECIMAL(12,6)))
+                    AS DECIMAL(38,6)) AS q
+                  FROM documents),
+            ranked AS (SELECT cl.doc_id, cl.cluster_id, q.q,
+                         row_number() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY q.q DESC, cl.doc_id) AS rn
+                       FROM cl JOIN q ON q.doc_id = cl.doc_id)
+       SELECT doc_id, cluster_id, CAST(q AS DOUBLE) AS quality,
+              rn = 1 AS keep
+       FROM ranked ORDER BY doc_id""",
 
     "llm_dedup_pipeline" ->
       """WITH keep AS (SELECT doc_id, lang, n_chars, text,

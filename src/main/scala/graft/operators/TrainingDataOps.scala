@@ -35,6 +35,28 @@ object TrainingDataOps {
 
   private def ws = split(col("text"), " ")
 
+  /** The quality score as an EXACT DECIMAL(38,6) per doc — the
+    * comparable `llm_dedup_keep_best` sorts its argmax on (D2: a
+    * double-valued quality could flip a within-cluster tie across
+    * engines; the decimal arithmetic is `llm_quality_score`'s,
+    * un-doubled). Returns (doc_id, q). */
+  private[graft] def qualityDecimal(s: SparkSession, d: String)
+      : DataFrame = {
+    val stopD = round(size(filter(ws, w =>
+      w === "the" || w === "a" || w === "of")) / size(ws), 6)
+      .cast(DecimalTypeNarrow)
+    val shortD = round(size(filter(ws, w => length(w) <= 2)) / size(ws), 6)
+      .cast(DecimalTypeNarrow)
+    val avgD = round(col("n_chars") / size(ws), 4)
+      .cast(org.apache.spark.sql.types.DecimalType(10, 4))
+    documents(s, d).select(col("doc_id"),
+      (lit(BigDecimal("0.5")) * (lit(1) - stopD) +
+        lit(BigDecimal("0.3")) *
+          least(avgD * lit(BigDecimal("0.125")), lit(BigDecimal("1.0"))) +
+        lit(BigDecimal("0.2")) * (lit(1) - shortD))
+        .cast(DecimalType38_6).as("q"))
+  }
+
   /** acos of a cosine clamped into [-1, 1]. NaN input (a zero-norm vector
     * — e.g. a degenerate centroid from cancelling members — divides 0/0)
     * maps to π, the always-candidate radius: Spark's least/greatest treat
