@@ -207,6 +207,25 @@ class OperatorSpec extends GraftSpec {
     })
   }
 
+  test("llm_dedup_keep_best: exactly one keeper per cluster, and it is " +
+      "the quality argmax with min-id ties") {
+    val rows = SparkEntry.queries("llm_dedup_keep_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      val keepers = ms.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val best = ms.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $cid kept ${keepers.head._1}, argmax is ${best._1}")
+    }
+    // the corpus must exercise a non-trivial cluster (else the argmax
+    // path is untested)
+    assert(byCluster.exists(_._2.length > 1),
+      "no multi-member duplicate cluster at test SF")
+  }
+
   test("graph_pagerank is bit-identical across shuffle partitionings (D2)") {
     // The integer micro-unit + floor-division claim: the 10-iteration
     // rank vector must not depend on how partial sums associate. Run
