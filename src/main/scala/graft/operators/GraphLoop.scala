@@ -112,6 +112,13 @@ object GraphLoop {
       state = next
       rounds += 1
     }
+    if (moving)
+      // loud, not silent: a capped run returns labels that are NOT a
+      // fixpoint — the caller should raise maxRounds or switch to the
+      // pointer-jumping variant for this graph's diameter
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"GraphLoop.iterateMonotone hit maxRounds=$maxRounds while the " +
+          s"$metricCol sum was still decreasing — result is UNCONVERGED")
     state
   }
 }

@@ -183,6 +183,24 @@ class PlanShapeSpec extends GraftSpec {
     assert(plan.contains("HashJoin"), s"no hash join:\n$plan")
   }
 
+  test("BatchCep-compiled legs stay hash equi-joins (strict's " +
+      "full-alphabet scan, abandon's anti leg, funnel's bind leg)") {
+    // The round-8 generator must never regress the hand-written plans'
+    // shape: every leg is a user-keyed hash join (bind/count legs) or a
+    // hash anti join (terminal negation) — a generator bug that drops
+    // the equi-key would surface as a nested loop over the corpus here.
+    Seq("events_pattern_strict", "events_pattern_abandon",
+      "events_funnel").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q nested loop over events:\n$plan")
+      assert(plan.contains("HashJoin"), s"$q: no hash join:\n$plan")
+    }
+    assert(finalPlan("events_pattern_abandon").contains("LeftAnti"),
+      "abandon's negation is not an anti join")
+  }
+
   test("llm_dup_ngram_coverage is keyed agg + equi-join, never a pair cartesian") {
     // The coverage metric touches every (position, gram) once; a
     // nested-loop anywhere would be the O(docs²) shape the gram-keyed
