@@ -1293,36 +1293,46 @@ object TrainingDataOps {
     // double round() of the average hit a real x.xxxxxx5 half-tie at
     // sf0.1 (row 1492: 3.4140895) where Spark and DuckDB round
     // differently (D4); integer arithmetic cannot.
+    // Same adaptive text-collapse as llm_lang_id (the dup-heavy
+    // discipline on a trained model): bigram/unigram model counts are
+    // the distinct-text counts weighted by replica multiplicity k, and
+    // replica scores are identical — so under heavy duplication the
+    // bigram explode/tf/score pipeline runs on (text)-group reps and
+    // answers expand by one gid-keyed join. `spark.graft.ngramLmCollapse`
+    // = always|never overrides for the both-paths test. Group key is
+    // just (text): the LM is lang-blind.
     "llm_ngram_lm" -> ((s, d) => {
       val docs = documents(s, d)
-      val wsArr = col("ws_arr")
-      val bg = docs.withColumn("ws_arr", ws)
-        .select(col("doc_id"),
-          explode(when(size(wsArr) >= 2,
-            transform(sequence(lit(1), size(wsArr) - 1),
-              i => concat_ws(" ", element_at(wsArr, i),
-                element_at(wsArr, i + 1))))
-            .otherwise(array().cast("array<string>"))).as("bg"))
-      val tf = bg.groupBy(col("doc_id"), col("bg"))
-        .agg(count(lit(1)).as("tf"))
-      val c12 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
-      val uni = docs.select(explode(ws).as("w"))
-      val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val vsize = uni.agg(countDistinct(col("w")).as("v"))
-      val grid = c12
-        .withColumn("w1", element_at(split(col("bg"), " "), 1))
-        .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"))
-        .crossJoin(broadcast(vsize))
-        .withColumn("lpm", round(log(
-          (col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e6, 0)
-          .cast("long"))
-        .select(col("bg"), col("lpm"))
-      val sc = tf.join(grid, Seq("bg"))
-        .withColumn("c", col("tf") * col("lpm"))
-        .groupBy(col("doc_id"))
-        .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
-      docs.select(col("doc_id"))
-        .join(sc, Seq("doc_id"), "left")
+      val pre = docs.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("text"))).as("nd")).head()
+      val collapse =
+        s.conf.getOption("spark.graft.ngramLmCollapse") match {
+          case Some(v) if v.equalsIgnoreCase("always") => true
+          case Some(v) if v.equalsIgnoreCase("never") => false
+          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+        }
+      val out =
+        if (!collapse)
+          ngramLmScores(docs.withColumn("k", lit(1L)))
+            .select(col("gid").as("doc_id"), col("p"), col("n_bigrams"))
+        else {
+          val withG = docs
+            .withColumn("th", xxhash64(col("text")))
+            .withColumn("gid", min(col("doc_id")).over(
+              Window.partitionBy(col("th"), col("text"))))
+            .select(col("doc_id"), col("gid"), col("text"))
+            .localCheckpoint()
+          val reps = withG.filter(col("doc_id") === col("gid"))
+            .join(withG.groupBy(col("gid").as("g2"))
+                .agg(count(lit(1)).as("k")),
+              col("gid") === col("g2"))
+            .select(col("doc_id"), col("text"), col("k"))
+          withG.select(col("doc_id"), col("gid"))
+            .join(ngramLmScores(reps), Seq("gid"))
+            .select(col("doc_id"), col("p"), col("n_bigrams"))
+        }
+      documents(s, d).select(col("doc_id"))
+        .join(out, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           (expr("(2 * p + n_bigrams) div (2 * n_bigrams)") / lit(1e6))
@@ -1333,48 +1343,136 @@ object TrainingDataOps {
     // Unigram naive-Bayes language ID trained on the corpus itself
     // (add-1 smoothing, ln-probabilities rounded to 6 dp, decimal-exact
     // score accumulation so partition order can't flip an argmax).
+    // ADAPTIVE text-collapse (round-8; the dup-heavy discipline applied
+    // to a TRAINED model): under k verbatim replicas the explode/tf/
+    // scoring pipeline multiplies k× while the information content is
+    // constant — replica docs score identically, and the model's
+    // (lang, word) counts are exactly the DISTINCT-text counts weighted
+    // by multiplicity (the `tf * k` below — training on reps unweighted
+    // would CHANGE the model, so the weight is correctness-critical,
+    // not an optimization). The same 1.25×-duplication-mass precheck as
+    // dup_spans/ngram_jaccard picks the path; replicas expand back via
+    // one gid-keyed join. Group key is (lang, text): same text under
+    // two langs trains different counts, so those docs are not
+    // exchangeable. `spark.graft.langIdCollapse` = always|never
+    // overrides for the both-paths-identical test.
     "llm_lang_id" -> ((s, d) => {
       val docs = documents(s, d)
-      val tok = docs.select(col("doc_id"), col("lang"),
-        explode(ws).as("w"))
-      // One corpus-sized aggregation; the model-side (lang, word) counts
-      // roll up from it (lang is functionally dependent on doc_id), so the
-      // exploded corpus is shuffled ONCE — Catalyst's ReuseExchange shares
-      // the tf exchange between both consumers instead of re-exploding.
-      val tf = tok.groupBy(col("doc_id"), col("lang"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val cnts = tf.groupBy(col("lang").as("m_lang"), col("w"))
-        .agg(sum(col("tf")).as("cnt"))
-      // Model-side statistics all derive from the (lang, word) count table,
-      // not from re-scanning the exploded corpus: at 100 TB `tok` is
-      // corpus-sized while `cnts` is vocabulary-sized (|V|·|L| rows), so
-      // this turns four extra corpus scans into reuses of one aggregate.
-      val tot = cnts.groupBy(col("m_lang")).agg(sum(col("cnt")).as("tot"))
-      val vocab = cnts.select(col("w")).distinct()
-      val vsize = vocab.agg(count(lit(1)).as("v"))
-      val langs = cnts.select(col("m_lang")).distinct()
-      val grid = vocab.crossJoin(langs)
-        .join(cnts, Seq("m_lang", "w"), "left")
-        .join(tot, Seq("m_lang"))
-        .crossJoin(vsize)
-        .withColumn("lp", round(log(
-          (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-            (col("tot") + col("v"))), 6))
-      val scores = tf.join(grid, Seq("w"))
-        .withColumn("c", (col("tf") * col("lp")).cast(Money))
-        .groupBy(col("doc_id"), col("m_lang"))
-        .agg(sum(col("c")).as("score"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("m_lang"))
-      val pred = scores.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("m_lang").as("predicted"))
-      docs.select(col("doc_id"), col("lang").as("actual"))
-        .join(pred, "doc_id")
-        .withColumn("correct", col("actual") === col("predicted"))
-        .orderBy(col("doc_id"))
+      val pre = docs.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("lang"), col("text"))).as("nd")).head()
+      val collapse =
+        s.conf.getOption("spark.graft.langIdCollapse") match {
+          case Some(v) if v.equalsIgnoreCase("always") => true
+          case Some(v) if v.equalsIgnoreCase("never") => false
+          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+        }
+      if (!collapse) {
+        val pred = langIdPredict(docs.withColumn("k", lit(1L)))
+        docs.select(col("doc_id"), col("lang").as("actual"))
+          .join(pred, col("doc_id") === col("gid"))
+          .select(col("doc_id"), col("actual"), col("predicted"),
+            (col("actual") === col("predicted")).as("correct"))
+          .orderBy(col("doc_id"))
+      } else {
+        val withG = docs
+          .withColumn("th", xxhash64(col("lang"), col("text")))
+          .withColumn("gid", min(col("doc_id")).over(
+            Window.partitionBy(col("th"), col("lang"), col("text"))))
+          .select(col("doc_id"), col("gid"), col("lang"), col("text"))
+          .localCheckpoint()
+        val reps = withG.filter(col("doc_id") === col("gid"))
+          .join(withG.groupBy(col("gid").as("g2"))
+              .agg(count(lit(1)).as("k")),
+            col("gid") === col("g2"))
+          .select(col("doc_id"), col("lang"), col("text"), col("k"))
+        val pred = langIdPredict(reps)
+        withG.select(col("doc_id"), col("gid"), col("lang").as("actual"))
+          .join(pred, Seq("gid"))
+          .select(col("doc_id"), col("actual"), col("predicted"),
+            (col("actual") === col("predicted")).as("correct"))
+          .orderBy(col("doc_id"))
+      }
     })
   )
+
+  /** The bigram-LM model + per-doc negative-log-prob sums over a
+    * (doc_id, text, k) table, where `k` is each row's replica
+    * multiplicity (1 on the direct path): the add-1-smoothed corpus
+    * bigram/unigram counts are k-WEIGHTED (training is over the full
+    * corpus, not the distinct texts), per-doc scores use the row's own
+    * unweighted tf. Returns (gid = input doc_id, p, n_bigrams) for rows
+    * with ≥1 bigram. */
+  private def ngramLmScores(src: DataFrame): DataFrame = {
+    val wsArr = col("ws_arr")
+    val bg = src.withColumn("ws_arr", ws)
+      .select(col("doc_id"), col("k"),
+        explode(when(size(wsArr) >= 2,
+          transform(sequence(lit(1), size(wsArr) - 1),
+            i => concat_ws(" ", element_at(wsArr, i),
+              element_at(wsArr, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val tf = bg.groupBy(col("doc_id"), col("k"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy(col("bg")).agg(sum(col("tf") * col("k")).as("c12"))
+    val uni = src.select(col("k"), explode(ws).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(sum(col("k")).as("c1"))
+    val vsize = uni.agg(countDistinct(col("w")).as("v"))
+    val grid = c12
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("lpm", round(log(
+        (col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e6, 0)
+        .cast("long"))
+      .select(col("bg"), col("lpm"))
+    tf.join(grid, Seq("bg"))
+      .withColumn("c", col("tf") * col("lpm"))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id").as("gid"), col("p"), col("n_bigrams"))
+  }
+
+  /** The lang-ID model + per-doc argmax over a (doc_id, lang, text, k)
+    * table, where `k` is each row's replica multiplicity (1 on the
+    * direct path): add-1-smoothed per-lang unigram log-probs trained on
+    * the k-WEIGHTED counts, docs scored by their own (unweighted) tf.
+    * Returns (gid = input doc_id, predicted). */
+  private def langIdPredict(src: DataFrame): DataFrame = {
+    val tok = src.select(col("doc_id"), col("lang"), col("k"),
+      explode(ws).as("w"))
+    // One corpus-sized aggregation; the model-side (lang, word) counts
+    // roll up from it (lang and k are functionally dependent on doc_id),
+    // so the exploded corpus is shuffled ONCE — Catalyst's ReuseExchange
+    // shares the tf exchange between both consumers.
+    val tf = tok.groupBy(col("doc_id"), col("lang"), col("k"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val cnts = tf.groupBy(col("lang").as("m_lang"), col("w"))
+      .agg(sum(col("tf") * col("k")).as("cnt"))
+    // Model-side statistics all derive from the (lang, word) count table,
+    // not from re-scanning the exploded corpus: at 100 TB `tok` is
+    // corpus-sized while `cnts` is vocabulary-sized (|V|·|L| rows), so
+    // this turns four extra corpus scans into reuses of one aggregate.
+    val tot = cnts.groupBy(col("m_lang")).agg(sum(col("cnt")).as("tot"))
+    val vocab = cnts.select(col("w")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val langs = cnts.select(col("m_lang")).distinct()
+    val grid = vocab.crossJoin(langs)
+      .join(cnts, Seq("m_lang", "w"), "left")
+      .join(tot, Seq("m_lang"))
+      .crossJoin(vsize)
+      .withColumn("lp", round(log(
+        (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("tot") + col("v"))), 6))
+    val scores = tf.join(grid, Seq("w"))
+      .withColumn("c", (col("tf") * col("lp")).cast(Money))
+      .groupBy(col("doc_id"), col("m_lang"))
+      .agg(sum(col("c")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("m_lang"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("gid"), col("m_lang").as("predicted"))
+  }
 
   /** One oracle for llm_decontaminate AND llm_decontaminate_bloom — the
     * Bloom pre-filter cannot change the output (false positives only add

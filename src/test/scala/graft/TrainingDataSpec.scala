@@ -488,6 +488,60 @@ class TrainingDataSpec extends GraftSpec {
     assert(collapsed.nonEmpty && collapsed.size == 20)
   }
 
+  test("llm_lang_id collapse path equals the direct path on a " +
+      "replica-heavy corpus (the k-weighted model is exact)") {
+    // Training on replicas vs training on distinct texts with
+    // multiplicity weights must give the SAME model (cnt(lang, w) is a
+    // k-weighted sum) and hence the same per-doc argmax. Same staging
+    // as the other collapse tests.
+    val src = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_li_")
+      .toString
+    val extra1 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val extra2 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(200000L))
+    src.unionByName(extra1).unionByName(extra2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.langIdCollapse", mode)
+      try SparkEntry.queries("llm_lang_id")(spark, dir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.langIdCollapse")
+    }
+    val direct = run("never")
+    val collapsed = run("always")
+    assert(direct == collapsed,
+      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
+        s"${direct.diff(collapsed).take(5)}")
+    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+  }
+
+  test("llm_ngram_lm collapse path equals the direct path on a " +
+      "replica-heavy corpus (the k-weighted LM is exact)") {
+    val src = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_")
+      .toString
+    val extra1 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val extra2 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(200000L))
+    src.unionByName(extra1).unionByName(extra2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.ngramLmCollapse", mode)
+      try SparkEntry.queries("llm_ngram_lm")(spark, dir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.ngramLmCollapse")
+    }
+    val direct = run("never")
+    val collapsed = run("always")
+    assert(direct == collapsed,
+      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
+        s"${direct.diff(collapsed).take(5)}")
+    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+  }
+
   test("llm_dup_spans text-collapse path is exact under heavy duplication") {
     // The round-7 adaptive collapse runs the position machinery on
     // DISTINCT texts and reconstructs member answers (full-coverage
