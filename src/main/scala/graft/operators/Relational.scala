@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -52,13 +52,34 @@ object Relational {
     * provably vacuous — the dst agg's output IS the complete next rank
     * vector. Halves the loop's job count, which is what the
     * node-cardinality rounds actually pay for at bench scale. */
-  private[graft] def pagerankRound(edgesD: DataFrame,
-      rank: DataFrame): DataFrame =
+  private[graft] def pagerankRound(edgesD: DataFrame, rank: DataFrame,
+      teleport: Column = lit(150000L)): DataFrame =
     edgesD
       .join(broadcast(rank), col("src") === col("node"))
       .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("in_sum"))
       .select(col("dst").as("node"),
-        (lit(150000L) + expr("(85 * in_sum) div 100")).as("rank"))
+        (teleport + expr("(85 * in_sum) div 100")).as("rank"))
+
+  /** PERSONALIZED teleport: restart mass lands only on the seed set —
+    * customer nodes (< the 10¹² supplier offset) with custkey ≡ 0
+    * (mod 20), a deterministic, SQL-mirrorable predicate. Written
+    * against `col("dst")` because [[pagerankRound]] computes the next
+    * rank inside the dst aggregation. */
+  private val pprTeleport: Column =
+    when(col("dst") < lit(1000000000000L) &&
+      pmod(col("dst"), lit(20L)) === 0, lit(150000L)).otherwise(lit(0L))
+
+  private def pprQuery(s: SparkSession, d: String): DataFrame = {
+    val (edgesD, nodes, _) = pagerankLayout(s, d)
+    val seed = col("node") < lit(1000000000000L) &&
+      pmod(col("node"), lit(20L)) === 0
+    val rank0 = nodes.withColumn("rank",
+      when(seed, lit(1000000L)).otherwise(lit(0L))).localCheckpoint()
+    val rank = GraphLoop.iterate(rank0, 10)(
+      r => pagerankRound(edgesD, r, pprTeleport))
+    GraphLoop.release(edgesD)
+    rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
 
   /** Loop-invariant PageRank layout, paid ONCE: fold the static
     * out-degree into the edge table before [[GraphLoop.pin]]ning it by
@@ -352,6 +373,18 @@ object Relational {
     // dst — the GraphX/Pregel cost shape without the library.
     "graph_pagerank" -> ((s, d) => pagerankQuery(s, d)),
 
+    // Personalized PageRank (round-8 add): restart mass lands only on a
+    // SEED set (every-20th customer) instead of uniformly — the "rank
+    // relative to these sources" workload (related-entity retrieval /
+    // seed-expansion labeling), and the proof GraphLoop is a library,
+    // not two inlined loops: this op is pagerankLayout + the SAME
+    // pagerankRound with a teleport Column parameter + GraphLoop
+    // .iterate, ~10 lines total. Integer micro-unit discipline
+    // unchanged (seed teleport 150000, non-seed 0, floor division
+    // everywhere) so the result is bit-identical under any partitioning
+    // and mirrored by 10 generated unrolled CTEs.
+    "graph_pagerank_personalized" -> ((s, d) => pprQuery(s, d)),
+
     // Connected components over the (sparse) high-quantity trade graph —
     // the second iterative-graph op, completing the pair with
     // graph_pagerank (sum-flow) via MIN-LABEL PROPAGATION: rounds of
@@ -629,6 +662,40 @@ object Relational {
         // to HUGEINT, which the driver's arrow read degrades to double
         s""", r$i AS (SELECT n.node,
                 CAST(150000 + (85 * coalesce(s.in_sum, 0)) // 100
+                  AS BIGINT) AS rank
+              FROM n LEFT JOIN (
+                SELECT e.dst, sum(r${i - 1}.rank // deg.deg) AS in_sum
+                FROM r${i - 1}
+                JOIN deg ON deg.src = r${i - 1}.node
+                JOIN e ON e.src = r${i - 1}.node
+                GROUP BY 1) s ON s.dst = n.node)"""
+      }.mkString
+      head + iters +
+        " SELECT node, rank FROM r10 ORDER BY rank DESC, node LIMIT 20"
+    },
+
+    // Same generated unroll as graph_pagerank with the seed-set teleport
+    // CASE in r0 and every round.
+    "graph_pagerank_personalized" -> {
+      val tele = "CASE WHEN n.node < 1000000000000 AND n.node % 20 = 0 " +
+        "THEN 150000 ELSE 0 END"
+      val head =
+        """WITH e0 AS (SELECT DISTINCT o_custkey AS c,
+                         l_suppkey + 1000000000000 AS p
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+              e AS (SELECT c AS src, p AS dst FROM e0
+                    UNION ALL SELECT p, c FROM e0),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+              n AS (SELECT DISTINCT src AS node FROM e),
+              r0 AS (SELECT node,
+                       CAST(CASE WHEN node < 1000000000000
+                                  AND node % 20 = 0
+                                 THEN 1000000 ELSE 0 END AS BIGINT)
+                         AS rank FROM n)"""
+      val iters = (1 to 10).map { i =>
+        s""", r$i AS (SELECT n.node,
+                CAST(($tele) + (85 * coalesce(s.in_sum, 0)) // 100
                   AS BIGINT) AS rank
               FROM n LEFT JOIN (
                 SELECT e.dst, sum(r${i - 1}.rank // deg.deg) AS in_sum
