@@ -1082,30 +1082,60 @@ object TrainingDataOps {
     // keyed by doc_id, so the shuffle is corpus-bigram-sized and
     // partitions cleanly at 100 TB. Fractions are single int/int double
     // divisions rounded once (no accumulation-order hazard).
+    // Adaptive text-collapse (round-8): repetition is PURELY per-doc
+    // (no cross-doc state), so verbatim replicas recompute identical
+    // values — under the duplication-mass precheck the bigram explode
+    // runs once per distinct text and answers expand by one gid join.
+    // `spark.graft.repetitionCollapse` = always|never overrides.
     "llm_repetition" -> ((s, d) => {
       val docs = documents(s, d)
-      val wsArr = col("ws_arr")
-      val base = docs.withColumn("ws_arr", ws)
-        .select(col("doc_id"), size(wsArr).cast("int").as("n_words"),
-          size(array_distinct(wsArr)).cast("int").as("n_distinct"))
-      val bg = docs.withColumn("ws_arr", ws)
-        .select(col("doc_id"),
-          explode(when(size(wsArr) >= 2,
-            transform(sequence(lit(1), size(wsArr) - 1),
-              i => concat_ws(" ", element_at(wsArr, i),
-                element_at(wsArr, i + 1))))
-            .otherwise(array().cast("array<string>"))).as("bg"))
-      val topbg = bg.groupBy(col("doc_id"), col("bg"))
-        .agg(count(lit(1)).as("tf"))
-        .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
-      base.join(topbg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          round((col("n_words") - col("n_distinct")) / col("n_words"), 6)
-            .as("dup_word_frac"),
-          when(col("n_words") >= 2,
-            round(col("max_tf") / (col("n_words") - 1), 6))
-            .as("top_bigram_frac"))
-        .orderBy(col("doc_id"))
+      def perDoc(src: DataFrame): DataFrame = {
+        val wsArr = col("ws_arr")
+        val base = src.withColumn("ws_arr", ws)
+          .select(col("doc_id"), size(wsArr).cast("int").as("n_words"),
+            size(array_distinct(wsArr)).cast("int").as("n_distinct"))
+        val bg = src.withColumn("ws_arr", ws)
+          .select(col("doc_id"),
+            explode(when(size(wsArr) >= 2,
+              transform(sequence(lit(1), size(wsArr) - 1),
+                i => concat_ws(" ", element_at(wsArr, i),
+                  element_at(wsArr, i + 1))))
+              .otherwise(array().cast("array<string>"))).as("bg"))
+        val topbg = bg.groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("tf"))
+          .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
+        base.join(topbg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_words"),
+            round((col("n_words") - col("n_distinct")) / col("n_words"), 6)
+              .as("dup_word_frac"),
+            when(col("n_words") >= 2,
+              round(col("max_tf") / (col("n_words") - 1), 6))
+              .as("top_bigram_frac"))
+      }
+      val pre = docs.agg(count(lit(1)).as("n"),
+        countDistinct(xxhash64(col("text"))).as("nd")).head()
+      val collapse =
+        s.conf.getOption("spark.graft.repetitionCollapse") match {
+          case Some(v) if v.equalsIgnoreCase("always") => true
+          case Some(v) if v.equalsIgnoreCase("never") => false
+          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
+        }
+      val out =
+        if (!collapse) perDoc(docs)
+        else {
+          val withG = docs
+            .withColumn("th", xxhash64(col("text")))
+            .withColumn("gid", min(col("doc_id")).over(
+              Window.partitionBy(col("th"), col("text"))))
+            .select(col("doc_id"), col("gid"), col("text"))
+            .localCheckpoint()
+          withG.select(col("doc_id"), col("gid"))
+            .join(perDoc(withG.filter(col("doc_id") === col("gid")))
+                .withColumnRenamed("doc_id", "gid"),
+              Seq("gid"))
+            .drop("gid")
+        }
+      out.orderBy(col("doc_id"))
     }),
 
     // Cross-document duplicated-n-gram coverage (round-5 add): for each

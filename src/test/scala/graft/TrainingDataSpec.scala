@@ -542,6 +542,31 @@ class TrainingDataSpec extends GraftSpec {
     assert(collapsed.size == direct.size && collapsed.nonEmpty)
   }
 
+  test("llm_repetition collapse path equals the direct path on a " +
+      "replica-heavy corpus") {
+    val src = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_")
+      .toString
+    val extra1 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000L))
+    val extra2 = src.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(200000L))
+    src.unionByName(extra1).unionByName(extra2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.repetitionCollapse", mode)
+      try SparkEntry.queries("llm_repetition")(spark, dir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.repetitionCollapse")
+    }
+    val direct = run("never")
+    val collapsed = run("always")
+    assert(direct == collapsed,
+      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
+        s"${direct.diff(collapsed).take(5)}")
+    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+  }
+
   test("llm_dup_spans text-collapse path is exact under heavy duplication") {
     // The round-7 adaptive collapse runs the position machinery on
     // DISTINCT texts and reconstructs member answers (full-coverage
