@@ -88,7 +88,8 @@ object ScaleProbe {
   // layout + the in-place agg's input, with constant broadcast sizes
   // and constant per-round output.
   private val GraphQueries =
-    Seq("graph_pagerank", "graph_connected_components")
+    Seq("graph_pagerank", "graph_pagerank_personalized",
+      "graph_connected_components")
 
   // The merge family rides the bucketed-target posture (Joins.scala's
   // merge notes): probed on a k×-scaled orders/customer pair whose key
