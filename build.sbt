@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench harness tail-parses stdout for Bench's one JSON
+// line; sbt's trailing "[success] Total time ..." banner landed AFTER
+// it and broke the parse (BENCH_r08.json: "parsed": null). Suppressing
+// the banner makes the program's last println the last stdout line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,9 +60,21 @@ object BatchCep {
     * event_type`). `typeNames` maps the pattern's int type codes to
     * event_type strings; `anchorType` picks the anchor rows. */
   def bindings(ev: DataFrame, pattern: Cep.Pattern, anchorType: String,
-      typeNames: Map[Int, String]): DataFrame = {
+      typeNames: Map[Int, String],
+      fullAlphabet: Boolean = false): DataFrame = {
     val W = pattern.windowUs
     val matchedOnly = pattern.steps.lastOption.exists(_.isInstanceOf[Cep.Absent])
+    // Strict contiguity is undecidable over a type-filtered candidate
+    // set: a next() leg scans typeNames' values, so a partial map (the
+    // 2-type default most patterns use) would silently yield wrong
+    // strictness verdicts. The streaming twin enforces this via
+    // Pattern.needsAllTypes (it buffers every configured type); here
+    // the caller must OPT IN by passing the complete event alphabet
+    // and saying so — round-9 guard, was doc-comment-only.
+    require(!pattern.needsAllTypes || fullAlphabet,
+      "BatchCep: a next() pattern decides strictness over EVERY event " +
+        "type — pass the complete event alphabet as typeNames and set " +
+        "fullAlphabet = true")
 
     def cand(tc: Int): DataFrame =
       ev.filter(col("event_type") === typeNames(tc))
@@ -169,6 +181,10 @@ object BatchCep {
       case Cep.Opt(name, tc) :: tail =>
         require(quant.isEmpty,
           "BatchCep: optional after a quantifier is unsupported")
+        // greedy-branch resolution needs a completing step after the
+        // Opt (names.last below) — a pattern ENDING in optional has no
+        // observable with/skip distinction and is not compiled
+        require(tail.nonEmpty, "BatchCep: terminal optional is unsupported")
         // GREEDY branch resolution (see object doc). Both branches
         // carry the prefix state; the skip side renames its remainder
         // bindings so the resolving join is unambiguous.

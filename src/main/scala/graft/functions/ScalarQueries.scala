@@ -244,7 +244,8 @@ object ScalarQueries {
     "events_pattern_strict" -> ((s, d) => {
       val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
       BatchCep.bindings(ev, graft.streaming.StreamingOps.strictPattern,
-          "signup", graft.streaming.StreamingOps.cepAllTypeNames)
+          "signup", graft.streaming.StreamingOps.cepAllTypeNames,
+          fullAlphabet = true)
         .select(col("user_id"), col("anchor_id").as("signup_id"),
           col("click_id").as("next_click_id"))
         .orderBy(col("signup_id"))

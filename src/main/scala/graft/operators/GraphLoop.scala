@@ -79,46 +79,103 @@ object GraphLoop {
     state
   }
 
+  /** Exact decimal sum of `metricCol` — the monotone convergence probe.
+    * decimal(38,0) keeps the sum exact at any node count × id magnitude
+    * (a bigint sum overflows near 10¹⁹). Null on an empty state. */
+  private def metricSum(state: DataFrame, metricCol: String)
+      : java.math.BigDecimal =
+    state.agg(sum(col(metricCol).cast("decimal(38,0)"))).head().getDecimal(0)
+
   /** Iterate until a fixpoint, detected through a MONOTONE state
     * metric: `metricCol` must be non-increasing per row across rounds
     * (min-label propagation's labels are), so the exact decimal sum is
     * strictly decreasing until — and only until — the fixpoint, and one
     * sum-equality test per round IS the no-row-changed test without
-    * joining consecutive states. decimal(38,0) keeps the sum exact at
-    * any node count × id magnitude (a bigint sum overflows near 10¹⁹).
-    * The per-round probe is one driver-side scalar off the
-    * just-checkpointed node-cardinality state — the same O(1)-row
-    * driver-read class as the adaptive-collapse prechecks, and the
-    * price of being scale-correct: a fixed unroll is only true
+    * joining consecutive states. The per-round probe is one driver-side
+    * scalar off the just-checkpointed node-cardinality state — the same
+    * O(1)-row driver-read class as the adaptive-collapse prechecks, and
+    * the price of being scale-correct: a fixed unroll is only true
     * convergence when every component's radius fits the unroll.
     * Detection costs one trailing no-change round (the round that
     * proves the sum stopped moving), exactly like a changed-flag loop.
+    * A null metric (empty state) is converged outright — there is
+    * nothing left to move, and treating null as "still moving" would
+    * burn all maxRounds on no-op rounds over zero rows.
     * `maxRounds` bounds propagation-radius pathologies (a path graph
-    * converges in O(diameter) rounds — a deployment seeing the cap
-    * switches to the pointer-jumping variant, `llm_dedup_clusters`,
-    * for log-diameter convergence). */
+    * converges in O(diameter) rounds). Returns (state, converged);
+    * converged=false means the cap hit while the sum was still
+    * decreasing and the labels are NOT a fixpoint — the caller must
+    * either raise the cap or hand the state to [[hookAndJump]], whose
+    * pointer-jumping rounds finish any diameter in O(log d) hooks. */
   def iterateMonotone(init: DataFrame, maxRounds: Int,
-      metricCol: String)(round: DataFrame => DataFrame): DataFrame = {
+      metricCol: String)(round: DataFrame => DataFrame)
+      : (DataFrame, Boolean) = {
     var state = init
     var prev: java.math.BigDecimal = null
     var rounds = 0
     var moving = true
     while (moving && rounds < maxRounds) {
       val next = round(state).localCheckpoint()
-      val m = next.agg(sum(col(metricCol).cast("decimal(38,0)")))
-        .head().getDecimal(0)
-      moving = prev == null || m.compareTo(prev) != 0
+      val m = metricSum(next, metricCol)
+      moving = m != null && (prev == null || m.compareTo(prev) != 0)
       prev = m
       state = next
       rounds += 1
     }
-    if (moving)
-      // loud, not silent: a capped run returns labels that are NOT a
-      // fixpoint — the caller should raise maxRounds or switch to the
-      // pointer-jumping variant for this graph's diameter
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"GraphLoop.iterateMonotone hit maxRounds=$maxRounds while the " +
-          s"$metricCol sum was still decreasing — result is UNCONVERGED")
+    (state, !moving)
+  }
+
+  /** Pointer-jump a (node, `labelCol`) state to its forest closure:
+    * label(v) ← label(label(v)) per round until nothing changes. Sound
+    * whenever every label value is itself a node key of the state with
+    * label(v) ≤ v (min-propagation states are: labels are node ids, min
+    * includes self) — the label map is then a forest of parent pointers
+    * and each round halves every path to its root, so closure lands in
+    * O(log depth) rounds however deep the capped propagation left the
+    * trees. Same jump-and-flag-in-one-join shape as the dedup-cluster
+    * closure (LlmOps.dedupClusters), restated here over the graph-loop
+    * state schema. */
+  def jumpClosure(state: DataFrame, labelCol: String): DataFrame = {
+    var cur = state.localCheckpoint()
+    var done = false
+    while (!done) {
+      val parents = cur.select(col("node").as("p_node"),
+        col(labelCol).as("p_lbl"))
+      val next = cur.join(parents, col(labelCol) === col("p_node"), "left")
+        .select(col("node"),
+          coalesce(col("p_lbl"), col(labelCol)).as(labelCol),
+          (col("p_lbl").isNotNull && col("p_lbl") =!= col(labelCol))
+            .as("changed"))
+        .localCheckpoint()
+      done = next.filter(col("changed")).isEmpty
+      cur = next.select(col("node"), col(labelCol))
+    }
+    cur
+  }
+
+  /** The log-diameter finisher [[iterateMonotone]]'s cap hands off to:
+    * alternate one `hook` round (pull neighbor minima — e.g.
+    * Relational.ccRound) with a full [[jumpClosure]] (collapse the
+    * resulting parent forest to its roots) until the monotone sum stops
+    * moving. After a closure every node carries its tree's root label,
+    * so each hook merges adjacent TREES rather than adjacent nodes —
+    * the Shiloach–Vishkin hook/shortcut alternation, converging in
+    * O(log d) hooks on any diameter-d graph instead of O(d) plain
+    * propagation rounds. No cap needed: each hook that changes nothing
+    * proves the fixpoint (adjacent nodes all share labels), and one
+    * that changes anything strictly decreases the exact sum. */
+  def hookAndJump(init: DataFrame, metricCol: String)(
+      hook: DataFrame => DataFrame): DataFrame = {
+    var state = jumpClosure(init, metricCol)
+    var prev = metricSum(state, metricCol)
+    var moving = prev != null
+    while (moving) {
+      val next = jumpClosure(hook(state).localCheckpoint(), metricCol)
+      val m = metricSum(next, metricCol)
+      moving = m != null && m.compareTo(prev) != 0
+      prev = m
+      state = next
+    }
     state
   }
 }

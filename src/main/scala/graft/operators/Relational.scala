@@ -70,7 +70,7 @@ object Relational {
       pmod(col("dst"), lit(20L)) === 0, lit(150000L)).otherwise(lit(0L))
 
   private def pprQuery(s: SparkSession, d: String): DataFrame = {
-    val (edgesD, nodes, _) = pagerankLayout(s, d)
+    val (edgesD, nodes) = pagerankLayout(s, d)
     val seed = col("node") < lit(1000000000000L) &&
       pmod(col("node"), lit(20L)) === 0
     val rank0 = nodes.withColumn("rank",
@@ -89,10 +89,13 @@ object Relational {
     * aggregates contributions on dst with the partitioning already in
     * place (no exchange). The loop-shape rationale (persist vs
     * checkpoint, per-round cuts, O(nodes) bytes/round) lives on
-    * [[GraphLoop]]. Returns (edgesD, nodes, rank0); callers release
-    * edgesD after their loop. */
+    * [[GraphLoop]]. Returns (edgesD, nodes); each caller seeds its own
+    * rank0 from `nodes` (round-9: the layout used to checkpoint a
+    * uniform rank0 that the personalized variant threw away — one
+    * wasted node-cardinality checkpoint job per ppr run) and releases
+    * edgesD after its loop. */
   private[graft] def pagerankLayout(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val edges0 = orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
@@ -113,12 +116,16 @@ object Relational {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesD = GraphLoop.pin(edges.join(deg, Seq("src")))
     val nodes = GraphLoop.nodesOf(edges)
-    val rank0 = nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
-    (edgesD, nodes, rank0)
+    (edgesD, nodes)
   }
 
+  /** Uniform initial rank vector (checkpointed — it seeds a loop). */
+  private[graft] def uniformRank0(nodes: DataFrame): DataFrame =
+    nodes.withColumn("rank", lit(1000000L)).localCheckpoint()
+
   private def pagerankQuery(s: SparkSession, d: String): DataFrame = {
-    val (edgesD, _, rank0) = pagerankLayout(s, d)
+    val (edgesD, nodes) = pagerankLayout(s, d)
+    val rank0 = uniformRank0(nodes)
     val rank = GraphLoop.iterate(rank0, 10)(r => pagerankRound(edgesD, r))
     GraphLoop.release(edgesD) // every round checkpointed — cache is dead
     rank.orderBy(col("rank").desc, col("node")).limit(20)
@@ -391,9 +398,13 @@ object Relational {
     // comp(v) ← min(comp(v), min over in-edges of comp(u)), iterated
     // UNTIL NO LABEL CHANGES (round-8: the fixed 8-round unroll was
     // only true CC when every component's min-label radius fit 8 — now
-    // the loop is scale-correct by construction, with a 64-round cap
-    // documented on GraphLoop; the pointer-jumping alternative for
-    // huge-diameter graphs is llm_dedup_clusters). The DuckDB oracle
+    // the loop is scale-correct by construction). Round-9: a capped
+    // run no longer returns non-fixpoint labels — when the 64-round
+    // plain propagation hits its cap still moving (a diameter > 64
+    // graph), the state hands off to GraphLoop.hookAndJump, whose
+    // hook/shortcut alternation finishes ANY diameter in O(log d)
+    // hooks (GraftSpec pins a 300-diameter path converging under a
+    // 4-round cap). The DuckDB oracle
     // still unrolls 8 rounds — OperatorSpec pins that 8 rounds ARE the
     // fixpoint on this corpus, so converged == unrolled at every test
     // SF. Loop shape is GraphLoop's (edges pinned by dst once, each
@@ -404,8 +415,10 @@ object Relational {
     // partitioning (D2 for free, no micro-units needed).
     "graph_connected_components" -> ((s, d) => {
       val (edges, lbl0) = ccLayout(s, d)
-      val lbl = GraphLoop.iterateMonotone(lbl0, 64, "comp")(
-        l => ccRound(edges, l))
+      val (capped, converged) = GraphLoop.iterateMonotone(lbl0, 64,
+        "comp")(l => ccRound(edges, l))
+      val lbl = if (converged) capped
+        else GraphLoop.hookAndJump(capped, "comp")(l => ccRound(edges, l))
       GraphLoop.release(edges) // every round checkpointed — cache is dead
       lbl.orderBy(col("node"))
     }),

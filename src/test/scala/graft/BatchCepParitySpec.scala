@@ -48,7 +48,8 @@ class BatchCepParitySpec extends GraftSpec {
         id -> p.eval(ts, perUser.getOrElse(u, Nil))
       }.toMap
     def batch(p: Cep.Pattern): Map[Long, org.apache.spark.sql.Row] =
-      BatchCep.bindings(ev, p, "signup", typeNames)
+      BatchCep.bindings(ev, p, "signup", typeNames,
+          fullAlphabet = typeNames == StreamingOps.cepAllTypeNames)
         .collect().map(r => r.getLong(1) -> r).toMap
   }
 

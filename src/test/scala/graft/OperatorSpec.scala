@@ -281,4 +281,46 @@ class OperatorSpec extends GraftSpec {
       .filter(col("comp") =!= col("mn"))
     assert(badMin.isEmpty, "a component label is not its min node id")
   }
+
+  test("GraphLoop: pointer-jump fallback converges a diameter > cap " +
+      "path graph (round-9 cap handoff)") {
+    // A 300-node path has min-label radius 299: plain propagation under
+    // a 4-round cap CANNOT converge (the flag must say so), and the
+    // hookAndJump finisher the registered cc query hands off to must
+    // still reach the true fixpoint — every node labeled 0 — in
+    // O(log d) hooks. This is the scale story for the 64-round cap on
+    // graph_connected_components: a capped run no longer returns
+    // non-fixpoint labels on any diameter.
+    import spark.implicits._
+    val n = 300L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val sym = operators.GraphLoop.symmetrize(pairs, "a", "b")
+    val loops = sym.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst"))
+    val edges = operators.GraphLoop.pin(sym.unionAll(loops))
+    val lbl0 = operators.GraphLoop.nodesOf(edges)
+      .withColumn("comp", col("node")).localCheckpoint()
+    val (capped, converged) = operators.GraphLoop.iterateMonotone(
+      lbl0, 4, "comp")(l => operators.Relational.ccRound(edges, l))
+    assert(!converged, "a 4-round cap cannot converge diameter 299")
+    val fin = operators.GraphLoop.hookAndJump(capped, "comp")(
+      l => operators.Relational.ccRound(edges, l))
+    operators.GraphLoop.release(edges)
+    val labels = fin.select(col("comp")).distinct()
+      .as[Long].collect().toSeq
+    assert(labels == Seq(0L),
+      s"path graph should collapse to component 0, got $labels")
+    assert(fin.count() == n, "fallback lost or duplicated nodes")
+  }
+
+  test("GraphLoop: empty state converges immediately (null metric)") {
+    // Round-9 ADVICE fix: a null per-round sum (empty graph) used to
+    // read as "still moving" and burn all maxRounds on no-op rounds.
+    val empty = spark.range(0)
+      .select(col("id").as("node"), col("id").as("comp"))
+    val (_, converged) = operators.GraphLoop.iterateMonotone(
+      empty, 64, "comp")(l => l)
+    assert(converged, "empty state must report converged")
+  }
 }

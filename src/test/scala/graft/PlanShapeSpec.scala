@@ -419,8 +419,9 @@ class PlanShapeSpec extends GraftSpec {
     // dst-pre-partitioned edge table satisfies the dst aggregation's
     // distribution in place — a shuffle exchange anywhere in the round
     // means the O(nodes)-bytes-per-round claim is broken.
-    val (edgesD, _, rank0) =
+    val (edgesD, nodes) =
       operators.Relational.pagerankLayout(spark, sf)
+    val rank0 = operators.Relational.uniformRank0(nodes)
     try assertLoopRoundShape(
       operators.Relational.pagerankRound(edgesD, rank0), "pagerank")
     finally operators.GraphLoop.release(edgesD)
