@@ -247,17 +247,9 @@ object TrainingDataOps {
   private def dupSpans(s: SparkSession, d: String): DataFrame = {
     val W = 50
     val docs = documents(s, d)
-    val pre = docs.agg(count(lit(1)).as("n"),
-      countDistinct(xxhash64(col("text"))).as("nd")).head()
-    val collapse = s.conf.getOption("spark.graft.dupSpansCollapse") match {
-      case Some(v) if v.equalsIgnoreCase("always") => true
-      case Some(v) if v.equalsIgnoreCase("never") => false
-      case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-    }
-    val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
-      .exists(_.equalsIgnoreCase("false"))
-    def cut(df: DataFrame): DataFrame =
-      if (ckpt) df.localCheckpoint() else df
+    val collapse = AdaptiveCollapse.decideByMass(s, docs,
+      "spark.graft.dupSpansCollapse", xxhash64(col("text")))
+    def cut(df: DataFrame): DataFrame = AdaptiveCollapse.stageCut(s)(df)
     // Raw machinery over `src` (doc_id, text) → (doc_id, s, e). pos
     // feeds both the shared-window agg and the dup probe join — cut so
     // the substring explode runs once (stageCut idiom; corpus-position-
@@ -295,15 +287,12 @@ object TrainingDataOps {
     }
     if (!collapse) spansRaw(docs.select(col("doc_id"), col("text")))
     else {
-      val withRep = docs
-        .withColumn("th", xxhash64(col("text")))
-        .withColumn("rep_id", min(col("doc_id"))
-          .over(Window.partitionBy(col("th"), col("text"))))
-        .withColumn("k", count(lit(1))
-          .over(Window.partitionBy(col("th"), col("text"))))
+      val withRep = AdaptiveCollapse.withGid(
+        docs.select(col("doc_id"), col("text"), col("n_chars")),
+        "doc_id", Seq("text"), gidName = "rep_id", withK = true)
       val members = cut(withRep.select(col("doc_id"), col("rep_id"),
         col("k"), col("n_chars")))
-      val reps = cut(withRep.filter(col("doc_id") === col("rep_id"))
+      val reps = cut(AdaptiveCollapse.repsOf(withRep, "doc_id", "rep_id")
         .select(col("doc_id"), col("text")))
       val repSpans = spansRaw(reps)
         .select(col("doc_id").as("rep_id"), col("s"), col("e"))
@@ -405,33 +394,22 @@ object TrainingDataOps {
           .filter(col("j") > 0)
           .select(col("doc_id"), col("doc_id2"), col("j"))
       val docsAll = documents(s, d)
-      val pre = docsAll.agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("lang"), col("text"))).as("nd")).head()
-      val collapse =
-        s.conf.getOption("spark.graft.ngramJaccardCollapse") match {
-          case Some(v) if v.equalsIgnoreCase("always") => true
-          case Some(v) if v.equalsIgnoreCase("never") => false
-          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-        }
+      val collapse = AdaptiveCollapse.decideByMass(s, docsAll,
+        "spark.graft.ngramJaccardCollapse",
+        xxhash64(col("lang"), col("text")))
       val top =
         if (!collapse) pairsOf(shingled(docsAll))
         else {
-          val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
-            .exists(_.equalsIgnoreCase("false"))
           def cut(df: DataFrame): DataFrame =
-            if (ckpt) df.localCheckpoint() else df
-          // group on (hash, lang, text): lang is a blocking key, so
-          // replicas are only exchangeable inside one language
-          val withG = cut(docsAll
-            .withColumn("th", xxhash64(col("lang"), col("text")))
-            .withColumn("gid", min(col("doc_id")).over(
-              Window.partitionBy(col("th"), col("lang"), col("text"))))
-            .select(col("doc_id"), col("gid"), col("lang"),
-              col("n_chars"), col("text")))
-          val members = withG.select(col("doc_id"), col("gid"))
+            AdaptiveCollapse.stageCut(s)(df)
+          // group on (lang, text): lang is a blocking key, so replicas
+          // are only exchangeable inside one language
+          val withG = cut(AdaptiveCollapse.withGid(
+            docsAll.select(col("doc_id"), col("lang"), col("n_chars"),
+              col("text")), "doc_id", Seq("lang", "text")))
+          val members = AdaptiveCollapse.membersOf(withG, "doc_id")
           val reps = cut(shingled(
-            withG.filter(col("doc_id") === col("gid"))
-              .drop("gid")))
+            AdaptiveCollapse.repsOf(withG, "doc_id").drop("gid")))
           val cross = pairsOf(reps)
             .select(col("doc_id").as("gid1"), col("doc_id2").as("gid2"),
               col("j"), col("doc_id").as("best_a"),
@@ -931,42 +909,26 @@ object TrainingDataOps {
     "llm_embedding_neardup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb0 = embeddings(s, d)
-      // ADAPTIVE exact-vector collapse (round-7): the collapse/expansion
-      // machinery below is what makes dup-heavy corpora survive (the
-      // 64× probe regime — k verbatim replicas multiply in-cell pair
-      // sets by k²), but on a dup-FREE corpus its two extra joins are
-      // pure overhead (measured 1.82 → 3.79 s at sf0.1). One
-      // deterministic precheck aggregate decides the path:
-      // count == countDistinct(xxhash64(embedding)) → no two vectors
-      // even share a hash → certainly no exact duplicates → skip the
-      // collapse. A 64-bit hash collision can only UNDERcount distinct,
-      // i.e. force the (always-correct) collapse path — the precheck
-      // errs on the safe side, and its single-row driver read is one
-      // map-side-combined aggregate over 8-byte hashes.
-      val preRow = emb0
-        .agg(count(lit(1)).as("n"),
-          countDistinct(xxhash64(col("embedding"))).as("nd")).head()
-      val hasDups = preRow.getLong(0) != preRow.getLong(1)
-      val ckpt = !s.conf.getOption("spark.graft.checkpointStages")
-        .exists(_.equalsIgnoreCase("false"))
-      def cut(df: DataFrame): DataFrame =
-        if (ckpt) df.localCheckpoint() else df
-      // Dup-heavy path: collapse to per-group representative vectors
-      // first (round-6; the llm_minhash_lsh / llm_embedding_lsh
-      // discipline) — identical embeddings share every cosine, so the
-      // cell-pair machinery runs on DISTINCT vectors only. One exchange
-      // keyed by (xxhash64(embedding), embedding) — 8-byte shuffle
-      // routing, full-vector in-partition equality. reps feeds
+      // ADAPTIVE exact-vector collapse (round-7; the shared discipline
+      // lives on AdaptiveCollapse): in-cell work is QUADRATIC in group
+      // size (k replicas → k² in-cell pairs — the 64× probe regime),
+      // so the any-dup precheck collapses on even one duplicate group,
+      // while a dup-FREE corpus skips the two extra joins (measured
+      // 1.82 → 3.79 s pure overhead at sf0.1). Dup-heavy path: the
+      // cell-pair machinery runs on DISTINCT vectors only; reps feeds
       // cells + e1 + e2, members feeds the expansion — cut so consumers
       // don't replay the collapse window (stageCut idiom). Dup-free
       // path: every vector is its own rep; the parquet scan is cheap to
       // replay, so no cut either.
-      val withRep = if (!hasDups) null else emb0
-        .withColumn("eh", xxhash64(col("embedding")))
-        .withColumn("rep_id", min(col("vec_id"))
-          .over(Window.partitionBy(col("eh"), col("embedding"))))
+      val hasDups = AdaptiveCollapse.decideAnyDup(s, emb0,
+        "spark.graft.neardupCollapse", xxhash64(col("embedding")))
+      def cut(df: DataFrame): DataFrame = AdaptiveCollapse.stageCut(s)(df)
+      val withRep = if (!hasDups) null
+        else AdaptiveCollapse.withGid(emb0, "vec_id", Seq("embedding"),
+          gidName = "rep_id")
       val reps =
-        if (hasDups) cut(withRep.filter(col("vec_id") === col("rep_id"))
+        if (hasDups) cut(AdaptiveCollapse.repsOf(withRep, "vec_id",
+            "rep_id")
           .select(col("rep_id"), col("embedding"), col("label")))
         else emb0.select(col("vec_id").as("rep_id"), col("embedding"),
           col("label"))
@@ -1112,28 +1074,17 @@ object TrainingDataOps {
               round(col("max_tf") / (col("n_words") - 1), 6))
               .as("top_bigram_frac"))
       }
-      val pre = docs.agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("text"))).as("nd")).head()
-      val collapse =
-        s.conf.getOption("spark.graft.repetitionCollapse") match {
-          case Some(v) if v.equalsIgnoreCase("always") => true
-          case Some(v) if v.equalsIgnoreCase("never") => false
-          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-        }
+      val collapse = AdaptiveCollapse.decideByMass(s, docs,
+        "spark.graft.repetitionCollapse", xxhash64(col("text")))
       val out =
         if (!collapse) perDoc(docs)
         else {
-          val withG = docs
-            .withColumn("th", xxhash64(col("text")))
-            .withColumn("gid", min(col("doc_id")).over(
-              Window.partitionBy(col("th"), col("text"))))
-            .select(col("doc_id"), col("gid"), col("text"))
-            .localCheckpoint()
-          withG.select(col("doc_id"), col("gid"))
-            .join(perDoc(withG.filter(col("doc_id") === col("gid")))
-                .withColumnRenamed("doc_id", "gid"),
-              Seq("gid"))
-            .drop("gid")
+          val withG = AdaptiveCollapse.withGid(
+            docs.select(col("doc_id"), col("text")), "doc_id",
+            Seq("text")).localCheckpoint()
+          AdaptiveCollapse.expand(withG, "doc_id",
+            perDoc(AdaptiveCollapse.repsOf(withG, "doc_id"))
+              .withColumnRenamed("doc_id", "gid"))
         }
       out.orderBy(col("doc_id"))
     }),
@@ -1333,29 +1284,17 @@ object TrainingDataOps {
     // just (text): the LM is lang-blind.
     "llm_ngram_lm" -> ((s, d) => {
       val docs = documents(s, d)
-      val pre = docs.agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("text"))).as("nd")).head()
-      val collapse =
-        s.conf.getOption("spark.graft.ngramLmCollapse") match {
-          case Some(v) if v.equalsIgnoreCase("always") => true
-          case Some(v) if v.equalsIgnoreCase("never") => false
-          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-        }
+      val collapse = AdaptiveCollapse.decideByMass(s, docs,
+        "spark.graft.ngramLmCollapse", xxhash64(col("text")))
       val out =
         if (!collapse)
           ngramLmScores(docs.withColumn("k", lit(1L)))
             .select(col("gid").as("doc_id"), col("p"), col("n_bigrams"))
         else {
-          val withG = docs
-            .withColumn("th", xxhash64(col("text")))
-            .withColumn("gid", min(col("doc_id")).over(
-              Window.partitionBy(col("th"), col("text"))))
-            .select(col("doc_id"), col("gid"), col("text"))
-            .localCheckpoint()
-          val reps = withG.filter(col("doc_id") === col("gid"))
-            .join(withG.groupBy(col("gid").as("g2"))
-                .agg(count(lit(1)).as("k")),
-              col("gid") === col("g2"))
+          val withG = AdaptiveCollapse.withGid(
+            docs.select(col("doc_id"), col("text")), "doc_id",
+            Seq("text"), withK = true).localCheckpoint()
+          val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
             .select(col("doc_id"), col("text"), col("k"))
           withG.select(col("doc_id"), col("gid"))
             .join(ngramLmScores(reps), Seq("gid"))
@@ -1388,14 +1327,9 @@ object TrainingDataOps {
     // overrides for the both-paths-identical test.
     "llm_lang_id" -> ((s, d) => {
       val docs = documents(s, d)
-      val pre = docs.agg(count(lit(1)).as("n"),
-        countDistinct(xxhash64(col("lang"), col("text"))).as("nd")).head()
-      val collapse =
-        s.conf.getOption("spark.graft.langIdCollapse") match {
-          case Some(v) if v.equalsIgnoreCase("always") => true
-          case Some(v) if v.equalsIgnoreCase("never") => false
-          case _ => pre.getLong(0) * 4L >= pre.getLong(1) * 5L
-        }
+      val collapse = AdaptiveCollapse.decideByMass(s, docs,
+        "spark.graft.langIdCollapse",
+        xxhash64(col("lang"), col("text")))
       if (!collapse) {
         val pred = langIdPredict(docs.withColumn("k", lit(1L)))
         docs.select(col("doc_id"), col("lang").as("actual"))
@@ -1404,16 +1338,10 @@ object TrainingDataOps {
             (col("actual") === col("predicted")).as("correct"))
           .orderBy(col("doc_id"))
       } else {
-        val withG = docs
-          .withColumn("th", xxhash64(col("lang"), col("text")))
-          .withColumn("gid", min(col("doc_id")).over(
-            Window.partitionBy(col("th"), col("lang"), col("text"))))
-          .select(col("doc_id"), col("gid"), col("lang"), col("text"))
-          .localCheckpoint()
-        val reps = withG.filter(col("doc_id") === col("gid"))
-          .join(withG.groupBy(col("gid").as("g2"))
-              .agg(count(lit(1)).as("k")),
-            col("gid") === col("g2"))
+        val withG = AdaptiveCollapse.withGid(
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", Seq("lang", "text"), withK = true).localCheckpoint()
+        val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
           .select(col("doc_id"), col("lang"), col("text"), col("k"))
         val pred = langIdPredict(reps)
         withG.select(col("doc_id"), col("gid"), col("lang").as("actual"))

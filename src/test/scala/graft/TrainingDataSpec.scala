@@ -458,15 +458,16 @@ class TrainingDataSpec extends GraftSpec {
     }
   }
 
-  test("llm_ngram_jaccard collapse path equals the direct path on a " +
-      "replica-heavy corpus") {
-    // Same staging as the dup_spans test: sf0.001 plus two extra copies
-    // of every third doc. The forced-collapse top-20 (rep machinery +
-    // bundle expansion) must be row-identical to the forced-direct
-    // top-20 — this covers within-group j=1 pairs, cross-group bundle
-    // expansion, and the (j desc, id, id2) tie order across both kinds.
+  /** Shared both-paths harness (round-9; was five inline copies of the
+    * same staging + forced-mode driver): sf0.001's documents plus two
+    * extra verbatim copies of every third doc (groups of size 3 among
+    * singletons — dup mass 5/3 > the 1.25x threshold), written to a
+    * temp dir. Every adaptive-collapse op pins forced-collapse ==
+    * forced-direct through this one helper, so the discipline's
+    * exactness claim has exactly one test shape to audit. */
+  private def replicaHeavyDocsDir(tag: String): String = {
     val src = Tables.documents(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_nj_")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
       .toString
     val extra1 = src.filter(col("doc_id") % 3 === 0)
       .withColumn("doc_id", col("doc_id") + lit(100000L))
@@ -474,130 +475,75 @@ class TrainingDataSpec extends GraftSpec {
       .withColumn("doc_id", col("doc_id") + lit(200000L))
     src.unionByName(extra1).unionByName(extra2)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String): Seq[String] = {
-      spark.conf.set("spark.graft.ngramJaccardCollapse", mode)
-      try SparkEntry.queries("llm_ngram_jaccard")(spark, dir)
-        .collect().map(_.toString).toSeq
-      finally spark.conf.unset("spark.graft.ngramJaccardCollapse")
-    }
-    val direct = run("never")
-    val collapsed = run("always")
+    dir
+  }
+
+  private def runForced(dir: String, confKey: String, mode: String,
+      query: String): Seq[String] = {
+    spark.conf.set(confKey, mode)
+    try SparkEntry.queries(query)(spark, dir)
+      .collect().map(_.toString).toSeq
+    finally spark.conf.unset(confKey)
+  }
+
+  /** Assert forced-collapse == forced-direct; returns the rows for
+    * op-specific follow-up asserts. */
+  private def bothPathsEqual(dir: String, confKey: String,
+      query: String): Seq[String] = {
+    val direct = runForced(dir, confKey, "never", query)
+    val collapsed = runForced(dir, confKey, "always", query)
     assert(direct == collapsed,
-      s"collapse path diverged:\n direct   $direct\n collapsed $collapsed")
+      s"$query collapse path diverged: " +
+        s"${collapsed.diff(direct).take(5)} vs " +
+        s"${direct.diff(collapsed).take(5)}")
+    assert(collapsed.nonEmpty)
+    collapsed
+  }
+
+  test("llm_ngram_jaccard collapse path equals the direct path on a " +
+      "replica-heavy corpus") {
+    // Covers within-group j=1 pairs, cross-group bundle expansion, and
+    // the (j desc, id, id2) tie order across both kinds.
+    val dir = replicaHeavyDocsDir("nj")
+    val collapsed = bothPathsEqual(dir,
+      "spark.graft.ngramJaccardCollapse", "llm_ngram_jaccard")
     // replica groups dominate the top: the staged corpus has j=1 pairs
-    assert(collapsed.nonEmpty && collapsed.size == 20)
+    assert(collapsed.size == 20)
   }
 
   test("llm_lang_id collapse path equals the direct path on a " +
       "replica-heavy corpus (the k-weighted model is exact)") {
     // Training on replicas vs training on distinct texts with
     // multiplicity weights must give the SAME model (cnt(lang, w) is a
-    // k-weighted sum) and hence the same per-doc argmax. Same staging
-    // as the other collapse tests.
-    val src = Tables.documents(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_li_")
-      .toString
-    val extra1 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(100000L))
-    val extra2 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(200000L))
-    src.unionByName(extra1).unionByName(extra2)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String): Seq[String] = {
-      spark.conf.set("spark.graft.langIdCollapse", mode)
-      try SparkEntry.queries("llm_lang_id")(spark, dir)
-        .collect().map(_.toString).toSeq
-      finally spark.conf.unset("spark.graft.langIdCollapse")
-    }
-    val direct = run("never")
-    val collapsed = run("always")
-    assert(direct == collapsed,
-      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
-        s"${direct.diff(collapsed).take(5)}")
-    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+    // k-weighted sum) and hence the same per-doc argmax.
+    bothPathsEqual(replicaHeavyDocsDir("li"),
+      "spark.graft.langIdCollapse", "llm_lang_id")
   }
 
   test("llm_ngram_lm collapse path equals the direct path on a " +
       "replica-heavy corpus (the k-weighted LM is exact)") {
-    val src = Tables.documents(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_lm_")
-      .toString
-    val extra1 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(100000L))
-    val extra2 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(200000L))
-    src.unionByName(extra1).unionByName(extra2)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String): Seq[String] = {
-      spark.conf.set("spark.graft.ngramLmCollapse", mode)
-      try SparkEntry.queries("llm_ngram_lm")(spark, dir)
-        .collect().map(_.toString).toSeq
-      finally spark.conf.unset("spark.graft.ngramLmCollapse")
-    }
-    val direct = run("never")
-    val collapsed = run("always")
-    assert(direct == collapsed,
-      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
-        s"${direct.diff(collapsed).take(5)}")
-    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+    bothPathsEqual(replicaHeavyDocsDir("lm"),
+      "spark.graft.ngramLmCollapse", "llm_ngram_lm")
   }
 
   test("llm_repetition collapse path equals the direct path on a " +
       "replica-heavy corpus") {
-    val src = Tables.documents(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_rep_")
-      .toString
-    val extra1 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(100000L))
-    val extra2 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(200000L))
-    src.unionByName(extra1).unionByName(extra2)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String): Seq[String] = {
-      spark.conf.set("spark.graft.repetitionCollapse", mode)
-      try SparkEntry.queries("llm_repetition")(spark, dir)
-        .collect().map(_.toString).toSeq
-      finally spark.conf.unset("spark.graft.repetitionCollapse")
-    }
-    val direct = run("never")
-    val collapsed = run("always")
-    assert(direct == collapsed,
-      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
-        s"${direct.diff(collapsed).take(5)}")
-    assert(collapsed.size == direct.size && collapsed.nonEmpty)
+    bothPathsEqual(replicaHeavyDocsDir("rep"),
+      "spark.graft.repetitionCollapse", "llm_repetition")
   }
 
   test("llm_dup_spans text-collapse path is exact under heavy duplication") {
     // The round-7 adaptive collapse runs the position machinery on
     // DISTINCT texts and reconstructs member answers (full-coverage
-    // override for k ≥ 2 groups, rep join-back for singletons). The
-    // stock SFs are nearly dup-free, so stage a replica-heavy corpus:
-    // sf0.001's 500 docs plus two extra copies of every third doc
-    // (groups of size 3 among singletons) — then the forced-collapse
-    // output must be row-identical to the forced-direct output.
-    val src = Tables.documents(spark, sf)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ds_")
-      .toString
-    val extra1 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(100000L))
-    val extra2 = src.filter(col("doc_id") % 3 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(200000L))
-    src.unionByName(extra1).unionByName(extra2)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def run(mode: String, q: String = "llm_dup_spans"): Seq[String] = {
-      spark.conf.set("spark.graft.dupSpansCollapse", mode)
-      try SparkEntry.queries(q)(spark, dir)
-        .collect().map(_.toString).toSeq
-      finally spark.conf.unset("spark.graft.dupSpansCollapse")
-    }
-    val direct = run("never")
-    val collapsed = run("always")
-    assert(direct == collapsed,
-      s"collapse path diverged: ${collapsed.diff(direct).take(5)} vs " +
-        s"${direct.diff(collapsed).take(5)}")
-    // the strip op shares dupSpans — its gap reassembly must agree too
-    assert(run("never", "llm_dup_spans_strip") ==
-      run("always", "llm_dup_spans_strip"),
+    // override for k >= 2 groups, rep join-back for singletons).
+    val dir = replicaHeavyDocsDir("ds")
+    val collapsed = bothPathsEqual(dir,
+      "spark.graft.dupSpansCollapse", "llm_dup_spans")
+    // the strip op shares dupSpans - its gap reassembly must agree too
+    assert(runForced(dir, "spark.graft.dupSpansCollapse", "never",
+        "llm_dup_spans_strip") ==
+      runForced(dir, "spark.graft.dupSpansCollapse", "always",
+        "llm_dup_spans_strip"),
       "strip collapse path diverged")
     // and the replica groups really hit the full-coverage override:
     // every replicated doc reports one full span (or nothing, iff the
