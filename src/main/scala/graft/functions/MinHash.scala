@@ -29,7 +29,19 @@ object MinHash {
     }
   }
 
-  /** 128-value sketch of a token set. Empty input → MaxValue sentinels. */
+  /** 128-value sketch of a token set. Empty input → MaxValue sentinels.
+    *
+    * Exact (a·h + b) mod p without 128-bit arithmetic: split
+    * a = a1·2³¹ + a0 (a1 < 2³⁰, h < 2³², so a1·h < 2⁶² — no overflow),
+    * reduce a1·h mod p, then multiply by 2³¹ via the Mersenne identity
+    * 2⁶¹ ≡ 1 (mod p): x·2³¹ ≡ ((x << 31) & p) + (x >>> 30) — the 64-bit
+    * shift may wrap, but only bits ≥ 64 are lost and the mask keeps
+    * bits 0–60, which are exactly (x·2³¹) mod 2⁶¹. (Round-9 fix: the
+    * previous split reduced `hi << 31` with plain `%`, which wraps
+    * SIGNED for hi ≥ 2³³ — the sketch was deterministic but not the
+    * documented affine permutation, and negative values leaked into
+    * the signatures. The DuckDB oracle mirrors the clean form with
+    * HUGEINT arithmetic; MinHashPinSpec pins both engines' constants.) */
   def sketch(tokens: Seq[String]): Array[Long] = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
     tokens.foreach { t =>
@@ -37,21 +49,23 @@ object MinHash {
       var i = 0
       while (i < NumPerms) {
         val (a, b) = coeffs(i)
-        // multiplyHigh-free modular arithmetic via BigInt would be slow;
-        // 32-bit h keeps a*h below 93 bits — use Math.multiplyHigh-safe
-        // path: (a % p) * h fits in ~92 bits, so reduce via % on the
-        // 128-bit product emulated with unsigned ops. Simpler: a,h < 2^61
-        // and h < 2^32 ⇒ split a = a1·2^31 + a0.
         val a1 = a >>> 31
         val a0 = a & 0x7fffffffL
         val hi = (a1 * h) % MersennePrime
-        val v = ((hi << 31) % MersennePrime + a0 * h + b) % MersennePrime
+        val hiTimes2p31 =
+          (((hi << 31) & MersennePrime) + (hi >>> 30)) % MersennePrime
+        // each term < p < 2⁶¹; the 3-term sum stays under 2⁶³
+        val v = (hiTimes2p31 + (a0 * h) % MersennePrime + b) % MersennePrime
         if (v < sig(i)) sig(i) = v
         i += 1
       }
     }
     sig
   }
+
+  /** The fixed permutation coefficients — exposed so the DuckDB oracle
+    * SQL (SparkEntry) embeds the SAME constants it mirrors. */
+  private[graft] def coefficients: Array[(Long, Long)] = coeffs
 
   /** Band signatures: hash of each 4-row slice of the sketch. */
   def bandSignatures(sig: Array[Long]): Array[Long] = {

@@ -681,7 +681,107 @@ object LlmOps {
     })
   )
 
+  /** DuckDB mirror of `llm_minhash_lsh` (round-9: the op graduates
+    * from the no-oracle set). The candidate set is a pure function of
+    * fixed integer constants, so the WHOLE band arithmetic is mirrored
+    * in SQL: murmur3 string hashes (32-bit wraparound emulated with
+    * `% 2^32` on HUGEINT products, rotations as shift-add), the
+    * 61-bit Mersenne affine permutations (exact via HUGEINT), and the
+    * banded signature fold. The permutation coefficients are embedded
+    * from [[graft.functions.MinHash.coefficients]] — same constants,
+    * zero transcription. Two simplifications are THEOREMS, not
+    * approximations: (1) the rep-collapse + expansion is invisible to
+    * the output (identical (text, lang) docs share every band, and a
+    * cross-group member pair qualifies iff its rep pair does), so the
+    * oracle states the direct pairwise condition; (2) the ±1 bucket
+    * clause is implied by |Δn_chars| ≤ 10 (floor(n/10) moves at most 1
+    * in 10 chars). MinHashPinSpec pins the Scala constants this SQL
+    * was validated against. All math on the murmur path stays in
+    * unsigned-32 representation (non-negative BIGINTs), where Java's
+    * signed two's-complement multiply/xor agree mod 2^32 and `>>>`
+    * is plain integer division. */
+  private def minhashOracleSql: String = {
+    val P = (1L << 61) - 1
+    val C1 = 0xcc9e2d51L & 0xffffffffL
+    val C2 = 0x1b873593L
+    val MixC = 0xe6546b64L & 0xffffffffL
+    val Fc1 = 0x85ebca6bL & 0xffffffffL
+    val Fc2 = 0xc2b2ae35L & 0xffffffffL
+    val StringSeed = 0xf7ca7fd2L & 0xffffffffL
+    val ArraySeed = 0x3c074a61L
+    def mixlast(h: String, k: String): String = {
+      val k1 = s"(CAST(CAST(($k) AS HUGEINT) * $C1 % 4294967296 AS BIGINT))"
+      val k2 = s"(($k1 * 32768) % 4294967296 + $k1 // 131072)"
+      val k3 = s"(($k2 * $C2) % 4294967296)"
+      s"xor(($h), $k3)"
+    }
+    def mix(h: String, k: String): String = {
+      val h1 = mixlast(h, k)
+      val h2 = s"(($h1 * 8192) % 4294967296 + ($h1) // 524288)"
+      s"(($h2 * 5 + $MixC) % 4294967296)"
+    }
+    val mixL = mix("acc", "x")
+    val perms = graft.functions.MinHash.coefficients.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"""WITH perms(i, a, b) AS (VALUES $perms),
+       tok AS (SELECT doc_id, lang, n_chars,
+                 unnest(list_distinct(string_split(text, ' '))) AS w
+               FROM documents),
+       tw AS (SELECT DISTINCT w FROM tok),
+       twh AS (
+         SELECT w, list_reduce(list_prepend($StringSeed, list_transform(
+             range(1, length(w), 2),
+             ii -> ord(substring(w, CAST(ii AS INT), 1)) * 65536
+                   + ord(substring(w, CAST(ii AS INT) + 1, 1)))),
+           (acc, x) -> $mixL) AS f0
+         FROM tw),
+       twh2 AS (SELECT w, CASE WHEN length(w) % 2 = 1
+             THEN ${mixlast("f0",
+               "ord(substring(w, CAST(length(w) AS INT), 1))")}
+             ELSE f0 END AS f1 FROM twh),
+       twh3 AS (SELECT w, xor(f1, length(w)) AS g0 FROM twh2),
+       twh4 AS (SELECT w, xor(g0, g0 // 65536) AS g1 FROM twh3),
+       twh5 AS (SELECT w, CAST(CAST(g1 AS HUGEINT) * $Fc1 % 4294967296
+                  AS BIGINT) AS g2 FROM twh4),
+       twh6 AS (SELECT w, xor(g2, g2 // 8192) AS g3 FROM twh5),
+       twh7 AS (SELECT w, CAST(CAST(g3 AS HUGEINT) * $Fc2 % 4294967296
+                  AS BIGINT) AS g4 FROM twh6),
+       whash AS (SELECT w, xor(g4, g4 // 65536) AS h FROM twh7),
+       mins AS (
+         SELECT t.doc_id, p.i,
+                min(CAST((CAST(p.a AS HUGEINT) * wh.h + p.b) % $P
+                  AS BIGINT)) AS v
+         FROM tok t JOIN whash wh ON t.w = wh.w CROSS JOIN perms p
+         GROUP BY 1, 2),
+       bandvals AS (
+         SELECT doc_id, i // 4 AS band,
+                list(xor(v, v // 4294967296) % 4294967296 ORDER BY i) AS ds
+         FROM mins GROUP BY 1, 2),
+       bf0 AS (SELECT doc_id, band,
+                 list_reduce(list_prepend($ArraySeed, ds),
+                   (acc, x) -> $mixL) AS f
+               FROM bandvals),
+       bf1 AS (SELECT doc_id, band, xor(f, 4) AS g0 FROM bf0),
+       bf2 AS (SELECT doc_id, band, xor(g0, g0 // 65536) AS g1 FROM bf1),
+       bf3 AS (SELECT doc_id, band, CAST(CAST(g1 AS HUGEINT) * $Fc1
+                 % 4294967296 AS BIGINT) AS g2 FROM bf2),
+       bf4 AS (SELECT doc_id, band, xor(g2, g2 // 8192) AS g3 FROM bf3),
+       bf5 AS (SELECT doc_id, band, CAST(CAST(g3 AS HUGEINT) * $Fc2
+                 % 4294967296 AS BIGINT) AS g4 FROM bf4),
+       bsig AS (SELECT doc_id, band * 4294967296 + xor(g4, g4 // 65536)
+                  AS band_sig FROM bf5),
+       meta AS (SELECT doc_id, lang, n_chars FROM documents)
+       SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
+       FROM bsig x JOIN bsig y
+         ON x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+       JOIN meta ma ON ma.doc_id = x.doc_id
+       JOIN meta mb ON mb.doc_id = y.doc_id
+       WHERE ma.lang = mb.lang AND abs(ma.n_chars - mb.n_chars) <= 10
+       ORDER BY 1, 2"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_minhash_lsh" -> minhashOracleSql,
     "llm_dedup_audit" ->
       """WITH keep AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
                 min(doc_id) OVER (PARTITION BY text) AS keeper

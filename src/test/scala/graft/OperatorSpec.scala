@@ -16,7 +16,7 @@ class OperatorSpec extends GraftSpec {
       s"oracle keys without query: ${oracles.keySet -- qs.keySet}")
     // Non-oracle ops are intentional and enumerated (D8):
     assert((qs.keySet -- oracles.keySet) ==
-      Set("agg_approx_distinct", "agg_hll_merge", "llm_minhash_lsh",
+      Set("agg_approx_distinct", "agg_hll_merge",
         "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "llm_ann_lsh", "llm_embedding_lsh",
         "mm_decode_features", "mm_resize", "mm_frame_sample",
