@@ -55,7 +55,15 @@ object ScaleProbe {
     // (nd ≥ k for all grams) — coverage stays a keyed agg, rows linear
     "llm_repetition", "llm_dup_ngram_coverage",
     // round-7 add (see PairQueries note)
-    "llm_dup_spans")
+    "llm_dup_spans",
+    // round-9 adds (the round-8 review's evidence gap): the ITERATIVE
+    // dedup members — pointer-jump clusters, both keep-best variants —
+    // were the only LLM pipeline ops with no dup-heavy curve; under
+    // identical replication the exact stage collapses each replica
+    // group to one verdict chain, so the expected shape is the flat
+    // exact-first curve the pipeline ops measured since round 3
+    "llm_dedup_clusters", "llm_dedup_keep_best",
+    "llm_dedup_keep_best_incremental")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

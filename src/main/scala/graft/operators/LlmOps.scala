@@ -59,8 +59,13 @@ object LlmOps {
     * (referenceTracking is on by default) — no explicit unpersist,
     * which would also have to reach through the checkpointed plan's
     * RDD. Shared by `llm_dedup_clusters` and `llm_dedup_keep_best`. */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    var cur = dedupVerdicts(s, d)
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersOf(s, documents(s, d))
+
+  /** [[dedupClusters]] over an explicit doc set — the incremental
+    * keep-best op clusters two epochs of the same corpus (round-9). */
+  private def dedupClustersOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    var cur = dedupVerdictsOf(s, docs)
       .select(col("doc_id"),
         coalesce(col("dup_of"), col("doc_id")).as("root"))
       .localCheckpoint()
@@ -82,9 +87,31 @@ object LlmOps {
     cur.select(col("doc_id"), col("root").as("cluster_id"))
   }
 
-  private def dedupVerdicts(s: SparkSession, d: String): DataFrame = {
+  /** Cluster-then-keep-best over an explicit doc set: pointer-jumped
+    * clusters joined with the exact-decimal quality score, argmax per
+    * cluster via a min-struct aggregation + one cluster-keyed join
+    * back (never a per-cluster window — a pathological giant cluster
+    * costs a partial agg, not a single-partition sort). Returns
+    * (doc_id, cluster_id, q decimal, keep). Shared by
+    * `llm_dedup_keep_best` and its incremental variant. */
+  private def keepBestOf(s: SparkSession, docs: DataFrame,
+      q: DataFrame): DataFrame = {
+    val scored = dedupClustersOf(s, docs).join(q, Seq("doc_id"))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(min(struct((lit(BigDecimal("0")) - col("q")).as("nq"),
+        col("doc_id").as("bid"))).as("b"))
+      .select(col("cluster_id"), col("b.bid").as("best_id"))
+    scored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("q"),
+        (col("doc_id") === col("best_id")).as("keep"))
+  }
+
+  private def dedupVerdicts(s: SparkSession, d: String): DataFrame =
+    dedupVerdictsOf(s, documents(s, d))
+
+  private def dedupVerdictsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
-    val base = documents(s, d).select(col("doc_id"), col("lang"),
+    val base = docs.select(col("doc_id"), col("lang"),
       col("n_chars"), col("text"), sortedToks.as("toks"),
       floor(col("n_chars") / 10).as("bucket"))
     val keyed = base.withColumn("keeper",
@@ -420,17 +447,43 @@ object LlmOps {
     // one cluster-keyed equi-join back — never a per-cluster window, so
     // a pathological giant cluster costs a partial-agg, not a
     // single-partition sort.
-    "llm_dedup_keep_best" -> ((s, d) => {
-      val q = TrainingDataOps.qualityDecimal(s, d)
-      val scored = dedupClusters(s, d).join(q, Seq("doc_id"))
-      val best = scored.groupBy(col("cluster_id"))
-        .agg(min(struct((lit(BigDecimal("0")) - col("q")).as("nq"),
-          col("doc_id").as("bid"))).as("b"))
-        .select(col("cluster_id"), col("b.bid").as("best_id"))
-      scored.join(best, Seq("cluster_id"))
+    "llm_dedup_keep_best" -> ((s, d) =>
+      keepBestOf(s, documents(s, d), TrainingDataOps.qualityDecimal(s, d))
         .select(col("doc_id"), col("cluster_id"),
-          col("q").cast("double").as("quality"),
-          (col("doc_id") === col("best_id")).as("keep"))
+          col("q").cast("double").as("quality"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Incremental keep-best (round-9 add): the verdict-CHURN table a
+    // daily ingest emits — llm_dedup_incremental's asymmetric batch
+    // split (doc_id % 100 >= 80 is the arriving batch) composed with
+    // llm_dedup_keep_best's selection policy. The load-bearing case is
+    // keeper DISPLACEMENT: when a new doc joins an existing cluster
+    // with a better quality score, the incumbent keeper loses its slot
+    // — a fact no stateless keep-best output can express, and exactly
+    // the delta a downstream training-mix builder must consume
+    // (drop the displaced doc, add the newcomer). Verdicts: existing
+    // docs are retained / displaced / promoted / dup; batch docs are
+    // new_keeper / new_dup. Here both epochs are derived from the one
+    // corpus by the deterministic split (the harness has no temporal
+    // axis); a deployment persists the previous epoch's (doc_id,
+    // cluster_id, keep) state and pays only the new batch's clustering
+    // — the same asymmetric-probe shape llm_dedup_incremental pins.
+    "llm_dedup_keep_best_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val q = TrainingDataOps.qualityDecimal(s, d)
+      val existing = docs.filter(pmod(col("doc_id"), lit(100L)) < 80)
+      val before = keepBestOf(s, existing, q)
+        .select(col("doc_id"), col("keep").as("was_keep"))
+      val after = keepBestOf(s, docs, q)
+      after.join(before, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          col("q").cast("double").as("quality"), col("keep"),
+          when(col("was_keep").isNull,
+            when(col("keep"), lit("new_keeper")).otherwise(lit("new_dup")))
+            .when(col("was_keep") && col("keep"), lit("retained"))
+            .when(col("was_keep") && !col("keep"), lit("displaced"))
+            .when(col("keep"), lit("promoted"))
+            .otherwise(lit("dup")).as("verdict"))
         .orderBy(col("doc_id"))
     }),
 
@@ -780,8 +833,99 @@ object LlmOps {
        ORDER BY 1, 2"""
   }
 
+  /** The recursive dedup-cluster CTE chain over `src`, every CTE name
+    * suffixed so TWO epochs can coexist in one WITH RECURSIVE — the
+    * incremental keep-best oracle clusters the existing subset and the
+    * full corpus side by side. Mirrors the llm_dedup_clusters oracle
+    * exactly (exact keeper window, blocked Jaccard `nd`, forest walk,
+    * min-root labels) and appends the per-cluster quality rank (reads
+    * the `qq` CTE the caller must define). */
+  private def clusterCtes(sfx: String, src: String): String =
+    s"""keep$sfx AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
+              min(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM $src),
+       surv$sfx AS MATERIALIZED (
+            SELECT * FROM keep$sfx WHERE doc_id = keeper),
+       tok$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+              unnest(string_split(text, ' ')) AS w FROM surv$sfx),
+       card$sfx AS (SELECT doc_id, count(*) AS nt FROM tok$sfx
+            GROUP BY 1),
+       pair$sfx AS (SELECT b.doc_id AS doc_id, a.doc_id AS cand,
+              count(*) AS inter
+            FROM tok$sfx a
+            JOIN tok$sfx b ON a.w = b.w AND a.doc_id < b.doc_id
+            JOIN surv$sfx sa ON sa.doc_id = a.doc_id
+            JOIN surv$sfx sb ON sb.doc_id = b.doc_id
+            WHERE sa.lang = sb.lang
+              AND abs(sa.n_chars - sb.n_chars) <= 10
+            GROUP BY 1, 2),
+       nd$sfx AS (SELECT p.doc_id, min(cand) AS nd_of
+            FROM pair$sfx p
+            JOIN card$sfx ca ON ca.doc_id = p.cand
+            JOIN card$sfx cb ON cb.doc_id = p.doc_id
+            WHERE inter / (ca.nt + cb.nt - inter) >= 0.5
+            GROUP BY 1),
+       v$sfx AS MATERIALIZED (SELECT k.doc_id,
+              CASE WHEN k.doc_id != k.keeper THEN k.keeper
+                   ELSE nd.nd_of END AS dup_of
+            FROM keep$sfx k LEFT JOIN nd$sfx nd ON nd.doc_id = k.doc_id),
+       walk$sfx(doc_id, cur) AS (
+         SELECT doc_id, dup_of FROM v$sfx WHERE dup_of IS NOT NULL
+         UNION ALL
+         SELECT w.doc_id, v2.dup_of
+         FROM walk$sfx w JOIN v$sfx v2 ON v2.doc_id = w.cur
+         WHERE v2.dup_of IS NOT NULL),
+       roots$sfx AS (SELECT doc_id, min(cur) AS root FROM walk$sfx
+            GROUP BY 1),
+       cl$sfx AS (SELECT v.doc_id, coalesce(r.root, v.doc_id)
+              AS cluster_id
+            FROM v$sfx v LEFT JOIN roots$sfx r ON r.doc_id = v.doc_id),
+       ranked$sfx AS (SELECT cl.doc_id, cl.cluster_id, qq.q,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY qq.q DESC, cl.doc_id) AS rn
+            FROM cl$sfx cl JOIN qq ON qq.doc_id = cl.doc_id)"""
+
+  /** The exact-decimal quality CTE (mirror of
+    * TrainingDataOps.qualityDecimal; same text as the keep_best
+    * oracle's `q` CTE). */
+  private val QualityCte: String =
+    """qq AS (SELECT doc_id,
+         CAST(0.5 * (1 - CAST(round(len(list_filter(
+               string_split(text, ' '),
+               w -> w = 'the' OR w = 'a' OR w = 'of'))
+             / len(string_split(text, ' ')), 6)
+             AS DECIMAL(12,6))) +
+           0.3 * least(
+             CAST(round(n_chars / len(string_split(text, ' ')), 4)
+               AS DECIMAL(10,4)) * 0.125,
+             CAST(1.0 AS DECIMAL(12,6))) +
+           0.2 * (1 - CAST(round(len(list_filter(
+               string_split(text, ' '), w -> len(w) <= 2))
+             / len(string_split(text, ' ')), 6)
+             AS DECIMAL(12,6)))
+         AS DECIMAL(38,6)) AS q
+       FROM documents)"""
+
   val oracle: Map[String, String] = Map(
     "llm_minhash_lsh" -> minhashOracleSql,
+
+    "llm_dedup_keep_best_incremental" ->
+      s"""WITH RECURSIVE
+            $QualityCte,
+            ${clusterCtes("a", "documents")},
+            ${clusterCtes("b",
+              "(SELECT * FROM documents WHERE doc_id % 100 < 80)")}
+         SELECT a.doc_id, a.cluster_id, CAST(a.q AS DOUBLE) AS quality,
+                a.rn = 1 AS keep,
+                CASE WHEN b.doc_id IS NULL THEN
+                       CASE WHEN a.rn = 1 THEN 'new_keeper'
+                            ELSE 'new_dup' END
+                     WHEN b.rn = 1 AND a.rn = 1 THEN 'retained'
+                     WHEN b.rn = 1 THEN 'displaced'
+                     WHEN a.rn = 1 THEN 'promoted'
+                     ELSE 'dup' END AS verdict
+         FROM rankeda a LEFT JOIN rankedb b ON b.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
     "llm_dedup_audit" ->
       """WITH keep AS MATERIALIZED (SELECT doc_id, lang, n_chars, text,
                 min(doc_id) OVER (PARTITION BY text) AS keeper

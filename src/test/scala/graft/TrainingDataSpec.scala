@@ -500,6 +500,42 @@ class TrainingDataSpec extends GraftSpec {
     collapsed
   }
 
+  test("llm_dedup_keep_best_incremental: a better-quality newcomer " +
+      "displaces the incumbent keeper") {
+    // Two staged batches via the op's doc_id % 100 split: docs 10/11
+    // are the EXISTING near-dup cluster (keeper = the higher-quality
+    // member), doc 85 is the ARRIVING batch member that near-dups the
+    // cluster (token-set Jaccard 4/7 >= 0.5, same lang, |dn_chars| <=
+    // 10) with a better quality score (no stopwords, no short words)
+    // — the keeper must MOVE. Docs 20 (existing) and 90 (new) are
+    // unrelated singletons pinning the retained / new_keeper verdicts.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kbi_")
+      .toString
+    import spark.implicits._
+    def row(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    Seq(
+      row(10L, "alpha beta gamma delta the of"),
+      row(11L, "alpha beta gamma delta of of"),
+      row(20L, "unrelated solitary document entirely"),
+      row(85L, "alpha beta gamma delta epsilon"),
+      row(90L, "another lonely arrival document"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_dedup_keep_best_incremental")(
+        spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getString(4)))).toMap
+    // one cluster rooted at 10 spans the batches; keeper moved to 85
+    assert(out(10L)._1 == 10L && !out(10L)._2 &&
+      out(10L)._3 == "displaced", s"incumbent: ${out(10L)}")
+    assert(out(85L)._1 == 10L && out(85L)._2 &&
+      out(85L)._3 == "new_keeper", s"newcomer: ${out(85L)}")
+    assert(out(11L)._1 == 10L && !out(11L)._2 && out(11L)._3 == "dup")
+    assert(out(20L)._3 == "retained" && out(20L)._2)
+    assert(out(90L)._3 == "new_keeper" && out(90L)._2)
+  }
+
   test("llm_ngram_jaccard collapse path equals the direct path on a " +
       "replica-heavy corpus") {
     // Covers within-group j=1 pairs, cross-group bundle expansion, and
