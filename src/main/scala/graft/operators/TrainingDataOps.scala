@@ -166,17 +166,53 @@ object TrainingDataOps {
       array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
         i => xxhash64(slice(wsArr, i, lit(8))))))
       .otherwise(array().cast("array<bigint>"))
+    // Split is doc_id-driven, so it is assigned BEFORE any text
+    // collapse: a text duplicated across train and test still counts
+    // as contamination, exactly as in the direct plan.
     val docs = documents(s, d)
-      .withColumn("ws_arr", ws)
       .withColumn("split",
         when(pmod(col("doc_id"), lit(100L)) < 80, lit("train"))
           .when(pmod(col("doc_id"), lit(100L)) < 90, lit("val"))
           .otherwise(lit("test")))
-      .withColumn("g8", gram8)
-    val testGrams = docs.filter(col("split") === "test")
-      .select(col("doc_id"), explode(col("g8")).as("g"))
-    val trainRaw = docs.filter(col("split") === "train")
-      .select(explode(col("g8")).as("g"))
+    def withGrams(df: DataFrame): DataFrame =
+      df.withColumn("ws_arr", ws).withColumn("g8", gram8)
+    // ADAPTIVE text-collapse (round-9; the dup-heavy discipline): the
+    // dominant cost is the train-side 8-gram hash + explode + distinct,
+    // and that stream depends only on DISTINCT train texts (replicas
+    // add no new shingles). A test doc's n_shared is likewise a pure
+    // function of its text given the train shingle set, so identical
+    // test texts collapse to one representative whose count expands
+    // back by a gid join. Both paths exact; mass precheck as always.
+    // The collapse exchange also restores parallelism when a small
+    // staged corpus bin-packs into few scan partitions: the per-text
+    // hashing runs post-shuffle at spark.sql.shuffle.partitions.
+    val collapse = AdaptiveCollapse.decideByMass(s, docs,
+      "spark.graft.decontaminateCollapse", xxhash64(col("text")))
+    // tkey = doc_id on the direct path, gid on the collapsed path.
+    val (testIds, testGrams, trainRaw) = if (collapse) {
+      val trainW = AdaptiveCollapse.withGid(
+        docs.filter(col("split") === "train"), "doc_id", Seq("text"))
+      val testW = AdaptiveCollapse.withGid(
+        docs.filter(col("split") === "test"), "doc_id", Seq("text"))
+      (AdaptiveCollapse.membersOf(testW, "doc_id")
+         .withColumnRenamed("gid", "tkey"),
+       PlanHygiene.explodeNoInfer(
+         withGrams(AdaptiveCollapse.repsOf(testW, "doc_id")
+           .select(col("doc_id").as("tkey"), col("text"))),
+         Seq(col("tkey")), col("g8"), "g"),
+       PlanHygiene.explodeNoInfer(
+         withGrams(AdaptiveCollapse.repsOf(trainW, "doc_id")
+           .select(col("text"))),
+         Seq.empty, col("g8"), "g"))
+    } else {
+      val g = withGrams(docs)
+      (g.filter(col("split") === "test")
+         .select(col("doc_id"), col("doc_id").as("tkey")),
+       PlanHygiene.explodeNoInfer(g.filter(col("split") === "test"),
+         Seq(col("doc_id").as("tkey")), col("g8"), "g"),
+       PlanHygiene.explodeNoInfer(g.filter(col("split") === "train"),
+         Seq.empty, col("g8"), "g"))
+    }
     val trainGrams = if (bloom) {
       // Materialized only on the bloom path: the distinct test shingle
       // set feeds the sizing count AND the sketch build — two consumers
@@ -201,10 +237,10 @@ object TrainingDataOps {
       trainRaw.filter(mightContain(col("g"))).distinct()
     } else trainRaw.distinct()
     val shared = testGrams.join(trainGrams, Seq("g"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("tkey"))
       .agg(countDistinct(col("g")).as("n_shared"))
-    docs.filter(col("split") === "test").select(col("doc_id"))
-      .join(shared, Seq("doc_id"), "left")
+    testIds
+      .join(shared, Seq("tkey"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))

@@ -568,6 +568,27 @@ class TrainingDataSpec extends GraftSpec {
       "spark.graft.repetitionCollapse", "llm_repetition")
   }
 
+  test("llm_decontaminate collapse path equals the direct path on a " +
+      "replica-heavy corpus (both bloom variants)") {
+    // Round-9 collapse: the train stream shingles DISTINCT texts only
+    // (replicas add no new 8-grams) and a test doc's n_shared is a
+    // pure function of its text, expanded back by a gid join. The
+    // replica-heavy staging shifts doc_ids by +100000/+200000 (both
+    // ≡ 0 mod 100), so each replica keeps its split — train groups
+    // collapse on the train side, test groups on the test side, and
+    // every test replica must report its group's shared count.
+    val dir = replicaHeavyDocsDir("dc")
+    bothPathsEqual(dir,
+      "spark.graft.decontaminateCollapse", "llm_decontaminate")
+    // the bloom variant shares the body; its sketch prune must
+    // commute with the collapse (it only drops non-matching train
+    // shingles, whichever side of the collapse they came from)
+    assert(runForced(dir, "spark.graft.decontaminateCollapse", "never",
+        "llm_decontaminate_bloom") ==
+      runForced(dir, "spark.graft.decontaminateCollapse", "always",
+        "llm_decontaminate_bloom"))
+  }
+
   test("llm_dup_spans text-collapse path is exact under heavy duplication") {
     // The round-7 adaptive collapse runs the position machinery on
     // DISTINCT texts and reconstructs member answers (full-coverage
