@@ -1,0 +1,77 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-batch floor probe (round-9; the round-8 review's stretch
+  * item): the streaming family costs ~1.4 s/op in the sweep — how much
+  * of that is per-query FIXED machinery (query start, state-store
+  * open/commit/snapshot, memory-sink setup) vs true micro-batch
+  * compute? The experiment: run N streaming ops back-to-back
+  * (sequential, the sweep's shape), then the same N CONCURRENTLY in
+  * one SparkSession generation (each op keeps its own query,
+  * checkpoint and memory sink; the session's scheduler interleaves
+  * them). If the concurrent wall clock is far below the sequential
+  * sum, the floor is serialized per-query setup + idle stage gaps,
+  * not saturated compute — i.e. a deployment hosting many continuous
+  * queries in one driver amortizes it, and the per-op sweep numbers
+  * OVERSTATE the marginal cost of a streaming op. Findings are
+  * recorded in BASELINE.md.
+  *
+  * Run: sbt "runMain graft.StreamFloorProbe [N]" (default: the 8-op
+  * mixed family below; prints one JSON line).
+  */
+object StreamFloorProbe {
+
+  // a mixed slice of the family: CEP, session, chained-stateful,
+  // sliding counts, sketches — not just the cheap aggs
+  private val Ops = Seq(
+    "stream_funnel", "stream_pattern_abc", "stream_session_dynamic",
+    "stream_dau", "stream_ewma", "stream_count_window",
+    "stream_transitions", "stream_zscore")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runOne(op: String): Double = {
+      val t0 = System.nanoTime()
+      Bench.force(SparkEntry.queries(op)(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm the JVM (codegen, state-store classes) outside both timings
+    runOne(Ops.head)
+
+    val seqTimes = Ops.map(op => op -> runOne(op))
+    val seqTotal = seqTimes.map(_._2).sum
+
+    val pool = Executors.newFixedThreadPool(Ops.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    val fs = Ops.map(op => Future(runOne(op)))
+    Await.result(Future.sequence(fs), Duration.Inf)
+    val concTotal = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+
+    val per = seqTimes.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"stream_floor","sequential_sec":$seqTotal%.2f,""" +
+      f""""concurrent_sec":$concTotal%.2f,"ops":${Ops.size},""" +
+      s""""per_op_sequential":$per,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -755,25 +755,11 @@ object LlmOps {
     * is plain integer division. */
   private def minhashOracleSql: String = {
     val P = (1L << 61) - 1
-    val C1 = 0xcc9e2d51L & 0xffffffffL
-    val C2 = 0x1b873593L
-    val MixC = 0xe6546b64L & 0xffffffffL
     val Fc1 = 0x85ebca6bL & 0xffffffffL
     val Fc2 = 0xc2b2ae35L & 0xffffffffL
-    val StringSeed = 0xf7ca7fd2L & 0xffffffffL
+    val StringSeed = 0xf7ca7fd2L
     val ArraySeed = 0x3c074a61L
-    def mixlast(h: String, k: String): String = {
-      val k1 = s"(CAST(CAST(($k) AS HUGEINT) * $C1 % 4294967296 AS BIGINT))"
-      val k2 = s"(($k1 * 32768) % 4294967296 + $k1 // 131072)"
-      val k3 = s"(($k2 * $C2) % 4294967296)"
-      s"xor(($h), $k3)"
-    }
-    def mix(h: String, k: String): String = {
-      val h1 = mixlast(h, k)
-      val h2 = s"(($h1 * 8192) % 4294967296 + ($h1) // 524288)"
-      s"(($h2 * 5 + $MixC) % 4294967296)"
-    }
-    val mixL = mix("acc", "x")
+    val mixL = MurmurSql.mix("acc", "x")
     val perms = graft.functions.MinHash.coefficients.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
     s"""WITH perms(i, a, b) AS (VALUES $perms),
@@ -781,25 +767,7 @@ object LlmOps {
                  unnest(list_distinct(string_split(text, ' '))) AS w
                FROM documents),
        tw AS (SELECT DISTINCT w FROM tok),
-       twh AS (
-         SELECT w, list_reduce(list_prepend($StringSeed, list_transform(
-             range(1, length(w), 2),
-             ii -> ord(substring(w, CAST(ii AS INT), 1)) * 65536
-                   + ord(substring(w, CAST(ii AS INT) + 1, 1)))),
-           (acc, x) -> $mixL) AS f0
-         FROM tw),
-       twh2 AS (SELECT w, CASE WHEN length(w) % 2 = 1
-             THEN ${mixlast("f0",
-               "ord(substring(w, CAST(length(w) AS INT), 1))")}
-             ELSE f0 END AS f1 FROM twh),
-       twh3 AS (SELECT w, xor(f1, length(w)) AS g0 FROM twh2),
-       twh4 AS (SELECT w, xor(g0, g0 // 65536) AS g1 FROM twh3),
-       twh5 AS (SELECT w, CAST(CAST(g1 AS HUGEINT) * $Fc1 % 4294967296
-                  AS BIGINT) AS g2 FROM twh4),
-       twh6 AS (SELECT w, xor(g2, g2 // 8192) AS g3 FROM twh5),
-       twh7 AS (SELECT w, CAST(CAST(g3 AS HUGEINT) * $Fc2 % 4294967296
-                  AS BIGINT) AS g4 FROM twh6),
-       whash AS (SELECT w, xor(g4, g4 // 65536) AS h FROM twh7),
+       ${MurmurSql.stringHashCtes("", "tw", StringSeed)},
        mins AS (
          SELECT t.doc_id, p.i,
                 min(CAST((CAST(p.a AS HUGEINT) * wh.h + p.b) % $P

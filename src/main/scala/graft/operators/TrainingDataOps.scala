@@ -348,8 +348,10 @@ object TrainingDataOps {
   val queries: Map[String, Q] = Map(
     // SimHash near-dup candidates: 4×16-bit pigeonhole blocks (hamming ≤ 3
     // ⇒ at least one identical block) + the corpus (lang, size) blocking.
-    // Rows-only: the fingerprint isn't SQL-expressible (ScalaTest covers
-    // the dup-pair invariant).
+    // Oracle-checked since round 9: the murmur3 fingerprint arithmetic
+    // is mirrored in DuckDB via MurmurSql (see simhashOracleSql; the
+    // block join and bucket explode are theorems, so the oracle states
+    // the direct pairwise condition).
     "llm_simhash_dedup" -> ((s, d) => {
       val fpU = udf((ts: Seq[String]) => SimHash.fingerprint(ts))
       val bkU = udf((fp: Long) => SimHash.blockKeys(fp))
@@ -1495,6 +1497,60 @@ object TrainingDataOps {
        LEFT JOIN sh ON sh.doc_id = te.doc_id
        ORDER BY te.doc_id"""
 
+  /** DuckDB mirror of `llm_simhash_dedup` (round-9: the op graduates
+    * from the no-oracle set, the same way `llm_minhash_lsh` did). The
+    * fingerprint is a pure function of fixed murmur3 constants — the
+    * shared [[MurmurSql]] chain reproduces Scala's
+    * `MurmurHash3.stringHash` per distinct word under BOTH SimHash
+    * seeds, the 64-bit token hash is `h1 * 2^32 + h2` in unsigned
+    * HUGEINT representation, and the per-bit majority vote runs over
+    * token OCCURRENCES (multiplicity kept, exactly as the UDF folds
+    * `ws`). Two of the op's plan artifacts are THEOREMS and so vanish
+    * from the oracle's direct pairwise statement: (1) the 4×16-bit
+    * pigeonhole block join admits every hamming ≤ 3 pair (≤3 flipped
+    * bits cannot touch all 4 disjoint blocks), and (2) the ±1
+    * size-bucket explode is implied by |Δn_chars| ≤ 10 (floor(n/10)
+    * moves at most once in 10 chars). The signed fingerprint is the
+    * unsigned sum re-wrapped at 2^63, so `bit_count(xor(...))` is
+    * hamming distance including the sign bit. */
+  private def simhashOracleSql: String = {
+    val powers = (0 until 64)
+      .map(i => s"($i,${BigInt(2).pow(i)})").mkString(",")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+       tw AS (SELECT DISTINCT w FROM tok),
+       ${MurmurSql.stringHashCtes("h1", "tw", 0x9747b28cL)},
+       ${MurmurSql.stringHashCtes("h2", "tw", 0x85ebca6bL)},
+       wh AS (SELECT a.w,
+                CAST(a.h AS HUGEINT) * 4294967296 + b.h AS hu
+              FROM h1whash a JOIN h2whash b ON a.w = b.w),
+       bits(i, p) AS (VALUES $powers),
+       acc AS (SELECT t.doc_id, b.i,
+                sum(CASE WHEN (wh.hu // CAST(b.p AS HUGEINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS a
+              FROM tok t JOIN wh ON wh.w = t.w CROSS JOIN bits b
+              GROUP BY 1, 2),
+       fpu AS (SELECT a.doc_id,
+                sum(CASE WHEN a.a > 0 THEN CAST(b.p AS HUGEINT)
+                    ELSE 0 END) AS fu
+              FROM acc a JOIN bits b ON b.i = a.i GROUP BY 1),
+       fp AS (SELECT doc_id,
+                CAST(CASE
+                  WHEN fu >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN fu - CAST('18446744073709551616' AS HUGEINT)
+                  ELSE fu END AS BIGINT) AS f
+              FROM fpu),
+       meta AS (SELECT doc_id, lang, n_chars FROM documents)
+       SELECT x.doc_id AS doc_id, y.doc_id AS doc_id2,
+              CAST(bit_count(xor(fx.f, fy.f)) AS INTEGER) AS hamming
+       FROM meta x JOIN meta y ON x.doc_id < y.doc_id
+         AND x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 10
+       JOIN fp fx ON fx.doc_id = x.doc_id
+       JOIN fp fy ON fy.doc_id = y.doc_id
+       WHERE bit_count(xor(fx.f, fy.f)) <= 3
+       ORDER BY 1, 2"""
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
@@ -1570,6 +1626,8 @@ object TrainingDataOps {
     // the output, so a single SQL constant serves both keys
     "llm_decontaminate" -> DecontaminateOracle,
     "llm_decontaminate_bloom" -> DecontaminateOracle,
+
+    "llm_simhash_dedup" -> simhashOracleSql,
 
     "llm_chunk_windows" ->
       """WITH n AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,

@@ -17,7 +17,6 @@ class OperatorSpec extends GraftSpec {
     // Non-oracle ops are intentional and enumerated (D8):
     assert((qs.keySet -- oracles.keySet) ==
       Set("agg_approx_distinct", "agg_hll_merge",
-        "llm_simhash_dedup",
         "llm_fingerprint", "llm_ann_ivf", "llm_ann_lsh", "llm_embedding_lsh",
         "mm_decode_features", "mm_resize", "mm_frame_sample",
         "llm_pack_greedy", "agg_approx_percentile",
