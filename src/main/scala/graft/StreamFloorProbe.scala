@@ -19,8 +19,11 @@ import org.apache.spark.sql.SparkSession
   * sum, the floor is serialized per-query setup + idle stage gaps,
   * not saturated compute — i.e. a deployment hosting many continuous
   * queries in one driver amortizes it, and the per-op sweep numbers
-  * OVERSTATE the marginal cost of a streaming op. Findings are
-  * recorded in BASELINE.md.
+  * OVERSTATE the marginal cost of a streaming op. Findings (measured
+  * round 10): sequential 17.66 s vs concurrent 5.02 s for the same
+  * 8 ops — 3.5× amortization, so the floor IS serialized setup. The
+  * JSON line is committed as STREAM_FLOOR.json; the analysis lives in
+  * BASELINE.md §"Streaming floor".
   *
   * Run: sbt "runMain graft.StreamFloorProbe [N]" (default: the 8-op
   * mixed family below; prints one JSON line).
