@@ -243,6 +243,18 @@ object RollingHash {
   private val Base = 1000003L
   private val Mod = (1L << 61) - 1
 
+  /** Constants exported for the DuckDB oracle mirror (the MurmurSql
+    * zero-transcription pattern): the oracle reformulates the rolling
+    * recurrence as prefix sums P(i) = B^i · Σₚ c_p·B⁻ᵖ mod M — valid
+    * because M = 2^61−1 is prime, so B is invertible. See
+    * TrainingDataOps.fingerprintOracleSql. */
+  private[graft] val base: Long = Base
+  private[graft] val mod: Long = Mod
+  private[graft] val baseInv: Long =
+    BigInt(Base).modInverse(BigInt(Mod)).toLong
+  private[graft] def basePow(e: Int): Long =
+    BigInt(Base).modPow(BigInt(e), BigInt(Mod)).toLong
+
   private def mulmod(a: Long, b: Long): Long =
     (BigInt(a) * b % Mod).toLong // 61-bit operands: exact via BigInt
 

@@ -1288,7 +1288,9 @@ object TrainingDataOps {
           sum(when(col("n_tok") < 5, 1L).otherwise(0L)).as("n_short"))
         .orderBy(col("lang"), col("source"))),
 
-    // Rows-only: Karp-Rabin rolling hashes aren't SQL-expressible.
+    // Oracle-checked since round 10: the Karp-Rabin fold isn't directly
+    // SQL-expressible, but over the prime modulus it reformulates as a
+    // modular-inverse prefix sum — see fingerprintOracleSql.
     "llm_fingerprint" -> ((s, d) => {
       val fullU = udf((t: String) => RollingHash.full(t))
       val winU = udf((t: String) => RollingHash.windowMin(t, 16))
@@ -1551,7 +1553,78 @@ object TrainingDataOps {
        ORDER BY 1, 2"""
   }
 
+  /** DuckDB mirror of `llm_fingerprint` (round-10: the op graduates
+    * from the no-oracle set, the MurmurSql pattern). The Karp-Rabin
+    * recurrence h ← (h·B + c) mod M is a sequential fold with no SQL
+    * scan primitive — but M = 2^61−1 is PRIME, so B is invertible and
+    * the prefix hash reformulates as P(i) = B^i · S(i) mod M with
+    * S(i) = Σ_{p≤i} c_p·B⁻ᵖ mod M, a plain windowed SUM over exploded
+    * character rows (FingerprintOracleSpec pins this theorem against
+    * RollingHash directly on randomized strings). The 16-char window
+    * hash is then W(e) = (P(e) − B¹⁶·P(e−16)) mod M via lag(·,16,0),
+    * and win_min = min over e ≥ 16 (whole-text hash when length ≤ 16,
+    * matching RollingHash.windowMin's short-text branch; empty text
+    * hashes to 0 via the COALESCEs). All arithmetic is exact: terms
+    * and prefix products stay < 2^122 < HUGEINT range, and SUM(BIGINT)
+    * is HUGEINT in DuckDB. Constants (B, M, B⁻¹, B¹⁶) are embedded
+    * from [[graft.functions.RollingHash]] — zero transcription. The
+    * B^i / B⁻ᵖ powers come from one recursive CTE bounded by
+    * max(length(text)). Corpus assumption (same as
+    * MurmurSql.stringHashCtes): DuckDB ord()/length() count Unicode
+    * codepoints while the JVM consumes UTF-16 code units, so the
+    * mirror is exact only for BMP text (ASCII on this corpus). */
+  private def fingerprintOracleSql: String = {
+    val B = graft.functions.RollingHash.base
+    val M = graft.functions.RollingHash.mod
+    val binv = graft.functions.RollingHash.baseInv
+    val bk = graft.functions.RollingHash.basePow(16)
+    s"""WITH RECURSIVE
+       maxlen AS (SELECT max(length(text)) AS n FROM documents),
+       powers(t, bp, bip) AS (
+         SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+         UNION ALL
+         SELECT t + 1, (bp * $B) % $M, (bip * $binv) % $M
+         FROM powers WHERE t < (SELECT n FROM maxlen)),
+       cvals AS (
+         SELECT doc_id,
+                CAST(unnest(range(1, length(text) + 1)) AS BIGINT) AS pos,
+                text
+         FROM documents),
+       terms AS (
+         SELECT cv.doc_id, cv.pos,
+                (CAST(ord(substring(cv.text, CAST(cv.pos AS INT), 1))
+                   AS HUGEINT) * p.bip) % $M AS term
+         FROM cvals cv JOIN powers p ON p.t = cv.pos),
+       prefs AS (
+         SELECT doc_id, pos,
+                SUM(term) OVER (PARTITION BY doc_id ORDER BY pos) % $M AS s
+         FROM terms),
+       ph AS (
+         SELECT pr.doc_id, pr.pos, (pr.s * p.bp) % $M AS ph
+         FROM prefs pr JOIN powers p ON p.t = pr.pos),
+       fp AS (SELECT doc_id, arg_max(ph, pos) AS fp64 FROM ph GROUP BY 1),
+       wnd AS (
+         SELECT doc_id, pos, ph,
+                lag(ph, 16, CAST(0 AS HUGEINT))
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS ph0
+         FROM ph),
+       whash AS (
+         SELECT doc_id, ((ph - (ph0 * $bk) % $M) % $M + $M) % $M AS w
+         FROM wnd WHERE pos >= 16),
+       wmin AS (SELECT doc_id, min(w) AS wm FROM whash GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(coalesce(f.fp64, 0) AS BIGINT) AS fp64,
+              CAST(CASE WHEN length(d.text) <= 16 THEN coalesce(f.fp64, 0)
+                        ELSE wm.wm END AS BIGINT) AS win_min
+       FROM documents d
+       LEFT JOIN fp f ON f.doc_id = d.doc_id
+       LEFT JOIN wmin wm ON wm.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_fingerprint" -> fingerprintOracleSql,
+
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
                       string_split(text, ' ') AS ws FROM documents),
