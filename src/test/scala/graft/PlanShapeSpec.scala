@@ -438,6 +438,36 @@ class PlanShapeSpec extends GraftSpec {
     finally operators.GraphLoop.release(edges)
   }
 
+  test("no registered op carries an optimizer-inferred filter that " +
+      "re-evaluates a heavy generator input (InferFiltersFromGenerate)") {
+    // Round-9 found llm_decontaminate 66s at 16x replicas because
+    // Catalyst's InferFiltersFromGenerate duplicated the whole 8-gram
+    // hash expression (a transform/slice chain feeding explode) into a
+    // Filter BELOW the collapse exchange, re-running it per replica.
+    // The generic fix is PlanHygiene.explodeNoInfer; this audit (the
+    // promoted Scratch.scala driver that found the r9 hits) makes it
+    // regression-proof across EVERY registered op: a Filter or scan
+    // DataFilters line containing transform(/slice(/sequence( means an
+    // inferred copy of a generator input is being evaluated pre-explode.
+    // Plans are built (not executed) at sf0.001; ops whose CONSTRUCTION
+    // runs jobs (graph loops, adaptive-collapse prechecks, streaming
+    // memory sinks) pay their small build cost here.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hits = plan.linesIterator.filter { l =>
+        val t = l.trim
+        (t.startsWith("+- Filter") || t.startsWith("Filter") ||
+          t.contains("DataFilters:")) &&
+        (t.contains("transform(") || t.contains("slice(") ||
+          t.contains("sequence("))
+      }.size
+      if (hits > 0) Some(s"$n ($hits line(s))") else None
+    }
+    assert(offenders.isEmpty,
+      s"heavy-generator inferred filters in: ${offenders.mkString(", ")}")
+  }
+
   /** One graph-loop round must read edges from the loop-invariant
     * cache, broadcast the node-cardinality state, and contain no
     * shuffle exchange — a shuffle anywhere in the round means the
