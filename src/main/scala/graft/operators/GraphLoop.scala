@@ -134,11 +134,23 @@ object GraphLoop {
     * O(log depth) rounds however deep the capped propagation left the
     * trees. Same jump-and-flag-in-one-join shape as the dedup-cluster
     * closure (LlmOps.dedupClusters), restated here over the graph-loop
-    * state schema. */
-  def jumpClosure(state: DataFrame, labelCol: String): DataFrame = {
+    * state schema. Guarded: a caller violating the precondition with a
+    * label CYCLE (e.g. a↔b) would otherwise hang the driver, so the
+    * loop throws after `maxRounds` (default 64 — a genuine forest of
+    * 2^64 depth is unreachable), so cap-hit always means bad input,
+    * loudly. */
+  def jumpClosure(state: DataFrame, labelCol: String,
+      maxRounds: Int = 64): DataFrame = {
     var cur = state.localCheckpoint()
     var done = false
+    var rounds = 0
     while (!done) {
+      require(rounds < maxRounds,
+        s"jumpClosure did not converge in $maxRounds rounds: '$labelCol' " +
+          "is not a forest (label cycle, or labels that are not node " +
+          "keys) — the precondition is label(v) <= v with every label " +
+          "a node key")
+      rounds += 1
       val parents = cur.select(col("node").as("p_node"),
         col(labelCol).as("p_lbl"))
       val next = cur.join(parents, col(labelCol) === col("p_node"), "left")

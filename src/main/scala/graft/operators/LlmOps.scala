@@ -748,15 +748,18 @@ object LlmOps {
     * cross-group member pair qualifies iff its rep pair does), so the
     * oracle states the direct pairwise condition; (2) the ±1 bucket
     * clause is implied by |Δn_chars| ≤ 10 (floor(n/10) moves at most 1
-    * in 10 chars). MinHashPinSpec pins the Scala constants this SQL
-    * was validated against. All math on the murmur path stays in
-    * unsigned-32 representation (non-negative BIGINTs), where Java's
-    * signed two's-complement multiply/xor agree mod 2^32 and `>>>`
-    * is plain integer division. */
+    * in 10 chars). Theorem (1) additionally relies on the corpus
+    * invariant n_chars == length(text) (n_chars a pure function of
+    * text, pinned by llm_text_stats' valid flag): the op blocks rep
+    * pairs on min(n_chars) per (text, lang) group while this oracle
+    * applies |Δn_chars| ≤ 10 per member doc — equivalent only when
+    * identical texts carry identical n_chars. MinHashPinSpec pins the
+    * Scala constants this SQL was validated against. All math on the
+    * murmur path stays in unsigned-32 representation (non-negative
+    * BIGINTs), where Java's signed two's-complement multiply/xor
+    * agree mod 2^32 and `>>>` is plain integer division. */
   private def minhashOracleSql: String = {
     val P = (1L << 61) - 1
-    val Fc1 = 0x85ebca6bL & 0xffffffffL
-    val Fc2 = 0xc2b2ae35L & 0xffffffffL
     val StringSeed = 0xf7ca7fd2L
     val ArraySeed = 0x3c074a61L
     val mixL = MurmurSql.mix("acc", "x")
@@ -782,15 +785,9 @@ object LlmOps {
                  list_reduce(list_prepend($ArraySeed, ds),
                    (acc, x) -> $mixL) AS f
                FROM bandvals),
-       bf1 AS (SELECT doc_id, band, xor(f, 4) AS g0 FROM bf0),
-       bf2 AS (SELECT doc_id, band, xor(g0, g0 // 65536) AS g1 FROM bf1),
-       bf3 AS (SELECT doc_id, band, CAST(CAST(g1 AS HUGEINT) * $Fc1
-                 % 4294967296 AS BIGINT) AS g2 FROM bf2),
-       bf4 AS (SELECT doc_id, band, xor(g2, g2 // 8192) AS g3 FROM bf3),
-       bf5 AS (SELECT doc_id, band, CAST(CAST(g3 AS HUGEINT) * $Fc2
-                 % 4294967296 AS BIGINT) AS g4 FROM bf4),
-       bsig AS (SELECT doc_id, band * 4294967296 + xor(g4, g4 // 65536)
-                  AS band_sig FROM bf5),
+       ${MurmurSql.avalanche("b", "bf0", "f", 4)},
+       bsig AS (SELECT doc_id, band * 4294967296 + av AS band_sig
+                FROM bout),
        meta AS (SELECT doc_id, lang, n_chars FROM documents)
        SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
        FROM bsig x JOIN bsig y

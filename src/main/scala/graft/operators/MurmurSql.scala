@@ -39,7 +39,16 @@ private[operators] object MurmurSql {
     * consumed in UTF-16 pairs `(c[i] << 16) | c[i+1]`, an odd tail
     * via mixLast, then `h ^= length` and the double-avalanche —
     * exactly `finalizeHash`. `p` prefixes every CTE so two seeds can
-    * coexist in one WITH. */
+    * coexist in one WITH.
+    *
+    * CORPUS ASSUMPTION (BMP/ASCII): DuckDB's length()/ord()/substring()
+    * operate on Unicode CODEPOINTS while the JVM hash consumes UTF-16
+    * CODE UNITS — for any supplementary (non-BMP) character the two
+    * disagree (one codepoint vs a surrogate pair), so this mirror is
+    * exact only for BMP text. The synthetic corpus is ASCII (pinned by
+    * llm_text_stats' n_chars==length(text) valid flag); a non-ASCII
+    * fixture would fail the oracle hash gate loudly, and the fix is a
+    * UTF-16 re-expansion in SQL, not a Scala-side change. */
   def stringHashCtes(p: String, src: String, seed: Long): String = {
     val s = seed & 0xffffffffL
     val mixL = mix("acc", "x")
@@ -64,7 +73,10 @@ private[operators] object MurmurSql {
        ${p}whash AS (SELECT w, xor(g4, g4 // 65536) AS h FROM ${p}twh7)"""
   }
 
-  /** The int-array avalanche tail shared by the minhash band fold. */
+  /** The murmur3 finalizeHash avalanche tail (h ^= len, then the
+    * double xor-shift/multiply chain) as suffixed CTEs over `src`,
+    * ending in `<p>out` with the result column `av`. Used by the
+    * minhash oracle's band fold — the ONE audited copy of the chain. */
   def avalanche(p: String, src: String, in: String, len: Int): String =
     s"""${p}f1 AS (SELECT *, xor($in, $len) AS a0 FROM $src),
        ${p}f2 AS (SELECT *, xor(a0, a0 // 65536) AS a1 FROM ${p}f1),

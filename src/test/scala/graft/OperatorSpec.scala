@@ -313,6 +313,21 @@ class OperatorSpec extends GraftSpec {
     assert(fin.count() == n, "fallback lost or duplicated nodes")
   }
 
+  test("GraphLoop: jumpClosure throws on a label cycle instead of hanging") {
+    // Round-10 ADVICE fix: jumpClosure's termination rests on the
+    // documented forest precondition (label(v) <= v, labels are node
+    // keys). A 2-cycle self-resolves (label(label(v)) = v), but a
+    // 3-cycle 0→1→2→0 oscillates with period 2 forever; the round cap
+    // must convert that spin into a loud precondition failure.
+    val cyclic = spark.range(3)
+      .select(col("id").as("node"), ((col("id") + 1) % 3).as("comp"))
+    val e = intercept[IllegalArgumentException] {
+      operators.GraphLoop.jumpClosure(cyclic, "comp", maxRounds = 6)
+        .collect()
+    }
+    assert(e.getMessage.contains("6 rounds"), e.getMessage)
+  }
+
   test("GraphLoop: empty state converges immediately (null metric)") {
     // Round-9 ADVICE fix: a null per-round sum (empty graph) used to
     // read as "still moving" and burn all maxRounds on no-op rounds.
