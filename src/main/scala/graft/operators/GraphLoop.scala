@@ -127,12 +127,15 @@ object GraphLoop {
 
   /** Pointer-jump a (node, `labelCol`) state to its forest closure:
     * label(v) ← label(label(v)) per round until nothing changes. Sound
-    * whenever every label value is itself a node key of the state with
+    * whenever every label value is either a node key of the state with
     * label(v) ≤ v (min-propagation states are: labels are node ids, min
-    * includes self) — the label map is then a forest of parent pointers
-    * and each round halves every path to its root, so closure lands in
-    * O(log depth) rounds however deep the capped propagation left the
-    * trees. Same jump-and-flag-in-one-join shape as the dedup-cluster
+    * includes self) or a TERMINAL value that is not a node key — the
+    * left join leaves those unchanged, so they behave as roots (the
+    * persisted-epoch closure uses this: prior cluster ids are terminal
+    * labels of the batch-only state). The label map is then a forest of
+    * parent pointers and each round halves every path to its root, so
+    * closure lands in O(log depth) rounds however deep the capped
+    * propagation left the trees. Same jump-and-flag-in-one-join shape as the dedup-cluster
     * closure (LlmOps.dedupClusters), restated here over the graph-loop
     * state schema. Guarded: a caller violating the precondition with a
     * label CYCLE (e.g. a↔b) would otherwise hang the driver, so the

@@ -438,6 +438,42 @@ class PlanShapeSpec extends GraftSpec {
     finally operators.GraphLoop.release(edges)
   }
 
+  test("llm_dedup_keep_best_persisted's continuing query scans documents " +
+      "only under the batch pushdown (existing-epoch chain absent)") {
+    // The op's claim is that the CONTINUING query pays only the new
+    // batch's clustering: existing rows assemble from the staged
+    // parquet state, and every touch of the documents table carries the
+    // doc_id >= thr pushdown. A recompute of the existing epoch would
+    // appear here as a documents FileScan WITHOUT that filter.
+    val thr = operators.LlmOps.epochThreshold(spark, sf)
+    operators.LlmOps.stageEpochState(spark, sf, thr)
+    val (stateDir, survDir) = operators.LlmOps.epochDirs(sf)
+    val out = operators.LlmOps.keepBestPersistedFrom(spark, sf, thr,
+      spark.read.parquet(stateDir), spark.read.parquet(survDir))
+    // jumpClosure checkpoints hide the probe's scans from the final
+    // plan, so assert both pieces: the pre-closure batch-verdict plan
+    // (where the probe lives) and the final assembled plan.
+    val plans = Seq(
+      "batch verdicts" -> operators.LlmOps.batchVerdictsFromPersisted(
+        spark, sf, thr, spark.read.parquet(survDir))
+        .queryExecution.executedPlan.toString,
+      "final" -> out.queryExecution.executedPlan.toString)
+    plans.foreach { case (label, plan) =>
+      val docScans = plan.linesIterator
+        .filter(l => l.contains("FileScan parquet") &&
+          l.contains("documents.parquet")).toSeq
+      assert(docScans.nonEmpty,
+        s"$label: expected at least one batch-side documents scan")
+      docScans.foreach { l =>
+        assert(l.contains(s"GreaterThanOrEqual(doc_id,$thr)"),
+          s"$label: documents scan without the batch pushdown:\n$l")
+      }
+    }
+    // and the persisted state/survivor parquet is what feeds the rest
+    assert(plans.exists(_._2.contains("graft_epoch_")),
+      "no staged-parquet scan found in the plans")
+  }
+
   test("no registered op carries an optimizer-inferred filter that " +
       "re-evaluates a heavy generator input (InferFiltersFromGenerate)") {
     // Round-9 found llm_decontaminate 66s at 16x replicas because
