@@ -176,6 +176,14 @@ object CosineLsh {
     Array.fill(Planes)(Array.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** The raw hyperplanes, exposed for the DuckDB oracle mirror of
+    * `llm_embedding_lsh` (the zero-transcription pattern: the oracle
+    * embeds these exact doubles as SQL literals via Double.toString's
+    * shortest round-trip representation — java.util.Random's gaussian
+    * stream cannot be regenerated outside the JVM, but the CONSTANTS
+    * it produced can be shipped). */
+  private[graft] def planesRows: Array[Array[Double]] = planes
+
   /** The band keys (band index ‖ its sign bits) of a vector's hyperplane
     * signature under the given geometry (bands·bitsPerBand ≤ 256 planes).
     * Scale note: per-vector cost is Planes×Dim multiply-adds,

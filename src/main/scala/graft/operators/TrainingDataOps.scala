@@ -659,7 +659,9 @@ object TrainingDataOps {
     //      costs recall — the analytic curve is in CosineLsh's scaladoc,
     //      measured at the test geometry in TrainingDataSpec, candidate
     //      growth measured by ScaleProbe's perturbed mode).
-    // Approximate ⇒ rows-only (no SQL oracle), like llm_minhash_lsh.
+    // Oracle-checked since round 10 (embeddingLshOracleSql): the output
+    // is approximate wrt ground truth, but a deterministic function of
+    // corpus + plane constants — mirrored exactly, signs and all.
     "llm_embedding_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val (keyed, reps, cand) = lshStages(s, d)
@@ -1622,8 +1624,93 @@ object TrainingDataOps {
        ORDER BY d.doc_id"""
   }
 
+  /** DuckDB mirror of `llm_embedding_lsh` (round-10: the op graduates
+    * from the no-oracle set — the third sketch op after minhash/simhash).
+    * The output is approximate with respect to GROUND TRUTH (the sketch
+    * trades recall), but it is a DETERMINISTIC function of the corpus
+    * and the 256×64 hyperplane constants, so it mirrors exactly:
+    *  - the planes are embedded as SQL literals from
+    *    [[graft.functions.CosineLsh.planesRows]] (zero transcription;
+    *    java.util.Random's gaussian stream is not regenerable outside
+    *    the JVM, but the constants it produced ship fine —
+    *    Double.toString's shortest-round-trip representation parses
+    *    back to the identical double in any correctly-rounded reader);
+    *  - the sign bits are IEEE-exact cross-engine because the
+    *    ACCUMULATION ORDER is pinned: the Scala kernel folds
+    *    dot += p(j)·v(j) for j = 0..63, and the SQL folds the same
+    *    products with an order-preserving list_reduce — identical
+    *    doubles, identical `>= 0` signs (float→double conversion and
+    *    double multiplication are exact/correctly rounded in both
+    *    engines, and addition order is the only freedom);
+    *  - the geometry (bands, bitsPerBand) re-derives from count(*) with
+    *    the same clamp/shift arithmetic ([[graft.functions.CosineLsh
+    *    .geometry]]);
+    *  - the band fold (b << 17 | signbits), the exact-vector collapse,
+    *    the candidate equi-join and the round-6 cosine verification
+    *    mirror literally (the cosine re-uses the llm_embedding_topk_pairs
+    *    oracle's list_dot_product form, hash-matched since round 6). */
+  private def embeddingLshOracleSql: String = {
+    val planeRows = graft.functions.CosineLsh.planesRows.zipWithIndex
+      .map { case (row, i) => s"($i,[${row.mkString(",")}])" }
+      .mkString(",")
+    s"""WITH planes(i, ps) AS (VALUES $planeRows),
+       nn AS (SELECT count(*) AS n FROM embeddings),
+       geo AS (
+         SELECT least(32, 256 // bits) AS bands, bits,
+                least(32, 256 // bits) * bits AS used
+         FROM (SELECT greatest(8, least(16, cl2 - 2)) AS bits
+               FROM (SELECT CASE WHEN (SELECT n FROM nn) <= 2 THEN 1
+                       ELSE (SELECT min(k) FROM range(1, 63) t(k)
+                             WHERE (CAST(1 AS BIGINT) << CAST(k AS INT))
+                               >= (SELECT n FROM nn)) END AS cl2))),
+       keyed AS (SELECT vec_id,
+                   min(vec_id) OVER (PARTITION BY embedding) AS rep
+                 FROM embeddings),
+       exact AS (SELECT rep AS vec_id, vec_id AS vec_id2,
+                   CAST(1.0 AS DOUBLE) AS sim, 'exact' AS stage
+                 FROM keyed WHERE vec_id <> rep),
+       reps AS (SELECT min(vec_id) AS vec_id, embedding
+                FROM embeddings GROUP BY embedding),
+       dots AS (
+         SELECT r.vec_id, p.i,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65),
+               j -> CAST(r.embedding[CAST(j AS INT)] AS DOUBLE)
+                      * p.ps[CAST(j AS INT)])),
+             (acc, x) -> acc + x) >= 0 AS bit
+         FROM reps r, planes p WHERE p.i < (SELECT used FROM geo)),
+       bitlists AS (
+         SELECT vec_id,
+                CAST(i // (SELECT bits FROM geo) AS BIGINT) AS band,
+                list(CASE WHEN bit THEN CAST(1 AS BIGINT) ELSE 0 END
+                  ORDER BY i) AS bs
+         FROM dots GROUP BY 1, 2),
+       bkeys AS (
+         SELECT vec_id, band * 131072 +
+                list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+                  (acc, x) -> acc * 2 + x) AS bk
+         FROM bitlists),
+       cand AS (
+         SELECT DISTINCT a.vec_id, b.vec_id AS vec_id2
+         FROM bkeys a JOIN bkeys b
+           ON a.bk = b.bk AND a.vec_id < b.vec_id),
+       vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM reps),
+       lsh AS (
+         SELECT c.vec_id, c.vec_id2,
+           round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) AS sim,
+           'lsh' AS stage
+         FROM cand c JOIN vecs x ON x.vec_id = c.vec_id
+         JOIN vecs y ON y.vec_id = c.vec_id2)
+       SELECT * FROM exact
+       UNION ALL SELECT * FROM lsh WHERE sim >= 0.4
+       ORDER BY vec_id, vec_id2"""
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_fingerprint" -> fingerprintOracleSql,
+    "llm_embedding_lsh" -> embeddingLshOracleSql,
 
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,
