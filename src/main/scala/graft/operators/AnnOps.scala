@@ -83,7 +83,8 @@ object AnnOps {
     // table, never an all-pairs scan — then the exact codegen'd cosine
     // ranks top-5. Recall bounded by ScalaTest vs the brute-force truth
     // (`llm_cosine_topk`); candidate-set growth is the same banding the
-    // perturbed ScaleProbe mode measures. Approximate ⇒ rows-only.
+    // perturbed ScaleProbe mode measures. Oracle-checked since round 10
+    // (deterministic in corpus + plane constants; see oracle map below).
     "llm_ann_lsh" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = graft.Tables.embeddings(s, d)
@@ -119,6 +120,16 @@ object AnnOps {
     })
   )
 
-  /** Approximate → no SQL oracle; ScalaTest checks recall@5 vs brute. */
-  val oracle: Map[String, String] = Map.empty
+  /** `llm_ann_lsh` is oracle-checked since round 10 (approximate wrt
+    * ground truth, deterministic in corpus + plane constants — the SQL
+    * mirror lives next to llm_embedding_lsh's, sharing the sign-fold
+    * CTEs). `llm_ann_ivf` stays no-oracle: its centroid means divide a
+    * DECIMAL(38,12) sum by a bigint count under SPARK's decimal
+    * division precision/scale rules before the double cast, and DuckDB
+    * applies different decimal-quotient scale rules — the quotient can
+    * legitimately differ in the last retained digit, so a bit-exact
+    * mirror is not available without reimplementing Spark's decimal
+    * division in SQL; ScalaTest checks recall@5 vs brute instead. */
+  val oracle: Map[String, String] = Map(
+    "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql)
 }

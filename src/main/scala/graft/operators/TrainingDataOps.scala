@@ -1649,11 +1649,16 @@ object TrainingDataOps {
     *    the candidate equi-join and the round-6 cosine verification
     *    mirror literally (the cosine re-uses the llm_embedding_topk_pairs
     *    oracle's list_dot_product form, hash-matched since round 6). */
-  private def embeddingLshOracleSql: String = {
+  /** The shared prelude of the hyperplane-LSH oracles: the embedded
+    * plane constants (from [[graft.functions.CosineLsh.planesRows]],
+    * zero transcription), the corpus count, and the adaptive geometry
+    * (the same clamp/shift arithmetic as CosineLsh.geometry). Define
+    * ONCE per statement; [[lshBandCtes]] instances reference it. */
+  private def lshPreludeCtes: String = {
     val planeRows = graft.functions.CosineLsh.planesRows.zipWithIndex
       .map { case (row, i) => s"($i,[${row.mkString(",")}])" }
       .mkString(",")
-    s"""WITH planes(i, ps) AS (VALUES $planeRows),
+    s"""planes(i, ps) AS (VALUES $planeRows),
        nn AS (SELECT count(*) AS n FROM embeddings),
        geo AS (
          SELECT least(32, 256 // bits) AS bands, bits,
@@ -1662,7 +1667,38 @@ object TrainingDataOps {
                FROM (SELECT CASE WHEN (SELECT n FROM nn) <= 2 THEN 1
                        ELSE (SELECT min(k) FROM range(1, 63) t(k)
                              WHERE (CAST(1 AS BIGINT) << CAST(k AS INT))
-                               >= (SELECT n FROM nn)) END AS cl2))),
+                               >= (SELECT n FROM nn)) END AS cl2)))"""
+  }
+
+  /** The band-key CTE chain over `src` (vec_id, embedding float[64]),
+    * ending in `<p>bkeys(vec_id, bk)` — the ONE audited copy of the
+    * sign fold (IEEE-exact: ordered list_reduce = the kernel's j-order
+    * accumulation) and the (band << 17 | bits) key. Shared by the
+    * llm_embedding_lsh and llm_ann_lsh oracles; needs
+    * [[lshPreludeCtes]] in the same WITH. */
+  private def lshBandCtes(p: String, src: String): String =
+    s"""${p}dots AS (
+         SELECT r.vec_id, p.i,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, 65),
+               j -> CAST(r.embedding[CAST(j AS INT)] AS DOUBLE)
+                      * p.ps[CAST(j AS INT)])),
+             (acc, x) -> acc + x) >= 0 AS bit
+         FROM $src r, planes p WHERE p.i < (SELECT used FROM geo)),
+       ${p}bitlists AS (
+         SELECT vec_id,
+                CAST(i // (SELECT bits FROM geo) AS BIGINT) AS band,
+                list(CASE WHEN bit THEN CAST(1 AS BIGINT) ELSE 0 END
+                  ORDER BY i) AS bs
+         FROM ${p}dots GROUP BY 1, 2),
+       ${p}bkeys AS (
+         SELECT vec_id, band * 131072 +
+                list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+                  (acc, x) -> acc * 2 + x) AS bk
+         FROM ${p}bitlists)"""
+
+  private def embeddingLshOracleSql: String =
+    s"""WITH $lshPreludeCtes,
        keyed AS (SELECT vec_id,
                    min(vec_id) OVER (PARTITION BY embedding) AS rep
                  FROM embeddings),
@@ -1671,25 +1707,7 @@ object TrainingDataOps {
                  FROM keyed WHERE vec_id <> rep),
        reps AS (SELECT min(vec_id) AS vec_id, embedding
                 FROM embeddings GROUP BY embedding),
-       dots AS (
-         SELECT r.vec_id, p.i,
-           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(range(1, 65),
-               j -> CAST(r.embedding[CAST(j AS INT)] AS DOUBLE)
-                      * p.ps[CAST(j AS INT)])),
-             (acc, x) -> acc + x) >= 0 AS bit
-         FROM reps r, planes p WHERE p.i < (SELECT used FROM geo)),
-       bitlists AS (
-         SELECT vec_id,
-                CAST(i // (SELECT bits FROM geo) AS BIGINT) AS band,
-                list(CASE WHEN bit THEN CAST(1 AS BIGINT) ELSE 0 END
-                  ORDER BY i) AS bs
-         FROM dots GROUP BY 1, 2),
-       bkeys AS (
-         SELECT vec_id, band * 131072 +
-                list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
-                  (acc, x) -> acc * 2 + x) AS bk
-         FROM bitlists),
+       ${lshBandCtes("", "reps")},
        cand AS (
          SELECT DISTINCT a.vec_id, b.vec_id AS vec_id2
          FROM bkeys a JOIN bkeys b
@@ -1706,7 +1724,48 @@ object TrainingDataOps {
        SELECT * FROM exact
        UNION ALL SELECT * FROM lsh WHERE sim >= 0.4
        ORDER BY vec_id, vec_id2"""
-  }
+
+  /** DuckDB mirror of `llm_ann_lsh` (round-10, alongside
+    * llm_embedding_lsh — same plane constants, same sign-fold CTEs).
+    * The corpus bands over ALL rows (no collapse — the op bands raw
+    * vectors); the query side (vec_id < 10) multi-probes with the
+    * exact keys plus their `bits` Hamming-1 sign flips (xor of one low
+    * bit — safe below the band index at bit 17), deduplicated like the
+    * op's distinct(); candidates join on the band key; the exact
+    * round-6 cosine ranks top-5 per query with the (sim DESC, vec_id2)
+    * tie-break. */
+  private[operators] def annLshOracleSql: String =
+    s"""WITH $lshPreludeCtes,
+       src AS (SELECT vec_id, embedding FROM embeddings),
+       ${lshBandCtes("c", "src")},
+       qex AS (SELECT vec_id AS q_id, bk FROM cbkeys WHERE vec_id < 10),
+       qprobe AS (
+         SELECT DISTINCT q_id, bk FROM (
+           SELECT q_id, bk FROM qex
+           UNION ALL
+           SELECT q_id, xor(bk, CAST(1 AS BIGINT) << CAST(j AS INT)) AS bk
+           FROM qex, range(0, 16) t(j)
+           WHERE j < (SELECT bits FROM geo))),
+       cand AS (
+         SELECT DISTINCT q.q_id, c.vec_id AS vec_id2
+         FROM cbkeys c JOIN qprobe q ON c.bk = q.bk
+         WHERE q.q_id <> c.vec_id),
+       vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+       scored AS (
+         SELECT c.q_id, c.vec_id2,
+           round(list_dot_product(qv.v, cv.v) /
+             (sqrt(list_dot_product(qv.v, qv.v))
+               * sqrt(list_dot_product(cv.v, cv.v))), 6) AS sim
+         FROM cand c JOIN vecs qv ON qv.vec_id = c.q_id
+         JOIN vecs cv ON cv.vec_id = c.vec_id2),
+       ranked AS (
+         SELECT q_id AS vec_id, vec_id2, sim,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id2) AS INTEGER) AS rn
+         FROM scored)
+       SELECT vec_id, vec_id2, sim, rn FROM ranked
+       WHERE rn <= 5 ORDER BY vec_id, rn"""
 
   val oracle: Map[String, String] = Map(
     "llm_fingerprint" -> fingerprintOracleSql,
