@@ -899,9 +899,9 @@ object TrainingDataOps {
     // so this uses Spark's secondary-sort idiom — repartition by lang,
     // sortWithinPartitions(lang, doc_id), then one pass per partition with
     // O(1) state. Scales: each partition streams its languages in order,
-    // no driver involvement, no groupBy materialization. Rows-only
-    // (ScalaTest asserts capacity + determinism; no SQL oracle since
-    // DuckDB would need a recursive CTE).
+    // no driver involvement, no groupBy materialization. Oracle-checked
+    // since round 10: the running-total-with-reset IS a recursive CTE —
+    // per-lang lockstep, one row per lang per iteration (packGreedyOracleSql).
     "llm_pack_greedy" -> ((s, d) => {
       import s.implicits._
       val budget = 512
@@ -1767,9 +1767,38 @@ object TrainingDataOps {
        SELECT vec_id, vec_id2, sim, rn FROM ranked
        WHERE rn <= 5 ORDER BY vec_id, rn"""
 
+  /** DuckDB mirror of `llm_pack_greedy` (round-10 graduation): the
+    * capacity-reset fold is sequential per lang, so the oracle walks a
+    * recursive CTE in PER-LANG LOCKSTEP — each iteration advances every
+    * language by one doc (rn → rn+1), carrying (bin, used) state; the
+    * reset rule (`used + n > 512` → new bin, used = n) transliterates
+    * the mapPartitions kernel, and the cross-language reset is the
+    * partition itself. Iterations = max docs per language. */
+  private def packGreedyOracleSql: String =
+    """WITH RECURSIVE
+       pdocs AS (SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY doc_id) AS rn
+                 FROM documents),
+       walk(lang, rn, doc_id, n, bin, used) AS (
+         SELECT lang, rn, doc_id, n, CAST(0 AS BIGINT), n
+         FROM pdocs WHERE rn = 1
+         UNION ALL
+         SELECT d.lang, d.rn, d.doc_id, d.n,
+                CASE WHEN w.used + d.n > 512 THEN w.bin + 1
+                     ELSE w.bin END,
+                CASE WHEN w.used + d.n > 512 THEN d.n
+                     ELSE w.used + d.n END
+         FROM walk w JOIN pdocs d
+           ON d.lang = w.lang AND d.rn = w.rn + 1)
+       SELECT doc_id, lang, n AS n_tokens, bin FROM walk
+       ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
     "llm_fingerprint" -> fingerprintOracleSql,
     "llm_embedding_lsh" -> embeddingLshOracleSql,
+    "llm_pack_greedy" -> packGreedyOracleSql,
 
     "llm_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, n_chars,

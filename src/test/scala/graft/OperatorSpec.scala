@@ -19,7 +19,7 @@ class OperatorSpec extends GraftSpec {
       Set("agg_approx_distinct", "agg_hll_merge",
         "llm_ann_ivf",
         "mm_decode_features", "mm_resize", "mm_frame_sample",
-        "llm_pack_greedy", "agg_approx_percentile",
+        "agg_approx_percentile",
         "stream_approx_distinct", "udaf_topk_sketch",
         "stream_topk_sketch"))
   }
