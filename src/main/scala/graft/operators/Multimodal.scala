@@ -88,8 +88,10 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    // Rows-only (stubbed decode has no SQL oracle); MultimodalSpec checks
-    // schema, determinism, and partition-parallel execution.
+    // Oracle-checked since round 10 — the stub decode is deterministic
+    // byte arithmetic, so it mirrors in SQL (see the oracle map below);
+    // MultimodalSpec additionally checks schema, determinism, and
+    // partition-parallel execution.
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
       assets(s, d).mapPartitions(_.map(decode)).toDF()
@@ -115,5 +117,101 @@ object Multimodal {
     })
   )
 
-  val oracle: Map[String, String] = Map.empty
+  /** DuckDB mirrors (round-10 graduation of all three mm ops): the
+    * decode is a STUB, but a deterministic one over the UTF-8 payload
+    * bytes, so it mirrors like any other arithmetic. Corpus assumption
+    * (as MurmurSql): ASCII text ⇒ ord(char) == payload byte and
+    * length(text) == octet length.
+    *
+    * - frame_sample: Java's wrapping 64-bit `31·h + b` polynomial is
+    *   emulated exactly with HUGEINT mod 2^64 plus a final two's-
+    *   complement signed reinterpretation; windows are the
+    *   `unnest(range(...))` offset explosion (stride 64 = 16·4).
+    * - decode/resize: the byte histogram is a mod-8 count; the 6-dp
+    *   HALF_UP feature rounding mirrors as DuckDB round() on the same
+    *   double ratio (swept at all three SFs — same D4 discipline as
+    *   the cosine family); the decimal(12,6)-string serialization is
+    *   CAST(CAST(v AS DECIMAL(12,6)) AS VARCHAR). */
+  private def frameSampleOracleSql: String =
+    s"""WITH assets AS (SELECT doc_id, text, length(text) AS len
+                        FROM documents),
+       frames AS (
+         SELECT doc_id, text,
+                CAST(unnest(range(0,
+                  greatest((len - 16) // 64 + 1, 0))) AS INT) AS frame_idx
+         FROM assets),
+       hashed AS (
+         SELECT doc_id, frame_idx,
+           list_reduce(
+             list_prepend(CAST(1125899906842597 AS HUGEINT),
+               list_transform(range(1, 17),
+                 i -> CAST(ord(substring(text,
+                   frame_idx * 64 + CAST(i AS INT), 1)) AS HUGEINT))),
+             (acc, x) -> (acc * 31 + x) %
+               CAST('18446744073709551616' AS HUGEINT)) AS hu
+         FROM frames)
+       SELECT doc_id, frame_idx,
+              CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+                THEN hu - CAST('18446744073709551616' AS HUGEINT)
+                ELSE hu END AS BIGINT) AS frame_hash
+       FROM hashed ORDER BY doc_id, frame_idx"""
+
+  /** The decode CTE chain shared by the decode/resize oracles: ends in
+    * `feat(doc_id, fmt, n_bytes, width, height, k, f)` — one row per
+    * (doc, histogram slot k in 0..7) with the 6-dp-rounded feature f. */
+  private def decodeCtes: String =
+    s"""assets AS (SELECT doc_id, source AS fmt, text,
+                     length(text) AS len FROM documents),
+       bytes AS (
+         SELECT doc_id,
+                ord(substring(text,
+                  CAST(unnest(range(1, len + 1)) AS INT), 1)) % 8 AS k
+         FROM assets),
+       slots AS (SELECT a.doc_id, t.k
+                 FROM assets a, range(0, 8) t(k)),
+       hist AS (
+         SELECT s.doc_id, s.k, count(b.k) AS h
+         FROM slots s LEFT JOIN bytes b
+           ON b.doc_id = s.doc_id AND b.k = s.k
+         GROUP BY 1, 2),
+       feat AS (
+         SELECT a.doc_id, a.fmt, a.len AS n_bytes,
+                16 + a.len % 64 AS width,
+                16 + (a.len // 64) % 64 AS height,
+                h.k,
+                round(CAST(h.h AS DOUBLE) / greatest(a.len, 1), 6) AS f
+         FROM assets a JOIN hist h ON h.doc_id = a.doc_id)"""
+
+  private def featuresJoin(fCol: String): String =
+    s"""list_aggregate(
+          list_transform(list($fCol ORDER BY k),
+            v -> CAST(CAST(v AS DECIMAL(12,6)) AS VARCHAR)),
+          'string_agg', ',')"""
+
+  private def decodeOracleSql: String =
+    s"""WITH $decodeCtes
+       SELECT doc_id, any_value(fmt) AS fmt,
+              any_value(n_bytes) AS n_bytes,
+              any_value(width) AS width, any_value(height) AS height,
+              ${featuresJoin("f")} AS features
+       FROM feat GROUP BY doc_id ORDER BY doc_id"""
+
+  private def resizeOracleSql: String =
+    s"""WITH $decodeCtes,
+       rs AS (
+         SELECT doc_id, fmt, n_bytes, 32 AS width, 32 AS height, k,
+                round(f * (1024.0 /
+                  greatest(CAST(feat.width AS BIGINT) * feat.height, 1)),
+                  6) AS f2
+         FROM feat)
+       SELECT doc_id, any_value(fmt) AS fmt,
+              any_value(n_bytes) AS n_bytes,
+              any_value(width) AS width, any_value(height) AS height,
+              ${featuresJoin("f2")} AS features
+       FROM rs GROUP BY doc_id ORDER BY doc_id"""
+
+  val oracle: Map[String, String] = Map(
+    "mm_frame_sample" -> frameSampleOracleSql,
+    "mm_decode_features" -> decodeOracleSql,
+    "mm_resize" -> resizeOracleSql)
 }
