@@ -86,7 +86,11 @@ object PlanDump {
     "llm_dup_spans" ->
       "duplicated-substring spans (round-6 op): position explode → window-keyed distinct-doc agg → equi-join back → ONE doc-keyed sort window for the gaps-and-islands merge — a shared run costs one span, every stage keyed",
     "llm_mix_temperature" ->
-      "temperature mixture weights (round-6 op): lang-cardinality agg + 1-row broadcast total; the integer-sqrt correction is scalar arithmetic in the projection, no extra shuffle")
+      "temperature mixture weights (round-6 op): lang-cardinality agg + 1-row broadcast total; the integer-sqrt correction is scalar arithmetic in the projection, no extra shuffle",
+    "llm_decontaminate" ->
+      "train/eval decontamination (round-9 plan fix): text collapse before the 8-gram explode, and PlanHygiene.explodeNoInfer keeps Catalyst's InferFiltersFromGenerate from duplicating the gram-hash transform/slice chain into a Filter below the collapse exchange — the 16x-replica regime runs at distinct-text cost (66 s -> 1.5 s measured)",
+    "llm_dedup_keep_best_persisted" ->
+      "persisted-state incremental keep-best (round-10 op): existing rows assemble from the staged epoch parquet (FileScan graft_epoch_*/state); every documents FileScan carries the doc_id >= thr batch pushdown — the existing-epoch cluster chain is absent from the continuing query by construction (PlanShapeSpec asserts it)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
