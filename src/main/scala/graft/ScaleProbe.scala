@@ -63,7 +63,13 @@ object ScaleProbe {
     // group to one verdict chain, so the expected shape is the flat
     // exact-first curve the pipeline ops measured since round 3
     "llm_dedup_clusters", "llm_dedup_keep_best",
-    "llm_dedup_keep_best_incremental")
+    "llm_dedup_keep_best_incremental",
+    // round-10 add: the persisted-state shape — its batch probe runs at
+    // survivor scale by construction (exact-match against the survivor
+    // index first), so the expected curve is the flat exact-first one;
+    // measured 16× identical: continuing query 2.3-3.3 s warm vs 4.3 s
+    // full recompute
+    "llm_dedup_keep_best_persisted")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
