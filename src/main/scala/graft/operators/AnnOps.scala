@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.functions.CosineSimilarity
 
 /** IVF-style approximate nearest neighbour search (`llm_ann_ivf`) — the
@@ -15,12 +14,13 @@ import graft.functions.CosineSimilarity
   * Queries probe the nprobe=3 nearest cells and search exactly inside
   * them only, so the scored candidate set is nprobe/ncells of the corpus
   * and the centroid table (ncells × dim) is broadcast — no all-pairs
-  * shuffle at any size. Approximate ⇒ rows-only + ScalaTest recall vs
-  * the brute-force truth.
+  * shuffle at any size. Approximate wrt ground truth but oracle-checked
+  * since round 10 (micro-unit centroids — see [[centroids]]); ScalaTest
+  * additionally checks recall vs the brute-force truth.
   *
-  * Determinism: centroid means accumulate as DECIMAL(38,12) (associative)
-  * before the final double cast, so partition order can't perturb probe
-  * rankings; all rankings carry id tie-breaks.
+  * Determinism: centroid coordinates accumulate as micro-unit BIGINTs
+  * (associative), so partition order can't perturb probe rankings; all
+  * rankings carry id tie-breaks.
   */
 object AnnOps {
 
@@ -32,11 +32,23 @@ object AnnOps {
   val NProbe = 5
   val TopK = 5
 
+  /** Per-label centroids in MICRO-UNIT integer arithmetic (round-10
+    * rework, the llm_ngram_lm discipline): each coordinate sums
+    * round(x·10⁶) as a BIGINT (round = half-away-from-zero, identical
+    * in Spark and DuckDB), divides by the member count with
+    * truncation toward zero (Spark `div` ≡ DuckDB `//`), and scales
+    * back by 10⁻⁶ — an exactly-representable double for any
+    * |mean| < 2⁴⁶. Replaces the round-1 DECIMAL(38,12) mean, whose
+    * division precision/scale rules are Spark-specific and blocked the
+    * DuckDB oracle; the ≤ 10⁻⁶ quantization is invisible to the
+    * recall contract and makes every downstream double (probe csim,
+    * cell sim) a pure function both engines compute bit-identically. */
   def centroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast(DecimalType(38, 12))) / count(lit(1)))
-        .cast("double").as("c"))
+      .agg(sum(round(col("col").cast("double") * 1e6).cast("long"))
+        .as("sm"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sm div n") / lit(1e6))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label").as("c_label"),
@@ -120,16 +132,65 @@ object AnnOps {
     })
   )
 
-  /** `llm_ann_lsh` is oracle-checked since round 10 (approximate wrt
-    * ground truth, deterministic in corpus + plane constants — the SQL
-    * mirror lives next to llm_embedding_lsh's, sharing the sign-fold
-    * CTEs). `llm_ann_ivf` stays no-oracle: its centroid means divide a
-    * DECIMAL(38,12) sum by a bigint count under SPARK's decimal
-    * division precision/scale rules before the double cast, and DuckDB
-    * applies different decimal-quotient scale rules — the quotient can
-    * legitimately differ in the last retained digit, so a bit-exact
-    * mirror is not available without reimplementing Spark's decimal
-    * division in SQL; ScalaTest checks recall@5 vs brute instead. */
+  /** Both ANN ops are oracle-checked since round 10 (approximate wrt
+    * ground truth, deterministic in the corpus — and, for LSH, the
+    * plane constants; the LSH mirror lives next to llm_embedding_lsh's,
+    * sharing the sign-fold CTEs). The IVF mirror became possible when
+    * [[centroids]] moved to micro-unit integer arithmetic: round —
+    * half-away-from-zero, identical in both engines — then truncating
+    * integer division (Spark `div` ≡ DuckDB nonneg `//`, negatives via
+    * an explicit CASE), then the same double scale-back; every
+    * downstream double (probe csim, cell sim) is then computed
+    * bit-identically by both engines because the cosine accumulation
+    * order is pinned (ordered list_dot_product = the kernel's i-order
+    * loop). The probe ranking deliberately orders by the RAW csim
+    * double — safe cross-engine precisely because the doubles are
+    * identical, with the c_label tie-break for exact ties. */
+  private def annIvfOracleSql: String =
+    s"""WITH cent AS (
+         SELECT label, j,
+           CASE WHEN sm >= 0 THEN sm // n
+                ELSE -((-sm) // n) END / 1000000.0 AS c
+         FROM (
+           SELECT e.label, t.j,
+             SUM(CAST(round(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+               * 1000000.0) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM embeddings e, range(1, 65) t(j)
+           GROUP BY 1, 2)),
+       cvecs AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
+                 FROM cent GROUP BY 1),
+       qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       probes AS (
+         SELECT q_id, c_label FROM (
+           SELECT q.q_id, c.c_label,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               list_dot_product(q.qv, c.cv) /
+                 (sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.c_label) AS prn
+           FROM qs q, cvecs c)
+         WHERE prn <= $NProbe),
+       cells AS (SELECT vec_id AS vec_id2, label AS c_label,
+                   CAST(embedding AS DOUBLE[]) AS cvv FROM embeddings),
+       scored AS (
+         SELECT p.q_id, cl.vec_id2,
+           round(list_dot_product(q.qv, cl.cvv) /
+             (sqrt(list_dot_product(q.qv, q.qv))
+               * sqrt(list_dot_product(cl.cvv, cl.cvv))), 6) AS sim
+         FROM probes p JOIN cells cl ON cl.c_label = p.c_label
+         JOIN qs q ON q.q_id = p.q_id
+         WHERE p.q_id <> cl.vec_id2),
+       ranked AS (
+         SELECT q_id AS vec_id, vec_id2, sim,
+                CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id2) AS INTEGER) AS rn
+         FROM scored)
+       SELECT vec_id, vec_id2, sim, rn FROM ranked
+       WHERE rn <= $TopK ORDER BY vec_id, rn"""
+
   val oracle: Map[String, String] = Map(
-    "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql)
+    "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql,
+    "llm_ann_ivf" -> annIvfOracleSql)
 }

@@ -17,7 +17,7 @@ class OperatorSpec extends GraftSpec {
     // Non-oracle ops are intentional and enumerated (D8):
     assert((qs.keySet -- oracles.keySet) ==
       Set("agg_approx_distinct", "agg_hll_merge",
-        "llm_ann_ivf", "agg_approx_percentile",
+        "agg_approx_percentile",
         "stream_approx_distinct", "udaf_topk_sketch",
         "stream_topk_sketch"))
   }
