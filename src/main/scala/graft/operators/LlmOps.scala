@@ -177,15 +177,20 @@ object LlmOps {
     val q = TrainingDataOps.qualityDecimal(s, d)
     keepBestOf(s, existing, q)
       .write.mode("overwrite").parquet(stateDir)
-    val base = existing.select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"), sortedToks.as("toks"),
-      floor(col("n_chars") / 10).as("bucket"))
-    base.withColumn("keeper",
+    survivorIndex(existing).write.mode("overwrite").parquet(survDir)
+  }
+
+  /** The exact-stage survivor INDEX of a doc set — the second persisted
+    * table of the epoch shape (shared by staging and the multi-epoch
+    * chain spec). */
+  private[graft] def survivorIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"), sortedToks.as("toks"),
+        floor(col("n_chars") / 10).as("bucket"))
+      .withColumn("keeper",
         min(col("doc_id")).over(Window.partitionBy(col("text"))))
       .filter(col("doc_id") === col("keeper"))
       .drop("keeper")
-      .write.mode("overwrite").parquet(survDir)
-  }
 
   /** Batch-side dedup verdicts from the persisted survivor index —
     * (doc_id, dup_of) for every batch doc, touching the documents table
@@ -197,9 +202,19 @@ object LlmOps {
     * blocked probe as llm_dedup_incremental, candidates = persisted
     * survivors ∪ earlier batch survivors. */
   private[graft] def batchVerdictsFromPersisted(s: SparkSession, d: String,
-      thr: Long, surv: DataFrame): DataFrame = {
+      thr: Long, surv: DataFrame): DataFrame =
+    batchVerdictsAndSurvivors(s, d, thr, Long.MaxValue, surv)._1
+
+  /** [[batchVerdictsFromPersisted]] generalized to a bounded batch
+    * [thrLo, thrHi) and ALSO returning the batch's exact-stage
+    * survivor index rows — what [[advanceEpoch]] appends to the
+    * persisted survivor index so epochs chain. */
+  private[graft] def batchVerdictsAndSurvivors(s: SparkSession, d: String,
+      thrLo: Long, thrHi: Long, surv: DataFrame)
+      : (DataFrame, DataFrame) = {
     graft.functions.SortedIntersectSize.register(s)
-    val batch = documents(s, d).filter(col("doc_id") >= thr)
+    val batch = documents(s, d)
+      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
     val exMin = surv.select(col("text"), col("doc_id").as("ex_of"))
@@ -234,9 +249,13 @@ object LlmOps {
       .filter(col("inter") /
         (size(col("toks")) + size(col("toks2")) - col("inter")) >= 0.5)
       .groupBy(col("doc_id")).agg(min(col("doc_id2")).as("nd_of"))
-    staged.join(nd, Seq("doc_id"), "left")
+    val verdicts = staged.join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("exact_of"), col("nd_of")).as("dup_of"))
+    val survNewIdx = staged.filter(col("exact_of").isNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("toks"), col("bucket"))
+    (verdicts, survNewIdx)
   }
 
   /** The continuing (per-batch) query of the persisted shape: batch
@@ -248,7 +267,40 @@ object LlmOps {
     * scan without the batch pushdown appears anywhere in this plan. */
   private[graft] def keepBestPersistedFrom(s: SparkSession, d: String,
       thr: Long, state: DataFrame, surv: DataFrame): DataFrame = {
-    val verdicts = batchVerdictsFromPersisted(s, d, thr, surv)
+    val (nextState, _) = advanceEpoch(s, d, thr, Long.MaxValue, state, surv)
+    val wasKeep = state.select(col("doc_id"),
+      col("keep").as("was_keep"))
+    nextState.join(wasKeep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        col("q").cast("double").as("quality"), col("keep"),
+        when(col("was_keep").isNull,
+          when(col("keep"), lit("new_keeper")).otherwise(lit("new_dup")))
+          .when(col("was_keep") && col("keep"), lit("retained"))
+          .when(col("was_keep") && !col("keep"), lit("displaced"))
+          .when(col("keep"), lit("promoted"))
+          .otherwise(lit("dup")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Advance the persisted epoch by ONE batch [thrLo, thrHi): given the
+    * prior epoch's verdict state and survivor index, return the NEXT
+    * epoch's (state, survivor index) in the same persisted shapes —
+    * state rows are (doc_id, cluster_id, q, keep), so epochs CHAIN:
+    * advance(advance(state_A, batch_B), batch_C) must equal the state
+    * computed from scratch on A∪B∪C (IncrementalPersistSpec pins this
+    * multi-epoch associativity; it holds by induction on the four
+    * id-ordering theorems above, each batch's ids exceeding all prior
+    * ids). Batch verdicts → batch-only pointer-jump closure (prior
+    * cluster ids are terminal labels — jumpClosure's left join keeps
+    * them fixed) → keep-best update over affected clusters only,
+    * contending the prior KEEPER against the new members (theorem 4).
+    * Prior rows are assembled entirely from the persisted state — no
+    * documents scan without the batch pushdown appears in this plan. */
+  private[graft] def advanceEpoch(s: SparkSession, d: String,
+      thrLo: Long, thrHi: Long, state: DataFrame, surv: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val (verdicts, survNewIdx) =
+      batchVerdictsAndSurvivors(s, d, thrLo, thrHi, surv)
     val exClusters = state.select(col("doc_id").as("p_id"),
       col("cluster_id").as("p_cl"))
     val root1 = verdicts
@@ -260,7 +312,7 @@ object LlmOps {
     val batchClusters = GraphLoop.jumpClosure(root1, "root")
       .select(col("node").as("doc_id"), col("root").as("cluster_id"))
     val qBatch = TrainingDataOps.qualityDecimal(s, d)
-      .filter(col("doc_id") >= thr)
+      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
     val batchScored = batchClusters.join(qBatch, Seq("doc_id"))
     val affected = batchScored.select(col("cluster_id")).distinct()
     val priorKeepers = state.filter(col("keep"))
@@ -272,24 +324,15 @@ object LlmOps {
       .agg(min(struct((lit(BigDecimal("0")) - col("q")).as("nq"),
         col("doc_id").as("bid"))).as("b"))
       .select(col("cluster_id"), col("b.bid").as("best_id"))
-    val batchOut = batchScored.join(best, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        col("q").cast("double").as("quality"),
-        (col("doc_id") === col("best_id")).as("keep"),
-        when(col("doc_id") === col("best_id"), lit("new_keeper"))
-          .otherwise(lit("new_dup")).as("verdict"))
-    val exOut = state.join(best, Seq("cluster_id"), "left")
-      .withColumn("keep2",
+    val batchState = batchScored.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("q"),
+        (col("doc_id") === col("best_id")).as("keep"))
+    val priorState = state.join(best, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("q"),
         when(col("best_id").isNull, col("keep"))
-          .otherwise(col("doc_id") === col("best_id")))
-      .select(col("doc_id"), col("cluster_id"),
-        col("q").cast("double").as("quality"),
-        col("keep2").as("keep"),
-        when(col("keep") && col("keep2"), lit("retained"))
-          .when(col("keep") && !col("keep2"), lit("displaced"))
-          .when(col("keep2"), lit("promoted"))
-          .otherwise(lit("dup")).as("verdict"))
-    batchOut.unionByName(exOut).orderBy(col("doc_id"))
+          .otherwise(col("doc_id") === col("best_id")).as("keep"))
+    (batchState.unionByName(priorState),
+      surv.unionByName(survNewIdx))
   }
 
   private def dedupVerdicts(s: SparkSession, d: String): DataFrame =

@@ -55,6 +55,37 @@ class IncrementalPersistSpec extends GraftSpec {
       "promoted verdict contradicts the id-ordering theorem")
   }
 
+  test("multi-epoch associativity: chained advanceEpoch == from-scratch") {
+    // The deployment runs MANY batches, not one: state persisted after
+    // epoch k feeds epoch k+1. This pins the induction step of the four
+    // id-ordering theorems — advancing A (+B) (+C) must land on exactly
+    // the state a from-scratch keep-best over A∪B∪C computes, keeps,
+    // cluster labels, quality and all.
+    val docs = Tables.documents(spark, sf)
+    val q = TrainingDataOps.qualityDecimal(spark, sf)
+    val epochA = docs.filter(col("doc_id") < 300)
+    val stateA = LlmOps.keepBestOf(spark, epochA, q).localCheckpoint()
+    val survA = LlmOps.survivorIndex(epochA).localCheckpoint()
+    val (stateB, survB) =
+      LlmOps.advanceEpoch(spark, sf, 300, 400, stateA, survA)
+    // the persisted cut between epochs (a deployment reads parquet)
+    val (stateC, _) = LlmOps.advanceEpoch(spark, sf, 400, Long.MaxValue,
+      stateB.localCheckpoint(), survB.localCheckpoint())
+    val expected = LlmOps.keepBestOf(spark, docs, q).collect().toSet
+    val got = stateC.collect().toSet
+    assert(got == expected,
+      s"chained != scratch: only-chained=${(got -- expected).take(3)}"
+        + s" only-scratch=${(expected -- got).take(3)}")
+    // non-degenerate: both batches must really have joined existing
+    // clusters (otherwise the induction step went untested)
+    val bJoined = stateB.filter(col("doc_id") >= 300 &&
+      col("cluster_id") < 300).count()
+    val cJoined = stateC.filter(col("doc_id") >= 400 &&
+      col("cluster_id") < 400).count()
+    assert(bJoined > 0 && cJoined > 0,
+      s"degenerate chain fixture: bJoined=$bJoined cJoined=$cJoined")
+  }
+
   test("displacement happens on the real corpus (the load-bearing delta)") {
     // if the fixture ever stops producing a displaced keeper, the op's
     // hardest path (argmax update via prior keeper) is untested — fail
