@@ -90,7 +90,9 @@ object PlanDump {
     "llm_decontaminate" ->
       "train/eval decontamination (round-9 plan fix): text collapse before the 8-gram explode, and PlanHygiene.explodeNoInfer keeps Catalyst's InferFiltersFromGenerate from duplicating the gram-hash transform/slice chain into a Filter below the collapse exchange — the 16x-replica regime runs at distinct-text cost (66 s -> 1.5 s measured)",
     "llm_dedup_keep_best_persisted" ->
-      "persisted-state incremental keep-best (round-10 op): existing rows assemble from the staged epoch parquet (FileScan graft_epoch_*/state); every documents FileScan carries the doc_id >= thr batch pushdown — the existing-epoch cluster chain is absent from the continuing query by construction (PlanShapeSpec asserts it)")
+      "persisted-state incremental keep-best (round-10 op): existing rows assemble from the staged epoch parquet (FileScan graft_epoch_*/state); every documents FileScan carries the doc_id >= thr batch pushdown — the existing-epoch cluster chain is absent from the continuing query by construction (PlanShapeSpec asserts it)",
+    "llm_minhash_lsh_incremental" ->
+      "incremental MinHash-LSH dedup (round-10 op): (text, lang) rep collapse, then the band equi-join probes ONLY with reps of groups carrying a new doc (has_new filter feeds the join's left exchange) against the full banded index — candidate volume O(|new groups| x bucket density); the member expansion emits exactly the admissible (new, candidate) pairs into a partial+final min-agg, one verdict row per new doc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,7 +69,13 @@ object ScaleProbe {
     // index first), so the expected curve is the flat exact-first one;
     // measured 16× identical: continuing query 2.3-3.3 s warm vs 4.3 s
     // full recompute
-    "llm_dedup_keep_best_persisted")
+    "llm_dedup_keep_best_persisted",
+    // round-10 add: the sketch-family ingest shape — identical replicas
+    // collapse to one banded rep per (text, lang) group before the
+    // asymmetric probe, so the expected curve is the same flat
+    // collapse-first one as llm_minhash_lsh, with the probe side
+    // additionally restricted to new-carrying groups
+    "llm_minhash_lsh_incremental")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -802,6 +802,90 @@ object LlmOps {
       cross.unionAll(within).orderBy(col("doc_id"), col("doc_id2"))
     }),
 
+    // Incremental (ingest-batch) MinHash-LSH dedup (round-10): probe the
+    // NEW batch (doc_id % 100 ≥ 80 — the same val+test split as
+    // llm_dedup_incremental) against the already-ingested corpus's band
+    // index. This is the production shape at 100 TB: the corpus index is
+    // persisted once and a GB-scale ingest must never re-band or re-pair
+    // the corpus against itself. Verdict per new doc: `band_dup` with
+    // dup_of = the min admissible candidate (an existing doc of ANY id,
+    // or an earlier new doc) sharing ≥ 1 of the 32 band signatures
+    // inside the (lang, |Δn_chars| ≤ 10) block — verbatim replicas share
+    // all bands, so exact dups are subsumed; `kept` otherwise.
+    //
+    // Scale shape: the same collapse-first discipline as llm_minhash_lsh
+    // (one banded row per (text, lang) group — identical docs share
+    // sketch/bands/block, so banding members would multiply every bucket
+    // by the replica count), PLUS the incremental asymmetry: the band
+    // join's probe side carries only reps of groups containing ≥ 1 new
+    // doc, so candidate volume is O(|new groups| · bucket density),
+    // never O(corpus²). The member-level expansion then emits exactly
+    // the admissible (new, candidate) pairs — row count equals the
+    // pair-semantics output — and a map-side-combining min-agg folds
+    // them to one verdict per new doc. Rep-collapse invisibility is the
+    // minhash oracle's theorem (1) verbatim: band/block agreement is a
+    // pure function of (text, lang) under n_chars == length(text), and
+    // the id-dependent admissibility ((¬is_new(c)) ∨ c < n) is applied
+    // at member level on both sides of the expansion.
+    "llm_minhash_lsh_incremental" -> ((s, d) => {
+      val bandsUdf = udf((tokens: Seq[String]) =>
+        MinHash.bandSignatures(MinHash.sketch(tokens)))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"),
+        (pmod(col("doc_id"), lit(100L)) >= 80).as("is_new"))
+      val groups = docs.groupBy(col("text"), col("lang"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          min(col("n_chars")).as("n_chars"),
+          max(col("is_new")).as("has_new"))
+      val banded = groups
+        .select(col("rep_id"), col("lang"), col("n_chars"),
+          col("has_new"), floor(col("n_chars") / 10).as("bucket"),
+          explode(bandsUdf(toks)).as("band_sig"))
+      // asymmetric probe: only groups that carry a new doc ever probe
+      val probe = banded.filter(col("has_new"))
+        .select(col("rep_id"), col("lang"), col("n_chars"),
+          col("bucket"), col("band_sig"))
+      val index = banded
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+        .select(col("rep_id").as("rep_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("bucket"),
+          col("band_sig").as("band_sig2"))
+      val repPairs = probe.join(index,
+          col("band_sig") === col("band_sig2") &&
+            col("lang") === col("lang2") &&
+            probe("bucket") === index("bucket") &&
+            col("rep_id") =!= col("rep_id2") &&
+            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .select(col("rep_id"), col("rep_id2"))
+        .distinct()
+      // within-group candidates co-band trivially (identical sketches):
+      // a self rep-pair per probe group, admissibility filtered below
+      val selfPairs = groups.filter(col("has_new"))
+        .select(col("rep_id"), col("rep_id").as("rep_id2"))
+      val members = docs
+        .join(groups.select(col("text"), col("lang"), col("rep_id")),
+          Seq("text", "lang"))
+        .select(col("rep_id"), col("doc_id"), col("is_new"))
+      val probes = members.filter(col("is_new"))
+        .select(col("rep_id"), col("doc_id"))
+      val cands = members.select(col("rep_id").as("rep_id2"),
+        col("doc_id").as("cand_id"), col("is_new").as("cand_new"))
+      val matched = repPairs.unionAll(selfPairs)
+        .join(probes, Seq("rep_id"))
+        .join(cands, Seq("rep_id2"))
+        .filter(((!col("cand_new")) || col("cand_id") < col("doc_id")) &&
+          col("cand_id") =!= col("doc_id"))
+        .groupBy(col("doc_id")).agg(min(col("cand_id")).as("dup_of"))
+      docs.filter(col("is_new"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("dup_of").isNotNull, lit("band_dup"))
+            .otherwise(lit("kept")).as("stage"),
+          col("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     "llm_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
@@ -1008,14 +1092,29 @@ object LlmOps {
     * murmur path stays in unsigned-32 representation (non-negative
     * BIGINTs), where Java's signed two's-complement multiply/xor
     * agree mod 2^32 and `>>>` is plain integer division. */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSql: String =
+    s"""WITH $minhashBandCtes,
+       meta AS (SELECT doc_id, lang, n_chars FROM documents)
+       SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
+       FROM bsig x JOIN bsig y
+         ON x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+       JOIN meta ma ON ma.doc_id = x.doc_id
+       JOIN meta mb ON mb.doc_id = y.doc_id
+       WHERE ma.lang = mb.lang AND abs(ma.n_chars - mb.n_chars) <= 10
+       ORDER BY 1, 2"""
+
+  /** The CTE chain both minhash oracles share — computes every doc's 32
+    * banded signatures as `bsig(doc_id, band_sig)` (murmur3 string
+    * hashes, 61-bit Mersenne affine permutations, banded signature
+    * fold; see the theorem discussion on [[minhashOracleSql]]). */
+  private def minhashBandCtes: String = {
     val P = (1L << 61) - 1
     val StringSeed = 0xf7ca7fd2L
     val ArraySeed = 0x3c074a61L
     val mixL = MurmurSql.mix("acc", "x")
     val perms = graft.functions.MinHash.coefficients.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    s"""WITH perms(i, a, b) AS (VALUES $perms),
+    s"""perms(i, a, b) AS (VALUES $perms),
        tok AS (SELECT doc_id, lang, n_chars,
                  unnest(list_distinct(string_split(text, ' '))) AS w
                FROM documents),
@@ -1037,16 +1136,39 @@ object LlmOps {
                FROM bandvals),
        ${MurmurSql.avalanche("b", "bf0", "f", 4)},
        bsig AS (SELECT doc_id, band * 4294967296 + av AS band_sig
-                FROM bout),
-       meta AS (SELECT doc_id, lang, n_chars FROM documents)
-       SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS doc_id2
-       FROM bsig x JOIN bsig y
-         ON x.band_sig = y.band_sig AND x.doc_id < y.doc_id
-       JOIN meta ma ON ma.doc_id = x.doc_id
-       JOIN meta mb ON mb.doc_id = y.doc_id
-       WHERE ma.lang = mb.lang AND abs(ma.n_chars - mb.n_chars) <= 10
-       ORDER BY 1, 2"""
+                FROM bout)"""
   }
+
+  /** DuckDB mirror of `llm_minhash_lsh_incremental`: the same band
+    * arithmetic as [[minhashOracleSql]] — theorems (1) and (2) there
+    * apply unchanged (the op's rep-collapse + member expansion is
+    * invisible because band/block agreement is a pure function of
+    * (text, lang) under the n_chars == length(text) invariant, and the
+    * id-dependent admissibility is applied per member on both sides) —
+    * with the pairwise condition restricted to the incremental probe:
+    * x is a new-batch doc (doc_id % 100 ≥ 80), y is an existing doc
+    * (any id) or an earlier new doc (y.doc_id < x.doc_id). */
+  private def minhashIncrementalOracleSql: String =
+    s"""WITH $minhashBandCtes,
+       meta AS (SELECT doc_id, lang, n_chars,
+                  doc_id % 100 >= 80 AS is_new FROM documents),
+       m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+             FROM bsig x
+             JOIN meta mx ON mx.doc_id = x.doc_id
+             JOIN bsig y ON x.band_sig = y.band_sig
+               AND y.doc_id != x.doc_id
+             JOIN meta my ON my.doc_id = y.doc_id
+             WHERE mx.is_new
+               AND (NOT my.is_new OR y.doc_id < x.doc_id)
+               AND mx.lang = my.lang
+               AND abs(mx.n_chars - my.n_chars) <= 10
+             GROUP BY 1)
+       SELECT d.doc_id AS doc_id, d.lang AS lang,
+              CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
+                   ELSE 'kept' END AS stage,
+              m.dup_of AS dup_of
+       FROM meta d LEFT JOIN m ON m.doc_id = d.doc_id
+       WHERE d.is_new ORDER BY d.doc_id"""
 
   /** The recursive dedup-cluster CTE chain over `src`, every CTE name
     * suffixed so TWO epochs can coexist in one WITH RECURSIVE — the
@@ -1123,6 +1245,8 @@ object LlmOps {
 
   val oracle: Map[String, String] = Map(
     "llm_minhash_lsh" -> minhashOracleSql,
+
+    "llm_minhash_lsh_incremental" -> minhashIncrementalOracleSql,
 
     "llm_dedup_keep_best_incremental" ->
       s"""WITH RECURSIVE

@@ -80,6 +80,33 @@ class OperatorSpec extends GraftSpec {
     assert(recall >= 0.7, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("minhash incremental verdicts = full LSH pair set restricted to the probe") {
+    // llm_minhash_lsh emits every unordered band-candidate pair; the
+    // incremental op must agree with it exactly: a new doc n (id%100>=80)
+    // is band_dup iff the full pair set contains {n, c} for some
+    // admissible c (existing with any id, or new with c < n), with
+    // dup_of = the min such c. Cross-validates the asymmetric probe +
+    // collapse machinery against the independently-computed full op.
+    val pairs = SparkEntry.queries("llm_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val newIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 100 >= 80).toSet
+    val got = SparkEntry.queries("llm_minhash_lsh_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    assert(got.map(_._1).toSet == newIds, "one verdict per new doc")
+    got.foreach { case (n, stage, dupOf) =>
+      val admissible = adj.getOrElse(n, Set.empty)
+        .filter(c => !newIds.contains(c) || c < n)
+      val expected = if (admissible.isEmpty) None else Some(admissible.min)
+      assert(dupOf == expected, s"doc $n: dup_of=$dupOf expected=$expected")
+      assert(stage == (if (expected.isEmpty) "kept" else "band_dup"))
+    }
+    assert(got.exists(_._2 == "band_dup"), "fixture has no band dups?")
+  }
+
   test("hll_merge two-phase estimate == single-pass estimate, within 5% of exact") {
     import graft.Tables
     val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)
