@@ -72,9 +72,12 @@ object ScaleProbe {
     "llm_dedup_keep_best_persisted",
     // round-10 add: the sketch-family ingest shape — identical replicas
     // collapse to one banded rep per (text, lang) group before the
-    // asymmetric probe, so the expected curve is the same flat
-    // collapse-first one as llm_minhash_lsh, with the probe side
-    // additionally restricted to new-carrying groups
+    // asymmetric probe, so the curve is the same flat collapse-first
+    // one as llm_minhash_lsh, with the probe side additionally
+    // restricted to new-carrying groups; measured 2.83 s at 4× →
+    // 3.17 s at 16× (output = one verdict per new doc, 4k → 16k rows,
+    // while the full op's pair output grows 1.8M → 29M on the same
+    // corpora)
     "llm_minhash_lsh_incremental")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
@@ -164,14 +167,23 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     var modes = Seq("identical")
     var out: Option[String] = None
+    // --ops restricts each mode's list to this set (targeted re-probe of
+    // one op without paying the full family sweep); unknown names error
+    var opsFilter: Option[Set[String]] = None
     val factors = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--modes" => modes = args(i + 1).split(",").toSeq; i += 2
+        case "--ops" => opsFilter = Some(args(i + 1).split(",").toSet); i += 2
         case "--out" => out = Some(args(i + 1)); i += 2
         case f => factors += f.toInt; i += 1
       }
+    }
+    opsFilter.foreach { ops =>
+      val known = modes.flatMap(queriesFor).toSet
+      require((ops -- known).isEmpty,
+        s"--ops not in the selected modes' lists: ${ops -- known}")
     }
     if (factors.isEmpty) factors += 4
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -211,7 +223,9 @@ object ScaleProbe {
             perFactor(name) = (sec, n)
             println(f"[scaleprobe] $mode ${k}x $name: $sec%.2f s ($n rows)")
           }
-          queriesFor(mode).foreach { name =>
+          queriesFor(mode)
+            .filter(n => opsFilter.forall(_.contains(n)))
+            .foreach { name =>
             // snapshot BEFORE the query so cleanup can target only the
             // RDDs this query created: unpersisting a localCheckpoint
             // RDD destroys its only copy (lineage is truncated), so a
@@ -234,13 +248,13 @@ object ScaleProbe {
               .filterNot { case (id, _) => preexisting(id) }
               .values.foreach(_.unpersist(blocking = true))
           }
-          if (mode == "perturbed")
+          if (mode == "perturbed" && opsFilter.isEmpty)
             // candidate volume BEFORE verification — the quantity whose
             // growth curve decides whether the banding is sub-quadratic
             timed("lsh_candidates")(
               operators.TrainingDataOps.embeddingLshCandidates(spark, dir)
                 .count())
-          if (mode == "bucketed") {
+          if (mode == "bucketed" && opsFilter.isEmpty) {
             // First join_bucketed invocation pays the bucketed INGEST
             // (writeBucketed of both k×-scaled tables — the shuffle
             // moved to write time); the second hits the per-dir staging
