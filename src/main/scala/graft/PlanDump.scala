@@ -92,7 +92,9 @@ object PlanDump {
     "llm_dedup_keep_best_persisted" ->
       "persisted-state incremental keep-best (round-10 op): existing rows assemble from the staged epoch parquet (FileScan graft_epoch_*/state); every documents FileScan carries the doc_id >= thr batch pushdown — the existing-epoch cluster chain is absent from the continuing query by construction (PlanShapeSpec asserts it)",
     "llm_minhash_lsh_incremental" ->
-      "incremental MinHash-LSH dedup (round-10 op): (text, lang) rep collapse, then the band equi-join probes ONLY with reps of groups carrying a new doc (has_new filter feeds the join's left exchange) against the full banded index — candidate volume O(|new groups| x bucket density); the member expansion emits exactly the admissible (new, candidate) pairs into a partial+final min-agg, one verdict row per new doc")
+      "incremental MinHash-LSH dedup (round-10 op): (text, lang) rep collapse, then the band equi-join probes ONLY with reps of groups carrying a new doc (has_new filter feeds the join's left exchange) against the full banded index — candidate volume O(|new groups| x bucket density); the member expansion emits exactly the admissible (new, candidate) pairs into a partial+final min-agg, one verdict row per new doc",
+    "llm_minhash_lsh_persisted" ->
+      "persisted band-index MinHash-LSH dedup (round-10 op): the existing corpus's banded reps assemble from the staged epoch parquet (FileScan graft_epoch_*/bands); every documents FileScan carries the doc_id >= thr batch pushdown — the corpus is never re-banded (PlanShapeSpec asserts it); existing-side verdicts fold at rep level (id-ordering makes min admissible member = rep), batch-vs-batch expands members only within the batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

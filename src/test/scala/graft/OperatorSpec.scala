@@ -107,6 +107,33 @@ class OperatorSpec extends GraftSpec {
     assert(got.exists(_._2 == "band_dup"), "fixture has no band dups?")
   }
 
+  test("minhash persisted verdicts = full LSH pair set below each batch doc") {
+    // Under the id-ordered split every existing doc is admissible, so
+    // the persisted op's contract collapses to: for each batch doc n
+    // (doc_id >= thr), dup_of = min{c : {c, n} in the full band-pair
+    // set, c < n}. Cross-validates the staged-index probe (rep-only
+    // existing side, member-expanded batch side) against the
+    // independently-computed full op.
+    val thr = operators.LlmOps.epochThreshold(spark, sf)
+    val pairs = SparkEntry.queries("llm_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val batchIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ >= thr).toSet
+    val got = SparkEntry.queries("llm_minhash_lsh_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toList
+    assert(got.map(_._1).toSet == batchIds, "one verdict per batch doc")
+    got.foreach { case (n, stage, dupOf) =>
+      val admissible = adj.getOrElse(n, Set.empty).filter(_ < n)
+      val expected = if (admissible.isEmpty) None else Some(admissible.min)
+      assert(dupOf == expected, s"doc $n: dup_of=$dupOf expected=$expected")
+      assert(stage == (if (expected.isEmpty) "kept" else "band_dup"))
+    }
+    assert(got.exists(_._2 == "band_dup"), "fixture has no band dups?")
+  }
+
   test("hll_merge two-phase estimate == single-pass estimate, within 5% of exact") {
     import graft.Tables
     val exact = SparkEntry.queries("agg_count_distinct")(spark, sf)

@@ -474,6 +474,29 @@ class PlanShapeSpec extends GraftSpec {
       "no staged-parquet scan found in the plans")
   }
 
+  test("llm_minhash_lsh_persisted's continuing query scans documents " +
+      "only under the batch pushdown (corpus never re-banded)") {
+    // The sketch-family deployment claim: the persisted band index is
+    // the ONLY existing-corpus input — the continuing query bands the
+    // batch alone. A corpus re-band would appear as a documents
+    // FileScan without the doc_id >= thr pushdown.
+    val thr = operators.LlmOps.epochThreshold(spark, sf)
+    operators.LlmOps.stageMinhashIndex(spark, sf, thr)
+    val plan = operators.LlmOps.minhashLshPersistedFrom(spark, sf, thr,
+        spark.read.parquet(operators.LlmOps.minhashIndexDir(sf)))
+      .queryExecution.executedPlan.toString
+    val docScans = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") &&
+        l.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty, "expected batch-side documents scans")
+    docScans.foreach { l =>
+      assert(l.contains(s"GreaterThanOrEqual(doc_id,$thr)"),
+        s"documents scan without the batch pushdown:\n$l")
+    }
+    assert(plan.contains("graft_epoch_"),
+      "no staged band-index scan found in the plan")
+  }
+
   test("no registered op carries an optimizer-inferred filter that " +
       "re-evaluates a heavy generator input (InferFiltersFromGenerate)") {
     // Round-9 found llm_decontaminate 66s at 16x replicas because
