@@ -240,9 +240,16 @@ object LlmOps {
     * n_chars are pure functions of (text, lang) under the corpus
     * invariant n_chars == length(text). */
   private[graft] def minhashLshPersistedFrom(s: SparkSession, d: String,
-      thr: Long, idx: DataFrame): DataFrame = {
-    val batch = documents(s, d).filter(col("doc_id") >= thr)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      thr: Long, idx: DataFrame): DataFrame =
+    minhashVerdictsFrom(
+      documents(s, d).filter(col("doc_id") >= thr)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      idx)
+
+  /** [[minhashLshPersistedFrom]]'s core over an explicit batch frame —
+    * shared with the multi-epoch chain ([[advanceMinhashEpoch]]). */
+  private[graft] def minhashVerdictsFrom(batch: DataFrame,
+      idx: DataFrame): DataFrame = {
     val bGroups = batch.groupBy(col("text"), col("lang"))
       .agg(min(col("doc_id")).as("rep_id"),
         min(col("n_chars")).as("n_chars"))
@@ -301,6 +308,37 @@ object LlmOps {
           lit("band_dup")).otherwise(lit("kept")).as("stage"),
         least(col("ex_min"), col("nw_min")).as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Advance the persisted sketch epoch by ONE id-ordered batch
+    * [thrLo, thrHi): the batch's verdicts against the current index,
+    * plus the NEXT epoch's index — so sketch epochs CHAIN like the
+    * keep-best ones (MinhashChainSpec pins chained ≡ from-scratch
+    * verdicts per batch).
+    *
+    * The next index is the union of the old index and the batch's band
+    * rows, COMPACTED to min(rep_id) per (lang, n_chars, bucket,
+    * band_sig). Compaction is verdict-preserving WITHOUT text identity:
+    * a probe's existing-side fold is min(rep) over matched index rows,
+    * and a row matches purely through (band_sig, lang, bucket window,
+    * |Δn_chars| ≤ 10) — so two rows agreeing on the full compaction key
+    * match exactly the same probes, and dropping the larger rep never
+    * changes a min. (Same-text rows from different epochs agree on the
+    * whole key, so cross-epoch duplicate texts can never bloat the
+    * index; the index stays O(distinct band rows) forever.) */
+  private[graft] def advanceMinhashEpoch(s: SparkSession, d: String,
+      thrLo: Long, thrHi: Long, idx: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val batch = documents(s, d)
+      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val verdicts = minhashVerdictsFrom(batch, idx)
+    val nextIdx = idx.unionByName(minhashBandIndex(batch))
+      .groupBy(col("lang"), col("n_chars"), col("bucket"), col("band_sig"))
+      .agg(min(col("rep_id")).as("rep_id"))
+      .select(col("rep_id"), col("lang"), col("n_chars"), col("bucket"),
+        col("band_sig"))
+    (verdicts, nextIdx)
   }
 
   /** The exact-stage survivor INDEX of a doc set — the second persisted
