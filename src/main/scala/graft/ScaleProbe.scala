@@ -75,9 +75,10 @@ object ScaleProbe {
     // asymmetric probe, so the curve is the same flat collapse-first
     // one as llm_minhash_lsh, with the probe side additionally
     // restricted to new-carrying groups; measured 2.83 s at 4× →
-    // 3.17 s at 16× (output = one verdict per new doc, 4k → 16k rows,
-    // while the full op's pair output grows 1.8M → 29M on the same
-    // corpora)
+    // 3.17 s at 16× → 9.85 s at 64× (linear in corpus rows, the floor
+    // for any op that must scan the batch; output = one verdict per
+    // new doc, 4k → 64k rows, while the full op's pair output grows
+    // 1.8M → 29M over the 4×→16× range alone)
     "llm_minhash_lsh_incremental",
     // round-10 add: the persisted-index variant — the probe's single
     // invocation is ingest-INCLUSIVE (the per-dir staging guard fires
@@ -86,7 +87,8 @@ object ScaleProbe {
     // staging, so the honest scale signal here is that even the
     // inclusive cost stays flat on the replica axis (collapse-first
     // staging writes O(distinct texts · 32) rows however duplicated);
-    // measured 6.12 s at 4× → 4.29 s at 16× (flat within noise)
+    // measured 6.12 s at 4× → 4.29 s at 16× → 5.14 s at 64× (flat
+    // within noise even ingest-inclusive)
     "llm_minhash_lsh_persisted")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT

@@ -133,7 +133,7 @@ object LlmOps {
   /** The id-ordered epoch threshold: floor(0.8·(max_id+1)) — an O(1)-row
     * driver scalar off a doc_id-only scan (the bounds-table style). */
   private[graft] def epochThreshold(s: SparkSession, d: String): Long = {
-    val maxId = documents(s, d).agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = documents(s, d).agg(max(col("doc_id"))).head().getLong(0)
     (maxId + 1) * 4 / 5
   }
 
