@@ -89,7 +89,15 @@ object ScaleProbe {
     // staging writes O(distinct texts · 32) rows however duplicated);
     // measured 6.12 s at 4× → 4.29 s at 16× → 5.14 s at 64× (flat
     // within noise even ingest-inclusive)
-    "llm_minhash_lsh_persisted")
+    "llm_minhash_lsh_persisted",
+    // round-10 add: the LIVE streaming ingest of the sketch chain — 4
+    // real micro-batches, each collapse-first (replicas fold to one
+    // banded rep per (text, lang) group before the probe), so the
+    // replica-axis curve should be the flat collapse-first one plus the
+    // fixed 4-trigger streaming floor; the timed run includes the
+    // once-per-dir batch staging (a full corpus rewrite — the honest
+    // ingest-inclusive number, like the persisted op above)
+    "stream_minhash_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

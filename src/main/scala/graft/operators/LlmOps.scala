@@ -250,12 +250,45 @@ object LlmOps {
     * shared with the multi-epoch chain ([[advanceMinhashEpoch]]). */
   private[graft] def minhashVerdictsFrom(batch: DataFrame,
       idx: DataFrame): DataFrame = {
+    val (bGroups, bBanded) = minhashBatchBanding(batch)
+    minhashVerdictsCore(batch, bGroups, bBanded, idx)
+      .orderBy(col("doc_id"))
+  }
+
+  /** A batch's (text, lang)-group reps and their 32 band rows — the one
+    * banding both the verdict probe and the index advance consume (the
+    * streaming ingest op persists `bBanded` so the sketch UDF runs once
+    * per batch, not once per consumer). `bBanded`'s columns are exactly
+    * a band-index fragment ([[minhashBandIndex]] of the batch). */
+  private[graft] def minhashBatchBanding(batch: DataFrame)
+      : (DataFrame, DataFrame) = {
     val bGroups = batch.groupBy(col("text"), col("lang"))
       .agg(min(col("doc_id")).as("rep_id"),
         min(col("n_chars")).as("n_chars"))
     val bBanded = bGroups.select(col("rep_id"), col("lang"), col("n_chars"),
       floor(col("n_chars") / 10).as("bucket"),
       explode(bandsUdf(toks)).as("band_sig"))
+    (bGroups, bBanded)
+  }
+
+  /** Min-rep compaction of a band index ∪ new band rows — the
+    * verdict-preserving index advance (theorem at
+    * [[advanceMinhashEpoch]]). */
+  private[graft] def compactBandIndex(idx: DataFrame,
+      bandRows: DataFrame): DataFrame =
+    idx.unionByName(bandRows)
+      .groupBy(col("lang"), col("n_chars"), col("bucket"), col("band_sig"))
+      .agg(min(col("rep_id")).as("rep_id"))
+      .select(col("rep_id"), col("lang"), col("n_chars"), col("bucket"),
+        col("band_sig"))
+
+  /** [[minhashVerdictsFrom]] minus the final total-order sort, over a
+    * pre-computed banding — the streaming ingest's per-batch probe,
+    * where the append sink makes a per-batch sort pure overhead (the
+    * final readout re-sorts once). */
+  private[graft] def minhashVerdictsCore(batch: DataFrame,
+      bGroups: DataFrame, bBanded: DataFrame, idx: DataFrame)
+      : DataFrame = {
     val idxExp = idx
       .withColumn("bucket",
         explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
@@ -291,13 +324,16 @@ object LlmOps {
       .join(bGroups.select(col("text"), col("lang"), col("rep_id")),
         Seq("text", "lang"))
       .select(col("rep_id"), col("doc_id"))
-    val cands = bMembers.select(col("rep_id").as("rep_id2"),
-      col("doc_id").as("cand_id"))
+    // Candidate side stays at REP level — no member expansion needed:
+    // a group's min member IS its rep (rep = min(doc_id)), so for any
+    // probe doc n the min admissible member of a matched group is its
+    // rep when rep < n, and no member at all otherwise (every other
+    // member exceeds the rep). Only the PROBE side expands to members
+    // (each doc needs its own verdict).
     val nwMin = bPairs.unionAll(selfPairs)
       .join(bMembers, Seq("rep_id"))
-      .join(cands, Seq("rep_id2"))
-      .filter(col("cand_id") < col("doc_id"))
-      .groupBy(col("doc_id")).agg(min(col("cand_id")).as("nw_min"))
+      .filter(col("rep_id2") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("rep_id2")).as("nw_min"))
     val exPerDoc = bMembers.join(exMin, Seq("rep_id"))
       .select(col("doc_id"), col("ex_min"))
     batch.select(col("doc_id"), col("lang"))
@@ -307,7 +343,6 @@ object LlmOps {
         when(col("ex_min").isNotNull || col("nw_min").isNotNull,
           lit("band_dup")).otherwise(lit("kept")).as("stage"),
         least(col("ex_min"), col("nw_min")).as("dup_of"))
-      .orderBy(col("doc_id"))
   }
 
   /** Advance the persisted sketch epoch by ONE id-ordered batch
@@ -328,17 +363,26 @@ object LlmOps {
     * index; the index stays O(distinct band rows) forever.) */
   private[graft] def advanceMinhashEpoch(s: SparkSession, d: String,
       thrLo: Long, thrHi: Long, idx: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val batch = documents(s, d)
-      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-    val verdicts = minhashVerdictsFrom(batch, idx)
-    val nextIdx = idx.unionByName(minhashBandIndex(batch))
-      .groupBy(col("lang"), col("n_chars"), col("bucket"), col("band_sig"))
-      .agg(min(col("rep_id")).as("rep_id"))
-      .select(col("rep_id"), col("lang"), col("n_chars"), col("bucket"),
-        col("band_sig"))
-    (verdicts, nextIdx)
+      : (DataFrame, DataFrame) =
+    advanceMinhashEpochFrom(
+      documents(s, d)
+        .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      idx)
+
+  /** [[advanceMinhashEpoch]]'s core over an explicit batch frame — the
+    * entry point the streaming ingest op (`stream_minhash_ingest`,
+    * StreamingOps) drives from inside `foreachBatch`, where the batch
+    * IS a frame rather than an id-range over the corpus dir. Same
+    * precondition: every batch doc_id exceeds every id already folded
+    * into `idx` (the streaming op asserts arrival monotonicity
+    * per batch and fails loudly on violation). */
+  private[graft] def advanceMinhashEpochFrom(batch: DataFrame,
+      idx: DataFrame): (DataFrame, DataFrame) = {
+    val (bGroups, bBanded) = minhashBatchBanding(batch)
+    (minhashVerdictsCore(batch, bGroups, bBanded, idx)
+        .orderBy(col("doc_id")),
+      compactBandIndex(idx, bBanded))
   }
 
   /** The exact-stage survivor INDEX of a doc set — the second persisted
@@ -1330,6 +1374,15 @@ object LlmOps {
     * (y.doc_id < x.doc_id). The oracle always recomputes everything
     * from scratch, so for the persisted op a hash-match re-proves the
     * staged-index derivation per corpus. */
+  /** DuckDB mirror of `stream_minhash_ingest` (StreamingOps §2.I): with
+    * every doc "new", [[minhashVerdictOracleSql]]'s semantics collapse
+    * to the horizon-free truth dup_of(n) = min{c < n : {c,n} a
+    * band-candidate pair} — exactly what the id-ordered micro-batch
+    * chain computes (the MinhashChainSpec pair-set-truth theorem; the
+    * streaming op asserts the id-ordering precondition per batch). */
+  private[graft] def minhashIngestOracleSql: String =
+    minhashVerdictOracleSql("TRUE")
+
   private def minhashVerdictOracleSql(isNewSql: String): String =
     s"""WITH $minhashBandCtes,
        meta AS (SELECT doc_id, lang, n_chars,

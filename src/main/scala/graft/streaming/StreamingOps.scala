@@ -1216,8 +1216,159 @@ object StreamingOps {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    "stream_minhash_ingest" -> ((s, d) => minhashIngestRun(s, d, 4)._1)
   )
+
+  // ---- stream_minhash_ingest plumbing ---------------------------------
+
+  /** Staged id-ordered document batches for the streaming ingest op: the
+    * documents table split into `k` equal id-range parquet files, one
+    * per future micro-batch, with strictly ascending mtimes so the
+    * file-stream source (which orders its listing by modification time)
+    * replays them in id order under `maxFilesPerTrigger=1`. Staged once
+    * per (corpus dir, k) — harness plumbing standing in for a real
+    * ingest directory, where arrival order IS id order by construction
+    * (ids are assigned at ingest time). */
+  private val stagedDocBatches =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def documentsBatchDir(s: SparkSession, d: String, k: Int): String =
+    stagedDocBatches.computeIfAbsent(s"$d@$k", { _ =>
+      val dir = Files.createTempDirectory("graft_docs_").toString
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      // once-per-staging O(1) driver scalar (epoch split, not query path)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      (0 until k).foreach { i =>
+        val lo = (maxId + 1) * i / k
+        val hi =
+          if (i == k - 1) Long.MaxValue else (maxId + 1) * (i + 1) / k
+        val slice = Files.createTempDirectory("graft_docslice_").toString
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for batch $i"))
+        val dst = java.nio.file.Paths.get(dir, f"batch_$i%02d.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + i * 60000L))
+        deleteRecursively(slice)
+      }
+      dir
+    })
+
+  /** §2.I streaming sketch-dedup INGEST (round-10 add): the
+    * continuous-arrival deployment of the MinHash-LSH epoch chain. A
+    * file-stream source replays the documents table as `k` id-ordered
+    * micro-batches (`maxFilesPerTrigger=1`); each batch probes the band
+    * index staged by all prior batches
+    * ([[graft.operators.LlmOps.advanceMinhashEpochFrom]]), appends its
+    * verdicts to the sink, and stages the advanced index as the next
+    * epoch's parquet — a versioned-directory pointer swap, exactly the
+    * once-per-epoch cost `llm_minhash_lsh_persisted` amortizes, now
+    * paid inside the stream. By the MinhashChainSpec theorems the final
+    * verdict table is batch-boundary-invariant and equals the
+    * horizon-free truth dup_of(n) = min{c < n : {c, n} a band-candidate
+    * pair} — the DuckDB oracle recomputes that truth globally, so a
+    * hash match re-proves the whole chain over this corpus. The
+    * id-ordered-arrival precondition is asserted per batch (an
+    * out-of-order file fails loudly rather than mis-attributing
+    * keepers).
+    *
+    * Scale posture: per batch the work is O(batch band rows + matched
+    * index rows) — the existing corpus is never re-banded or re-paired;
+    * the index stays O(distinct band rows) forever under min-rep
+    * compaction (the advanceMinhashEpoch theorem); and the only
+    * cross-batch state is parquet (index) + the append sink (verdicts),
+    * NOT the state store — executors hold nothing between batches, so
+    * the stream restarts from the staged epoch like any batch job.
+    * Returns (verdicts ordered by doc_id, number of micro-batches). */
+  private[graft] def minhashIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val srcDir = documentsBatchDir(s, d, k)
+    val docSchema = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .schema
+    val idxSchema = graft.operators.LlmOps
+      .minhashBandIndex(documents(s, d).filter(lit(false))).schema
+    val outDir = Files.createTempDirectory("graft_mhi_out_").toString
+    val idxRoot = Files.createTempDirectory("graft_mhi_idx_").toString
+    val curIdx = new java.util.concurrent.atomic.AtomicReference[String]()
+    val prevMax =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val nBatches = new AtomicInteger(0)
+    val ckpt = tempCheckpointDir()
+    try {
+      val writer = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          batch.persist()
+          try {
+            // O(1)-row driver scalar: the id-ordering precondition guard
+            val mm = batch.agg(min(col("doc_id")), max(col("doc_id")))
+              .head()
+            if (!mm.isNullAt(0)) {
+              require(mm.getLong(0) > prevMax.get(),
+                "stream_minhash_ingest: out-of-order batch (min id " +
+                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
+                  "the id-ordered-arrival precondition is violated")
+              val idx =
+                if (curIdx.get() == null)
+                  ss.createDataFrame(
+                    java.util.Collections
+                      .emptyList[org.apache.spark.sql.Row](),
+                    idxSchema)
+                else ss.read.schema(idxSchema).parquet(curIdx.get())
+              // one banding per batch, shared by probe + index advance
+              // (the sketch UDF is the batch's compute kernel — persist
+              // so the two sink writes don't each re-run it)
+              val (bGroups, bBanded) =
+                graft.operators.LlmOps.minhashBatchBanding(batch)
+              bBanded.persist()
+              try {
+                graft.operators.LlmOps
+                  .minhashVerdictsCore(batch, bGroups, bBanded, idx)
+                  .write.mode("append").parquet(outDir)
+                val nextDir = s"$idxRoot/v${nBatches.incrementAndGet()}"
+                graft.operators.LlmOps.compactBandIndex(idx, bBanded)
+                  .write.parquet(nextDir)
+                curIdx.set(nextDir)
+                prevMax.set(mm.getLong(1))
+              } finally bBanded.unpersist()
+            }
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+      // Narrow shuffle partitions for the stream's lifetime (the
+      // micro-batch session clone captures the conf at start): every
+      // foreachBatch probe join runs over one small batch, where
+      // 32-way shuffles are pure scheduling overhead — same rationale
+      // and pattern as runToMemory's statePartitions window. On a real
+      // cluster spark.graft.streaming.statePartitions scales this up.
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try writer.start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    (s.read.parquet(outDir).orderBy(col("doc_id")), nBatches.get())
+  }
 
   /** Per-user running (count, decimal sum) on the transformWithState API.
     * Each input value is rounded to 6 dp on entry (≡ CAST(v AS
@@ -2193,6 +2344,12 @@ object StreamingOps {
     // so the streaming twin shares agg_cm_sketch's oracle verbatim.
     "stream_cm_sketch" ->
       graft.operators.Aggregations.oracle("agg_cm_sketch"),
+
+    // Horizon-free band-pair truth (see minhashIngestRun: the chained
+    // micro-batch verdicts are batch-boundary-invariant, so the oracle
+    // recomputes the global truth in one shot).
+    "stream_minhash_ingest" ->
+      graft.operators.LlmOps.minhashIngestOracleSql,
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

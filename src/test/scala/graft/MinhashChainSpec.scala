@@ -68,4 +68,42 @@ class MinhashChainSpec extends GraftSpec {
       LlmOps.minhashBandIndex(docs.filter(col("doc_id") < 400))))
     assert(gotC == fresh, "chained index verdicts != from-scratch index")
   }
+
+  test("stream_minhash_ingest: a real streaming query over k id-ordered " +
+      "micro-batches reproduces the pair-set truth, with cross-batch " +
+      "dups firing") {
+    val k = 4
+    val (verdictDf, nBatches) =
+      graft.streaming.StreamingOps.minhashIngestRun(spark, sf, k)
+    assert(nBatches == k,
+      s"expected $k micro-batches (maxFilesPerTrigger=1), got $nBatches")
+
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def batchOf(id: Long): Long = id * k / (maxId + 1)
+
+    val got = verdictDf.collect().toSeq.map(r => (r.getLong(0),
+      r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == ids, "one verdict per corpus doc")
+
+    // pair-set truth from the independently computed full op
+    val pairs = SparkEntry.queries("llm_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (kk, v) => kk -> v.map(_._2).toSet }
+    got.foreach { case (n, stage, dupOf) =>
+      val admissible = adj.getOrElse(n, Set.empty).filter(_ < n)
+      val expected =
+        if (admissible.isEmpty) None else Some(admissible.min)
+      assert(dupOf == expected, s"doc $n: dup_of=$dupOf exp=$expected")
+      assert(stage == (if (expected.isEmpty) "kept" else "band_dup"))
+    }
+
+    // the cross-batch index probe must really fire: some verdict's
+    // dup_of lands in an EARLIER micro-batch than its doc
+    assert(got.exists { case (n, _, dupOf) =>
+      dupOf.exists(c => batchOf(c) < batchOf(n))
+    }, "no cross-batch band dup — the ingest fixture is degenerate")
+  }
 }
