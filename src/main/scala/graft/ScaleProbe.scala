@@ -96,8 +96,17 @@ object ScaleProbe {
     // replica-axis curve should be the flat collapse-first one plus the
     // fixed 4-trigger streaming floor; the timed run includes the
     // once-per-dir batch staging (a full corpus rewrite — the honest
-    // ingest-inclusive number, like the persisted op above)
-    "stream_minhash_ingest")
+    // ingest-inclusive number, like the persisted op above); measured
+    // 23.9 s at 4× (cold JVM) → 19.9 s at 16× (warm) — flat on the
+    // replica axis even staging-inclusive, verdict rows 20k → 80k
+    // (one per doc, the linear floor for any ingest)
+    "stream_minhash_ingest",
+    // round-10 add: the embedding-modality ingest — identical replicas
+    // are the one regime that exercises its EXACT stage at scale
+    // (every replica resolves against the rep index without ever
+    // reaching the band probe), so the expected curve is flat band
+    // work + linear exact verdicts
+    "stream_embedding_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -120,6 +120,78 @@ object TrainingDataOps {
   private[graft] def embeddingLshCandidates(s: SparkSession,
       d: String): DataFrame = lshStages(s, d)._3
 
+  /** Per-batch core of `stream_embedding_ingest` (StreamingOps §2.I) —
+    * the embedding-modality twin of the MinHash ingest chain. Given an
+    * id-ordered batch (vec_id, embedding) and the persisted rep index
+    * (all global-first vectors so far: their vectors `repVecs` and band
+    * rows `repBands` under the PINNED geometry), returns
+    * (verdicts, newRepVecs, newRepBands):
+    *
+    *  - exact stage: dup_of(n) = min{c < n : embedding(c) ==
+    *    embedding(n)} — the existing side needs only the rep index
+    *    because a rep IS its group's global minimum under id-ordered
+    *    arrival (≤ 1 index row per distinct embedding), and the
+    *    within-batch side uses the batch's own group minima.
+    *  - band stage (global-first vectors only): dup_of(n) = min{r < n :
+    *    r a rep, ≥ 1 shared band key, round(cos, 6) ≥ 0.4} — candidate
+    *    side stays at REP level by the same min-member-is-rep argument
+    *    as LlmOps.minhashVerdictsCore; candidates are verified with the
+    *    codegen'd `cosine_sim` kernel (the llm_embedding_lsh discipline,
+    *    so the DuckDB float-sign + dot mirrors apply verbatim).
+    *
+    * Both stages are horizon-free in (corpus, planes, geometry):
+    * rep-ness and min-earlier verdicts don't depend on where batch
+    * boundaries fall, so chained epochs reproduce the one-shot truth —
+    * the oracle ([[embeddingIngestOracleSql]]) recomputes it globally.
+    * The index is APPEND-ONLY (reps are immutable once first seen;
+    * O(distinct vectors) rows forever), unlike the minhash index's
+    * min-rep compaction — there is nothing to compact because every
+    * band row must stay individually probe-able for the cosine verify. */
+  private[graft] def embeddingVerdictsCore(batch: DataFrame,
+      repVecs: DataFrame, repBands: DataFrame, bands: Int, bits: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bGroups = batch.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("brep"))
+    val staged = batch.select(col("vec_id"), col("embedding"))
+      .join(bGroups, Seq("embedding"))
+      .join(repVecs.select(col("vec_id").as("ex_of"), col("embedding")),
+        Seq("embedding"), "left")
+      .withColumn("exact_of",
+        coalesce(col("ex_of"),
+          when(col("brep") < col("vec_id"), col("brep"))))
+    val newReps = staged
+      .filter(col("exact_of").isNull && col("vec_id") === col("brep"))
+      .select(col("vec_id"), col("embedding"))
+    val bkU = udf((v: Seq[Float]) =>
+      graft.functions.CosineLsh.bandKeys(v, bands, bits))
+    val nrBands = newReps
+      .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
+    val candEx = nrBands
+      .join(repBands.select(col("vec_id").as("cand"), col("bk")), Seq("bk"))
+      .select(col("vec_id"), col("cand"))
+    val candNw = nrBands.join(
+        nrBands.select(col("vec_id").as("cand"), col("bk").as("bk2")),
+        col("bk") === col("bk2") && col("cand") < col("vec_id"))
+      .select(col("vec_id"), col("cand"))
+    val scored = candEx.unionAll(candNw).distinct()
+      .join(newReps.select(col("vec_id"), col("embedding").as("v1")),
+        Seq("vec_id"))
+      .join(repVecs.unionByName(newReps)
+          .select(col("vec_id").as("cand"), col("embedding").as("v2")),
+        Seq("cand"))
+      .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
+      .filter(col("sim") >= 0.4)
+    val bandOf = scored.groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("band_of"))
+    val verdicts = staged.join(bandOf, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("exact_of").isNotNull, lit("exact_dup"))
+          .when(col("band_of").isNotNull, lit("band_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        coalesce(col("exact_of"), col("band_of")).as("dup_of"))
+    (verdicts, newReps, nrBands)
+  }
+
   /** Knuth multiplicative id hash reduced mod `m` — the shared
     * deterministic sampling/gating key (llm_sample_topk_hash,
     * llm_sample_reservoir, llm_mix_weights). doc_id is reduced mod 2^28
@@ -1724,6 +1796,42 @@ object TrainingDataOps {
        SELECT * FROM exact
        UNION ALL SELECT * FROM lsh WHERE sim >= 0.4
        ORDER BY vec_id, vec_id2"""
+
+  /** DuckDB mirror of `stream_embedding_ingest` (StreamingOps §2.I):
+    * the horizon-free one-shot truth the id-ordered micro-batch chain
+    * reproduces (theorems at [[embeddingVerdictsCore]]) — exact stage
+    * from the global per-embedding minimum, band stage as min earlier
+    * REP sharing a band key with round-6 cosine ≥ 0.4, on the shared
+    * float-sign + dot mirrors (same `lshPreludeCtes`/`lshBandCtes` as
+    * the llm_embedding_lsh oracle, so geometry and IEEE arithmetic
+    * cannot drift between the two). */
+  private[graft] def embeddingIngestOracleSql: String =
+    s"""WITH $lshPreludeCtes,
+       keyed AS (SELECT vec_id,
+                   min(vec_id) OVER (PARTITION BY embedding) AS rep
+                 FROM embeddings),
+       reps AS (SELECT min(vec_id) AS vec_id, embedding
+                FROM embeddings GROUP BY embedding),
+       ${lshBandCtes("", "reps")},
+       cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS cand
+                FROM bkeys a JOIN bkeys b
+                  ON a.bk = b.bk AND b.vec_id < a.vec_id),
+       vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM reps),
+       bd AS (SELECT c.vec_id, min(c.cand) AS band_of
+              FROM cand c JOIN vecs x ON x.vec_id = c.vec_id
+              JOIN vecs y ON y.vec_id = c.cand
+              WHERE round(list_dot_product(x.v, y.v) /
+                  (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+              GROUP BY 1)
+       SELECT k.vec_id AS vec_id,
+         CASE WHEN k.vec_id <> k.rep THEN 'exact_dup'
+              WHEN bd.band_of IS NOT NULL THEN 'band_dup'
+              ELSE 'kept' END AS stage,
+         CASE WHEN k.vec_id <> k.rep THEN k.rep
+              ELSE bd.band_of END AS dup_of
+       FROM keyed k LEFT JOIN bd ON bd.vec_id = k.vec_id
+       ORDER BY k.vec_id"""
 
   /** DuckDB mirror of `llm_ann_lsh` (round-10, alongside
     * llm_embedding_lsh — same plane constants, same sign-fold CTEs).

@@ -1218,35 +1218,36 @@ object StreamingOps {
         .orderBy(col("event_type"))
     }),
 
-    "stream_minhash_ingest" -> ((s, d) => minhashIngestRun(s, d, 4)._1)
+    "stream_minhash_ingest" -> ((s, d) => minhashIngestRun(s, d, 4)._1),
+
+    "stream_embedding_ingest" -> ((s, d) => embeddingIngestRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
 
-  /** Staged id-ordered document batches for the streaming ingest op: the
-    * documents table split into `k` equal id-range parquet files, one
-    * per future micro-batch, with strictly ascending mtimes so the
-    * file-stream source (which orders its listing by modification time)
-    * replays them in id order under `maxFilesPerTrigger=1`. Staged once
-    * per (corpus dir, k) — harness plumbing standing in for a real
-    * ingest directory, where arrival order IS id order by construction
-    * (ids are assigned at ingest time). */
-  private val stagedDocBatches =
+  /** Staged id-ordered batches for the streaming ingest ops: a table
+    * split into `k` equal id-range parquet files, one per future
+    * micro-batch, with strictly ascending mtimes so the file-stream
+    * source (which orders its listing by modification time) replays
+    * them in id order under `maxFilesPerTrigger=1`. Staged once per
+    * cache key — harness plumbing standing in for a real ingest
+    * directory, where arrival order IS id order by construction (ids
+    * are assigned at ingest time). */
+  private val stagedBatchDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def documentsBatchDir(s: SparkSession, d: String, k: Int): String =
-    stagedDocBatches.computeIfAbsent(s"$d@$k", { _ =>
-      val dir = Files.createTempDirectory("graft_docs_").toString
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+  private def tableBatchDir(key: String, src: DataFrame, idCol: String,
+      k: Int): String =
+    stagedBatchDirs.computeIfAbsent(key, { _ =>
+      val dir = Files.createTempDirectory("graft_ingest_").toString
       // once-per-staging O(1) driver scalar (epoch split, not query path)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = src.agg(max(col(idCol))).head().getLong(0)
       (0 until k).foreach { i =>
         val lo = (maxId + 1) * i / k
         val hi =
           if (i == k - 1) Long.MaxValue else (maxId + 1) * (i + 1) / k
-        val slice = Files.createTempDirectory("graft_docslice_").toString
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val slice = Files.createTempDirectory("graft_slice_").toString
+        src.filter(col(idCol) >= lo && col(idCol) < hi)
           .coalesce(1).write.mode("overwrite").parquet(slice)
         val part = new java.io.File(slice).listFiles()
           .find(_.getName.endsWith(".parquet"))
@@ -1260,6 +1261,12 @@ object StreamingOps {
       }
       dir
     })
+
+  private def documentsBatchDir(s: SparkSession, d: String, k: Int): String =
+    tableBatchDir(s"docs:$d@$k",
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      "doc_id", k)
 
   /** §2.I streaming sketch-dedup INGEST (round-10 add): the
     * continuous-arrival deployment of the MinHash-LSH epoch chain. A
@@ -1368,6 +1375,118 @@ object StreamingOps {
       q.awaitTermination()
     } finally deleteRecursively(ckpt)
     (s.read.parquet(outDir).orderBy(col("doc_id")), nBatches.get())
+  }
+
+  /** §2.I streaming embedding-dedup INGEST (round-10 add): the
+    * embedding-modality twin of [[minhashIngestRun]] — continuous
+    * arrival of vectors, deduplicated against an APPEND-ONLY persisted
+    * rep index (global-first vectors + their cosine-LSH band rows).
+    * Per batch: exact stage against the rep vectors, band stage for the
+    * batch's global-first vectors against the staged band rows plus
+    * earlier in-batch reps, candidates verified with the codegen'd
+    * `cosine_sim` kernel at the round-6 ≥ 0.4 threshold
+    * ([[graft.operators.TrainingDataOps.embeddingVerdictsCore]] holds
+    * the per-stage theorems). The geometry is PINNED at stream start
+    * from the corpus row count (capacity planning: an index generation
+    * keeps one geometry for its lifetime; a re-shard is a rebuild) —
+    * the same count the one-shot op and the DuckDB mirror derive it
+    * from, so all three agree. Verdicts are batch-boundary-invariant
+    * (rep-ness and min-earlier are horizon-free), so the oracle
+    * recomputes the global truth in one shot and a hash match re-proves
+    * the chain.
+    *
+    * Scale posture: per batch O(batch bands + matched index rows +
+    * verified candidates) — the corpus is never re-banded; the index
+    * grows O(distinct vectors · bands) rows TOTAL (append-only, reps
+    * immutable — nothing to compact, and every band row must stay
+    * individually probe-able for the cosine verify); cross-batch state
+    * is parquet + the append sink, never the state store. Returns
+    * (verdicts ordered by vec_id, number of micro-batches). */
+  private[graft] def embeddingIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val srcDir = tableBatchDir(s"emb:$d@$k", emb, "vec_id", k)
+    val embSchema = emb.schema
+    // pinned geometry: parquet-metadata count, once per stream
+    val (bands, bits) =
+      graft.functions.CosineLsh.geometry(emb.count())
+    val outDir = Files.createTempDirectory("graft_ei_out_").toString
+    val repVecsDir = Files.createTempDirectory("graft_ei_reps_").toString
+    val repBandsDir = Files.createTempDirectory("graft_ei_bands_").toString
+    val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bk",
+        org.apache.spark.sql.types.LongType)))
+    val prevMax =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val nBatches = new AtomicInteger(0)
+    val ckpt = tempCheckpointDir()
+    try {
+      val writer = s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          graft.functions.CosineSimilarity.register(ss)
+          batch.persist()
+          try {
+            // O(1)-row driver scalar: the id-ordering precondition guard
+            val mm = batch.agg(min(col("vec_id")), max(col("vec_id")))
+              .head()
+            if (!mm.isNullAt(0)) {
+              require(mm.getLong(0) > prevMax.get(),
+                "stream_embedding_ingest: out-of-order batch (min id " +
+                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
+                  "the id-ordered-arrival precondition is violated")
+              val repVecs = ss.read.schema(embSchema).parquet(repVecsDir)
+              val repBands =
+                ss.read.schema(bandsSchema).parquet(repBandsDir)
+              val (verdicts, newReps, nrBands) =
+                graft.operators.TrainingDataOps.embeddingVerdictsCore(
+                  batch, repVecs, repBands, bands, bits)
+              // the band rows feed both the verify join and the index
+              // append; the rep vectors feed three consumers — persist
+              // so the sketch UDF and the group-collapse run once
+              newReps.persist(); nrBands.persist()
+              try {
+                // WRITE ORDER MATTERS: every frame here descends from
+                // the repVecsDir read, and appending to that path fires
+                // refreshByPath — the file index re-lists and the
+                // cached plans RECOMPUTE against the new listing, under
+                // which each batch vector matches itself in the index
+                // and newReps/nrBands collapse to empty. The rep-vector
+                // append must therefore come LAST (its own write still
+                // reads the pre-append cache); within this batch the
+                // source file index was snapshotted at read creation.
+                verdicts.write.mode("append").parquet(outDir)
+                nrBands.write.mode("append").parquet(repBandsDir)
+                newReps.write.mode("append").parquet(repVecsDir)
+                nBatches.incrementAndGet()
+                prevMax.set(mm.getLong(1))
+              } finally { newReps.unpersist(); nrBands.unpersist() }
+            }
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try writer.start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    (s.read.parquet(outDir).orderBy(col("vec_id")), nBatches.get())
   }
 
   /** Per-user running (count, decimal sum) on the transformWithState API.
@@ -2350,6 +2469,11 @@ object StreamingOps {
     // recomputes the global truth in one shot).
     "stream_minhash_ingest" ->
       graft.operators.LlmOps.minhashIngestOracleSql,
+
+    // Horizon-free exact/band truth (see embeddingIngestRun: chained
+    // micro-batch verdicts are batch-boundary-invariant).
+    "stream_embedding_ingest" ->
+      graft.operators.TrainingDataOps.embeddingIngestOracleSql,
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

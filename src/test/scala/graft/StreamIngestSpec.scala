@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Pins `stream_embedding_ingest` (the embedding-modality ingest chain):
+  * a REAL streaming query over k id-ordered micro-batches must reproduce
+  * the horizon-free one-shot truth — reconstructed here independently
+  * from `llm_embedding_lsh`'s pair output (same planes, same geometry,
+  * same round-6 cosine threshold) — with cross-batch band dups actually
+  * firing, and the exact stage exercised on a replicated corpus where
+  * the raw fixture (all-distinct embeddings) can't reach it. */
+class StreamIngestSpec extends GraftSpec {
+
+  test("stream_embedding_ingest: k id-ordered micro-batches reproduce " +
+      "the one-shot exact/band truth, with cross-batch dups firing") {
+    val k = 4
+    val (verdictDf, nBatches) =
+      StreamingOps.embeddingIngestRun(spark, sf, k)
+    assert(nBatches == k,
+      s"expected $k micro-batches (maxFilesPerTrigger=1), got $nBatches")
+
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def batchOf(id: Long): Long = id * k / (maxId + 1)
+
+    val got = verdictDf.collect().toSeq.map(r => (r.getLong(0),
+      r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == ids, "one verdict per corpus vector")
+
+    // truth from the independently computed one-shot op: exact pairs
+    // map member -> global rep; lsh pairs give the band adjacency
+    val pairs = SparkEntry.queries("llm_embedding_lsh")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(3)))
+    val exactOf = pairs.collect { case (rep, m, "exact") => m -> rep }.toMap
+    val lsh = pairs.collect { case (a, b, "lsh") => (a, b) }
+    val adj = (lsh ++ lsh.map(_.swap)).groupBy(_._1)
+      .map { case (kk, v) => kk -> v.map(_._2).toSet }
+    got.foreach { case (n, stage, dupOf) =>
+      val expected = exactOf.get(n) match {
+        case Some(rep) => ("exact_dup", Some(rep))
+        case None =>
+          val admissible = adj.getOrElse(n, Set.empty).filter(_ < n)
+          if (admissible.isEmpty) ("kept", None)
+          else ("band_dup", Some(admissible.min))
+      }
+      assert((stage, dupOf) == expected,
+        s"vec $n: got ($stage, $dupOf) expected $expected")
+    }
+
+    // the cross-batch index probe must really fire
+    assert(got.exists { case (n, _, dupOf) =>
+      dupOf.exists(c => batchOf(c) < batchOf(n))
+    }, "no cross-batch band dup — the ingest fixture is degenerate")
+  }
+
+  test("stream_embedding_ingest exact stage: verbatim replicas resolve " +
+      "to the global-first vector across the epoch boundary") {
+    import java.nio.file.Files
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    // ids 0-49 originals, 500-549 verbatim replicas: the id-range split
+    // puts all originals in batch 0 and all replicas in batch 1, so
+    // every replica's exact verdict must cross the epoch boundary
+    // through the persisted rep index
+    val dir = Files.createTempDirectory("graft_ei_fixture_").toString
+    emb.unionByName(emb.withColumn("vec_id", col("vec_id") + 500))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (verdictDf, nBatches) = StreamingOps.embeddingIngestRun(spark, dir, 2)
+    assert(nBatches == 2)
+    val got = verdictDf.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    (500L until 550L).foreach { id =>
+      assert(got(id) == (("exact_dup", Some(id - 500))),
+        s"replica $id: got ${got(id)}")
+    }
+    // originals got ONLY original-range verdicts (no replica leaked in)
+    (0L until 50L).foreach { id =>
+      got(id)._2.foreach(c => assert(c < id && c < 50,
+        s"original $id points at $c"))
+    }
+  }
+}
