@@ -105,7 +105,9 @@ object ScaleProbe {
     // are the one regime that exercises its EXACT stage at scale
     // (every replica resolves against the rep index without ever
     // reaching the band probe), so the expected curve is flat band
-    // work + linear exact verdicts
+    // work + linear exact verdicts; measured 13.7 s at 4× (cold JVM)
+    // → 8.3 s at 16× (warm, = the 1× sweep cost) — the rep index stays
+    // at 2k distinct vectors however many replicas flow past it
     "stream_embedding_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
