@@ -96,6 +96,41 @@ object PlanDump {
     "llm_minhash_lsh_persisted" ->
       "persisted band-index MinHash-LSH dedup (round-10 op): the existing corpus's banded reps assemble from the staged epoch parquet (FileScan graft_epoch_*/bands); every documents FileScan carries the doc_id >= thr batch pushdown — the corpus is never re-banded (PlanShapeSpec asserts it); existing-side verdicts fold at rep level (id-ordering makes min admissible member = rep), batch-vs-batch expands members only within the batch")
 
+  /** The streaming ingest trio's registered queries return a read of the
+    * verdict sink (the stream already ran), so their auditable plans are
+    * the PER-BATCH probes — built here exactly as `foreachBatch` builds
+    * them: one quarter-corpus batch frame against a staged epoch index.
+    * The embedding probe is dumped in full; the minhash and keep-best
+    * per-batch cores are the SAME plans the persisted ops above dump
+    * (shared `minhashVerdictsCore` / `batchVerdictsAndSurvivorsFrom`
+    * machinery), so they are not duplicated. */
+  private def ingestProbePlans(spark: SparkSession, sfDir: String)
+      : Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    graft.functions.CosineSimilarity.register(spark)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = (maxId + 1) / 2
+    val (bands, bits) =
+      graft.functions.CosineLsh.geometry(emb.count())
+    val existing = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    // the staged index a prior epoch wrote, reconstructed in-plan (the
+    // dump shows the probe's shape; in the stream these two arrive as
+    // FileScans of the append-only index dirs)
+    val repVecs = existing
+    val bkU = udf((v: Seq[Float]) =>
+      graft.functions.CosineLsh.bandKeys(v, bands, bits))
+    val repBands = existing
+      .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
+    val (verdicts, _, _) = graft.operators.TrainingDataOps
+      .embeddingVerdictsCore(batch, repVecs, repBands, bands, bits)
+    Seq(("stream_embedding_ingest (per-batch probe)",
+      "the embedding ingest's foreachBatch body over one half-corpus batch: exact stage = broadcast join on the embedding key against the rep index; band stage = band-key equi-joins (staged rows + earlier in-batch reps), codegen'd cosine_sim verify, min-candidate fold — no cartesian product anywhere, candidate side at rep level",
+      verdicts))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -123,8 +158,14 @@ object PlanDump {
       sb.append(df.queryExecution.executedPlan.toString.take(6000))
       sb.append("\n```\n")
     }
+    ingestProbePlans(spark, sfDir).foreach { case (title, note, df) =>
+      df.collect()
+      sb.append(s"\n## `$title`\n\n$note\n\n```\n")
+      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append("\n```\n")
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plandump] wrote PLANS.md (${Headline.size} plans)")
+    println(s"[plandump] wrote PLANS.md (${Headline.size} + 1 plans)")
     spark.stop()
   }
 }

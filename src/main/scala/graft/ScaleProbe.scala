@@ -108,7 +108,13 @@ object ScaleProbe {
     // work + linear exact verdicts; measured 13.7 s at 4× (cold JVM)
     // → 8.3 s at 16× (warm, = the 1× sweep cost) — the rep index stays
     // at 2k distinct vectors however many replicas flow past it
-    "stream_embedding_ingest")
+    "stream_embedding_ingest",
+    // round-10 add: the selection-family ingest — replicas collapse at
+    // the exact stage of the survivor probe, clusters only grow, and
+    // the keeper argmax contends only affected clusters, so the
+    // expected curve is the flat exact-first one (the keep_best /
+    // keep_best_persisted shape) plus the 4-trigger floor
+    "stream_keep_best_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

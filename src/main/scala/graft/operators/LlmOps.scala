@@ -416,10 +416,21 @@ object LlmOps {
     * persisted survivor index so epochs chain. */
   private[graft] def batchVerdictsAndSurvivors(s: SparkSession, d: String,
       thrLo: Long, thrHi: Long, surv: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    batchVerdictsAndSurvivorsFrom(s,
+      documents(s, d)
+        .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      surv)
+
+  /** [[batchVerdictsAndSurvivors]] over an explicit batch frame
+    * (doc_id, lang, n_chars, text) — the entry point the streaming
+    * keep-best ingest drives from inside `foreachBatch`. Same
+    * id-ordering precondition as every `From` variant. */
+  private[graft] def batchVerdictsAndSurvivorsFrom(s: SparkSession,
+      batchDocs: DataFrame, surv: DataFrame): (DataFrame, DataFrame) = {
     graft.functions.SortedIntersectSize.register(s)
-    val batch = documents(s, d)
-      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+    val batch = batchDocs
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
     val exMin = surv.select(col("text"), col("doc_id").as("ex_of"))
@@ -503,9 +514,23 @@ object LlmOps {
     * documents scan without the batch pushdown appears in this plan. */
   private[graft] def advanceEpoch(s: SparkSession, d: String,
       thrLo: Long, thrHi: Long, state: DataFrame, surv: DataFrame)
+      : (DataFrame, DataFrame) =
+    advanceEpochFrom(s,
+      documents(s, d)
+        .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+      state, surv)
+
+  /** [[advanceEpoch]] over an explicit batch frame — the streaming
+    * keep-best ingest's per-batch step (`stream_keep_best_ingest`,
+    * StreamingOps). Quality is recomputed from the batch frame by the
+    * same expression ([[TrainingDataOps.qualityDecimalOf]]), so the
+    * scores are bit-identical to the corpus-dir path. */
+  private[graft] def advanceEpochFrom(s: SparkSession,
+      batchDocs: DataFrame, state: DataFrame, surv: DataFrame)
       : (DataFrame, DataFrame) = {
     val (verdicts, survNewIdx) =
-      batchVerdictsAndSurvivors(s, d, thrLo, thrHi, surv)
+      batchVerdictsAndSurvivorsFrom(s, batchDocs, surv)
     val exClusters = state.select(col("doc_id").as("p_id"),
       col("cluster_id").as("p_cl"))
     val root1 = verdicts
@@ -516,8 +541,7 @@ object LlmOps {
         coalesce(col("p_cl"), col("root")).as("root"))
     val batchClusters = GraphLoop.jumpClosure(root1, "root")
       .select(col("node").as("doc_id"), col("root").as("cluster_id"))
-    val qBatch = TrainingDataOps.qualityDecimal(s, d)
-      .filter(col("doc_id") >= thrLo && col("doc_id") < thrHi)
+    val qBatch = TrainingDataOps.qualityDecimalOf(batchDocs)
     val batchScored = batchClusters.join(qBatch, Seq("doc_id"))
     val affected = batchScored.select(col("cluster_id")).distinct()
     val priorKeepers = state.filter(col("keep"))

@@ -41,7 +41,13 @@ object TrainingDataOps {
     * engines; the decimal arithmetic is `llm_quality_score`'s,
     * un-doubled). Returns (doc_id, q). */
   private[graft] def qualityDecimal(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = qualityDecimalOf(documents(s, d))
+
+  /** [[qualityDecimal]] over an explicit docs frame (needs doc_id,
+    * text, n_chars) — the streaming keep-best ingest scores its batch
+    * frame with the same expression, so the decimals are bit-identical
+    * to the corpus-dir path. */
+  private[graft] def qualityDecimalOf(docs: DataFrame): DataFrame = {
     val stopD = round(size(filter(ws, w =>
       w === "the" || w === "a" || w === "of")) / size(ws), 6)
       .cast(DecimalTypeNarrow)
@@ -49,7 +55,7 @@ object TrainingDataOps {
       .cast(DecimalTypeNarrow)
     val avgD = round(col("n_chars") / size(ws), 4)
       .cast(org.apache.spark.sql.types.DecimalType(10, 4))
-    documents(s, d).select(col("doc_id"),
+    docs.select(col("doc_id"),
       (lit(BigDecimal("0.5")) * (lit(1) - stopD) +
         lit(BigDecimal("0.3")) *
           least(avgD * lit(BigDecimal("0.125")), lit(BigDecimal("1.0"))) +

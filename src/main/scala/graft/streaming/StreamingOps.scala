@@ -1220,7 +1220,9 @@ object StreamingOps {
 
     "stream_minhash_ingest" -> ((s, d) => minhashIngestRun(s, d, 4)._1),
 
-    "stream_embedding_ingest" -> ((s, d) => embeddingIngestRun(s, d, 4)._1)
+    "stream_embedding_ingest" -> ((s, d) => embeddingIngestRun(s, d, 4)._1),
+
+    "stream_keep_best_ingest" -> ((s, d) => keepBestIngestRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1487,6 +1489,116 @@ object StreamingOps {
       q.awaitTermination()
     } finally deleteRecursively(ckpt)
     (s.read.parquet(outDir).orderBy(col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming keep-best INGEST (round-10 add): the SELECTION
+    * family's live deployment, completing the ingest trio (sketch:
+    * [[minhashIngestRun]]; embedding: [[embeddingIngestRun]]; keeper
+    * selection: this). Each id-ordered micro-batch advances the
+    * persisted keep-best epoch
+    * ([[graft.operators.LlmOps.advanceEpochFrom]]): the batch pays only
+    * its own clustering — exact+blocked-Jaccard probe against the
+    * persisted survivor index, a batch-sized jumpClosure with prior
+    * cluster ids as terminal labels, keeper argmax contending only
+    * prior keepers of affected clusters — and the advanced (state,
+    * survivor-index) pair is staged to versioned parquet for the next
+    * trigger (a pointer swap per epoch; versioning also sidesteps the
+    * refreshByPath self-append hazard documented at
+    * [[embeddingIngestRun]]). By the pinned multi-epoch associativity
+    * (IncrementalPersistSpec: advance(advance(A,+B),+C) ≡ from-scratch
+    * over A∪B∪C) the FINAL state equals a from-scratch keep-best over
+    * the whole corpus — so the oracle is `llm_dedup_keep_best`'s own
+    * recursive recompute, and a hash match re-proves the entire chain:
+    * clusters, labels, quality and keeper churn across all k epochs.
+    *
+    * Scale posture: per batch O(batch · blocked candidates +
+    * |affected clusters|); the state write is O(corpus so far) rows of
+    * 4 scalars per epoch — the once-per-epoch cost the persisted ops
+    * document, honest here because epochs are coarse in deployment
+    * (daily), not per-second. Returns (final keep-best state ordered
+    * by doc_id, number of micro-batches). */
+  private[graft] def keepBestIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val srcDir = documentsBatchDir(s, d, k)
+    val docSchema = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .schema
+    // schema-only uses: survivorIndex is lazy selects (free); the state
+    // schema is written out by hand because keepBestOf's CONSTRUCTION
+    // runs the pointer-jump driver loop
+    val survSchema = graft.operators.LlmOps
+      .survivorIndex(documents(s, d).filter(lit(false))).schema
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.DecimalType(38, 6)),
+      org.apache.spark.sql.types.StructField("keep",
+        org.apache.spark.sql.types.BooleanType)))
+    val root = Files.createTempDirectory("graft_kbi_").toString
+    val curVer = new AtomicInteger(0)
+    val prevMax =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val ckpt = tempCheckpointDir()
+    try {
+      val writer = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          batch.persist()
+          try {
+            // O(1)-row driver scalar: the id-ordering precondition guard
+            val mm = batch.agg(min(col("doc_id")), max(col("doc_id")))
+              .head()
+            if (!mm.isNullAt(0)) {
+              require(mm.getLong(0) > prevMax.get(),
+                "stream_keep_best_ingest: out-of-order batch (min id " +
+                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
+                  "the id-ordered-arrival precondition is violated")
+              val v = curVer.get()
+              def empty(schema: org.apache.spark.sql.types.StructType) =
+                ss.createDataFrame(java.util.Collections
+                  .emptyList[org.apache.spark.sql.Row](), schema)
+              val state =
+                if (v == 0) empty(stateSchema)
+                else ss.read.schema(stateSchema).parquet(s"$root/state_v$v")
+              val surv =
+                if (v == 0) empty(survSchema)
+                else ss.read.schema(survSchema).parquet(s"$root/surv_v$v")
+              val (nextState, nextSurv) = graft.operators.LlmOps
+                .advanceEpochFrom(ss, batch, state, surv)
+              nextState.write.parquet(s"$root/state_v${v + 1}")
+              nextSurv.write.parquet(s"$root/surv_v${v + 1}")
+              curVer.set(v + 1)
+              prevMax.set(mm.getLong(1))
+            }
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try writer.start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val n = curVer.get()
+    (s.read.schema(stateSchema).parquet(s"$root/state_v$n")
+      .select(col("doc_id"), col("cluster_id"),
+        col("q").cast("double").as("quality"), col("keep"))
+      .orderBy(col("doc_id")), n)
   }
 
   /** Per-user running (count, decimal sum) on the transformWithState API.
@@ -2474,6 +2586,12 @@ object StreamingOps {
     // micro-batch verdicts are batch-boundary-invariant).
     "stream_embedding_ingest" ->
       graft.operators.TrainingDataOps.embeddingIngestOracleSql,
+
+    // Multi-epoch associativity (see keepBestIngestRun) makes the final
+    // chained state equal a from-scratch keep-best, so the oracle IS
+    // llm_dedup_keep_best's recursive recompute, shared verbatim.
+    "stream_keep_best_ingest" ->
+      graft.operators.LlmOps.oracle("llm_dedup_keep_best"),
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -85,4 +85,29 @@ class StreamIngestSpec extends GraftSpec {
         s"original $id points at $c"))
     }
   }
+
+  test("stream_keep_best_ingest: k chained epochs inside a real " +
+      "streaming query land on the from-scratch keep-best state, with " +
+      "cross-epoch cluster joins firing") {
+    val k = 4
+    val (stateDf, nBatches) =
+      StreamingOps.keepBestIngestRun(spark, sf, k)
+    assert(nBatches == k,
+      s"expected $k micro-batches (maxFilesPerTrigger=1), got $nBatches")
+    val got = stateDf.collect().toSet
+    val expected = SparkEntry.queries("llm_dedup_keep_best")(spark, sf)
+      .collect().toSet
+    assert(got == expected,
+      s"chained stream != scratch: only-stream=${(got -- expected).take(3)}"
+        + s" only-scratch=${(expected -- got).take(3)}")
+    // non-degenerate: some doc must have joined a cluster rooted in an
+    // EARLIER micro-batch (the persisted state/survivor probe fired)
+    val maxId = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    def batchOf(id: Long): Long = id * k / (maxId + 1)
+    val crossEpoch = stateDf.collect().count { r =>
+      batchOf(r.getLong(1)) < batchOf(r.getLong(0))
+    }
+    assert(crossEpoch > 0, "degenerate fixture: no cross-epoch joins")
+  }
 }
