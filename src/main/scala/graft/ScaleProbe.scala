@@ -113,7 +113,9 @@ object ScaleProbe {
     // the exact stage of the survivor probe, clusters only grow, and
     // the keeper argmax contends only affected clusters, so the
     // expected curve is the flat exact-first one (the keep_best /
-    // keep_best_persisted shape) plus the 4-trigger floor
+    // keep_best_persisted shape) plus the 4-trigger floor; measured
+    // 16.5 s at 4× → 16.4 s at 16× (staging-inclusive, state rows
+    // 20k → 80k) — FLAT on the replica axis
     "stream_keep_best_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
@@ -134,7 +136,12 @@ object ScaleProbe {
     "llm_dup_spans")
 
   private val TrainHeavyQueries =
-    Seq("llm_decontaminate", "llm_decontaminate_bloom")
+    Seq("llm_decontaminate", "llm_decontaminate_bloom",
+      // round-10 add: the streaming ingest of exactly this regime (the
+      // fixed benchmark suite watching a replicated train stream) —
+      // per-batch distinct-text collapse + the staged Bloom prune
+      // should keep it as flat as the bloom op
+      "stream_decontaminate_ingest")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest

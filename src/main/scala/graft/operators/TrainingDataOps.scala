@@ -237,13 +237,18 @@ object TrainingDataOps {
     * never does). This single-filter build is the harness-scale instance,
     * sized from a real count of the test set so the measured FPR stays at
     * the configured 1%. */
-  private def decontaminate(s: SparkSession, d: String,
-      bloom: Boolean): DataFrame = {
-    val wsArr = col("ws_arr")
-    val gram8 = when(size(wsArr) >= 8,
+  /** The structural 8-gram shingle set of a words array — ONE audited
+    * definition shared by [[decontaminate]] and the streaming ingest
+    * pieces ([[testShingleIndex]] / [[trainShinglesOf]]). */
+  private def gram8Of(wsArr: Column): Column =
+    when(size(wsArr) >= 8,
       array_distinct(transform(sequence(lit(1), size(wsArr) - 7),
         i => xxhash64(slice(wsArr, i, lit(8))))))
       .otherwise(array().cast("array<bigint>"))
+
+  private def decontaminate(s: SparkSession, d: String,
+      bloom: Boolean): DataFrame = {
+    val gram8 = gram8Of(col("ws_arr"))
     // Split is doc_id-driven, so it is assigned BEFORE any text
     // collapse: a text duplicated across train and test still counts
     // as contamination, exactly as in the direct plan.
@@ -324,6 +329,42 @@ object TrainingDataOps {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Static pieces of `stream_decontaminate_ingest` (StreamingOps §2.I)
+    * — the fixed benchmark-suite side, computed ONCE per stream:
+    * (testGrams, testMembers) where testGrams = one (tkey, g) row per
+    * 8-gram of each DISTINCT test text (tkey = the text's min test
+    * doc_id — identical test texts provably share n_shared, so one rep
+    * probes and the member map expands the count back per doc), and
+    * testMembers = (doc_id, tkey). Shares [[gram8Of]] with
+    * [[decontaminate]] so the shingle definition cannot drift. */
+  private[graft] def testShingleIndex(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val test = docs.filter(pmod(col("doc_id"), lit(100L)) >= 90)
+    val reps = test.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("tkey"))
+    val grams = PlanHygiene.explodeNoInfer(
+      reps.select(col("tkey"), col("text"))
+        .withColumn("ws_arr", ws)
+        .withColumn("g8", gram8Of(col("ws_arr"))),
+      Seq(col("tkey")), col("g8"), "g")
+    val members = test.select(col("doc_id"), col("text"))
+      .join(reps, Seq("text")).select(col("doc_id"), col("tkey"))
+    (grams.select(col("tkey"), col("g")), members)
+  }
+
+  /** The per-batch train-side shingle set of the streaming
+    * decontamination ingest: grams of the batch's DISTINCT train texts
+    * (replicas add no shingles — the collapse-first discipline, here a
+    * plain distinct because train docs are anonymous in the output). */
+  private[graft] def trainShinglesOf(batchDocs: DataFrame): DataFrame =
+    PlanHygiene.explodeNoInfer(
+      batchDocs.filter(pmod(col("doc_id"), lit(100L)) < 80)
+        .select(col("text")).distinct()
+        .withColumn("ws_arr", ws)
+        .withColumn("g8", gram8Of(col("ws_arr"))),
+      Seq.empty, col("g8"), "g")
+      .select(col("g")).distinct()
 
   /** Word 3-gram shingles (order-sensitive, vs the set-based unigram toks). */
   private def shingles: Column =

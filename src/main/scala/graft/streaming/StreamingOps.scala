@@ -1222,7 +1222,10 @@ object StreamingOps {
 
     "stream_embedding_ingest" -> ((s, d) => embeddingIngestRun(s, d, 4)._1),
 
-    "stream_keep_best_ingest" -> ((s, d) => keepBestIngestRun(s, d, 4)._1)
+    "stream_keep_best_ingest" -> ((s, d) => keepBestIngestRun(s, d, 4)._1),
+
+    "stream_decontaminate_ingest" ->
+      ((s, d) => decontaminateIngestRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1295,6 +1298,11 @@ object StreamingOps {
     * cross-batch state is parquet (index) + the append sink (verdicts),
     * NOT the state store — executors hold nothing between batches, so
     * the stream restarts from the staged epoch like any batch job.
+    * Replay (foreachBatch is at-least-once): verdict rows are a
+    * deterministic function of (doc, index), so a replayed batch
+    * appends byte-identical rows a reader dedupes by doc_id — a
+    * durable deployment writes the sink partitioned by batch id and
+    * overwrites, making the retry idempotent outright.
     * Returns (verdicts ordered by doc_id, number of micro-batches). */
   private[graft] def minhashIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
@@ -1402,7 +1410,11 @@ object StreamingOps {
     * grows O(distinct vectors · bands) rows TOTAL (append-only, reps
     * immutable — nothing to compact, and every band row must stay
     * individually probe-able for the cosine verify); cross-batch state
-    * is parquet + the append sink, never the state store. Returns
+    * is parquet + the append sink, never the state store. Replay: same
+    * at-least-once posture as [[minhashIngestRun]] — deterministic
+    * rows, dedupe by vec_id (or per-batch overwrite partitions in a
+    * durable deployment); a replayed index append adds duplicate band
+    * rows, which the min-candidate fold provably ignores. Returns
     * (verdicts ordered by vec_id, number of micro-batches). */
   private[graft] def embeddingIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
@@ -1515,8 +1527,13 @@ object StreamingOps {
     * |affected clusters|); the state write is O(corpus so far) rows of
     * 4 scalars per epoch — the once-per-epoch cost the persisted ops
     * document, honest here because epochs are coarse in deployment
-    * (daily), not per-second. Returns (final keep-best state ordered
-    * by doc_id, number of micro-batches). */
+    * (daily), not per-second. Replay: the versioned write is the
+    * guard — a replayed batch re-targets an existing state_v(n+1)
+    * directory and `write.parquet` fails LOUDLY rather than corrupting
+    * the chain (a durable deployment overwrites the version
+    * atomically, which is idempotent because the advanced state is a
+    * deterministic function of (batch, prior state)). Returns (final
+    * keep-best state ordered by doc_id, number of micro-batches). */
   private[graft] def keepBestIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
     val srcDir = documentsBatchDir(s, d, k)
@@ -1599,6 +1616,89 @@ object StreamingOps {
       .select(col("doc_id"), col("cluster_id"),
         col("q").cast("double").as("quality"), col("keep"))
       .orderBy(col("doc_id")), n)
+  }
+
+  /** §2.I streaming decontamination INGEST (round-10 add): the
+    * deployment regime `llm_decontaminate_bloom` exists for, run as a
+    * LIVE stream — a FIXED benchmark suite (test shingle index + its
+    * 1%-FPR Bloom sketch, staged ONCE at stream start) watches the
+    * train corpus flow past in micro-batches. Per batch: the batch's
+    * distinct-text train shingles pre-filter through the broadcast
+    * sketch (pruning ~all non-matching shingles before any shuffle —
+    * false positives only ADD candidates, which the exact join then
+    * drops), join the static test grams, and append the surviving
+    * (tkey, g) matches; the readout folds count-distinct per test doc,
+    * so cross-batch duplicate matches collapse exactly. Uniquely in the
+    * ingest quartet this op is ORDER-INDEPENDENT — train batches
+    * commute (the train side only contributes to a gram-set union), so
+    * there is no id-ordering guard, and the final table equals
+    * `llm_decontaminate`'s one-shot answer: the oracle is shared
+    * VERBATIM.
+    *
+    * Scale posture: per batch O(batch distinct-text grams) hash work +
+    * a sketch-pruned ~test-sized join; state = the static index (one
+    * localCheckpoint) + appended matches, bounded by the contamination
+    * volume, not the corpus. Replay: the count-distinct readout is
+    * idempotent under duplicate appends, so at-least-once delivery
+    * needs no guard at all here. Returns (per-test-doc verdicts
+    * ordered by doc_id, number of micro-batches). */
+  private[graft] def decontaminateIngestRun(s: SparkSession, d: String,
+      k: Int): (DataFrame, Int) = {
+    val srcDir = documentsBatchDir(s, d, k)
+    val docSchema = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .schema
+    // the static benchmark-suite side, once per stream (eager
+    // localCheckpoint: two consumers per batch + the sketch build)
+    val (testGramsRaw, testMembers) =
+      graft.operators.TrainingDataOps.testShingleIndex(documents(s, d))
+    val testGrams = testGramsRaw.localCheckpoint()
+    val nTest = math.max(1000L,
+      testGrams.select(col("g")).distinct().count())
+    val sketch = testGrams.select(col("g")).distinct()
+      .stat.bloomFilter("g", nTest, 0.01)
+    val mightContain = udf((g: Long) => sketch.mightContainLong(g))
+    val outDir = Files.createTempDirectory("graft_di_out_").toString
+    val nBatches = new AtomicInteger(0)
+    val ckpt = tempCheckpointDir()
+    try {
+      val writer = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val trainGrams = graft.operators.TrainingDataOps
+            .trainShinglesOf(batch)
+            .filter(mightContain(col("g")))
+          testGrams.join(trainGrams, Seq("g"))
+            .select(col("tkey"), col("g")).distinct()
+            .write.mode("append").parquet(outDir)
+          nBatches.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        try writer.start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+    val matchSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.LongType)))
+    val shared = s.read.schema(matchSchema).parquet(outDir)
+      .groupBy(col("tkey"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    (testMembers.join(shared, Seq("tkey"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id")), nBatches.get())
   }
 
   /** Per-user running (count, decimal sum) on the transformWithState API.
@@ -2592,6 +2692,11 @@ object StreamingOps {
     // llm_dedup_keep_best's recursive recompute, shared verbatim.
     "stream_keep_best_ingest" ->
       graft.operators.LlmOps.oracle("llm_dedup_keep_best"),
+
+    // Train batches commute (gram-set union), so the streamed answer
+    // equals the one-shot op's and the oracle is shared verbatim.
+    "stream_decontaminate_ingest" ->
+      graft.operators.TrainingDataOps.oracle("llm_decontaminate"),
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

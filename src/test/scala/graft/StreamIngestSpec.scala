@@ -110,4 +110,22 @@ class StreamIngestSpec extends GraftSpec {
     }
     assert(crossEpoch > 0, "degenerate fixture: no cross-epoch joins")
   }
+
+  test("stream_decontaminate_ingest: the static test index watching k " +
+      "train batches equals the one-shot decontamination answer") {
+    val k = 4
+    val (df, nBatches) =
+      StreamingOps.decontaminateIngestRun(spark, sf, k)
+    assert(nBatches == k)
+    val got = df.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expected = SparkEntry.queries("llm_decontaminate")(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got == expected)
+    // non-degenerate: contamination must actually occur, and from more
+    // than one micro-batch (cross-batch duplicate matches must have
+    // collapsed in the count-distinct fold rather than double-counted)
+    assert(got.exists(_._3), "fixture has no contamination at all")
+  }
 }
