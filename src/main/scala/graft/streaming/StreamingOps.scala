@@ -1304,6 +1304,54 @@ object StreamingOps {
     * durable deployment writes the sink partitioned by batch id and
     * overwrites, making the retry idempotent outright.
     * Returns (verdicts ordered by doc_id, number of micro-batches). */
+  /** One audited copy of the ingest family's run discipline: throwaway
+    * checkpoint, then start under the narrowed conf window — shuffle
+    * partitions → [[statePartitions]] AND AQE off for the stream's
+    * lifetime (the micro-batch session clone captures the conf at
+    * start): every foreachBatch probe join runs over one small batch,
+    * where 32-way shuffles and per-stage AQE re-planning are pure
+    * scheduling overhead — the same rationale and set→start→restore
+    * pattern as [[runToMemory]]'s window. On a real cluster
+    * `spark.graft.streaming.statePartitions` scales the width back up. */
+  private def runIngest(s: SparkSession)(build: =>
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val ckpt = tempCheckpointDir()
+    try {
+      val q = confLock.synchronized {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try build.option("checkpointLocation", ckpt).start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prev)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+      q.awaitTermination()
+    } finally deleteRecursively(ckpt)
+  }
+
+  /** The id-ordered-arrival guard shared by the stateful ingest ops:
+    * one O(1)-row driver scalar per batch, returning Some((lo, hi))
+    * for a non-empty batch AFTER asserting lo exceeds everything
+    * already folded into the persisted state — an out-of-order file
+    * fails loudly rather than mis-attributing keepers. */
+  private def monotoneBatchBounds(batch: DataFrame, idCol: String,
+      op: String, prevMax: java.util.concurrent.atomic.AtomicLong)
+      : Option[(Long, Long)] = {
+    val mm = batch.agg(min(col(idCol)), max(col(idCol))).head()
+    if (mm.isNullAt(0)) None
+    else {
+      require(mm.getLong(0) > prevMax.get(),
+        s"$op: out-of-order batch (min id ${mm.getLong(0)} <= prior " +
+          s"max ${prevMax.get()}) — the id-ordered-arrival " +
+          "precondition is violated")
+      Some((mm.getLong(0), mm.getLong(1)))
+    }
+  }
+
   private[graft] def minhashIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
     val srcDir = documentsBatchDir(s, d, k)
@@ -1318,72 +1366,44 @@ object StreamingOps {
     val prevMax =
       new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val nBatches = new AtomicInteger(0)
-    val ckpt = tempCheckpointDir()
-    try {
-      val writer = s.readStream.schema(docSchema)
+    runIngest(s) {
+      s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val ss = batch.sparkSession
           batch.persist()
-          try {
-            // O(1)-row driver scalar: the id-ordering precondition guard
-            val mm = batch.agg(min(col("doc_id")), max(col("doc_id")))
-              .head()
-            if (!mm.isNullAt(0)) {
-              require(mm.getLong(0) > prevMax.get(),
-                "stream_minhash_ingest: out-of-order batch (min id " +
-                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
-                  "the id-ordered-arrival precondition is violated")
-              val idx =
-                if (curIdx.get() == null)
-                  ss.createDataFrame(
-                    java.util.Collections
-                      .emptyList[org.apache.spark.sql.Row](),
-                    idxSchema)
-                else ss.read.schema(idxSchema).parquet(curIdx.get())
-              // one banding per batch, shared by probe + index advance
-              // (the sketch UDF is the batch's compute kernel — persist
-              // so the two sink writes don't each re-run it)
-              val (bGroups, bBanded) =
-                graft.operators.LlmOps.minhashBatchBanding(batch)
-              bBanded.persist()
-              try {
-                graft.operators.LlmOps
-                  .minhashVerdictsCore(batch, bGroups, bBanded, idx)
-                  .write.mode("append").parquet(outDir)
-                val nextDir = s"$idxRoot/v${nBatches.incrementAndGet()}"
-                graft.operators.LlmOps.compactBandIndex(idx, bBanded)
-                  .write.parquet(nextDir)
-                curIdx.set(nextDir)
-                prevMax.set(mm.getLong(1))
-              } finally bBanded.unpersist()
-            }
+          try monotoneBatchBounds(batch, "doc_id",
+              "stream_minhash_ingest", prevMax).foreach { case (_, hi) =>
+            val idx =
+              if (curIdx.get() == null)
+                ss.createDataFrame(
+                  java.util.Collections
+                    .emptyList[org.apache.spark.sql.Row](),
+                  idxSchema)
+              else ss.read.schema(idxSchema).parquet(curIdx.get())
+            // one banding per batch, shared by probe + index advance
+            // (the sketch UDF is the batch's compute kernel — persist
+            // so the two sink writes don't each re-run it)
+            val (bGroups, bBanded) =
+              graft.operators.LlmOps.minhashBatchBanding(batch)
+            bBanded.persist()
+            try {
+              graft.operators.LlmOps
+                .minhashVerdictsCore(batch, bGroups, bBanded, idx)
+                .write.mode("append").parquet(outDir)
+              val nextDir = s"$idxRoot/v${nBatches.incrementAndGet()}"
+              graft.operators.LlmOps.compactBandIndex(idx, bBanded)
+                .write.parquet(nextDir)
+              curIdx.set(nextDir)
+              prevMax.set(hi)
+            } finally bBanded.unpersist()
           } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-      // Narrow shuffle partitions for the stream's lifetime (the
-      // micro-batch session clone captures the conf at start): every
-      // foreachBatch probe join runs over one small batch, where
-      // 32-way shuffles are pure scheduling overhead — same rationale
-      // and pattern as runToMemory's statePartitions window. On a real
-      // cluster spark.graft.streaming.statePartitions scales this up.
-      val q = confLock.synchronized {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        try writer.start()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        }
-      }
-      q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    }
     (s.read.parquet(outDir).orderBy(col("doc_id")), nBatches.get())
   }
 
@@ -1436,9 +1456,8 @@ object StreamingOps {
     val prevMax =
       new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val nBatches = new AtomicInteger(0)
-    val ckpt = tempCheckpointDir()
-    try {
-      val writer = s.readStream.schema(embSchema)
+    runIngest(s) {
+      s.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
@@ -1446,60 +1465,39 @@ object StreamingOps {
           val ss = batch.sparkSession
           graft.functions.CosineSimilarity.register(ss)
           batch.persist()
-          try {
-            // O(1)-row driver scalar: the id-ordering precondition guard
-            val mm = batch.agg(min(col("vec_id")), max(col("vec_id")))
-              .head()
-            if (!mm.isNullAt(0)) {
-              require(mm.getLong(0) > prevMax.get(),
-                "stream_embedding_ingest: out-of-order batch (min id " +
-                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
-                  "the id-ordered-arrival precondition is violated")
-              val repVecs = ss.read.schema(embSchema).parquet(repVecsDir)
-              val repBands =
-                ss.read.schema(bandsSchema).parquet(repBandsDir)
-              val (verdicts, newReps, nrBands) =
-                graft.operators.TrainingDataOps.embeddingVerdictsCore(
-                  batch, repVecs, repBands, bands, bits)
-              // the band rows feed both the verify join and the index
-              // append; the rep vectors feed three consumers — persist
-              // so the sketch UDF and the group-collapse run once
-              newReps.persist(); nrBands.persist()
-              try {
-                // WRITE ORDER MATTERS: every frame here descends from
-                // the repVecsDir read, and appending to that path fires
-                // refreshByPath — the file index re-lists and the
-                // cached plans RECOMPUTE against the new listing, under
-                // which each batch vector matches itself in the index
-                // and newReps/nrBands collapse to empty. The rep-vector
-                // append must therefore come LAST (its own write still
-                // reads the pre-append cache); within this batch the
-                // source file index was snapshotted at read creation.
-                verdicts.write.mode("append").parquet(outDir)
-                nrBands.write.mode("append").parquet(repBandsDir)
-                newReps.write.mode("append").parquet(repVecsDir)
-                nBatches.incrementAndGet()
-                prevMax.set(mm.getLong(1))
-              } finally { newReps.unpersist(); nrBands.unpersist() }
-            }
+          try monotoneBatchBounds(batch, "vec_id",
+              "stream_embedding_ingest", prevMax).foreach { case (_, hi) =>
+            val repVecs = ss.read.schema(embSchema).parquet(repVecsDir)
+            val repBands =
+              ss.read.schema(bandsSchema).parquet(repBandsDir)
+            val (verdicts, newReps, nrBands) =
+              graft.operators.TrainingDataOps.embeddingVerdictsCore(
+                batch, repVecs, repBands, bands, bits)
+            // the band rows feed both the verify join and the index
+            // append; the rep vectors feed three consumers — persist
+            // so the sketch UDF and the group-collapse run once
+            newReps.persist(); nrBands.persist()
+            try {
+              // WRITE ORDER MATTERS: every frame here descends from
+              // the repVecsDir read, and appending to that path fires
+              // refreshByPath — the file index re-lists and the
+              // cached plans RECOMPUTE against the new listing, under
+              // which each batch vector matches itself in the index
+              // and newReps/nrBands collapse to empty. The rep-vector
+              // append must therefore come LAST (its own write still
+              // reads the pre-append cache); within this batch the
+              // source file index was snapshotted at read creation.
+              verdicts.write.mode("append").parquet(outDir)
+              nrBands.write.mode("append").parquet(repBandsDir)
+              newReps.write.mode("append").parquet(repVecsDir)
+              nBatches.incrementAndGet()
+              prevMax.set(hi)
+            } finally { newReps.unpersist(); nrBands.unpersist() }
           } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-      val q = confLock.synchronized {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        try writer.start()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        }
-      }
-      q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    }
     (s.read.parquet(outDir).orderBy(col("vec_id")), nBatches.get())
   }
 
@@ -1558,59 +1556,37 @@ object StreamingOps {
     val curVer = new AtomicInteger(0)
     val prevMax =
       new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val ckpt = tempCheckpointDir()
-    try {
-      val writer = s.readStream.schema(docSchema)
+    runIngest(s) {
+      s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val ss = batch.sparkSession
           batch.persist()
-          try {
-            // O(1)-row driver scalar: the id-ordering precondition guard
-            val mm = batch.agg(min(col("doc_id")), max(col("doc_id")))
-              .head()
-            if (!mm.isNullAt(0)) {
-              require(mm.getLong(0) > prevMax.get(),
-                "stream_keep_best_ingest: out-of-order batch (min id " +
-                  s"${mm.getLong(0)} <= prior max ${prevMax.get()}) — " +
-                  "the id-ordered-arrival precondition is violated")
-              val v = curVer.get()
-              def empty(schema: org.apache.spark.sql.types.StructType) =
-                ss.createDataFrame(java.util.Collections
-                  .emptyList[org.apache.spark.sql.Row](), schema)
-              val state =
-                if (v == 0) empty(stateSchema)
-                else ss.read.schema(stateSchema).parquet(s"$root/state_v$v")
-              val surv =
-                if (v == 0) empty(survSchema)
-                else ss.read.schema(survSchema).parquet(s"$root/surv_v$v")
-              val (nextState, nextSurv) = graft.operators.LlmOps
-                .advanceEpochFrom(ss, batch, state, surv)
-              nextState.write.parquet(s"$root/state_v${v + 1}")
-              nextSurv.write.parquet(s"$root/surv_v${v + 1}")
-              curVer.set(v + 1)
-              prevMax.set(mm.getLong(1))
-            }
+          try monotoneBatchBounds(batch, "doc_id",
+              "stream_keep_best_ingest", prevMax).foreach { case (_, hi) =>
+            val v = curVer.get()
+            def empty(schema: org.apache.spark.sql.types.StructType) =
+              ss.createDataFrame(java.util.Collections
+                .emptyList[org.apache.spark.sql.Row](), schema)
+            val state =
+              if (v == 0) empty(stateSchema)
+              else ss.read.schema(stateSchema).parquet(s"$root/state_v$v")
+            val surv =
+              if (v == 0) empty(survSchema)
+              else ss.read.schema(survSchema).parquet(s"$root/surv_v$v")
+            val (nextState, nextSurv) = graft.operators.LlmOps
+              .advanceEpochFrom(ss, batch, state, surv)
+            nextState.write.parquet(s"$root/state_v${v + 1}")
+            nextSurv.write.parquet(s"$root/surv_v${v + 1}")
+            curVer.set(v + 1)
+            prevMax.set(hi)
           } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-      val q = confLock.synchronized {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        try writer.start()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        }
-      }
-      q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    }
     val n = curVer.get()
     (s.read.schema(stateSchema).parquet(s"$root/state_v$n")
       .select(col("doc_id"), col("cluster_id"),
@@ -1660,9 +1636,8 @@ object StreamingOps {
     val mightContain = udf((g: Long) => sketch.mightContainLong(g))
     val outDir = Files.createTempDirectory("graft_di_out_").toString
     val nBatches = new AtomicInteger(0)
-    val ckpt = tempCheckpointDir()
-    try {
-      val writer = s.readStream.schema(docSchema)
+    runIngest(s) {
+      s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
@@ -1677,15 +1652,7 @@ object StreamingOps {
           ()
         }
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-      val q = confLock.synchronized {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
-        try writer.start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      }
-      q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    }
     val matchSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("tkey",
         org.apache.spark.sql.types.LongType),
