@@ -80,6 +80,12 @@ object ScaleProbe {
     // new doc, 4k → 64k rows, while the full op's pair output grows
     // 1.8M → 29M over the 4×→16× range alone)
     "llm_minhash_lsh_incremental",
+    // round-10 add: the simhash twin of the incremental sketch probe —
+    // the collapse key is the full admissibility signature (fp, lang,
+    // n_chars), so identical replicas fold to one group row and the
+    // expected curve is the flat collapse-first one; measured 4.9 s at
+    // 4× (cold) → 2.6 s at 16× (warm), verdict rows 4k → 16k
+    "llm_simhash_incremental",
     // round-10 add: the persisted-index variant — the probe's single
     // invocation is ingest-INCLUSIVE (the per-dir staging guard fires
     // on first touch, so the timed run pays corpus banding + parquet

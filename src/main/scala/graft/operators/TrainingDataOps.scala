@@ -496,6 +496,72 @@ object TrainingDataOps {
         .orderBy(col("doc_id"), col("doc_id2"))
     }),
 
+    // Incremental SimHash dedup (round-10 add): llm_dedup_incremental's
+    // asymmetric batch split applied to the SIMHASH sketch, completing
+    // the incremental symmetry with llm_minhash_lsh_incremental. The
+    // collapse key is the FULL admissibility signature (fp, lang,
+    // n_chars): rows agreeing on it are interchangeable under both the
+    // block join and the hamming verify, so the pair machinery runs at
+    // group scale and the 4×16-bit pigeonhole blocks make the probe an
+    // equi-join (hamming ≤ 3 leaves ≥ 1 block untouched — lossless).
+    // Only groups carrying a new doc ever probe; member expansion
+    // resolves earlier-new admissibility exactly as in the minhash op.
+    "llm_simhash_incremental" -> ((s, d) => {
+      val fpU = udf((ts: Seq[String]) => SimHash.fingerprint(ts))
+      val bkU = udf((fp: Long) => SimHash.blockKeys(fp))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars"), col("text"),
+          (pmod(col("doc_id"), lit(100L)) >= 80).as("is_new"))
+        .withColumn("fp", fpU(ws))
+      val groups = docs
+        .groupBy(col("fp"), col("lang"), col("n_chars"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          max(col("is_new")).as("has_new"))
+        .withColumn("bucket", floor(col("n_chars") / 10))
+      val probe = groups.filter(col("has_new"))
+        .select(col("rep_id"), col("lang"), col("n_chars"),
+          col("bucket"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val index = groups
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"),
+            col("bucket") + 1)))
+        .select(col("rep_id").as("rep_id2"), col("lang").as("lang2"),
+          col("n_chars").as("n_chars2"), col("bucket"),
+          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      val repPairs = probe.join(index,
+          col("bk") === col("bk2") && col("lang") === col("lang2") &&
+            probe("bucket") === index("bucket") &&
+            col("rep_id") =!= col("rep_id2") &&
+            abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
+        .filter(expr("bit_count(fp ^ fp2)") <= 3)
+        .select(col("rep_id"), col("rep_id2"))
+        .distinct()
+      val selfPairs = groups.filter(col("has_new"))
+        .select(col("rep_id"), col("rep_id").as("rep_id2"))
+      val members = docs
+        .join(groups.select(col("fp"), col("lang"), col("n_chars"),
+            col("rep_id")),
+          Seq("fp", "lang", "n_chars"))
+        .select(col("rep_id"), col("doc_id"), col("is_new"))
+      val probes = members.filter(col("is_new"))
+        .select(col("rep_id"), col("doc_id"))
+      val cands = members.select(col("rep_id").as("rep_id2"),
+        col("doc_id").as("cand_id"), col("is_new").as("cand_new"))
+      val matched = repPairs.unionAll(selfPairs)
+        .join(probes, Seq("rep_id"))
+        .join(cands, Seq("rep_id2"))
+        .filter(((!col("cand_new")) || col("cand_id") < col("doc_id")) &&
+          col("cand_id") =!= col("doc_id"))
+        .groupBy(col("doc_id")).agg(min(col("cand_id")).as("dup_of"))
+      docs.filter(col("is_new"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("dup_of").isNotNull, lit("band_dup"))
+            .otherwise(lit("kept")).as("stage"),
+          col("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Order-sensitive near-dup: top-20 blocked pairs by 3-gram-shingle
     // Jaccard (complements the order-free unigram llm_jaccard_pairs).
     // Shingles are xxhash64'd to longs before the join: intersect/union
@@ -1636,10 +1702,14 @@ object TrainingDataOps {
     * moves at most once in 10 chars). The signed fingerprint is the
     * unsigned sum re-wrapped at 2^63, so `bit_count(xor(...))` is
     * hamming distance including the sign bit. */
-  private def simhashOracleSql: String = {
+  /** The SimHash fingerprint CTE chain ending in `fp(doc_id, f)` — the
+    * ONE audited DuckDB copy of the bit-exact murmur3 64-bit simhash,
+    * shared by the pair oracle ([[simhashOracleSql]]) and the verdict
+    * oracle ([[simhashVerdictOracleSql]]). */
+  private def simhashFpCtes: String = {
     val powers = (0 until 64)
       .map(i => s"($i,${BigInt(2).pow(i)})").mkString(",")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
            FROM documents),
        tw AS (SELECT DISTINCT w FROM tok),
        ${MurmurSql.stringHashCtes("h1", "tw", 0x9747b28cL)},
@@ -1662,7 +1732,36 @@ object TrainingDataOps {
                   WHEN fu >= CAST('9223372036854775808' AS HUGEINT)
                   THEN fu - CAST('18446744073709551616' AS HUGEINT)
                   ELSE fu END AS BIGINT) AS f
-              FROM fpu),
+              FROM fpu)"""
+  }
+
+  /** DuckDB mirror of `llm_simhash_incremental`: per new doc, the min
+    * admissible candidate within the (lang, |Δn_chars| ≤ 10) block at
+    * hamming ≤ 3 — BLOCK-KEY-FREE by the pigeonhole (≤ 3 differing
+    * bits leave ≥ 1 of the 4 16-bit blocks untouched, so the op's
+    * block join is a lossless optimization the oracle need not
+    * mirror). */
+  private def simhashVerdictOracleSql(isNewSql: String): String =
+    s"""WITH $simhashFpCtes,
+       meta AS (SELECT doc_id, lang, n_chars,
+                  $isNewSql AS is_new FROM documents),
+       m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+             FROM meta x JOIN meta y ON y.doc_id != x.doc_id
+               AND x.lang = y.lang AND abs(x.n_chars - y.n_chars) <= 10
+             JOIN fp fx ON fx.doc_id = x.doc_id
+             JOIN fp fy ON fy.doc_id = y.doc_id
+             WHERE x.is_new AND (NOT y.is_new OR y.doc_id < x.doc_id)
+               AND bit_count(xor(fx.f, fy.f)) <= 3
+             GROUP BY 1)
+       SELECT d.doc_id AS doc_id, d.lang AS lang,
+              CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
+                   ELSE 'kept' END AS stage,
+              m.dup_of AS dup_of
+       FROM meta d LEFT JOIN m ON m.doc_id = d.doc_id
+       WHERE d.is_new ORDER BY d.doc_id"""
+
+  private def simhashOracleSql: String = {
+    s"""WITH $simhashFpCtes,
        meta AS (SELECT doc_id, lang, n_chars FROM documents)
        SELECT x.doc_id AS doc_id, y.doc_id AS doc_id2,
               CAST(bit_count(xor(fx.f, fy.f)) AS INTEGER) AS hamming
@@ -2031,6 +2130,9 @@ object TrainingDataOps {
     "llm_decontaminate_bloom" -> DecontaminateOracle,
 
     "llm_simhash_dedup" -> simhashOracleSql,
+
+    "llm_simhash_incremental" ->
+      simhashVerdictOracleSql("doc_id % 100 >= 80"),
 
     "llm_chunk_windows" ->
       """WITH n AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,

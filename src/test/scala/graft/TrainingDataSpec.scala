@@ -611,4 +611,37 @@ class TrainingDataSpec extends GraftSpec {
       a(1).toLong == 1L || a(2).toLong == 0L))
     assert(full.exists(a => a(1).toLong == 1L))
   }
+  test("llm_simhash_incremental == verdicts derived from the full " +
+      "simhash pair set (the minhash-incremental cross-check applied " +
+      "to the simhash family)") {
+    // sf0.01, not the suite default: sf0.001's 6 simhash pairs all
+    // fall inside the existing (%100 < 80) side, so the dup path of
+    // the incremental op would go untested there (verified by the
+    // oracle-side count; sf0.01 carries 3 new-doc-admissible pairs)
+    val sf01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("llm_simhash_incremental")(spark, sf01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val pairs = SparkEntry.queries("llm_simhash_dedup")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = Tables.documents(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0))
+    val isNew = ids.map(i => i -> (i % 100 >= 80)).toMap
+    val newIds = ids.filter(isNew).toSet
+    assert(got.keySet == newIds, "one verdict per new doc")
+    newIds.foreach { n =>
+      val admissible = adj.getOrElse(n, Set.empty)
+        .filter(c => !isNew(c) || c < n)
+      val expected =
+        if (admissible.isEmpty) ("kept", None)
+        else ("band_dup", Some(admissible.min))
+      assert(got(n) == expected, s"doc $n: got ${got(n)} exp $expected")
+    }
+    // non-degenerate: at least one dup verdict and at least one kept
+    assert(got.values.exists(_._1 == "band_dup"))
+    assert(got.values.exists(_._1 == "kept"))
+  }
 }
