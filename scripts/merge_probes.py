@@ -17,7 +17,12 @@ for p in inputs:
         d = json.load(f)
     merged["sf"] = merged["sf"] or d.get("sf")
     for mode, per in d.get("modes", {}).items():
-        merged["modes"].setdefault(mode, {}).update(per)
+        m = merged["modes"].setdefault(mode, {})
+        # deep-merge per factor: a shallow update() would let a later
+        # input's factor dict CLOBBER earlier inputs' ops at the same
+        # factor (bit round 10 when merging per-op targeted probes)
+        for factor, ops in per.items():
+            m.setdefault(factor, {}).update(ops)
 
 with open(out_path, "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
