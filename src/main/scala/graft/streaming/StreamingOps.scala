@@ -1338,7 +1338,7 @@ object StreamingOps {
     * for a non-empty batch AFTER asserting lo exceeds everything
     * already folded into the persisted state — an out-of-order file
     * fails loudly rather than mis-attributing keepers. */
-  private def monotoneBatchBounds(batch: DataFrame, idCol: String,
+  private[graft] def monotoneBatchBounds(batch: DataFrame, idCol: String,
       op: String, prevMax: java.util.concurrent.atomic.AtomicLong)
       : Option[(Long, Long)] = {
     val mm = batch.agg(min(col(idCol)), max(col(idCol))).head()

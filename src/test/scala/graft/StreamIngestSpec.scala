@@ -128,4 +128,23 @@ class StreamIngestSpec extends GraftSpec {
     // collapsed in the count-distinct fold rather than double-counted)
     assert(got.exists(_._3), "fixture has no contamination at all")
   }
+
+  test("the ingest family's id-ordering guard fails LOUDLY on an " +
+      "out-of-order batch and passes bounds through on a monotone one") {
+    import spark.implicits._
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val b1 = Seq(5L, 9L, 7L).toDF("doc_id")
+    assert(StreamingOps.monotoneBatchBounds(b1, "doc_id", "op", prevMax)
+      .contains((5L, 9L)))
+    prevMax.set(9L)
+    // empty batch: no bounds, no failure
+    assert(StreamingOps.monotoneBatchBounds(
+      b1.filter($"doc_id" > 100), "doc_id", "op", prevMax).isEmpty)
+    // overlap with the folded state: the precondition violation throws
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.monotoneBatchBounds(
+        Seq(9L, 12L).toDF("doc_id"), "doc_id", "op", prevMax)
+    }
+    assert(e.getMessage.contains("out-of-order batch"))
+  }
 }
