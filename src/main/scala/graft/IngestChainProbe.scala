@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Long-chain probe for the streaming ingest quartet (round-11 items 5
+  * and 7 of the round-10 review): the quartet's scale claims — index
+  * O(distinct band rows) forever, per-batch work O(batch + matches),
+  * keep-best's honest O(corpus-so-far) per-epoch state write — rested
+  * on k=4 chains. This probe runs each ingest at k=16 micro-batches
+  * (4× more epochs over the same corpus, so each batch carries 1/16 of
+  * the rows while the persisted index crosses the SAME final size) and
+  * records the PER-EPOCH trigger durations via a
+  * [[StreamingQueryListener]]: a flat epoch curve is the claim
+  * confirmed (per-epoch cost tracks batch size + matched index rows,
+  * not chain length); a ramp on `stream_keep_best_ingest` quantifies
+  * the documented O(corpus) state write so BASELINE.md can carry the
+  * deployment arithmetic with measurements instead of prose.
+  *
+  * Run: sbt "runMain graft.IngestChainProbe [k ...]" (default 4 16;
+  * one JSON line per (op, k) with total seconds + per-epoch ms).
+  */
+object IngestChainProbe {
+
+  def main(args: Array[String]): Unit = {
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 16)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // batchId → triggerExecution ms, for the one query running at a time
+    val epochMs = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        epochMs.synchronized {
+          val ms = Option(e.progress.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(-1L)
+          // AvailableNow emits a trailing no-data progress event with
+          // the last batchId repeated; keep the FIRST (real) timing
+          if (!epochMs.contains(e.progress.batchId))
+            epochMs.put(e.progress.batchId, ms)
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+
+    import graft.streaming.StreamingOps
+    val runs: Seq[(String, Int => (org.apache.spark.sql.DataFrame, Int))] =
+      Seq(
+        "stream_minhash_ingest" ->
+          (k => StreamingOps.minhashIngestRun(spark, sfDir, k)),
+        "stream_embedding_ingest" ->
+          (k => StreamingOps.embeddingIngestRun(spark, sfDir, k)),
+        "stream_keep_best_ingest" ->
+          (k => StreamingOps.keepBestIngestRun(spark, sfDir, k)),
+        "stream_decontaminate_ingest" ->
+          (k => StreamingOps.decontaminateIngestRun(spark, sfDir, k)))
+
+    // JVM warm-up outside all timings (codegen, parquet, stream classes)
+    runs.head._2(2)
+
+    ks.foreach { k =>
+      runs.foreach { case (op, run) =>
+        epochMs.synchronized(epochMs.clear())
+        val t0 = System.nanoTime()
+        val (df, n) = run(k)
+        val rows = Bench.force(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val per = epochMs.synchronized(
+          epochMs.toSeq.sortBy(_._1).map(_._2))
+        println(f"""{"metric":"ingest_chain","op":"$op","k":$k,""" +
+          f""""batches":$n,"total_sec":$sec%.2f,"rows":$rows,""" +
+          s""""per_epoch_ms":${per.mkString("[", ",", "]")},""" +
+          s""""sf":"$sfDir"}""")
+      }
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+}

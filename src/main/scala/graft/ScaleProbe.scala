@@ -204,7 +204,10 @@ object ScaleProbe {
     "join_asof_forward", "events_dau", "events_stickiness",
     // chained-stateful + sketch family (all user-axis)
     "stream_conversion_lag", "stream_dau", "udaf_topk_sketch",
-    "events_pattern_until", "events_conversion_lag")
+    "events_pattern_until", "events_conversion_lag",
+    // round-11 add: the bounded until — same buffered-window state
+    // bounds as the quantified pattern, user-axis like all CEP
+    "stream_pattern_until_bounded")
 
   private def queriesFor(mode: String): Seq[String] = mode match {
     case "identical" => IdenticalQueries

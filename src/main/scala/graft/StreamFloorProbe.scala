@@ -26,7 +26,12 @@ import org.apache.spark.sql.SparkSession
   * BASELINE.md §"Streaming floor".
   *
   * Run: sbt "runMain graft.StreamFloorProbe [N]" (default: the 8-op
-  * mixed family below; prints one JSON line).
+  * mixed family below; prints one JSON line). With `--family` it
+  * instead measures the ENTIRE registered streaming family (every
+  * `stream_*` key in SparkEntry.queries) sequential vs concurrent —
+  * the round-11 concurrent bench lane: the sweep's per-op streaming
+  * line is a regression tracker, this number is the honest marginal
+  * cost of deploying the family together.
   */
 object StreamFloorProbe {
 
@@ -38,6 +43,7 @@ object StreamFloorProbe {
     "stream_transitions", "stream_zscore")
 
   def main(args: Array[String]): Unit = {
+    val family = args.contains("--family")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,26 +61,36 @@ object StreamFloorProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm the JVM (codegen, state-store classes) outside both timings
-    runOne(Ops.head)
+    val ops =
+      if (family) SparkEntry.queries.keys.filter(_.startsWith("stream_"))
+        .toSeq.sorted
+      else Ops
+    val metric = if (family) "stream_floor_family" else "stream_floor"
+    // cap the pool below the executor thread count so the concurrent
+    // lane measures query interleaving, not driver-thread starvation —
+    // and so the ingest quartet's staging writes don't all collide
+    val poolSize = math.min(ops.size, 8)
 
-    val seqTimes = Ops.map(op => op -> runOne(op))
+    // warm the JVM (codegen, state-store classes) outside both timings
+    runOne(ops.head)
+
+    val seqTimes = ops.map(op => op -> runOne(op))
     val seqTotal = seqTimes.map(_._2).sum
 
-    val pool = Executors.newFixedThreadPool(Ops.size)
+    val pool = Executors.newFixedThreadPool(poolSize)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val fs = Ops.map(op => Future(runOne(op)))
+    val fs = ops.map(op => Future(runOne(op)))
     Await.result(Future.sequence(fs), Duration.Inf)
     val concTotal = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
 
     val per = seqTimes.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"stream_floor","sequential_sec":$seqTotal%.2f,""" +
-      f""""concurrent_sec":$concTotal%.2f,"ops":${Ops.size},""" +
-      s""""per_op_sequential":$per,"sf":"$sfDir"}""")
+    println(f"""{"metric":"$metric%s","sequential_sec":$seqTotal%.2f,""" +
+      f""""concurrent_sec":$concTotal%.2f,"ops":${ops.size},""" +
+      s""""pool":$poolSize,"per_op_sequential":$per,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

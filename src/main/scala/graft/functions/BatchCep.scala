@@ -178,6 +178,20 @@ object BatchCep {
         quant = Some((name, tc, loAtQuant))
         rest = tail
 
+      case Cep.UntilClose(name, tc, closeName, closeTc) :: tail =>
+        // round-11: the bounded until — one bind leg for the REQUIRED
+        // close, then the shared quantifier count join with the close
+        // as the (only) later binding; zero loop occurrences are
+        // admitted because no pivot leg runs (the count join's
+        // left-join count handles zero), and `matchedNow` in the final
+        // quant block keys off the close binding exactly as eval does
+        require(quant.isEmpty, "BatchCep: one quantifier per pattern")
+        val loAtQuant = st.lo
+        st = bindLeg(st, closeName, closeTc, matchedOnly)
+        quant = Some((name, tc, loAtQuant))
+        afterQuant :+= closeName
+        rest = tail
+
       case Cep.Opt(name, tc) :: tail =>
         require(quant.isEmpty,
           "BatchCep: optional after a quantifier is unsupported")

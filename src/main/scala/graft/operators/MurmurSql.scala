@@ -46,8 +46,12 @@ private[operators] object MurmurSql {
     * CODE UNITS — for any supplementary (non-BMP) character the two
     * disagree (one codepoint vs a surrogate pair), so this mirror is
     * exact only for BMP text. The synthetic corpus is ASCII (pinned by
-    * llm_text_stats' n_chars==length(text) valid flag); a non-ASCII
-    * fixture would fail the oracle hash gate loudly, and the fix is a
+    * llm_text_stats' n_chars==length(text) valid flag); the guard is
+    * ACTIVE since round 11 — TrainingDataSpec's "MurmurSql corpus
+    * precondition is LOUD" test scans the sf0.001/sf0.01 corpora and
+    * fails with a named precondition message on any non-ASCII row, so
+    * a future fixture change surfaces here rather than as an
+    * inscrutable oracle hash mismatch. The fix for such a fixture is a
     * UTF-16 re-expansion in SQL, not a Scala-side change. */
   def stringHashCtes(p: String, src: String, seed: Long): String = {
     val s = seed & 0xffffffffL

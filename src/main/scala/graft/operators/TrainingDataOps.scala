@@ -174,6 +174,13 @@ object TrainingDataOps {
       .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
     val candEx = nrBands
       .join(repBands.select(col("vec_id").as("cand"), col("bk")), Seq("bk"))
+      // defensive mirror of candNw's ordering guard: the index holds
+      // strictly-smaller ids by construction, but a partially-failed or
+      // replayed index append (band rows landing before their epoch
+      // completes) could surface same-or-later ids here — without the
+      // filter a rep could match itself and band_of >= vec_id would
+      // corrupt verdicts silently instead of being ignored
+      .filter(col("cand") < col("vec_id"))
       .select(col("vec_id"), col("cand"))
     val candNw = nrBands.join(
         nrBands.select(col("vec_id").as("cand"), col("bk").as("bk2")),

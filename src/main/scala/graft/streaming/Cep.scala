@@ -72,6 +72,18 @@ object Cep {
   final case class Next(name: String, typeCode: Int) extends Step
   /** Greedy one-or-more (Flink `oneOrMore().greedy()`). */
   final case class OneOrMore(name: String, typeCode: Int) extends Step
+  /** ZERO-or-more loop ended by a required closing step (round-11:
+    * Flink `oneOrMore().until(condition)` under `within()` — the
+    * BOUNDED until, which IS sealable because the window, not the stop
+    * condition, bounds the buffer). Binds `closeName` to the FIRST
+    * `closeTc` event after the previous binding and counts loop
+    * occurrences strictly between; unlike [[OneOrMore]] the loop
+    * admits zero occurrences, and unlike [[Bind]] the close is
+    * REQUIRED — an open loop (no close within the window) fails with
+    * no binding and a null count, the batch `events_pattern_until`
+    * open-pattern shape with the window as the extra horizon. */
+  final case class UntilClose(name: String, typeCode: Int,
+      closeName: String, closeTc: Int) extends Step
   /** Terminal negation (Flink `notFollowedBy()` + `within()`). */
   final case class Absent(name: String, typeCode: Int) extends Step
 
@@ -102,6 +114,12 @@ object Cep {
       append(Opt(name, typeCode))
     def oneOrMoreGreedy(name: String, typeCode: Int): Pattern =
       append(OneOrMore(name, typeCode))
+    def oneOrMoreUntil(name: String, typeCode: Int,
+        closeName: String, closeTc: Int): Pattern = {
+      require(!steps.exists(_.name == closeName),
+        s"duplicate step $closeName")
+      append(UntilClose(name, typeCode, closeName, closeTc))
+    }
     def notFollowedBy(name: String, typeCode: Int): Pattern =
       append(Absent(name, typeCode))
     def next(name: String, typeCode: Int): Pattern =
@@ -109,7 +127,10 @@ object Cep {
 
     /** Event types the pattern reads — the processor buffers only these
       * (an absence pattern halves its state by skipping the rest). */
-    def wantedTypes: Set[Int] = steps.map(_.typeCode).toSet
+    def wantedTypes: Set[Int] = steps.flatMap {
+      case UntilClose(_, tc, _, closeTc) => Seq(tc, closeTc)
+      case s => Seq(s.typeCode)
+    }.toSet
 
     /** True when a strict-contiguity step is present: deciding "the
       * immediately following event" needs every alphabet type in the
@@ -175,6 +196,21 @@ object Cep {
                 }.toLong)
               }
               (Map(name -> pivot) ++ b, cc, m)
+          }
+
+        case UntilClose(name, tc, closeName, closeTc) :: tail =>
+          // the close is the pattern's progress point; loop occurrences
+          // count strictly between the previous binding and the close
+          // (zero admitted — the loop itself binds nothing)
+          firstOf(closeTc, lo) match {
+            case None => (Map.empty, Map.empty, false)
+            case Some(close) =>
+              val (b, c, m) = go(tail, close._1)
+              // count only on a full match, like OneOrMore's absorb
+              val cc = if (!m) c else c + (name -> events.count {
+                case (t, ts, _) => t == tc && ts > lo && ts < close._1
+              }.toLong)
+              (Map(closeName -> close) ++ b, cc, m)
           }
 
         case Opt(name, tc) :: tail =>

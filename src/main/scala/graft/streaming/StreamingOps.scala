@@ -732,6 +732,36 @@ object StreamingOps {
         .orderBy(col("signup_id"))
     }),
 
+    // Streaming BOUNDED until-quantifier CEP (round-11 add): A B*
+    // until C, within 1 h — signup, EVERY click up to the FIRST
+    // purchase, the window bounding what the batch op leaves open.
+    // `events_pattern_until` is deliberately batch-only because an
+    // OPEN until has no window for a buffer to seal (SURVEY §2.H);
+    // adding `within()` is exactly what makes the until sealable, so
+    // this op completes the streaming CEP matrix with the one
+    // quantifier shape it lacked: `Cep.oneOrMoreUntil` — a ZERO-or-
+    // more loop whose close is a required binding (vs `oneOrMore`'s
+    // pivot-required greedy loop). Same buffered-window machinery,
+    // state shape and timer bounds as stream_pattern_quantified; the
+    // verdict adds one bounded count over the sealed buffer.
+    "stream_pattern_until_bounded" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CepPatternProcessor(untilBoundedPattern,
+          untilBoundedProject),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "purchase_id", "b_count",
+          "us_to_close"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
     // Streaming exact-count CEP (round-5 add): A B{2} C within 1 h,
     // the `Pattern.times(2)` capability on the shared buffered-window
     // machinery (state shape, eviction and timer bounds unchanged; the
@@ -1244,9 +1274,14 @@ object StreamingOps {
   private def tableBatchDir(key: String, src: DataFrame, idCol: String,
       k: Int): String =
     stagedBatchDirs.computeIfAbsent(key, { _ =>
-      val dir = Files.createTempDirectory("graft_ingest_").toString
-      // once-per-staging O(1) driver scalar (epoch split, not query path)
-      val maxId = src.agg(max(col(idCol))).head().getLong(0)
+      val dir = registeredScratchDir("graft_ingest_")
+      // once-per-staging O(1) driver scalar (epoch split, not query
+      // path); an EMPTY table stages k empty files (maxId = -1), so
+      // the all-empty-stream readout paths stay exercisable
+      val maxId = {
+        val r = src.agg(max(col(idCol))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
       (0 until k).foreach { i =>
         val lo = (maxId + 1) * i / k
         val hi =
@@ -1298,11 +1333,16 @@ object StreamingOps {
     * cross-batch state is parquet (index) + the append sink (verdicts),
     * NOT the state store — executors hold nothing between batches, so
     * the stream restarts from the staged epoch like any batch job.
-    * Replay (foreachBatch is at-least-once): verdict rows are a
-    * deterministic function of (doc, index), so a replayed batch
-    * appends byte-identical rows a reader dedupes by doc_id — a
-    * durable deployment writes the sink partitioned by batch id and
-    * overwrites, making the retry idempotent outright.
+    * Replay + restart (round 11, pinned by StreamIngestSpec's kill and
+    * checkpoint-tamper tests): the index version is KEYED ON batchId —
+    * the exactly-once idiom — and written with mode=overwrite, so a
+    * replayed epoch re-reads the same committed predecessor v(b) and
+    * deterministically re-materializes v(b+1); verdict rows are a
+    * deterministic function of (batch, v(b)) and the readout folds the
+    * append sink through `distinct()`, so a replayed append collapses
+    * exactly. Every kill point therefore resumes to the byte-identical
+    * final table: [[minhashIngestRunAt]] recovers the arrival horizon
+    * from the checkpoint's committed-batch count + the staged files.
     * Returns (verdicts ordered by doc_id, number of micro-batches). */
   /** One audited copy of the ingest family's run discipline: throwaway
     * checkpoint, then start under the narrowed conf window — shuffle
@@ -1312,26 +1352,107 @@ object StreamingOps {
     * where 32-way shuffles and per-stage AQE re-planning are pure
     * scheduling overhead — the same rationale and set→start→restore
     * pattern as [[runToMemory]]'s window. On a real cluster
-    * `spark.graft.streaming.statePartitions` scales the width back up. */
+    * `spark.graft.streaming.statePartitions` scales the width back up.
+    * Known benign race (mirrors runToMemory): start() counts down the
+    * stream-start latch before the micro-batch session clone is taken,
+    * so the clone can occasionally capture the already-restored (wide,
+    * AQE-on) conf — perf-only; if bench numbers for the ingest family
+    * ever go flaky, restore the conf from a StreamingQueryListener
+    * after the first batch instead. */
   private def runIngest(s: SparkSession)(build: =>
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): Unit = {
     val ckpt = tempCheckpointDir()
-    try {
-      val q = confLock.synchronized {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        try build.option("checkpointLocation", ckpt).start()
-        finally {
-          s.conf.set("spark.sql.shuffle.partitions", prev)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-        }
-      }
-      q.awaitTermination()
-    } finally deleteRecursively(ckpt)
+    try runIngestAt(s, ckpt)(build)
+    finally deleteRecursively(ckpt)
   }
+
+  /** [[runIngest]] against a CALLER-OWNED checkpoint that survives the
+    * run — the kill-and-resume path: a second invocation with the same
+    * checkpoint resumes from the committed offsets, replaying at most
+    * the one in-flight batch (which the batchId-keyed versioned state
+    * writes make idempotent — see the ingest runs' replay notes and
+    * StreamIngestSpec's kill/tamper tests). */
+  private def runIngestAt(s: SparkSession, ckpt: String)(build: =>
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val q = confLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try build.option("checkpointLocation", ckpt).start()
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+    q.awaitTermination()
+  }
+
+  /** Thrown by an ingest run's fault-injection hook (`failBeforeEpoch`)
+    * at the TOP of the targeted micro-batch, before any state or sink
+    * write — the clean kill point StreamIngestSpec uses to prove
+    * checkpoint resume; the tampered-checkpoint test covers the dirty
+    * (mid-epoch replay) points. */
+  private[graft] final class PlannedIngestKill(epoch: Long)
+    extends RuntimeException(s"planned ingest kill before epoch $epoch")
+
+  /** Number of COMMITTED micro-batches in a streaming checkpoint — the
+    * recovery source of truth for the resumable ingest runs: batch ids
+    * are 0-based and consecutive, so the committed count is both the
+    * next expected batchId and the version number of the last durable
+    * state directory. */
+  private[graft] def committedBatches(ckpt: String): Int = {
+    val f = new java.io.File(s"$ckpt/commits")
+    if (!f.isDirectory) 0
+    else f.listFiles().iterator.map(_.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toInt).foldLeft(-1)(math.max) + 1
+  }
+
+  /** High-watermark id over the first `n` staged batch files — recovery
+    * for the monotone-arrival guard after a kill: the committed count
+    * identifies exactly which staged files were folded into the
+    * persisted state, so the guard resumes with the true horizon and a
+    * replayed (uncommitted) batch still passes it, as it must for the
+    * idempotent-replay story. */
+  private def stagedMaxId(s: SparkSession, srcDir: String, idCol: String,
+      n: Int): Long =
+    if (n <= 0) Long.MinValue
+    else {
+      val files = (0 until n).map(i => f"$srcDir/batch_$i%02d.parquet")
+      val r = s.read.parquet(files: _*).agg(max(col(idCol))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
+
+  /** Per-run scratch dirs (ingest output / versioned index roots),
+    * registered for deletion when the JVM exits: the returned readout
+    * frames read these paths lazily, so eager per-run deletion would
+    * break the caller — exit-time cleanup bounds the garbage to the
+    * session instead of leaking it across repeated Verify/Bench/
+    * ScaleProbe invocations. (The staged batch-dir CACHE is separate
+    * and intentional — it is reused across runs — but registered too,
+    * since at exit nothing can reuse it.) */
+  private val scratchRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val scratchHookInstalled: Unit = {
+    sys.addShutdownHook {
+      scratchRegistry.forEach(d => deleteRecursively(d))
+    }
+    ()
+  }
+  private[graft] def registeredScratchDir(prefix: String): String = {
+    scratchHookInstalled
+    val d = Files.createTempDirectory(prefix).toString
+    scratchRegistry.add(d)
+    d
+  }
+
+  private def emptyFrame(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
 
   /** The id-ordered-arrival guard shared by the stateful ingest ops:
     * one O(1)-row driver scalar per batch, returning Some((lo, hi))
@@ -1354,57 +1475,92 @@ object StreamingOps {
 
   private[graft] def minhashIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try minhashIngestRunAt(s, d, k,
+      registeredScratchDir("graft_mhi_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[minhashIngestRun]]: `root` holds the append
+    * sink (`out/`) and the batchId-keyed index versions (`idx/v{b}`);
+    * `ckpt` is the caller-owned streaming checkpoint. A re-invocation
+    * with the same (root, ckpt) recovers — committed count from the
+    * checkpoint, arrival horizon from the committed staged files — and
+    * resumes; `failBeforeEpoch = e` injects a [[PlannedIngestKill]] at
+    * the top of epoch e (1-based), the clean kill point. An EMPTY
+    * committed batch advances the version chain with an unchanged
+    * index copy so the successor's keyed read always finds v(b). */
+  private[graft] def minhashIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
     val srcDir = documentsBatchDir(s, d, k)
     val docSchema = documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       .schema
+    val emptyDocs = documents(s, d).filter(lit(false))
     val idxSchema = graft.operators.LlmOps
-      .minhashBandIndex(documents(s, d).filter(lit(false))).schema
-    val outDir = Files.createTempDirectory("graft_mhi_out_").toString
-    val idxRoot = Files.createTempDirectory("graft_mhi_idx_").toString
-    val curIdx = new java.util.concurrent.atomic.AtomicReference[String]()
-    val prevMax =
-      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val nBatches = new AtomicInteger(0)
-    runIngest(s) {
+      .minhashBandIndex(emptyDocs).schema
+    val verdictSchema = {
+      val (g, b) = graft.operators.LlmOps.minhashBatchBanding(emptyDocs)
+      graft.operators.LlmOps.minhashVerdictsCore(emptyDocs, g, b,
+        emptyFrame(s, idxSchema)).schema
+    }
+    val outDir = s"$root/out"
+    val idxRoot = s"$root/idx"
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "doc_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
       s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
           val ss = batch.sparkSession
           batch.persist()
-          try monotoneBatchBounds(batch, "doc_id",
-              "stream_minhash_ingest", prevMax).foreach { case (_, hi) =>
+          try {
             val idx =
-              if (curIdx.get() == null)
-                ss.createDataFrame(
-                  java.util.Collections
-                    .emptyList[org.apache.spark.sql.Row](),
-                  idxSchema)
-              else ss.read.schema(idxSchema).parquet(curIdx.get())
-            // one banding per batch, shared by probe + index advance
-            // (the sketch UDF is the batch's compute kernel — persist
-            // so the two sink writes don't each re-run it)
-            val (bGroups, bBanded) =
-              graft.operators.LlmOps.minhashBatchBanding(batch)
-            bBanded.persist()
-            try {
-              graft.operators.LlmOps
-                .minhashVerdictsCore(batch, bGroups, bBanded, idx)
-                .write.mode("append").parquet(outDir)
-              val nextDir = s"$idxRoot/v${nBatches.incrementAndGet()}"
-              graft.operators.LlmOps.compactBandIndex(idx, bBanded)
-                .write.parquet(nextDir)
-              curIdx.set(nextDir)
-              prevMax.set(hi)
-            } finally bBanded.unpersist()
+              if (batchId == 0) emptyFrame(ss, idxSchema)
+              else ss.read.schema(idxSchema).parquet(s"$idxRoot/v$batchId")
+            val nextDir = s"$idxRoot/v${batchId + 1}"
+            monotoneBatchBounds(batch, "doc_id",
+                "stream_minhash_ingest", prevMax) match {
+              case None =>
+                // empty committed batch: advance the chain unchanged
+                idx.write.mode("overwrite").parquet(nextDir)
+              case Some((_, hi)) =>
+                // one banding per batch, shared by probe + index
+                // advance (the sketch UDF is the batch's compute
+                // kernel — persist so the two sink writes don't each
+                // re-run it)
+                val (bGroups, bBanded) =
+                  graft.operators.LlmOps.minhashBatchBanding(batch)
+                bBanded.persist()
+                try {
+                  graft.operators.LlmOps
+                    .minhashVerdictsCore(batch, bGroups, bBanded, idx)
+                    .write.mode("append").parquet(outDir)
+                  // keyed on batchId + overwrite: a replayed epoch
+                  // re-materializes the same deterministic content
+                  graft.operators.LlmOps.compactBandIndex(idx, bBanded)
+                    .write.mode("overwrite").parquet(nextDir)
+                  prevMax.set(hi)
+                } finally bBanded.unpersist()
+            }
+            nBatches.set(batchId.toInt + 1)
           } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
     }
-    (s.read.parquet(outDir).orderBy(col("doc_id")), nBatches.get())
+    val verdicts =
+      if (!new java.io.File(outDir).isDirectory)
+        emptyFrame(s, verdictSchema)
+      else s.read.schema(verdictSchema).parquet(outDir).distinct()
+    (verdicts.orderBy(col("doc_id")), nBatches.get())
   }
 
   /** §2.I streaming embedding-dedup INGEST (round-10 add): the
@@ -1434,10 +1590,33 @@ object StreamingOps {
     * at-least-once posture as [[minhashIngestRun]] — deterministic
     * rows, dedupe by vec_id (or per-batch overwrite partitions in a
     * durable deployment); a replayed index append adds duplicate band
-    * rows, which the min-candidate fold provably ignores. Returns
+    * rows, which the min-candidate fold ignores for strictly-smaller
+    * candidate ids — [[graft.operators.TrainingDataOps
+    * .embeddingVerdictsCore]]'s candEx guard drops any same-or-later
+    * id a partial append could surface, so the fold's minimum is
+    * unchanged under replay rather than merely assumed so. Returns
     * (verdicts ordered by vec_id, number of micro-batches). */
   private[graft] def embeddingIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try embeddingIngestRunAt(s, d, k,
+      registeredScratchDir("graft_ei_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[embeddingIngestRun]]: `root` holds the append
+    * sink (`out/`) and the append-only rep index (`reps/`, `bands/`);
+    * `ckpt` is the caller-owned checkpoint; `failBeforeEpoch` injects a
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch.
+    * Unlike the versioned runs there is no keyed state here — replay
+    * idempotence is ALGEBRAIC: duplicate index appends are absorbed by
+    * the candEx ordering guard + min-candidate folds
+    * ([[graft.operators.TrainingDataOps.embeddingVerdictsCore]]) and
+    * duplicate verdict appends by the readout's `distinct()`, so every
+    * kill point resumes to the identical final table. */
+  private[graft] def embeddingIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val srcDir = tableBatchDir(s"emb:$d@$k", emb, "vec_id", k)
@@ -1445,23 +1624,35 @@ object StreamingOps {
     // pinned geometry: parquet-metadata count, once per stream
     val (bands, bits) =
       graft.functions.CosineLsh.geometry(emb.count())
-    val outDir = Files.createTempDirectory("graft_ei_out_").toString
-    val repVecsDir = Files.createTempDirectory("graft_ei_reps_").toString
-    val repBandsDir = Files.createTempDirectory("graft_ei_bands_").toString
+    val outDir = s"$root/out"
+    val repVecsDir = s"$root/reps"
+    val repBandsDir = s"$root/bands"
+    Seq(outDir, repVecsDir, repBandsDir).foreach(p =>
+      Files.createDirectories(java.nio.file.Paths.get(p)))
     val bandsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bk",
         org.apache.spark.sql.types.LongType)))
-    val prevMax =
-      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    val nBatches = new AtomicInteger(0)
-    runIngest(s) {
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("stage",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dup_of",
+        org.apache.spark.sql.types.LongType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "vec_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
       s.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
           val ss = batch.sparkSession
           graft.functions.CosineSimilarity.register(ss)
           batch.persist()
@@ -1490,7 +1681,7 @@ object StreamingOps {
               verdicts.write.mode("append").parquet(outDir)
               nrBands.write.mode("append").parquet(repBandsDir)
               newReps.write.mode("append").parquet(repVecsDir)
-              nBatches.incrementAndGet()
+              nBatches.set(batchId.toInt + 1)
               prevMax.set(hi)
             } finally { newReps.unpersist(); nrBands.unpersist() }
           } finally batch.unpersist()
@@ -1498,7 +1689,11 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow())
     }
-    (s.read.parquet(outDir).orderBy(col("vec_id")), nBatches.get())
+    // distinct: a replayed epoch's re-appended verdict rows are
+    // byte-identical (deterministic function of batch + committed
+    // index), so the fold makes at-least-once delivery exact
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("vec_id")), nBatches.get())
   }
 
   /** §2.I streaming keep-best INGEST (round-10 add): the SELECTION
@@ -1525,15 +1720,35 @@ object StreamingOps {
     * |affected clusters|); the state write is O(corpus so far) rows of
     * 4 scalars per epoch — the once-per-epoch cost the persisted ops
     * document, honest here because epochs are coarse in deployment
-    * (daily), not per-second. Replay: the versioned write is the
-    * guard — a replayed batch re-targets an existing state_v(n+1)
-    * directory and `write.parquet` fails LOUDLY rather than corrupting
-    * the chain (a durable deployment overwrites the version
-    * atomically, which is idempotent because the advanced state is a
-    * deterministic function of (batch, prior state)). Returns (final
-    * keep-best state ordered by doc_id, number of micro-batches). */
+    * (daily), not per-second. Replay + restart (round 11, pinned by
+    * StreamIngestSpec's kill and checkpoint-tamper tests): the state
+    * version is KEYED ON batchId — the exactly-once idiom — and
+    * written with mode=overwrite, so a replayed epoch re-reads the
+    * same committed predecessor state_v(b)/surv_v(b) and atomically
+    * re-materializes v(b+1), idempotent because the advanced state is
+    * a deterministic function of (batch, prior state); a restart
+    * recovers the committed count from the checkpoint and resumes
+    * ([[keepBestIngestRunAt]]). Returns (final keep-best state ordered
+    * by doc_id, number of micro-batches). */
   private[graft] def keepBestIngestRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try keepBestIngestRunAt(s, d, k,
+      registeredScratchDir("graft_kbi_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[keepBestIngestRun]]: `root` holds the
+    * batchId-keyed state/survivor versions (`state_v{b}`/`surv_v{b}`);
+    * `ckpt` is the caller-owned streaming checkpoint; `failBeforeEpoch`
+    * injects a [[PlannedIngestKill]] at the top of the given (1-based)
+    * epoch. An EMPTY committed batch advances the chain with an
+    * unchanged copy so the successor's keyed read always finds its
+    * predecessor — which also makes an all-empty stream land on an
+    * empty state_v(k) instead of a missing-path readout. */
+  private[graft] def keepBestIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
     val srcDir = documentsBatchDir(s, d, k)
     val docSchema = documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
@@ -1552,43 +1767,53 @@ object StreamingOps {
         org.apache.spark.sql.types.DecimalType(38, 6)),
       org.apache.spark.sql.types.StructField("keep",
         org.apache.spark.sql.types.BooleanType)))
-    val root = Files.createTempDirectory("graft_kbi_").toString
-    val curVer = new AtomicInteger(0)
-    val prevMax =
-      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-    runIngest(s) {
+    val n0 = committedBatches(ckpt)
+    val curVer = new AtomicInteger(n0)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "doc_id", n0))
+    runIngestAt(s, ckpt) {
       s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
           val ss = batch.sparkSession
           batch.persist()
-          try monotoneBatchBounds(batch, "doc_id",
-              "stream_keep_best_ingest", prevMax).foreach { case (_, hi) =>
-            val v = curVer.get()
-            def empty(schema: org.apache.spark.sql.types.StructType) =
-              ss.createDataFrame(java.util.Collections
-                .emptyList[org.apache.spark.sql.Row](), schema)
+          try {
+            val v = batchId.toInt
             val state =
-              if (v == 0) empty(stateSchema)
+              if (v == 0) emptyFrame(ss, stateSchema)
               else ss.read.schema(stateSchema).parquet(s"$root/state_v$v")
             val surv =
-              if (v == 0) empty(survSchema)
+              if (v == 0) emptyFrame(ss, survSchema)
               else ss.read.schema(survSchema).parquet(s"$root/surv_v$v")
-            val (nextState, nextSurv) = graft.operators.LlmOps
-              .advanceEpochFrom(ss, batch, state, surv)
-            nextState.write.parquet(s"$root/state_v${v + 1}")
-            nextSurv.write.parquet(s"$root/surv_v${v + 1}")
+            val (nextState, nextSurv) = monotoneBatchBounds(batch,
+                "doc_id", "stream_keep_best_ingest", prevMax) match {
+              case None => (state, surv) // empty batch: unchanged copy
+              case Some((_, hi)) =>
+                prevMax.set(hi)
+                graft.operators.LlmOps
+                  .advanceEpochFrom(ss, batch, state, surv)
+            }
+            // keyed on batchId + overwrite: a replayed epoch atomically
+            // re-materializes the same deterministic content
+            nextState.write.mode("overwrite")
+              .parquet(s"$root/state_v${v + 1}")
+            nextSurv.write.mode("overwrite")
+              .parquet(s"$root/surv_v${v + 1}")
             curVer.set(v + 1)
-            prevMax.set(hi)
           } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
     }
     val n = curVer.get()
-    (s.read.schema(stateSchema).parquet(s"$root/state_v$n")
+    val finalState =
+      if (n == 0) emptyFrame(s, stateSchema)
+      else s.read.schema(stateSchema).parquet(s"$root/state_v$n")
+    (finalState
       .select(col("doc_id"), col("cluster_id"),
         col("q").cast("double").as("quality"), col("keep"))
       .orderBy(col("doc_id")), n)
@@ -1620,6 +1845,21 @@ object StreamingOps {
     * ordered by doc_id, number of micro-batches). */
   private[graft] def decontaminateIngestRun(s: SparkSession, d: String,
       k: Int): (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try decontaminateIngestRunAt(s, d, k,
+      registeredScratchDir("graft_di_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[decontaminateIngestRun]]: the easiest resume
+    * in the quartet — the append sink is the ONLY state and the
+    * count-distinct readout is idempotent under duplicate appends, so
+    * a kill at any point (including mid-append) resumes exactly with
+    * no version keying and no ordering guard. `failBeforeEpoch`
+    * injects a [[PlannedIngestKill]] at the top of the given epoch. */
+  private[graft] def decontaminateIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
     val srcDir = documentsBatchDir(s, d, k)
     val docSchema = documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
@@ -1634,21 +1874,24 @@ object StreamingOps {
     val sketch = testGrams.select(col("g")).distinct()
       .stat.bloomFilter("g", nTest, 0.01)
     val mightContain = udf((g: Long) => sketch.mightContainLong(g))
-    val outDir = Files.createTempDirectory("graft_di_out_").toString
-    val nBatches = new AtomicInteger(0)
-    runIngest(s) {
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val nBatches = new AtomicInteger(committedBatches(ckpt))
+    runIngestAt(s, ckpt) {
       s.readStream.schema(docSchema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
           val trainGrams = graft.operators.TrainingDataOps
             .trainShinglesOf(batch)
             .filter(mightContain(col("g")))
           testGrams.join(trainGrams, Seq("g"))
             .select(col("tkey"), col("g")).distinct()
             .write.mode("append").parquet(outDir)
-          nBatches.incrementAndGet()
+          nBatches.set(batchId.toInt + 1)
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -2434,6 +2677,8 @@ object StreamingOps {
     .oneOrMoreGreedy("click", 0).followedBy("purchase", 1)
   private[graft] val timesPattern = Cep.begin(CepWindowUs)
     .followedBy("click", 0, times = 2).followedBy("purchase", 1)
+  private[graft] val untilBoundedPattern = Cep.begin(CepWindowUs)
+    .oneOrMoreUntil("click", 0, "purchase", 1)
   private[graft] val absencePattern = Cep.begin(CepWindowUs)
     .notFollowedBy("purchase", 1)
   private[graft] val optionalPattern = Cep.begin(CepWindowUs)
@@ -2466,6 +2711,10 @@ object StreamingOps {
   private val timesProject =
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
       (key, sid, o.id("click1"), o.id("click2"), o.id("purchase"),
+        o.ts("purchase").map(_ - sTs))
+  private val untilBoundedProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("purchase"), o.counts.get("click"),
         o.ts("purchase").map(_ - sTs))
   private val absenceProject =
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
@@ -3089,6 +3338,43 @@ object StreamingOps {
        FROM s3, mx
        WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
        ORDER BY signup_id""",
+
+    // Batch recompute of the bounded until (round-11): first purchase
+    // within the 1 h window closes the loop; clicks counted strictly
+    // between signup and that close; open-within-window signups report
+    // null count — events_pattern_until's SQL with the window bound on
+    // the purchase join + the shared ms watermark-seal cutoff.
+    "stream_pattern_until_bounded" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            ck AS (SELECT user_id, event_id AS click_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts
+                   FROM events WHERE event_type = 'click'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            s1 AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                     p.purchase_id, p.p_ts,
+                     row_number() OVER (PARTITION BY s.signup_id
+                       ORDER BY p.p_ts, p.purchase_id) AS rn
+                   FROM sg s LEFT JOIN pu p
+                     ON p.user_id = s.user_id
+                    AND p.p_ts > s.s_ts
+                    AND p.p_ts <= s.s_ts + 3600000000),
+            f1 AS (SELECT * FROM s1 WHERE rn = 1)
+       SELECT f.user_id, f.signup_id, f.purchase_id,
+              CASE WHEN f.purchase_id IS NOT NULL
+                   THEN count(b.click_id) END AS b_count,
+              f.p_ts - f.s_ts AS us_to_close
+       FROM f1 f CROSS JOIN mx LEFT JOIN ck b
+         ON b.user_id = f.user_id
+        AND b.c_ts > f.s_ts AND b.c_ts < f.p_ts
+       WHERE (f.s_ts + 3600000000) // 1000 <= mx.wm
+       GROUP BY f.user_id, f.signup_id, f.purchase_id, f.p_ts, f.s_ts
+       ORDER BY f.signup_id""",
 
     // Batch recompute of the absence pattern + the same watermark
     // cutoff convention as stream_funnel: a signup's non-match is only

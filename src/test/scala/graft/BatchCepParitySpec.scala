@@ -160,6 +160,21 @@ class BatchCepParitySpec extends GraftSpec {
       "synthetic corpus lost its multi-click absorption case")
   }
 
+  test("until-bounded (round-11): required-close binding + zero-or-" +
+      "more count equal Cep.eval, with zero-click and open cases") {
+    corpora.foreach { c =>
+      checkBindings(c, "until_bounded", StreamingOps.untilBoundedPattern,
+        Seq("purchase"), counts = Seq("click"))
+    }
+    val o = synth.evalAll(StreamingOps.untilBoundedPattern)
+    assert(o.values.count(_.matched) >= 2,
+      "synthetic corpus lost its closed until chains")
+    assert(o.values.exists(_.counts.get("click").exists(_ >= 2)),
+      "synthetic corpus lost its multi-click until absorption case")
+    assert(o.values.exists(v => !v.matched),
+      "synthetic corpus lost its open-within-window case")
+  }
+
   test("absence / abandon survivors are exactly Cep.eval's matches") {
     corpora.foreach { c =>
       Seq(("absence", StreamingOps.absencePattern, Nil),

@@ -36,6 +36,8 @@ class CepPropertySpec extends AnyFunSuite {
   private def stepNames(s: Cep.Step): Seq[String] = s match {
     case Cep.Bind(n, _, t) =>
       if (t == 1) Seq(n) else (1 to t).map(k => s"$n$k")
+    // the loop name never binds; the close is the bindable name
+    case Cep.UntilClose(_, _, closeName, _) => Seq(closeName)
     case other => Seq(other.name)
   }
 
@@ -84,6 +86,12 @@ class CepPropertySpec extends AnyFunSuite {
               case Some(h) => b += name -> h; lo = h._1
               case None => failed = true
             }
+          case Cep.UntilClose(_, _, closeName, closeTc) =>
+            // zero-or-more loop: only the REQUIRED close binds/advances
+            first(closeTc, lo) match {
+              case Some(h) => b += closeName -> h; lo = h._1
+              case None => failed = true
+            }
           case Cep.Opt(name, tc) =>
             first(tc, lo) match {
               case Some(h) if !skipOf(i) => b += name -> h; lo = h._1
@@ -115,6 +123,12 @@ class CepPropertySpec extends AnyFunSuite {
             .minOption.getOrElse(deadline + 1L)
           name -> evs.count(e => e._1 == tc && e._2 > lo &&
             e._2 < hi && e._2 <= deadline).toLong
+        case (Cep.UntilClose(name, tc, closeName, _), i) =>
+          val lo = f.loAt(i)
+          val hi = f.b.get(closeName).map(_._1)
+            .getOrElse(deadline + 1L)
+          name -> evs.count(e => e._1 == tc && e._2 > lo &&
+            e._2 < hi && e._2 <= deadline).toLong
       }.toMap
 
     vectors.iterator.map(fold).find(_.m) match {
@@ -125,7 +139,8 @@ class CepPropertySpec extends AnyFunSuite {
     }
   }
 
-  // kinds: 0 bind, 1 bind x2, 2 opt, 3 oneOrMore, 4 next, 5 absent
+  // kinds: 0 bind, 1 bind x2, 2 opt, 3 oneOrMore, 4 next, 5 absent,
+  // 6 untilClose (round-11; closes on (tc+1)%3 — a distinct type)
   private def build(kinds: Seq[Int], tcs: Seq[Int]): Cep.Pattern = {
     var p = Cep.begin(WindowUs)
     kinds.zip(tcs).zipWithIndex.foreach { case ((k, tc), i) =>
@@ -137,6 +152,7 @@ class CepPropertySpec extends AnyFunSuite {
         case 3 => p.oneOrMoreGreedy(nm, tc)
         case 4 => p.next(nm, tc)
         case 5 => p.notFollowedBy(nm, tc)
+        case 6 => p.oneOrMoreUntil(nm, tc, s"${nm}c", (tc + 1) % 3)
       }
     }
     p
@@ -144,8 +160,8 @@ class CepPropertySpec extends AnyFunSuite {
 
   private val genCase: Gen[(Seq[Int], Seq[Int], Seq[Ev])] = for {
     len <- Gen.choose(1, 4)
-    kinds <- Gen.listOfN(len - 1, Gen.choose(0, 4))
-    last <- Gen.choose(0, 5)
+    kinds <- Gen.listOfN(len - 1, Gen.oneOf(0, 1, 2, 3, 4, 6))
+    last <- Gen.choose(0, 6)
     tcs <- Gen.listOfN(len, Gen.choose(0, 2))
     nEv <- Gen.choose(0, 12)
     evts <- Gen.listOfN(nEv, for {

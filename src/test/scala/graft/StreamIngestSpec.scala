@@ -129,6 +129,144 @@ class StreamIngestSpec extends GraftSpec {
     assert(got.exists(_._3), "fixture has no contamination at all")
   }
 
+  // ---- round 11: kill-and-resume + replay idempotence -----------------
+
+  private def killedBy(t: Throwable, what: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(c => Option(c.getMessage).exists(_.contains(what)))
+
+  private def freshRoot(): (String, String) = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_resume_").toString
+    (root, s"$root/ckpt")
+  }
+
+  test("stream_minhash_ingest kill-and-resume: a planned kill before " +
+      "epoch 3 resumes from the checkpoint to the one-shot truth") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.minhashIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"),
+      s"expected the planned kill, got $e")
+    assert(StreamingOps.committedBatches(ckpt) == 2,
+      "exactly epochs 1-2 should be committed at the kill point")
+    val (resumed, n) =
+      StreamingOps.minhashIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k, s"resume should end at $k total batches, got $n")
+    val oneShot = StreamingOps.minhashIngestRun(spark, sf, k)._1
+    assert(resumed.collect().toSeq == oneShot.collect().toSeq,
+      "resumed chain != one-shot chain")
+  }
+
+  test("stream_keep_best_ingest kill-and-resume: the batchId-keyed " +
+      "versioned state resumes to the from-scratch keep-best state") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.keepBestIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    // the committed prefix is durable: state_v1..v2 exist, v3+ don't
+    assert(new java.io.File(s"$root/state_v2").isDirectory)
+    assert(!new java.io.File(s"$root/state_v3").exists())
+    val (resumed, n) =
+      StreamingOps.keepBestIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    val got = resumed.collect().toSet
+    val expected = SparkEntry.queries("llm_dedup_keep_best")(spark, sf)
+      .collect().toSet
+    assert(got == expected, "resumed chain != from-scratch keep-best")
+  }
+
+  test("stream_keep_best_ingest replayed epoch: tampering the " +
+      "checkpoint's last commit replays the epoch, whose keyed " +
+      "overwrite re-materializes identical state (at-least-once is " +
+      "exact, not just loud)") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val (first, n1) =
+      StreamingOps.keepBestIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n1 == k)
+    val firstRows = first.collect().toSeq
+    // simulate a crash AFTER the epoch-k state write but BEFORE the
+    // checkpoint commit: drop the last commit marker, forcing Spark to
+    // replay batch k-1 against the already-written state_v(k)
+    val lastCommit = new java.io.File(s"$ckpt/commits/${k - 1}")
+    assert(lastCommit.isFile, s"expected commit marker $lastCommit")
+    assert(lastCommit.delete())
+    // Hadoop's local ChecksumFileSystem keeps a .crc sibling; leaving
+    // it behind makes the re-commit's atomic create fail as a spurious
+    // "concurrent query" — a real crash loses both together
+    new java.io.File(s"$ckpt/commits/.${k - 1}.crc").delete()
+    assert(StreamingOps.committedBatches(ckpt) == k - 1)
+    val (replayed, n2) =
+      StreamingOps.keepBestIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(StreamingOps.committedBatches(ckpt) == k,
+      "the replayed epoch should re-commit")
+    assert(replayed.collect().toSeq == firstRows,
+      "replayed epoch changed the final state — replay is not idempotent")
+  }
+
+  test("stream_decontaminate_ingest kill-and-resume: the idempotent " +
+      "append sink resumes to the one-shot answer with no guard") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.decontaminateIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 2)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    val (resumed, n) =
+      StreamingOps.decontaminateIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    val got = resumed.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val expected = SparkEntry.queries("llm_decontaminate")(spark, sf)
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got == expected)
+  }
+
+  test("stream_embedding_ingest kill-and-resume: algebraic replay " +
+      "absorption (candEx guard + min folds + distinct readout) " +
+      "resumes to the one-shot verdicts") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.embeddingIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    val (resumed, n) =
+      StreamingOps.embeddingIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    val oneShot = StreamingOps.embeddingIngestRun(spark, sf, k)._1
+    assert(resumed.collect().toSeq == oneShot.collect().toSeq,
+      "resumed embedding chain != one-shot chain")
+  }
+
+  test("stream_keep_best_ingest all-empty stream: the version chain " +
+      "advances through empty epochs and the readout is an empty " +
+      "frame, not a missing-path failure") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_kbi_empty_").toString
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .filter(lit(false))
+      .write.parquet(s"$dir/documents.parquet")
+    val (state, n) = StreamingOps.keepBestIngestRun(spark, dir, 3)
+    assert(state.columns.toSeq ==
+      Seq("doc_id", "cluster_id", "quality", "keep"))
+    assert(state.count() == 0)
+    assert(n == 3, s"3 empty epochs should still advance the chain, got $n")
+  }
+
   test("the ingest family's id-ordering guard fails LOUDLY on an " +
       "out-of-order batch and passes bounds through on a monotone one") {
     import spark.implicits._

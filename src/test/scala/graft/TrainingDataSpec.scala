@@ -568,6 +568,29 @@ class TrainingDataSpec extends GraftSpec {
       "spark.graft.repetitionCollapse", "llm_repetition")
   }
 
+  test("MurmurSql corpus precondition is LOUD: the documents table is " +
+      "pure ASCII, so the DuckDB UTF-16 hash mirrors are exact") {
+    // The string-hash oracle mirrors (MurmurSql.stringHashCtes, the
+    // fingerprint rolling hash, the mm_* payload hashes) consume UTF-16
+    // code units on the JVM but Unicode codepoints in DuckDB — exact
+    // only for BMP text, and byte-exact only for ASCII. A non-ASCII
+    // fixture must fail HERE with a named precondition, not downstream
+    // as an inscrutable oracle hash mismatch (round-10 review item 6).
+    Seq("sf0.001", "sf0.01").foreach { sfn =>
+      val docs = Tables.documents(spark, s"/root/testdata/$sfn")
+      val offenders = docs
+        .filter(col("text").rlike("[^\\x00-\\x7F]") ||
+          col("lang").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(offenders == 0,
+        s"PRECONDITION VIOLATED ($sfn): $offenders document rows carry " +
+          "non-ASCII text, but the DuckDB hash-oracle mirrors " +
+          "(MurmurSql.stringHashCtes and kin) are exact only for " +
+          "ASCII/BMP — fix is a UTF-16 re-expansion in the SQL mirror, " +
+          "see MurmurSql scaladoc")
+    }
+  }
+
   test("llm_decontaminate collapse path equals the direct path on a " +
       "replica-heavy corpus (both bloom variants)") {
     // Round-9 collapse: the train stream shingles DISTINCT texts only
