@@ -94,7 +94,11 @@ object PlanDump {
     "llm_minhash_lsh_incremental" ->
       "incremental MinHash-LSH dedup (round-10 op): (text, lang) rep collapse, then the band equi-join probes ONLY with reps of groups carrying a new doc (has_new filter feeds the join's left exchange) against the full banded index — candidate volume O(|new groups| x bucket density); the member expansion emits exactly the admissible (new, candidate) pairs into a partial+final min-agg, one verdict row per new doc",
     "llm_minhash_lsh_persisted" ->
-      "persisted band-index MinHash-LSH dedup (round-10 op): the existing corpus's banded reps assemble from the staged epoch parquet (FileScan graft_epoch_*/bands); every documents FileScan carries the doc_id >= thr batch pushdown — the corpus is never re-banded (PlanShapeSpec asserts it); existing-side verdicts fold at rep level (id-ordering makes min admissible member = rep), batch-vs-batch expands members only within the batch")
+      "persisted band-index MinHash-LSH dedup (round-10 op): the existing corpus's banded reps assemble from the staged epoch parquet (FileScan graft_epoch_*/bands); every documents FileScan carries the doc_id >= thr batch pushdown — the corpus is never re-banded (PlanShapeSpec asserts it); existing-side verdicts fold at rep level (id-ordering makes min admissible member = rep), batch-vs-batch expands members only within the batch",
+    "llm_perplexity_bucket" ->
+      "CCNet perplexity terciles (round-11 op): the shared bigram-LM CTEs feed per-doc integer micro-nat scores; the tercile cutoffs come from a 0.01-nat BIN histogram (bounded table) — the only Window in the plan sorts the bin rollup, never the corpus (no global-ntile corpus sort), and the two cutoffs ride a broadcast cross join into the per-doc bucket CASE",
+    "llm_semantic_dedup" ->
+      "SemDeDup (round-11 op): micro-unit centroids broadcast for the c_sim pass (corpus streams past ncells rows, no shuffle); in-cluster pair generation is a label-keyed hash EQUI-join (never a cartesian) feeding a partial+final min agg — pair volume O(Σ cell²), the method's cost model, with the quantizer contract ncells ≈ √n at corpus scale")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are

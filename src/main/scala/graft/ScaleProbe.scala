@@ -122,7 +122,23 @@ object ScaleProbe {
     // keep_best_persisted shape) plus the 4-trigger floor; measured
     // 16.5 s at 4× → 16.4 s at 16× (staging-inclusive, state rows
     // 20k → 80k) — FLAT on the replica axis
-    "stream_keep_best_ingest")
+    "stream_keep_best_ingest",
+    // round-11 add: the perplexity terciles inherit llm_ngram_lm's
+    // adaptive text-collapse (scores collapse to distinct texts; the
+    // histogram/cutoff stage is bin-bounded at any factor), so the
+    // expected curve is ngram_lm's flat collapse-first one; measured
+    // 7.6 s at 4× (cold JVM) → 4.4 s at 16× — flat, as expected
+    "llm_perplexity_bucket",
+    // round-11 add: SemDeDup's contract assumes an exact-dedup'd
+    // corpus (llm_prep_pipeline upstream) and a quantizer sized
+    // ncells ≈ √n, so identical replicas on the FIXED 10-cell
+    // pretrained quantizer are its documented adversarial regime —
+    // in-cluster populations grow k× and pair volume k² (the same
+    // fixed-geometry lesson as the round-3 LSH banding); measured
+    // 2.65 s at 4× → 4.87 s at 16× (codegen'd cosine keeps the k²
+    // pair volume cheap at this scale; the curve, not the level, is
+    // the fixed-quantizer signal)
+    "llm_semantic_dedup")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

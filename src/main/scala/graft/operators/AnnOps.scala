@@ -146,8 +146,12 @@ object AnnOps {
     * loop). The probe ranking deliberately orders by the RAW csim
     * double — safe cross-engine precisely because the doubles are
     * identical, with the c_label tie-break for exact ties. */
-  private def annIvfOracleSql: String =
-    s"""WITH cent AS (
+  /** The micro-unit centroid CTEs (`cent`, `cvecs`) of the DuckDB
+    * mirror — the SQL image of [[centroids]], shared verbatim by the
+    * `llm_ann_ivf` and `llm_semantic_dedup` oracles so the arithmetic
+    * is transcribed exactly once. */
+  private[operators] val centroidCtesSql: String =
+    """cent AS (
          SELECT label, j,
            CASE WHEN sm >= 0 THEN sm // n
                 ELSE -((-sm) // n) END / 1000000.0 AS c
@@ -159,7 +163,10 @@ object AnnOps {
            FROM embeddings e, range(1, 65) t(j)
            GROUP BY 1, 2)),
        cvecs AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
-                 FROM cent GROUP BY 1),
+                 FROM cent GROUP BY 1)"""
+
+  private def annIvfOracleSql: String =
+    s"""WITH $centroidCtesSql,
        qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),
        probes AS (

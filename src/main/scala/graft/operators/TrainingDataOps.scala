@@ -1516,31 +1516,95 @@ object TrainingDataOps {
     // answers expand by one gid-keyed join. `spark.graft.ngramLmCollapse`
     // = always|never overrides for the both-paths test. Group key is
     // just (text): the LM is lang-blind.
-    "llm_ngram_lm" -> ((s, d) => {
-      val docs = documents(s, d)
-      val collapse = AdaptiveCollapse.decideByMass(s, docs,
-        "spark.graft.ngramLmCollapse", xxhash64(col("text")))
-      val out =
-        if (!collapse)
-          ngramLmScores(docs.withColumn("k", lit(1L)))
-            .select(col("gid").as("doc_id"), col("p"), col("n_bigrams"))
-        else {
-          val withG = AdaptiveCollapse.withGid(
-            docs.select(col("doc_id"), col("text")), "doc_id",
-            Seq("text"), withK = true).localCheckpoint()
-          val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
-            .select(col("doc_id"), col("text"), col("k"))
-          withG.select(col("doc_id"), col("gid"))
-            .join(ngramLmScores(reps), Seq("gid"))
-            .select(col("doc_id"), col("p"), col("n_bigrams"))
-        }
-      documents(s, d).select(col("doc_id"))
-        .join(out, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+    "llm_ngram_lm" -> ((s, d) =>
+      ngramLmPerDoc(s, d)
+        .select(col("doc_id"), col("n_bigrams"),
           (expr("(2 * p + n_bigrams) div (2 * n_bigrams)") / lit(1e6))
             .as("avg_nll"))
+        .orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing (round-11 add; Wenzek et al.,
+    // "CCNet: Extracting High Quality Monolingual Datasets from Web
+    // Crawl Data"): split the corpus into head/middle/tail TERCILES of
+    // the bigram-LM score (low avg_nll = fluent = head), the standard
+    // pretraining-mix quality gate. The tercile cutoffs are computed on
+    // a BOUNDED histogram, not a global sort: per-doc integer micro-nat
+    // scores quantize to 0.01-nat bins (`us div 10000` — avg_nll
+    // realistically spans < 30 nats, so ≤ ~3000 bins at ANY corpus
+    // size), bin counts roll up in one agg, and the two cutoff bins
+    // come from a cumulative sum over that constant-sized table —
+    // O(corpus) work + O(bins) driver-free arithmetic, vs the naive
+    // global ntile whose sort shuffles the corpus to one partition.
+    // Boundary-bin docs land in the LOWER bucket (bucket boundaries are
+    // bin-granular by contract — deterministic, and at 0.01-nat
+    // granularity immaterial). Docs with no bigrams bucket as 'na'.
+    // Determinism: scores, bins and cutoffs are pure bigint arithmetic
+    // (the llm_ngram_lm micro-nat discipline); all operands are
+    // non-negative so Spark `div` ≡ DuckDB `//`.
+    "llm_perplexity_bucket" -> ((s, d) => {
+      val base = ngramLmPerDoc(s, d)
+      val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
+      val usBin = expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+      val hist = base.filter(col("n_bigrams") > 0)
+        .select(us.as("us"))
+        .groupBy(expr("us div 10000").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      // Window over the BIN table only (≤ ~3000 rows however large the
+      // corpus) — the single-partition sort is bounded by construction.
+      val wcum = Window.orderBy(col("bin"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+      val nn = hist.agg(sum(col("cnt")).as("n"))
+      val cuts = cum.crossJoin(broadcast(nn))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
+      base.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_bigrams"),
+          (us / lit(1e6)).as("avg_nll"),
+          when(col("n_bigrams") === lit(0L), lit("na"))
+            .when(usBin <= col("b1"), lit("head"))
+            .when(usBin <= col("b2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (round-11 add; Abbas et al., "SemDeDup: Data-efficient
+    // learning at web-scale through semantic deduplication"): offline
+    // k-means clustering (the pretrained `label`, like llm_ann_ivf's
+    // coarse quantizer) + WITHIN-cluster pairwise cosine; a doc is
+    // dropped when an EARLIER member sits within the 0.4 cosine radius,
+    // where "earlier" is the SemDeDup keep order — ascending centroid
+    // similarity, vec_id tie-break — so the cluster's OUTLIERS survive
+    // and redundant core points drop (the paper's diversity-preserving
+    // choice; llm_embedding_neardup's min-id order is the contrast).
+    // Cross-cluster near-dups are deliberately out of contract: that
+    // approximation is the method's linear-scale bargain. Scale: one
+    // broadcast of the ncells×dim centroid table for c_sim, then pair
+    // generation is a label-keyed equi-join — O(Σ cell²) with the
+    // quantizer sized ncells ≈ √n, never corpus²; no corpus broadcast,
+    // no driver collect. Determinism: micro-unit centroids
+    // (AnnOps.centroids), pinned-order cosine accumulation, 6-dp
+    // rounds, and the 0.4 cutoff proven off-grid at all SFs
+    // (TrainingDataSpec).
+    "llm_semantic_dedup" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = embeddings(s, d)
+      val cent = AnnOps.centroids(emb)
+      val m = emb.join(broadcast(cent), col("label") === col("c_label"))
+        .withColumn("c_sim",
+          round(expr("cosine_sim(embedding, centroid)"), 6))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("c_sim"))
+      val y = m.select(col("vec_id").as("y_id"), col("label"),
+        col("embedding").as("y_emb"), col("c_sim").as("y_csim"))
+      val dup = m.join(y, Seq("label"))
+        .filter(col("y_csim") < col("c_sim") ||
+          (col("y_csim") === col("c_sim") && col("y_id") < col("vec_id")))
+        .filter(round(expr("cosine_sim(embedding, y_emb)"), 6) >= 0.4)
+        .groupBy(col("vec_id")).agg(min(col("y_id")).as("dup_of"))
+      m.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label").as("cluster_id"),
+          col("c_sim"), col("dup_of").isNull.as("kept"), col("dup_of"))
+        .orderBy(col("vec_id"))
     }),
 
     // Unigram naive-Bayes language ID trained on the corpus itself
@@ -1586,6 +1650,35 @@ object TrainingDataOps {
       }
     })
   )
+
+  /** Per-doc bigram-LM scores with the adaptive text collapse —
+    * (doc_id, p, n_bigrams) for EVERY doc (n_bigrams coalesced to 0,
+    * p null for bigram-less docs). Shared by `llm_ngram_lm` (score
+    * view) and `llm_perplexity_bucket` (tercile view) so both express
+    * the exact same model. */
+  private def ngramLmPerDoc(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val collapse = AdaptiveCollapse.decideByMass(s, docs,
+      "spark.graft.ngramLmCollapse", xxhash64(col("text")))
+    val out =
+      if (!collapse)
+        ngramLmScores(docs.withColumn("k", lit(1L)))
+          .select(col("gid").as("doc_id"), col("p"), col("n_bigrams"))
+      else {
+        val withG = AdaptiveCollapse.withGid(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          Seq("text"), withK = true).localCheckpoint()
+        val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
+          .select(col("doc_id"), col("text"), col("k"))
+        withG.select(col("doc_id"), col("gid"))
+          .join(ngramLmScores(reps), Seq("gid"))
+          .select(col("doc_id"), col("p"), col("n_bigrams"))
+      }
+    documents(s, d).select(col("doc_id"))
+      .join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("p"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
 
   /** The bigram-LM model + per-doc negative-log-prob sums over a
     * (doc_id, text, k) table, where `k` is each row's replica
@@ -2056,6 +2149,38 @@ object TrainingDataOps {
        SELECT doc_id, lang, n AS n_tokens, bin FROM walk
        ORDER BY doc_id"""
 
+  /** Shared CTE prefix of the bigram-LM mirrors — the SQL image of
+    * [[ngramLmPerDoc]]: model CTEs through `sc`, plus the all-docs
+    * `base` (p NULL / n_bigrams 0 for bigram-less docs). Reused by the
+    * `llm_ngram_lm` and `llm_perplexity_bucket` oracles so the model
+    * arithmetic is transcribed exactly once. */
+  private def ngramLmBaseSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+            bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bg
+                   FROM t, LATERAL unnest(generate_series(1, len(ws) - 1))
+                     AS g(i)),
+            tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
+            c12 AS (SELECT bg, sum(tf) AS c12 FROM tf GROUP BY 1),
+            uni AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+            vs AS (SELECT count(DISTINCT w) AS v FROM uni),
+            grid AS (SELECT bg,
+                       CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
+                         * 1000000, 0) AS BIGINT) AS lpm
+                     FROM c12
+                     JOIN c1 ON c1.w = string_split(bg, ' ')[1]
+                     CROSS JOIN vs),
+            sc AS (SELECT tf.doc_id,
+                     CAST(-sum(tf.tf * g.lpm) AS BIGINT) AS p,
+                     CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
+                   FROM tf JOIN grid g USING (bg) GROUP BY 1),
+            base AS (SELECT d.doc_id, s.p,
+                       coalesce(s.n_bigrams, 0) AS n_bigrams
+                     FROM documents d
+                     LEFT JOIN sc s ON s.doc_id = d.doc_id)"""
+
   val oracle: Map[String, String] = Map(
     "llm_fingerprint" -> fingerprintOracleSql,
     "llm_embedding_lsh" -> embeddingLshOracleSql,
@@ -2408,33 +2533,63 @@ object TrainingDataOps {
        ORDER BY lang""",
 
     "llm_ngram_lm" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-                    FROM documents),
-            bg AS (SELECT doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS bg
-                   FROM t, LATERAL unnest(generate_series(1, len(ws) - 1))
-                     AS g(i)),
-            tf AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2),
-            c12 AS (SELECT bg, sum(tf) AS c12 FROM tf GROUP BY 1),
-            uni AS (SELECT unnest(string_split(text, ' ')) AS w
-                    FROM documents),
-            c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
-            vs AS (SELECT count(DISTINCT w) AS v FROM uni),
-            grid AS (SELECT bg,
-                       CAST(round(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))
-                         * 1000000, 0) AS BIGINT) AS lpm
-                     FROM c12
-                     JOIN c1 ON c1.w = string_split(bg, ' ')[1]
-                     CROSS JOIN vs),
-            sc AS (SELECT tf.doc_id,
-                     CAST(-sum(tf.tf * g.lpm) AS BIGINT) AS p,
-                     CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
-                   FROM tf JOIN grid g USING (bg) GROUP BY 1)
-       SELECT d.doc_id,
-              coalesce(s.n_bigrams, 0) AS n_bigrams,
-              CAST((2 * s.p + s.n_bigrams) // (2 * s.n_bigrams) AS DOUBLE)
+      s"""$ngramLmBaseSql
+       SELECT doc_id, n_bigrams,
+              CAST((2 * p + n_bigrams) // (2 * n_bigrams) AS DOUBLE)
                 / 1000000 AS avg_nll
-       FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
-       ORDER BY d.doc_id""",
+       FROM base
+       ORDER BY doc_id""",
+
+    "llm_perplexity_bucket" ->
+      s"""$ngramLmBaseSql,
+            scored AS (SELECT ((2 * p + n_bigrams) // (2 * n_bigrams))
+                         // 10000 AS bin
+                       FROM base WHERE n_bigrams > 0),
+            hist AS (SELECT bin, count(*) AS cnt FROM scored GROUP BY 1),
+            cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
+                    FROM hist),
+            nn AS (SELECT sum(cnt) AS n FROM hist),
+            cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN bin END)
+                       AS b1,
+                     min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS b2
+                     FROM cum CROSS JOIN nn)
+       SELECT b.doc_id, b.n_bigrams,
+              CAST((2 * b.p + b.n_bigrams) // (2 * b.n_bigrams) AS DOUBLE)
+                / 1000000 AS avg_nll,
+              CASE WHEN b.n_bigrams = 0 THEN 'na'
+                   WHEN ((2 * b.p + b.n_bigrams) // (2 * b.n_bigrams))
+                        // 10000 <= c.b1 THEN 'head'
+                   WHEN ((2 * b.p + b.n_bigrams) // (2 * b.n_bigrams))
+                        // 10000 <= c.b2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM base b CROSS JOIN cuts c
+       ORDER BY b.doc_id""",
+
+    "llm_semantic_dedup" ->
+      s"""WITH ${AnnOps.centroidCtesSql},
+            m AS (SELECT e.vec_id, e.label,
+                    CAST(e.embedding AS DOUBLE[]) AS vec,
+                    round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                        c.cv)
+                      / (sqrt(list_dot_product(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(c.cv, c.cv))), 6)
+                      AS c_sim
+                  FROM embeddings e JOIN cvecs c ON c.c_label = e.label),
+            dup AS (SELECT x.vec_id, min(y.vec_id) AS dup_of
+                    FROM m x JOIN m y ON y.label = x.label
+                      AND (y.c_sim < x.c_sim
+                           OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id))
+                      AND round(list_dot_product(x.vec, y.vec)
+                        / (sqrt(list_dot_product(x.vec, x.vec))
+                           * sqrt(list_dot_product(y.vec, y.vec))), 6)
+                        >= 0.4
+                    GROUP BY 1)
+       SELECT m.vec_id, m.label AS cluster_id, m.c_sim,
+              d.dup_of IS NULL AS kept, d.dup_of
+       FROM m LEFT JOIN dup d ON d.vec_id = m.vec_id
+       ORDER BY m.vec_id""",
 
     "llm_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang,

@@ -550,4 +550,32 @@ class PlanShapeSpec extends GraftSpec {
       !loopPlan.contains("Exchange SinglePartition"),
       s"shuffle exchange inside the $label loop:\n$plan")
   }
+
+  test("llm_semantic_dedup generates in-cluster pairs via a label-keyed equi-join") {
+    val plan = finalPlan("llm_semantic_dedup")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // the corpus pair join must be an EQUI-join keyed by the cluster
+    // label (hash or sort-merge — size-based adaptivity may broadcast
+    // at test scale, the equi-key is the invariant); the centroid join
+    // is the only legitimate broadcast of a non-corpus side
+    val pairJoin =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[label#".r
+        .findFirstIn(plan).isDefined ||
+      plan.contains("hashpartitioning(label")
+    assert(pairJoin, s"pair join not keyed by label:\n$plan")
+  }
+
+  test("llm_perplexity_bucket's only Window sorts the bin table, never the corpus") {
+    val plan = finalPlan("llm_perplexity_bucket")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // exactly one Window operator, and its ordering key is the
+    // 0.01-nat bin — the cumulative sum over the BOUNDED histogram;
+    // a corpus-ordered window (the global-ntile shape this op exists
+    // to avoid) would key on the doc score instead
+    val windows = "windowspecdefinition\\((us#\\d+L )?bin#"
+      .r.findAllIn(plan).size
+    val allWindows = "windowspecdefinition\\(".r.findAllIn(plan).size
+    assert(allWindows == windows && windows >= 1,
+      s"unexpected window shape ($windows/$allWindows):\n$plan")
+  }
 }

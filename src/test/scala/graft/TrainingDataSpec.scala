@@ -667,4 +667,93 @@ class TrainingDataSpec extends GraftSpec {
     assert(got.values.exists(_._1 == "band_dup"))
     assert(got.values.exists(_._1 == "kept"))
   }
+
+  test("llm_perplexity_bucket: terciles are score-monotone intervals and reuse the llm_ngram_lm scores") {
+    val rows = SparkEntry.queries("llm_perplexity_bucket")(spark, sf)
+      .collect()
+    val lm = SparkEntry.queries("llm_ngram_lm")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows.length == lm.size)
+    rows.foreach { r =>
+      val (nbg, nll) = lm(r.getLong(0))
+      assert(r.getLong(1) == nbg)
+      assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) == nll,
+        s"doc ${r.getLong(0)} avg_nll drifted from llm_ngram_lm")
+      assert((r.getString(3) == "na") == (nbg == 0L))
+    }
+    val byBucket = rows.groupBy(_.getString(3))
+    // buckets are INTERVALS of the score axis (bin-granular): every
+    // head score < every middle score < every tail score
+    def nll(b: String): Array[Double] =
+      byBucket.getOrElse(b, Array.empty).map(_.getDouble(2))
+    Seq(("head", "middle"), ("middle", "tail")).foreach { case (lo, hi) =>
+      if (nll(lo).nonEmpty && nll(hi).nonEmpty)
+        assert(nll(lo).max < nll(hi).min, s"$lo/$hi overlap")
+    }
+    // tercile coverage: head ≥ n/3 of scored docs, head+middle ≥ 2n/3,
+    // and dropping the head's BOUNDARY BIN goes under a third (the
+    // cutoff bin is minimal)
+    val n = rows.count(_.getString(3) != "na")
+    val h = byBucket.getOrElse("head", Array.empty).length
+    val mid = byBucket.getOrElse("middle", Array.empty).length
+    assert(h > 0 && mid > 0 && h + mid < n, "all three buckets non-empty")
+    assert(h * 3 >= n)
+    assert((h + mid) * 3 >= 2 * n)
+    val headBins = byBucket("head")
+      .map(r => math.round(r.getDouble(2) * 1e6) / 10000)
+    assert((h - headBins.count(_ == headBins.max)) * 3 < n,
+      "head cutoff bin is not minimal")
+  }
+
+  test("llm_semantic_dedup: matches brute-force SemDeDup keep order") {
+    def hu(x: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val rows = SparkEntry.queries("llm_semantic_dedup")(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2))
+    }
+    assert(rows.length == vecs.length)
+    // micro-unit centroids — the AnnOps.centroids arithmetic, re-derived
+    // independently (BigDecimal.valueOf = Spark's double round path;
+    // Long./ = Spark's truncating `div`)
+    val cent: Map[Int, Array[Double]] = vecs.groupBy(_._3).map {
+      case (l, ms) =>
+        l -> Array.tabulate(ms.head._2.length) { j =>
+          val sm = ms.map(m => java.math.BigDecimal.valueOf(m._2(j) * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sum
+          (sm / ms.size) / 1e6
+        }
+    }
+    val withC = vecs.map { case (id, v, l) =>
+      (id, v, l, hu(cos(v, cent(l)), 6))
+    }
+    val got = rows.map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
+      r.getBoolean(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    withC.foreach { case (id, v, l, cs) =>
+      val (gl, gcs, kept, dupOf) = got(id)
+      assert(gl == l)
+      assert(gcs == cs, s"vec $id c_sim: got $gcs expected $cs")
+      // SemDeDup keep order: ascending (c_sim, vec_id) within cluster —
+      // a doc drops iff an ORDER-EARLIER member sits within cosine 0.4
+      val preds = withC.filter { case (id2, v2, l2, cs2) =>
+        l2 == l && (cs2 < cs || (cs2 == cs && id2 < id)) &&
+          hu(cos(v, v2), 6) >= 0.4
+      }
+      val expect = if (preds.isEmpty) None else Some(preds.map(_._1).min)
+      assert(dupOf == expect, s"vec $id dup_of: got $dupOf exp $expect")
+      assert(kept == expect.isEmpty)
+    }
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)),
+      "non-degenerate: some drops and some keeps")
+  }
 }
