@@ -98,7 +98,9 @@ object PlanDump {
     "llm_perplexity_bucket" ->
       "CCNet perplexity terciles (round-11 op): the shared bigram-LM CTEs feed per-doc integer micro-nat scores; the tercile cutoffs come from a 0.01-nat BIN histogram (bounded table) — the only Window in the plan sorts the bin rollup, never the corpus (no global-ntile corpus sort), and the two cutoffs ride a broadcast cross join into the per-doc bucket CASE",
     "llm_semantic_dedup" ->
-      "SemDeDup (round-11 op): micro-unit centroids broadcast for the c_sim pass (corpus streams past ncells rows, no shuffle); in-cluster pair generation is a label-keyed hash EQUI-join (never a cartesian) feeding a partial+final min agg — pair volume O(Σ cell²), the method's cost model, with the quantizer contract ncells ≈ √n at corpus scale")
+      "SemDeDup (round-11 op): micro-unit centroids broadcast for the c_sim pass (corpus streams past ncells rows, no shuffle); in-cluster pair generation is a label-keyed hash EQUI-join (never a cartesian) feeding a partial+final min agg — pair volume O(Σ cell²), the method's cost model, with the quantizer contract ncells ≈ √n at corpus scale",
+    "llm_ccnet_pipeline" ->
+      "CCNet composition (round-11 op): ONE text-keyed window shuffle for the dedup keeper; the lang-ID and per-lang LM model tables roll up vocabulary-sized from survivor-scans and join back by (plang, key) — never a second corpus shuffle per stage; the tercile Window is partitioned by plang over the bounded bin histogram, and the per-lang cutoffs ride a lang-keyed join (broadcast-sized) into the verdict CASE")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are

@@ -138,7 +138,13 @@ object ScaleProbe {
     // 2.65 s at 4× → 4.87 s at 16× (codegen'd cosine keeps the k²
     // pair volume cheap at this scale; the curve, not the level, is
     // the fixed-quantizer signal)
-    "llm_semantic_dedup")
+    "llm_semantic_dedup",
+    // round-11 add: the CCNet composition's stage 1 (exact dedup) IS
+    // its collapse — identical replicas fold to one survivor before
+    // the lang-ID/LM/tercile stages, so the expected curve is the
+    // flat collapse-first one plus the linear dedup-window floor;
+    // measured 13.4 s at 4× (cold JVM) → 9.1 s at 16× — flat
+    "llm_ccnet_pipeline")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -1607,6 +1607,67 @@ object TrainingDataOps {
         .orderBy(col("vec_id"))
     }),
 
+    // CCNet end-to-end composition (round-11 add; Wenzek et al.): the
+    // canonical crawl-to-corpus pipeline as ONE op — exact dedup
+    // (keeper = min doc_id per text, the llm_prep_pipeline choice) →
+    // lang-ID on the survivors (the self-trained llm_lang_id model;
+    // CCNet's fastText step) → PER-PREDICTED-LANG bigram LM + per-lang
+    // perplexity terciles (CCNet buckets each language against its own
+    // LM — the corpus-wide variant is `llm_perplexity_bucket`). One
+    // verdict row per doc: dup (with dup_of) / head / middle / tail /
+    // na, plus the predicted lang for survivors. No AdaptiveCollapse
+    // needed anywhere: stage 1 IS the collapse — every later stage
+    // runs on distinct texts by construction. Scale: one text-keyed
+    // window shuffle (dedup), the lang-ID/LM model tables roll up
+    // vocabulary-sized per lang, and the tercile cutoffs reuse the
+    // bounded 0.01-nat bin histogram (window partitioned by lang over
+    // ≤ |langs|·~3000 rows, never a corpus sort).
+    "llm_ccnet_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val wk = Window.partitionBy(col("text"))
+      val marked = docs.select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("keeper", min(col("doc_id")).over(wk))
+      val surv = marked.filter(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pred = langIdPredict(surv.withColumn("k", lit(1L)))
+        .select(col("gid").as("doc_id"), col("predicted").as("plang"))
+      val pls = surv.join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("plang"), col("text"))
+      val base = pls.select(col("doc_id"), col("plang"))
+        .join(ngramLmScoresByLang(pls)
+          .select(col("doc_id"), col("p"), col("n_bigrams")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("plang"), col("p"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      val usBin =
+        expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+      val hist = base.filter(col("n_bigrams") > 0)
+        .select(col("plang"), usBin.as("bin"))
+        .groupBy(col("plang"), col("bin")).agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy(col("plang")).orderBy(col("bin"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+      val nn = hist.groupBy(col("plang")).agg(sum(col("cnt")).as("n"))
+      val cuts = cum.join(nn, Seq("plang"))
+        .groupBy(col("plang"))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
+      val verd = base.join(cuts, Seq("plang"), "left")
+        .select(col("doc_id"), col("plang"),
+          when(col("n_bigrams") === lit(0L), lit("na"))
+            .when(usBin <= col("b1"), lit("head"))
+            .when(usBin <= col("b2"), lit("middle"))
+            .otherwise(lit("tail")).as("vstatus"))
+      marked.select(col("doc_id"), col("keeper"))
+        .join(verd, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("keeper"), lit("dup"))
+            .otherwise(col("vstatus")).as("status"),
+          when(col("doc_id") =!= col("keeper"), col("keeper"))
+            .as("dup_of"),
+          col("plang").as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram naive-Bayes language ID trained on the corpus itself
     // (add-1 smoothing, ln-probabilities rounded to 6 dp, decimal-exact
     // score accumulation so partition order can't flip an argmax).
@@ -1715,6 +1776,45 @@ object TrainingDataOps {
       .groupBy(col("doc_id"))
       .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
       .select(col("doc_id").as("gid"), col("p"), col("n_bigrams"))
+  }
+
+  /** The per-LANG bigram-LM variant of [[ngramLmScores]] over a
+    * (doc_id, plang, text) table with DISTINCT texts (the CCNet
+    * pipeline scores each language against its own model, so every
+    * model CTE gains the `plang` key and the vocab/normalizer are
+    * per-lang; no replica weighting — the caller dedups first).
+    * Returns (doc_id, plang, p, n_bigrams) for rows with ≥ 1 bigram. */
+  private def ngramLmScoresByLang(src: DataFrame): DataFrame = {
+    val wsArr = col("ws_arr")
+    val bg = src.withColumn("ws_arr", ws)
+      .select(col("doc_id"), col("plang"),
+        explode(when(size(wsArr) >= 2,
+          transform(sequence(lit(1), size(wsArr) - 1),
+            i => concat_ws(" ", element_at(wsArr, i),
+              element_at(wsArr, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+    val tf = bg.groupBy(col("doc_id"), col("plang"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy(col("plang"), col("bg"))
+      .agg(sum(col("tf")).as("c12"))
+    val uni = src.select(col("plang"), explode(ws).as("w"))
+    val c1 = uni.groupBy(col("plang"), col("w"))
+      .agg(count(lit(1)).as("c1"))
+    val vsize = uni.groupBy(col("plang"))
+      .agg(countDistinct(col("w")).as("v"))
+    val grid = c12
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(c1.select(col("plang"), col("w").as("w1"), col("c1")),
+        Seq("plang", "w1"))
+      .join(vsize, Seq("plang"))
+      .withColumn("lpm", round(log(
+        (col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e6,
+        0).cast("long"))
+      .select(col("plang"), col("bg"), col("lpm"))
+    tf.join(grid, Seq("plang", "bg"))
+      .withColumn("c", col("tf") * col("lpm"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
   }
 
   /** The lang-ID model + per-doc argmax over a (doc_id, lang, text, k)
@@ -2592,37 +2692,127 @@ object TrainingDataOps {
        ORDER BY m.vec_id""",
 
     "llm_lang_id" ->
-      """WITH tok AS (SELECT doc_id, lang,
-                        unnest(string_split(text, ' ')) AS w
-                      FROM documents),
-            tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
-            cnts AS (SELECT lang AS m_lang, w, count(*) AS cnt
-                     FROM tok GROUP BY 1, 2),
-            tot AS (SELECT lang AS m_lang, count(*) AS tot
-                    FROM tok GROUP BY 1),
-            vocab AS (SELECT DISTINCT w FROM tok),
-            vsize AS (SELECT count(DISTINCT w) AS v FROM tok),
-            langs AS (SELECT DISTINCT lang AS m_lang FROM tok),
-            grid AS (SELECT l.m_lang, vo.w,
-                       round(ln((coalesce(c.cnt, 0) + 1)
-                         / CAST(t.tot + vs.v AS DOUBLE)), 6) AS lp
-                     FROM vocab vo
-                     CROSS JOIN langs l
-                     LEFT JOIN cnts c ON c.m_lang = l.m_lang AND c.w = vo.w
-                     JOIN tot t ON t.m_lang = l.m_lang
-                     CROSS JOIN vsize vs),
-            scores AS (SELECT tf.doc_id, g.m_lang,
-                         sum(CAST(tf.tf * g.lp AS DECIMAL(38,6))) AS score
-                       FROM tf JOIN grid g ON g.w = tf.w
-                       GROUP BY 1, 2),
-            pred AS (SELECT doc_id, m_lang AS predicted FROM (
-                       SELECT doc_id, m_lang,
-                              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, m_lang) AS rn
-                       FROM scores) WHERE rn = 1)
+      s"""WITH ${langIdCtesSql("documents")}
        SELECT d.doc_id, d.lang AS actual, p.predicted,
               d.lang = p.predicted AS correct
-       FROM documents d JOIN pred p ON p.doc_id = d.doc_id
-       ORDER BY d.doc_id"""
+       FROM documents d JOIN predlang p ON p.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
+
+    "llm_ccnet_pipeline" ->
+      s"""WITH keep AS (SELECT doc_id, text, lang,
+                     min(doc_id) OVER (PARTITION BY text) AS keeper
+                   FROM documents),
+            surv AS (SELECT doc_id, lang, text FROM keep
+                     WHERE doc_id = keeper),
+            ${langIdCtesSql("surv")},
+            pls AS (SELECT s.doc_id, p.predicted AS plang, s.text
+                    FROM surv s JOIN predlang p USING (doc_id)),
+            t2 AS (SELECT doc_id, plang, string_split(text, ' ') AS ws
+                   FROM pls),
+            bg2 AS (SELECT doc_id, plang,
+                      ws[g.i] || ' ' || ws[g.i + 1] AS bg
+                    FROM t2, LATERAL
+                      unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+            tf2 AS (SELECT doc_id, plang, bg, count(*) AS tf
+                    FROM bg2 GROUP BY 1, 2, 3),
+            c122 AS (SELECT plang, bg, sum(tf) AS c12
+                     FROM tf2 GROUP BY 1, 2),
+            uni2 AS (SELECT plang, unnest(string_split(text, ' ')) AS w
+                     FROM pls),
+            c1u AS (SELECT plang, w, count(*) AS c1
+                    FROM uni2 GROUP BY 1, 2),
+            vs2 AS (SELECT plang, count(DISTINCT w) AS v
+                    FROM uni2 GROUP BY 1),
+            grid2 AS (SELECT c.plang, c.bg,
+                        CAST(round(ln(CAST(c.c12 + 1 AS DOUBLE)
+                          / (u.c1 + v.v)) * 1000000, 0) AS BIGINT) AS lpm
+                      FROM c122 c
+                      JOIN c1u u ON u.plang = c.plang
+                        AND u.w = string_split(c.bg, ' ')[1]
+                      JOIN vs2 v ON v.plang = c.plang),
+            sc2 AS (SELECT tf2.doc_id,
+                      CAST(-sum(tf2.tf * g.lpm) AS BIGINT) AS p,
+                      CAST(sum(tf2.tf) AS BIGINT) AS n_bigrams
+                    FROM tf2 JOIN grid2 g ON g.plang = tf2.plang
+                      AND g.bg = tf2.bg
+                    GROUP BY 1),
+            base2 AS (SELECT pls.doc_id, pls.plang, s.p,
+                        coalesce(s.n_bigrams, 0) AS n_bigrams
+                      FROM pls LEFT JOIN sc2 s ON s.doc_id = pls.doc_id),
+            hist2 AS (SELECT plang,
+                        ((2 * p + n_bigrams) // (2 * n_bigrams)) // 10000
+                          AS bin,
+                        count(*) AS cnt
+                      FROM base2 WHERE n_bigrams > 0 GROUP BY 1, 2),
+            cum2 AS (SELECT plang, bin,
+                       sum(cnt) OVER (PARTITION BY plang ORDER BY bin)
+                         AS cum
+                     FROM hist2),
+            nn2 AS (SELECT plang, sum(cnt) AS n FROM hist2 GROUP BY 1),
+            cuts2 AS (SELECT c.plang,
+                        min(CASE WHEN c.cum * 3 >= n.n THEN c.bin END)
+                          AS b1,
+                        min(CASE WHEN c.cum * 3 >= 2 * n.n THEN c.bin END)
+                          AS b2
+                      FROM cum2 c JOIN nn2 n ON n.plang = c.plang
+                      GROUP BY 1),
+            verd AS (SELECT b.doc_id, b.plang,
+                       CASE WHEN b.n_bigrams = 0 THEN 'na'
+                            WHEN ((2 * b.p + b.n_bigrams)
+                                  // (2 * b.n_bigrams)) // 10000 <= c.b1
+                              THEN 'head'
+                            WHEN ((2 * b.p + b.n_bigrams)
+                                  // (2 * b.n_bigrams)) // 10000 <= c.b2
+                              THEN 'middle'
+                            ELSE 'tail' END AS status
+                     FROM base2 b LEFT JOIN cuts2 c ON c.plang = b.plang)
+       SELECT k.doc_id,
+              CASE WHEN k.doc_id <> k.keeper THEN 'dup'
+                   ELSE v.status END AS status,
+              CASE WHEN k.doc_id <> k.keeper THEN k.keeper END AS dup_of,
+              v.plang AS lang
+       FROM keep k LEFT JOIN verd v ON v.doc_id = k.doc_id
+       ORDER BY k.doc_id"""
   )
+
+  /** The lang-ID model CTEs over `src` (needs doc_id, lang, text; one
+    * row per doc, no replica weighting), ending in
+    * `predlang(doc_id, predicted)` — the SQL image of [[langIdPredict]]
+    * with k = 1, shared by the `llm_lang_id` and `llm_ccnet_pipeline`
+    * oracles so the model arithmetic is transcribed exactly once.
+    * (The collapse-path k-weighting of `llm_lang_id` is a theorem the
+    * mirror never sees: identical (lang, text) docs train the same
+    * counts whether weighted or expanded.) */
+  private def langIdCtesSql(src: String): String =
+    s"""tok AS (SELECT doc_id, lang,
+                  unnest(string_split(text, ' ')) AS w
+                FROM $src),
+            ltf AS (SELECT doc_id, w, count(*) AS tf
+                    FROM tok GROUP BY 1, 2),
+            cnts AS (SELECT lang AS m_lang, w, count(*) AS cnt
+                     FROM tok GROUP BY 1, 2),
+            ltot AS (SELECT lang AS m_lang, count(*) AS tot
+                     FROM tok GROUP BY 1),
+            lvocab AS (SELECT DISTINCT w FROM tok),
+            lvsize AS (SELECT count(DISTINCT w) AS v FROM tok),
+            llangs AS (SELECT DISTINCT lang AS m_lang FROM tok),
+            lgrid AS (SELECT l.m_lang, vo.w,
+                        round(ln((coalesce(c.cnt, 0) + 1)
+                          / CAST(t.tot + vs.v AS DOUBLE)), 6) AS lp
+                      FROM lvocab vo
+                      CROSS JOIN llangs l
+                      LEFT JOIN cnts c ON c.m_lang = l.m_lang
+                        AND c.w = vo.w
+                      JOIN ltot t ON t.m_lang = l.m_lang
+                      CROSS JOIN lvsize vs),
+            lscores AS (SELECT ltf.doc_id, g.m_lang,
+                          sum(CAST(ltf.tf * g.lp AS DECIMAL(38,6)))
+                            AS score
+                        FROM ltf JOIN lgrid g ON g.w = ltf.w
+                        GROUP BY 1, 2),
+            predlang AS (SELECT doc_id, m_lang AS predicted FROM (
+                           SELECT doc_id, m_lang,
+                                  row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, m_lang) AS rn
+                           FROM lscores) WHERE rn = 1)"""
 }

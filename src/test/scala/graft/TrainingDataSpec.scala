@@ -756,4 +756,63 @@ class TrainingDataSpec extends GraftSpec {
     assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)),
       "non-degenerate: some drops and some keeps")
   }
+
+  test("llm_ccnet_pipeline: dedup verdicts, per-lang tercile coverage, stage consistency") {
+    val rows = SparkEntry.queries("llm_ccnet_pipeline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == docs.length)
+    val keeperOf = docs.groupBy(_._2).values.flatMap { ds =>
+      val k = ds.map(_._1).min; ds.map(d => d._1 -> k)
+    }.toMap
+    rows.foreach { case (id, status, dupOf, lang) =>
+      if (keeperOf(id) != id) {
+        assert(status == "dup", s"doc $id")
+        assert(dupOf == Some(keeperOf(id)), s"doc $id dup_of")
+        assert(lang.isEmpty, s"dup doc $id carries a lang")
+      } else {
+        assert(Set("head", "middle", "tail", "na")(status), s"doc $id")
+        assert(dupOf.isEmpty && lang.nonEmpty, s"doc $id")
+      }
+    }
+    // na ⟺ a survivor with no bigram (single-token text)
+    val nTok = docs.toMap.map { case (id, t) =>
+      id -> t.split(" ", -1).length }
+    rows.filter(r => keeperOf(r._1) == r._1).foreach {
+      case (id, status, _, _) =>
+        assert((status == "na") == (nTok(id) < 2), s"doc $id na")
+    }
+    // per-predicted-lang tercile coverage over that lang's scored
+    // survivors: head >= n/3, head+middle >= 2n/3
+    rows.filter(r => keeperOf(r._1) == r._1 && r._2 != "na")
+      .groupBy(_._4.get).foreach { case (lang, rs) =>
+        val n = rs.size
+        val h = rs.count(_._2 == "head")
+        val m = rs.count(_._2 == "middle")
+        assert(h * 3 >= n, s"$lang head coverage")
+        assert((h + m) * 3 >= 2 * n, s"$lang head+middle coverage")
+      }
+    assert(rows.exists(_._2 == "head") && rows.exists(_._2 == "tail"),
+      "non-degenerate buckets")
+    // sf0.001/sf0.01 carry no duplicate texts, so the dup leg is
+    // exercised at sf0.1 (8 duplicate rows): every dup points at the
+    // min-id keeper of its text and carries no lang
+    val sf1 = "/root/testdata/sf0.1"
+    val dups = SparkEntry.queries("llm_ccnet_pipeline")(spark, sf1)
+      .filter(col("status") === "dup").collect()
+    val k1 = Tables.documents(spark, sf1).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._2).values.flatMap { ds =>
+        val k = ds.map(_._1).min; ds.map(d => d._1 -> k)
+      }.toMap
+    assert(dups.nonEmpty, "sf0.1 must exercise the dup leg")
+    dups.foreach { r =>
+      assert(k1(r.getLong(0)) == r.getLong(2) && r.getLong(0) != r.getLong(2))
+      assert(r.isNullAt(3), "dup doc carries a lang")
+    }
+  }
 }
