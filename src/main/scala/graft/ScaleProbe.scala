@@ -144,7 +144,15 @@ object ScaleProbe {
     // the lang-ID/LM/tercile stages, so the expected curve is the
     // flat collapse-first one plus the linear dedup-window floor;
     // measured 13.4 s at 4× (cold JVM) → 9.1 s at 16× — flat
-    "llm_ccnet_pipeline")
+    "llm_ccnet_pipeline",
+    // round-11 add: the serving read path — the query set stays fixed
+    // (10 queries over 4 micro-batches) while identical replicas grow
+    // the INDEX side k×, so the expected curve is linear in probed-cell
+    // population (each batch scores its queries against NProbe cells of
+    // a k×-bigger corpus) plus the 4-trigger streaming floor;
+    // measured 7.1 s at 4× (cold JVM) → 5.1 s at 16× — the streaming
+    // floor dominates, per-batch probe work stays cell-bounded
+    "stream_ann_query")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -54,34 +54,45 @@ object AnnOps {
       .select(col("label").as("c_label"),
         transform(col("pc"), x => x.getField("c")).as("centroid"))
 
+  /** The IVF probe + exact-score core over an explicit query frame —
+    * shared by `llm_ann_ivf` and the streaming `stream_ann_query` so
+    * per-batch serving verdicts are bit-identical to the batch op's.
+    * `q` needs (q_id, q_vec); `emb` is the static corpus (vec_id,
+    * embedding, label); `cent` its centroid table (possibly read back
+    * from the staged parquet quantizer). The probe set (nqueries ×
+    * nprobe rows) is broadcast so the corpus side never shuffles —
+    * each cell partition scores its residents against the probes that
+    * mapped to it. Returns (vec_id, vec_id2, sim, rn ≤ TopK),
+    * unordered. */
+  private[graft] def annIvfVerdictsCore(q: DataFrame, emb: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("c_label"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(q_vec, centroid)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= NProbe)
+      .select(col("q_id"), col("q_vec"), col("c_label"))
+    val cells = emb.select(col("vec_id").as("vec_id2"),
+      col("label").as("c_label"), col("embedding").as("c_vec"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id2"))
+    cells.join(broadcast(probed), Seq("c_label"))
+      .filter(col("q_id") =!= col("vec_id2"))
+      .withColumn("sim", round(expr("cosine_sim(q_vec, c_vec)"), 6))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id").as("vec_id"), col("vec_id2"), col("sim"),
+        col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_ann_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = graft.Tables.embeddings(s, d)
-      val cent = centroids(emb)
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val wp = Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("c_label"))
-      val probed = q.crossJoin(broadcast(cent))
-        .withColumn("csim", expr("cosine_sim(q_vec, centroid)"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select(col("q_id"), col("q_vec"), col("c_label"))
-      val cells = emb.select(col("vec_id").as("vec_id2"),
-        col("label").as("c_label"), col("embedding").as("c_vec"))
-      val wr = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("vec_id2"))
-      // The probe set (nqueries × nprobe rows) is broadcast so the corpus
-      // side never shuffles — each cell partition scores its residents
-      // against the probes that mapped to it.
-      cells.join(broadcast(probed), Seq("c_label"))
-        .filter(col("q_id") =!= col("vec_id2"))
-        .withColumn("sim", round(expr("cosine_sim(q_vec, c_vec)"), 6))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") <= TopK)
-        .select(col("q_id").as("vec_id"), col("vec_id2"), col("sim"),
-          col("rn"))
+      annIvfVerdictsCore(q, emb, centroids(emb))
         .orderBy(col("vec_id"), col("rn"))
     }),
 
@@ -165,7 +176,7 @@ object AnnOps {
        cvecs AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
                  FROM cent GROUP BY 1)"""
 
-  private def annIvfOracleSql: String =
+  private[graft] def annIvfOracleSql: String =
     s"""WITH $centroidCtesSql,
        qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),

@@ -1255,7 +1255,9 @@ object StreamingOps {
     "stream_keep_best_ingest" -> ((s, d) => keepBestIngestRun(s, d, 4)._1),
 
     "stream_decontaminate_ingest" ->
-      ((s, d) => decontaminateIngestRun(s, d, 4)._1)
+      ((s, d) => decontaminateIngestRun(s, d, 4)._1),
+
+    "stream_ann_query" -> ((s, d) => annQueryRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1694,6 +1696,94 @@ object StreamingOps {
     // index), so the fold makes at-least-once delivery exact
     (s.read.schema(verdictSchema).parquet(outDir).distinct()
       .orderBy(col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming ANN QUERY serving (round-11 add): the READ path the
+    * ingest quartet's write path implies — a live query stream probing
+    * a STATIC persisted IVF index (the 100 TB serving shape: the corpus
+    * and its coarse quantizer are epoch-published artifacts; queries
+    * arrive continuously and must never touch more than their probed
+    * cells). The query table replays as `k` micro-batches; the centroid
+    * quantizer is computed once at stream start and staged to parquet
+    * (the persisted-index discipline — batches read it back as a
+    * FileScan, exactly how a cluster would mount a published quantizer),
+    * and each batch runs [[graft.operators.AnnOps.annIvfVerdictsCore]]:
+    * probe-set broadcast, cell-keyed equi-join, exact top-5 — the
+    * corpus never shuffles per batch. Queries are independent, so
+    * batch-boundary invariance is STRUCTURAL (no cross-batch state at
+    * all — the strongest form the ingest family's chain theorems
+    * approximate), the final table equals `llm_ann_ivf` over the same
+    * query set verbatim, and the oracle IS that op's mirror. Replay +
+    * restart: verdict rows are a deterministic function of (batch,
+    * static index) and the readout folds through `distinct()`, so
+    * at-least-once appends collapse exactly; the quantizer re-stage on
+    * resume is idempotent (mode=overwrite of a deterministic table). */
+  private[graft] def annQueryRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try annQueryRunAt(s, d, k, registeredScratchDir("graft_annq_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[annQueryRun]]: `root` holds the staged
+    * quantizer (`cent/`) and the append verdict sink (`out/`); `ckpt`
+    * is the caller-owned checkpoint; `failBeforeEpoch` injects a
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+  private[graft] def annQueryRunAt(s: SparkSession, d: String, k: Int,
+      root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val srcDir = tableBatchDir(s"annq:$d@$k", queries, "vec_id", k)
+    val qSchema = queries.schema
+    val centDir = s"$root/cent"
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // the published quantizer: deterministic, so the overwrite is
+    // idempotent under restart
+    graft.operators.AnnOps.centroids(emb)
+      .write.mode("overwrite").parquet(centDir)
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rn",
+        org.apache.spark.sql.types.IntegerType)))
+    val nBatches = new AtomicInteger(committedBatches(ckpt))
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          graft.functions.CosineSimilarity.register(ss)
+          val cent = ss.read.schema(centSchema).parquet(centDir)
+          val verdicts = graft.operators.AnnOps.annIvfVerdictsCore(
+            batch.select(col("vec_id").as("q_id"),
+              col("embedding").as("q_vec")),
+            embeddings(ss, d), cent)
+          verdicts.write.mode("append").parquet(outDir)
+          nBatches.set(batchId.toInt + 1)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("vec_id"), col("rn")), nBatches.get())
   }
 
   /** §2.I streaming keep-best INGEST (round-10 add): the SELECTION
@@ -2913,6 +3003,11 @@ object StreamingOps {
     // equals the one-shot op's and the oracle is shared verbatim.
     "stream_decontaminate_ingest" ->
       graft.operators.TrainingDataOps.oracle("llm_decontaminate"),
+
+    // query independence makes the streamed serving output EQUAL the
+    // batch op's over the same query set, so the oracle is verbatim
+    // llm_ann_ivf's mirror (same columns, same total order)
+    "stream_ann_query" -> graft.operators.AnnOps.annIvfOracleSql,
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -285,4 +285,28 @@ class StreamIngestSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("out-of-order batch"))
   }
+
+  test("stream_ann_query: k query micro-batches against the staged " +
+      "static IVF index equal the batch op verbatim, and a planned " +
+      "kill resumes from the checkpoint to the same table") {
+    val k = 4
+    // structural batch invariance: queries are independent, so the
+    // streamed serving output IS llm_ann_ivf's over the same queries
+    val streamed = StreamingOps.annQueryRun(spark, sf, k)._1.collect().toSeq
+    val batch = SparkEntry.queries("llm_ann_ivf")(spark, sf).collect().toSeq
+    assert(streamed == batch, "streamed serving != batch llm_ann_ivf")
+    // kill-and-resume: the static index re-stage is idempotent and the
+    // distinct() readout absorbs any replayed append
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.annQueryRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n) = StreamingOps.annQueryRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed serving stream != batch llm_ann_ivf")
+  }
 }

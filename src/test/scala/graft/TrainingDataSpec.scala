@@ -706,25 +706,24 @@ class TrainingDataSpec extends GraftSpec {
       "head cutoff bin is not minimal")
   }
 
-  test("llm_semantic_dedup: matches brute-force SemDeDup keep order") {
-    def hu(x: Double, scale: Int): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def cos(a: Array[Double], b: Array[Double]): Double =
-      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val rows = SparkEntry.queries("llm_semantic_dedup")(spark, sf).collect()
-    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
-      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2))
-    }
-    assert(rows.length == vecs.length)
-    // micro-unit centroids — the AnnOps.centroids arithmetic, re-derived
-    // independently (BigDecimal.valueOf = Spark's double round path;
-    // Long./ = Spark's truncating `div`)
+  // ---- SemDeDup brute-force reference (shared by the two
+  // llm_semantic_dedup tests): the AnnOps.centroids arithmetic
+  // re-derived independently (BigDecimal.valueOf = Spark's double
+  // round path; Long./ = Spark's truncating `div`), then the keep
+  // order — ascending (c_sim, vec_id) within cluster, drop iff an
+  // ORDER-EARLIER member sits within cosine 0.4.
+  private def huD(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cosD(a: Array[Double], b: Array[Double]): Double =
+    dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+  private def semanticDedupBrute(vecs: Array[(Long, Array[Double], Int)])
+      : Map[Long, (Int, Double, Boolean, Option[Long])] = {
     val cent: Map[Int, Array[Double]] = vecs.groupBy(_._3).map {
       case (l, ms) =>
         l -> Array.tabulate(ms.head._2.length) { j =>
@@ -734,27 +733,70 @@ class TrainingDataSpec extends GraftSpec {
         }
     }
     val withC = vecs.map { case (id, v, l) =>
-      (id, v, l, hu(cos(v, cent(l)), 6))
+      (id, v, l, huD(cosD(v, cent(l)), 6))
     }
-    val got = rows.map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
-      r.getBoolean(3),
-      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
-    withC.foreach { case (id, v, l, cs) =>
-      val (gl, gcs, kept, dupOf) = got(id)
-      assert(gl == l)
-      assert(gcs == cs, s"vec $id c_sim: got $gcs expected $cs")
-      // SemDeDup keep order: ascending (c_sim, vec_id) within cluster —
-      // a doc drops iff an ORDER-EARLIER member sits within cosine 0.4
+    withC.map { case (id, v, l, cs) =>
       val preds = withC.filter { case (id2, v2, l2, cs2) =>
         l2 == l && (cs2 < cs || (cs2 == cs && id2 < id)) &&
-          hu(cos(v, v2), 6) >= 0.4
+          huD(cosD(v, v2), 6) >= 0.4
       }
-      val expect = if (preds.isEmpty) None else Some(preds.map(_._1).min)
-      assert(dupOf == expect, s"vec $id dup_of: got $dupOf exp $expect")
-      assert(kept == expect.isEmpty)
+      val dupOf = if (preds.isEmpty) None else Some(preds.map(_._1).min)
+      id -> ((l, cs, dupOf.isEmpty, dupOf))
+    }.toMap
+  }
+
+  private def assertSemanticMatches(dir: String): Unit = {
+    val rows = SparkEntry.queries("llm_semantic_dedup")(spark, dir)
+      .collect()
+    val vecs = Tables.embeddings(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2))
+    }
+    assert(rows.length == vecs.length)
+    val truth = semanticDedupBrute(vecs)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val got = (r.getInt(1), r.getDouble(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      assert(got == truth(id), s"vec $id: got $got exp ${truth(id)}")
     }
     assert(rows.exists(!_.getBoolean(3)) && rows.exists(_.getBoolean(3)),
       "non-degenerate: some drops and some keeps")
+  }
+
+  test("llm_semantic_dedup: matches brute-force SemDeDup keep order") {
+    assertSemanticMatches(sf)
+  }
+
+  test("llm_semantic_dedup: exact-duplicate vectors (equal c_sim) " +
+      "resolve by the vec_id tie-break") {
+    // The stock SFs carry no equal-c_sim pairs, so this corpus forces
+    // them: each cluster holds one base direction replicated 3× with
+    // NON-contiguous ids (identical vectors ⇒ identical c_sim ⇒ only
+    // the (c_sim, vec_id) tie-break orders them) plus one far vector
+    // that must survive as the cluster outlier.
+    import spark.implicits._
+    val dim = 8
+    val rows =
+      (for (g <- 0 until 3; m <- 0 until 3) yield ((g + 10 * m).toLong,
+        Array.tabulate(dim)(j =>
+          (if (j == g) 3.0 else 0.25 * math.cos(g + j)).toFloat), g)) ++
+      (0 until 3).map { g => ((g + 100).toLong,
+        Array.tabulate(dim)(j =>
+          (if (j == (g + 4) % dim) 2.0 else 0.0).toFloat), g)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_tie_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assertSemanticMatches(dir)
+    // and concretely: within each replica trio only the min id keeps
+    val got = SparkEntry.queries("llm_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    (0 until 3).foreach { g =>
+      assert(got(g.toLong), s"cluster $g: min-id replica must keep")
+      assert(!got(g + 10L) && !got(g + 20L),
+        s"cluster $g: later replicas must drop on the id tie-break")
+    }
   }
 
   test("llm_ccnet_pipeline: dedup verdicts, per-lang tercile coverage, stage consistency") {
