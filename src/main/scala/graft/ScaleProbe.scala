@@ -152,7 +152,14 @@ object ScaleProbe {
     // a k×-bigger corpus) plus the 4-trigger streaming floor;
     // measured 7.1 s at 4× (cold JVM) → 5.1 s at 16× — the streaming
     // floor dominates, per-batch probe work stays cell-bounded
-    "stream_ann_query")
+    "stream_ann_query",
+    // round-11 add: the text serving gate — the model grid trains on
+    // distinct texts WEIGHTED by multiplicity (O(distinct) under any
+    // duplication, no adaptive decision needed), so the measured curve
+    // is the per-doc scoring linear floor + 4 triggers: 14.3 s at 4×
+    // → 18.1 s at 16× (every doc gets a verdict row — output 20k →
+    // 80k — the same verdict-per-doc floor as the ingest quartet)
+    "stream_perplexity_bucket")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -1545,19 +1545,7 @@ object TrainingDataOps {
       val base = ngramLmPerDoc(s, d)
       val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
       val usBin = expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
-      val hist = base.filter(col("n_bigrams") > 0)
-        .select(us.as("us"))
-        .groupBy(expr("us div 10000").as("bin"))
-        .agg(count(lit(1)).as("cnt"))
-      // Window over the BIN table only (≤ ~3000 rows however large the
-      // corpus) — the single-partition sort is bounded by construction.
-      val wcum = Window.orderBy(col("bin"))
-      val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
-      val nn = hist.agg(sum(col("cnt")).as("n"))
-      val cuts = cum.crossJoin(broadcast(nn))
-        .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
-          min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
-      base.crossJoin(broadcast(cuts))
+      base.crossJoin(broadcast(perplexityCutsOf(base)))
         .select(col("doc_id"), col("n_bigrams"),
           (us / lit(1e6)).as("avg_nll"),
           when(col("n_bigrams") === lit(0L), lit("na"))
@@ -1717,7 +1705,7 @@ object TrainingDataOps {
     * p null for bigram-less docs). Shared by `llm_ngram_lm` (score
     * view) and `llm_perplexity_bucket` (tercile view) so both express
     * the exact same model. */
-  private def ngramLmPerDoc(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramLmPerDoc(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val collapse = AdaptiveCollapse.decideByMass(s, docs,
       "spark.graft.ngramLmCollapse", xxhash64(col("text")))
@@ -1759,11 +1747,25 @@ object TrainingDataOps {
           .otherwise(array().cast("array<string>"))).as("bg"))
     val tf = bg.groupBy(col("doc_id"), col("k"), col("bg"))
       .agg(count(lit(1)).as("tf"))
+    tf.join(ngramLmGrid(src, tf), Seq("bg"))
+      .withColumn("c", col("tf") * col("lpm"))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id").as("gid"), col("p"), col("n_bigrams"))
+  }
+
+  /** The k-weighted add-1 bigram model GRID (bg → lpm micro-nats) over
+    * a (doc_id, text, k) frame and its bigram tf — the publishable
+    * model artifact: [[ngramLmScores]] trains and consumes it in one
+    * plan; the streaming `stream_perplexity_bucket` trains it once,
+    * stages it to parquet, and scores batches against the FileScan. */
+  private[graft] def ngramLmGrid(src: DataFrame, tf: DataFrame)
+      : DataFrame = {
     val c12 = tf.groupBy(col("bg")).agg(sum(col("tf") * col("k")).as("c12"))
     val uni = src.select(col("k"), explode(ws).as("w"))
     val c1 = uni.groupBy(col("w")).agg(sum(col("k")).as("c1"))
     val vsize = uni.agg(countDistinct(col("w")).as("v"))
-    val grid = c12
+    c12
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .join(c1.select(col("w").as("w1"), col("c1")), Seq("w1"))
       .crossJoin(broadcast(vsize))
@@ -1771,11 +1773,42 @@ object TrainingDataOps {
         (col("c12") + 1).cast("double") / (col("c1") + col("v"))) * 1e6, 0)
         .cast("long"))
       .select(col("bg"), col("lpm"))
-    tf.join(grid, Seq("bg"))
-      .withColumn("c", col("tf") * col("lpm"))
-      .groupBy(col("doc_id"))
-      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
-      .select(col("doc_id").as("gid"), col("p"), col("n_bigrams"))
+  }
+
+  /** Per-doc bigram term frequencies (doc_id, bg, tf) of a
+    * (doc_id, text) frame — the explode the streaming scorer shares
+    * with [[ngramLmScores]]' training pass (k = 1 shape). */
+  private[graft] def ngramLmTfOf(src: DataFrame): DataFrame = {
+    val wsArr = col("ws_arr")
+    src.withColumn("ws_arr", ws)
+      .select(col("doc_id"),
+        explode(when(size(wsArr) >= 2,
+          transform(sequence(lit(1), size(wsArr) - 1),
+            i => concat_ws(" ", element_at(wsArr, i),
+              element_at(wsArr, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Tercile cutoff bins over the integer micro-nat scores of `base`
+    * (needs p, n_bigrams) — ONE row (b1, b2): the bounded 0.01-nat-bin
+    * histogram pass, shared by `llm_perplexity_bucket` and the
+    * streaming gate so the published cutoffs are the same artifact. */
+  private[graft] def perplexityCutsOf(base: DataFrame): DataFrame = {
+    val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
+    val hist = base.filter(col("n_bigrams") > 0)
+      .select(us.as("us"))
+      .groupBy(expr("us div 10000").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // Window over the BIN table only (≤ ~3000 rows however large the
+    // corpus) — the single-partition sort is bounded by construction.
+    val wcum = Window.orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val nn = hist.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(nn))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
   }
 
   /** The per-LANG bigram-LM variant of [[ngramLmScores]] over a

@@ -1257,7 +1257,10 @@ object StreamingOps {
     "stream_decontaminate_ingest" ->
       ((s, d) => decontaminateIngestRun(s, d, 4)._1),
 
-    "stream_ann_query" -> ((s, d) => annQueryRun(s, d, 4)._1)
+    "stream_ann_query" -> ((s, d) => annQueryRun(s, d, 4)._1),
+
+    "stream_perplexity_bucket" ->
+      ((s, d) => perplexityBucketRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1784,6 +1787,125 @@ object StreamingOps {
     }
     (s.read.schema(verdictSchema).parquet(outDir).distinct()
       .orderBy(col("vec_id"), col("rn")), nBatches.get())
+  }
+
+  /** §2.I streaming perplexity QUALITY GATE (round-11 add): the text
+    * counterpart of [[annQueryRun]]'s serving read path — documents
+    * flow past a FROZEN published quality model. The bigram-LM grid
+    * (bg → lpm micro-nats) and the tercile cutoff row are trained once
+    * at stream start and staged to parquet (the artifacts a real
+    * deployment trains offline on a reference corpus — here, per the
+    * batch op's self-trained contract, on the streamed corpus itself,
+    * which also makes the model join total: no OOV backoff needed);
+    * each micro-batch explodes its own bigrams, joins the model
+    * FileScan (bg-keyed equi-join — per-batch work O(batch bigrams),
+    * the corpus is never re-scored), buckets against the static
+    * cutoffs and appends. Per-doc scores are independent, so batch
+    * invariance is STRUCTURAL (no cross-batch state): the final table
+    * equals `llm_perplexity_bucket` verbatim and the oracle is that
+    * op's mirror. Replay + restart: verdicts are a deterministic
+    * function of (batch, static model), the readout folds through
+    * `distinct()`, and the model/cutoff re-stage on resume is an
+    * idempotent overwrite of deterministic tables. */
+  private[graft] def perplexityBucketRun(s: SparkSession, d: String,
+      k: Int): (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try perplexityBucketRunAt(s, d, k,
+      registeredScratchDir("graft_pplx_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[perplexityBucketRun]]: `root` holds the
+    * staged model (`model/`, `cuts/`) and the append verdict sink
+    * (`out/`); `ckpt` is the caller-owned checkpoint; `failBeforeEpoch`
+    * injects a [[PlannedIngestKill]] at the top of the given (1-based)
+    * epoch. */
+  private[graft] def perplexityBucketRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val srcDir = tableBatchDir(s"pplx:$d@$k", docs, "doc_id", k)
+    val docsSchema = docs.schema
+    val modelDir = s"$root/model"
+    val cutsDir = s"$root/cuts"
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // publish the frozen model (idempotent overwrites of deterministic
+    // tables): the grid trained on DISTINCT texts weighted by replica
+    // multiplicity — equal to the full-corpus k=1 model by the
+    // ngramLmScores collapse theorem, and O(distinct texts) under any
+    // duplication without an adaptive decision (measured: the direct
+    // grid paid 16× the bigram explode on the 16× identical probe)
+    val reps = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("k"))
+      .select(col("doc_id"), col("text"), col("k"))
+    graft.operators.TrainingDataOps.ngramLmGrid(reps,
+      graft.operators.TrainingDataOps
+        .ngramLmTfOf(reps.select(col("doc_id"), col("text")))
+        .join(reps.select(col("doc_id"), col("k")), Seq("doc_id")))
+      .write.mode("overwrite").parquet(modelDir)
+    graft.operators.TrainingDataOps.perplexityCutsOf(
+      graft.operators.TrainingDataOps.ngramLmPerDoc(s, d))
+      .write.mode("overwrite").parquet(cutsDir)
+    val gridSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bg",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lpm",
+        org.apache.spark.sql.types.LongType)))
+    val cutsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("b1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b2",
+        org.apache.spark.sql.types.LongType)))
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bigrams",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("avg_nll",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.StringType)))
+    val nBatches = new AtomicInteger(committedBatches(ckpt))
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          val grid = ss.read.schema(gridSchema).parquet(modelDir)
+          val cuts = ss.read.schema(cutsSchema).parquet(cutsDir)
+          val sc = graft.operators.TrainingDataOps.ngramLmTfOf(batch)
+            .join(grid, Seq("bg"))
+            .withColumn("c", col("tf") * col("lpm"))
+            .groupBy(col("doc_id"))
+            .agg((-sum(col("c"))).as("p"),
+              sum(col("tf")).as("n_bigrams"))
+          val base = batch.select(col("doc_id"))
+            .join(sc, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("p"),
+              coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+          val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
+          val usBin =
+            expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+          base.crossJoin(broadcast(cuts))
+            .select(col("doc_id"), col("n_bigrams"),
+              (us / lit(1e6)).as("avg_nll"),
+              when(col("n_bigrams") === lit(0L), lit("na"))
+                .when(usBin <= col("b1"), lit("head"))
+                .when(usBin <= col("b2"), lit("middle"))
+                .otherwise(lit("tail")).as("bucket"))
+            .write.mode("append").parquet(outDir)
+          nBatches.set(batchId.toInt + 1)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("doc_id")), nBatches.get())
   }
 
   /** §2.I streaming keep-best INGEST (round-10 add): the SELECTION
@@ -3008,6 +3130,11 @@ object StreamingOps {
     // batch op's over the same query set, so the oracle is verbatim
     // llm_ann_ivf's mirror (same columns, same total order)
     "stream_ann_query" -> graft.operators.AnnOps.annIvfOracleSql,
+
+    // per-doc score independence + the frozen staged model make the
+    // streamed gate equal the batch op verbatim — shared mirror
+    "stream_perplexity_bucket" ->
+      graft.operators.TrainingDataOps.oracle("llm_perplexity_bucket"),
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -309,4 +309,27 @@ class StreamIngestSpec extends GraftSpec {
     assert(resumed.collect().toSeq == batch,
       "resumed serving stream != batch llm_ann_ivf")
   }
+
+  test("stream_perplexity_bucket: k document micro-batches against the " +
+      "frozen staged LM equal the batch op verbatim, and a planned " +
+      "kill resumes from the checkpoint to the same table") {
+    val k = 4
+    val streamed =
+      StreamingOps.perplexityBucketRun(spark, sf, k)._1.collect().toSeq
+    val batch =
+      SparkEntry.queries("llm_perplexity_bucket")(spark, sf).collect().toSeq
+    assert(streamed == batch, "streamed gate != batch llm_perplexity_bucket")
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.perplexityBucketRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n) =
+      StreamingOps.perplexityBucketRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed gate stream != batch llm_perplexity_bucket")
+  }
 }
