@@ -129,15 +129,12 @@ object ScaleProbe {
     // expected curve is ngram_lm's flat collapse-first one; measured
     // 7.6 s at 4× (cold JVM) → 4.4 s at 16× — flat, as expected
     "llm_perplexity_bucket",
-    // round-11 add: SemDeDup's contract assumes an exact-dedup'd
-    // corpus (llm_prep_pipeline upstream) and a quantizer sized
-    // ncells ≈ √n, so identical replicas on the FIXED 10-cell
-    // pretrained quantizer are its documented adversarial regime —
-    // in-cluster populations grow k× and pair volume k² (the same
-    // fixed-geometry lesson as the round-3 LSH banding); measured
-    // 2.65 s at 4× → 4.87 s at 16× (codegen'd cosine keeps the k²
-    // pair volume cheap at this scale; the curve, not the level, is
-    // the fixed-quantizer signal)
+    // round-11 add: identical replicas inflate in-cluster populations
+    // k× and pair volume k² on the direct path — measured 141.9 s at
+    // 64× before the same-session adaptive exact-vector collapse
+    // landed (the neardup lesson: pair machinery on distinct reps,
+    // rep-level expansion theorem). With the collapse the curve is
+    // FLAT: 3.4 / 2.5 / 3.6 s at 4× / 16× / 64×
     "llm_semantic_dedup",
     // round-11 add: the CCNet composition's stage 1 (exact dedup) IS
     // its collapse — identical replicas fold to one survivor before

@@ -1573,26 +1573,77 @@ object TrainingDataOps {
     // (AnnOps.centroids), pinned-order cosine accumulation, 6-dp
     // rounds, and the 0.4 cutoff proven off-grid at all SFs
     // (TrainingDataSpec).
+    // ADAPTIVE exact-vector collapse (round-11, same session: the 64×
+    // identical probe read 141.9 s on the direct path — in-cluster
+    // pair volume is QUADRATIC in replica count, the neardup lesson).
+    // The pair machinery runs on DISTINCT (embedding, label) reps;
+    // centroids stay FULL-CORPUS (multiplicity shifts the mean — the
+    // agg is linear, so duplication costs nothing quadratic there).
+    // Expansion is a THEOREM: identical vectors share c_sim, so a
+    // group's members are consecutive in the keep order with the rep
+    // (min id) first. For rep r: every qualifying order-predecessor
+    // group contributes its own rep as least member (cs' < cs → all
+    // members precede, min = r'; cs' = cs → members below r exist iff
+    // r' < r), so dup_of(r) = m_lt(r), the rep-level min. For a
+    // non-rep x of r's group: r itself precedes x (same c_sim,
+    // smaller id, cos = 1 ≥ 0.4) so x always drops; the only extra
+    // candidates vs r's are reps r' ∈ (r, x) at equal c_sim — all
+    // > r, so dup_of(x) = least(r, coalesce(m_lt(r), r)). Both paths
+    // are pinned identical by the conf-override test; the oracle
+    // states the direct pairwise semantics (the collapse is
+    // invisible).
     "llm_semantic_dedup" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = embeddings(s, d)
       val cent = AnnOps.centroids(emb)
-      val m = emb.join(broadcast(cent), col("label") === col("c_label"))
-        .withColumn("c_sim",
-          round(expr("cosine_sim(embedding, centroid)"), 6))
-        .select(col("vec_id"), col("label"), col("embedding"),
+      def cut(df: DataFrame): DataFrame = AdaptiveCollapse.stageCut(s)(df)
+      def csimOf(df: DataFrame): DataFrame =
+        df.join(broadcast(cent), col("label") === col("c_label"))
+          .withColumn("c_sim",
+            round(expr("cosine_sim(embedding, centroid)"), 6))
+          .select(col("rid"), col("label"), col("embedding"),
+            col("c_sim"))
+      def repDups(m: DataFrame): DataFrame = {
+        val y = m.select(col("rid").as("y_id"), col("label"),
+          col("embedding").as("y_emb"), col("c_sim").as("y_csim"))
+        m.join(y, Seq("label"))
+          .filter(col("y_csim") < col("c_sim") ||
+            (col("y_csim") === col("c_sim") && col("y_id") < col("rid")))
+          .filter(round(expr("cosine_sim(embedding, y_emb)"), 6) >= 0.4)
+          .groupBy(col("rid")).agg(min(col("y_id")).as("dup_of"))
+      }
+      val hasDups = AdaptiveCollapse.decideAnyDup(s, emb,
+        "spark.graft.semanticCollapse",
+        xxhash64(col("embedding"), col("label")))
+      if (!hasDups) {
+        val m = csimOf(emb.select(col("vec_id").as("rid"), col("label"),
+          col("embedding")))
+        m.join(repDups(m), Seq("rid"), "left")
+          .select(col("rid").as("vec_id"), col("label").as("cluster_id"),
+            col("c_sim"), col("dup_of").isNull.as("kept"), col("dup_of"))
+          .orderBy(col("vec_id"))
+      } else {
+        val withG = AdaptiveCollapse.withGid(emb, "vec_id",
+          Seq("embedding", "label"), gidName = "rep_id")
+        val mRep = cut(csimOf(AdaptiveCollapse
+          .repsOf(withG, "vec_id", "rep_id")
+          .select(col("rep_id").as("rid"), col("label"),
+            col("embedding"))))
+        val perRep = mRep.select(col("rid").as("rep_id"), col("label"),
           col("c_sim"))
-      val y = m.select(col("vec_id").as("y_id"), col("label"),
-        col("embedding").as("y_emb"), col("c_sim").as("y_csim"))
-      val dup = m.join(y, Seq("label"))
-        .filter(col("y_csim") < col("c_sim") ||
-          (col("y_csim") === col("c_sim") && col("y_id") < col("vec_id")))
-        .filter(round(expr("cosine_sim(embedding, y_emb)"), 6) >= 0.4)
-        .groupBy(col("vec_id")).agg(min(col("y_id")).as("dup_of"))
-      m.join(dup, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label").as("cluster_id"),
-          col("c_sim"), col("dup_of").isNull.as("kept"), col("dup_of"))
-        .orderBy(col("vec_id"))
+          .join(repDups(mRep).withColumnRenamed("rid", "rep_id"),
+            Seq("rep_id"), "left")
+        withG.select(col("vec_id"), col("rep_id"))
+          .join(perRep, Seq("rep_id"))
+          .select(col("vec_id"), col("label").as("cluster_id"),
+            col("c_sim"),
+            when(col("vec_id") === col("rep_id"), col("dup_of"))
+              .otherwise(least(col("rep_id"),
+                coalesce(col("dup_of"), col("rep_id")))).as("dup_of"))
+          .select(col("vec_id"), col("cluster_id"), col("c_sim"),
+            col("dup_of").isNull.as("kept"), col("dup_of"))
+          .orderBy(col("vec_id"))
+      }
     }),
 
     // CCNet end-to-end composition (round-11 add; Wenzek et al.): the

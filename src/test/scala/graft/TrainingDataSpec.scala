@@ -797,6 +797,17 @@ class TrainingDataSpec extends GraftSpec {
       assert(!got(g + 10L) && !got(g + 20L),
         s"cluster $g: later replicas must drop on the id tie-break")
     }
+    // collapse path ≡ direct path on the dup-heavy corpus (the
+    // round-11 rep-expansion theorem, pinned the house way: force
+    // each path via the conf override and compare verbatim)
+    def runWith(mode: String) = {
+      spark.conf.set("spark.graft.semanticCollapse", mode)
+      try SparkEntry.queries("llm_semantic_dedup")(spark, dir)
+        .collect().toSeq
+      finally spark.conf.unset("spark.graft.semanticCollapse")
+    }
+    assert(runWith("always") == runWith("never"),
+      "collapse path != direct path on the dup-heavy corpus")
   }
 
   test("llm_ccnet_pipeline: dedup verdicts, per-lang tercile coverage, stage consistency") {
