@@ -133,8 +133,11 @@ object ScalarQueries {
 
     // Until-condition quantifier (round-5 add): A B* until C — signup,
     // then EVERY click up to the FIRST purchase, the purchase closing
-    // the loop — Flink-CEP's `oneOrMore().until(condition)`, where the
-    // quantified step ends on a predicate rather than a clock. No
+    // the loop — an ADAPTATION of Flink-CEP's
+    // `oneOrMore().until(condition)` (here the loop admits zero
+    // occurrences and the close is a required binding; Flink's loop
+    // requires ≥ 1 and until() is a non-binding stop condition), where
+    // the quantified step ends on a predicate rather than a clock. No
     // time window: the close is the stop condition itself (an OPEN
     // pattern — no purchase yet — reports a null count; the streaming
     // family deliberately has no twin, since an unbounded-window

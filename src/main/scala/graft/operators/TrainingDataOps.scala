@@ -162,8 +162,16 @@ object TrainingDataOps {
       .join(bGroups, Seq("embedding"))
       .join(repVecs.select(col("vec_id").as("ex_of"), col("embedding")),
         Seq("embedding"), "left")
+      // mirror of candEx's ordering guard on the EXACT stage: on a
+      // mid-epoch replay (crash after the newReps append landed but
+      // before the checkpoint commit) each replayed rep finds its OWN
+      // just-appended vector in repVecs, so ex_of == vec_id — without
+      // the guard its verdict would flip from kept/band_dup to
+      // exact_dup-of-itself and the readout's distinct() would keep two
+      // conflicting rows; with it, self-matches are ignored and the
+      // replay reproduces the pre-crash verdicts exactly
       .withColumn("exact_of",
-        coalesce(col("ex_of"),
+        coalesce(when(col("ex_of") < col("vec_id"), col("ex_of")),
           when(col("brep") < col("vec_id"), col("brep"))))
     val newReps = staged
       .filter(col("exact_of").isNull && col("vec_id") === col("brep"))

@@ -72,16 +72,21 @@ object Cep {
   final case class Next(name: String, typeCode: Int) extends Step
   /** Greedy one-or-more (Flink `oneOrMore().greedy()`). */
   final case class OneOrMore(name: String, typeCode: Int) extends Step
-  /** ZERO-or-more loop ended by a required closing step (round-11:
-    * Flink `oneOrMore().until(condition)` under `within()` — the
-    * BOUNDED until, which IS sealable because the window, not the stop
-    * condition, bounds the buffer). Binds `closeName` to the FIRST
-    * `closeTc` event after the previous binding and counts loop
-    * occurrences strictly between; unlike [[OneOrMore]] the loop
-    * admits zero occurrences, and unlike [[Bind]] the close is
-    * REQUIRED — an open loop (no close within the window) fails with
-    * no binding and a null count, the batch `events_pattern_until`
-    * open-pattern shape with the window as the extra horizon. */
+  /** ZERO-or-more loop ended by a required closing step — an
+    * ADAPTATION of Flink's `oneOrMore().until(condition)` under
+    * `within()`, not parity with it: Flink's loop requires ≥ 1
+    * occurrence and `until()` is a PRUNING stop condition that need
+    * not fire, whereas this step is A B* C-within-window — the loop
+    * admits zero occurrences (unlike [[OneOrMore]]) and the close is
+    * a REQUIRED binding (unlike a stop condition). What makes the
+    * bounded form sealable where the open `until` is not (§2.H
+    * impossibility note) is the window: the `within()` horizon, not
+    * the stop condition, bounds the buffer. Binds `closeName` to the
+    * FIRST `closeTc` event after the previous binding and counts loop
+    * occurrences strictly between; an open loop (no close within the
+    * window) fails with no binding and a null count, the batch
+    * `events_pattern_until` open-pattern shape with the window as the
+    * extra horizon. */
   final case class UntilClose(name: String, typeCode: Int,
       closeName: String, closeTc: Int) extends Step
   /** Terminal negation (Flink `notFollowedBy()` + `within()`). */

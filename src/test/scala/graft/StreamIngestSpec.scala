@@ -251,6 +251,41 @@ class StreamIngestSpec extends GraftSpec {
       "resumed embedding chain != one-shot chain")
   }
 
+  test("stream_embedding_ingest replayed epoch: tampering the " +
+      "checkpoint's last commit replays the epoch against the " +
+      "already-appended rep index — the EXACT-stage ordering guard " +
+      "(not just candEx's) must ignore each rep's own just-appended " +
+      "vector, or verdicts flip to exact_dup-of-itself") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val (first, n1) =
+      StreamingOps.embeddingIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n1 == k)
+    val firstRows = first.collect().toSeq
+    // simulate a crash AFTER epoch k's index appends (newReps landed in
+    // reps/) but BEFORE the checkpoint commit: drop the last commit
+    // marker, forcing Spark to replay batch k-1 with its own reps
+    // already visible in the index — the mid-epoch replay the exact
+    // stage's `ex_of < vec_id` guard exists for
+    val lastCommit = new java.io.File(s"$ckpt/commits/${k - 1}")
+    assert(lastCommit.isFile, s"expected commit marker $lastCommit")
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt/commits/.${k - 1}.crc").delete()
+    assert(StreamingOps.committedBatches(ckpt) == k - 1)
+    val (replayed, n2) =
+      StreamingOps.embeddingIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(StreamingOps.committedBatches(ckpt) == k,
+      "the replayed epoch should re-commit")
+    val replayedRows = replayed.collect().toSeq
+    assert(!replayedRows.exists(r => !r.isNullAt(2) &&
+        r.getLong(0) == r.getLong(2)),
+      "a replayed rep matched its own appended vector (self exact_dup)")
+    assert(replayedRows == firstRows,
+      "replayed epoch changed the final verdicts — replay is not " +
+        "idempotent through the appended index")
+  }
+
   test("stream_keep_best_ingest all-empty stream: the version chain " +
       "advances through empty epochs and the readout is an empty " +
       "frame, not a missing-path failure") {
