@@ -1549,8 +1549,13 @@ object TrainingDataOps {
     // Determinism: scores, bins and cutoffs are pure bigint arithmetic
     // (the llm_ngram_lm micro-nat discipline); all operands are
     // non-negative so Spark `div` ≡ DuckDB `//`.
+    // The per-doc score frame is STAGE-CUT once (round-12): both the
+    // cutoff histogram and the per-doc bucket projection consume
+    // `base`, and without the cut each side replays the whole bigram-LM
+    // training/scoring lineage (plus decideByMass's driver action) —
+    // the single-scan claim is structural, not a ReuseExchange hope.
     "llm_perplexity_bucket" -> ((s, d) => {
-      val base = ngramLmPerDoc(s, d)
+      val base = AdaptiveCollapse.stageCut(s)(ngramLmPerDoc(s, d))
       val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
       val usBin = expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
       base.crossJoin(broadcast(perplexityCutsOf(base)))
@@ -1669,23 +1674,33 @@ object TrainingDataOps {
     // vocabulary-sized per lang, and the tercile cutoffs reuse the
     // bounded 0.01-nat bin histogram (window partitioned by lang over
     // ≤ |langs|·~3000 rows, never a corpus sort).
+    // Three STAGE CUTS (round-12): `marked` (the text-keyed dedup
+    // window) feeds both the survivor pipeline and the final keeper
+    // spine, `pls` (dedup + trained lang-ID prediction) is consumed by
+    // every model CTE in ngramLmScoresByLang plus the score join, and
+    // `base` by both the cutoff histogram and the verdict projection —
+    // without the cuts each consumer replays the dedup + lang-ID + LM
+    // lineage from the corpus scan up (PlanShapeSpec pins zero
+    // surviving parquet scans in the executed plan).
     "llm_ccnet_pipeline" -> ((s, d) => {
       val docs = documents(s, d)
       val wk = Window.partitionBy(col("text"))
-      val marked = docs.select(col("doc_id"), col("text"), col("lang"))
-        .withColumn("keeper", min(col("doc_id")).over(wk))
+      val marked = AdaptiveCollapse.stageCut(s)(
+        docs.select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("keeper", min(col("doc_id")).over(wk)))
       val surv = marked.filter(col("doc_id") === col("keeper"))
         .select(col("doc_id"), col("lang"), col("text"))
       val pred = langIdPredict(surv.withColumn("k", lit(1L)))
         .select(col("gid").as("doc_id"), col("predicted").as("plang"))
-      val pls = surv.join(pred, Seq("doc_id"))
-        .select(col("doc_id"), col("plang"), col("text"))
-      val base = pls.select(col("doc_id"), col("plang"))
-        .join(ngramLmScoresByLang(pls)
-          .select(col("doc_id"), col("p"), col("n_bigrams")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("plang"), col("p"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      val pls = AdaptiveCollapse.stageCut(s)(surv.join(pred, Seq("doc_id"))
+        .select(col("doc_id"), col("plang"), col("text")))
+      val base = AdaptiveCollapse.stageCut(s)(
+        pls.select(col("doc_id"), col("plang"))
+          .join(ngramLmScoresByLang(pls)
+            .select(col("doc_id"), col("p"), col("n_bigrams")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("plang"), col("p"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams")))
       val usBin =
         expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
       val hist = base.filter(col("n_bigrams") > 0)

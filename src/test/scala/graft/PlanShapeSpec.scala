@@ -578,4 +578,27 @@ class PlanShapeSpec extends GraftSpec {
     assert(allWindows == windows && windows >= 1,
       s"unexpected window shape ($windows/$allWindows):\n$plan")
   }
+
+  test("the CCNet ops train their models ONCE: stage cuts leave zero " +
+      "parquet scans in the executed plans, and disabling the cut " +
+      "demonstrably replays the lineage") {
+    // both the cutoff histogram and the verdict projection consume the
+    // per-doc score frame; the round-12 stage cut makes the
+    // single-training claim STRUCTURAL — the executed final plan reads
+    // only the materialized stage (no corpus FileScan survives)
+    Seq("llm_perplexity_bucket", "llm_ccnet_pipeline").foreach { q =>
+      val plan = finalPlan(q)
+      assert(!plan.contains("Scan parquet"),
+        s"$q: a consumer replayed the score lineage past the cut:\n$plan")
+    }
+    // contrast proves the assertion bites: with lazy plans the two
+    // consumers each rebuild the lineage from the scan up
+    spark.conf.set("spark.graft.checkpointStages", "false")
+    try {
+      val lazyPlan = finalPlan("llm_perplexity_bucket")
+      val scans = "Scan parquet".r.findAllIn(lazyPlan).length
+      assert(scans >= 2,
+        s"expected the un-cut plan to rescan the corpus, got $scans")
+    } finally spark.conf.unset("spark.graft.checkpointStages")
+  }
 }
