@@ -161,7 +161,17 @@ object ScaleProbe {
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
   // alternatives (LSH sketch, IVF-ANN) are exactly what this mode measures.
-  private val PerturbedQueries = Seq("llm_embedding_lsh", "llm_ann_ivf")
+  private val PerturbedQueries = Seq("llm_embedding_lsh", "llm_ann_ivf",
+    // round-12 add (the r11 verdict's item 1): DISTINCT vectors are the
+    // axis the identical-replica probe could not certify — the fixed
+    // `label` alphabet makes the within-cell pair join O(n²/|labels|)
+    // in distinct corpus size. The adaptive sub-quantization
+    // (TrainingDataOps.semanticCells) refines oversized cells to
+    // subcell target √n, bounding pair volume at O(n·√n); measure with
+    // default conf (refined) and with
+    // --conf spark.graft.semanticCellCap:999999999999 (the un-refined
+    // BEFORE curve, for the record)
+    "llm_semantic_dedup")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the
@@ -260,6 +270,10 @@ object ScaleProbe {
     // --ops restricts each mode's list to this set (targeted re-probe of
     // one op without paying the full family sweep); unknown names error
     var opsFilter: Option[Set[String]] = None
+    // --conf k:v pairs applied to the probe session (round-12: lets a
+    // BEFORE/AFTER pair bracket an adaptive decision, e.g. pinning
+    // spark.graft.semanticCellCap past any population)
+    val confs = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val factors = scala.collection.mutable.ArrayBuffer[Int]()
     var i = 0
     while (i < args.length) {
@@ -267,6 +281,9 @@ object ScaleProbe {
         case "--modes" => modes = args(i + 1).split(",").toSeq; i += 2
         case "--ops" => opsFilter = Some(args(i + 1).split(",").toSet); i += 2
         case "--out" => out = Some(args(i + 1)); i += 2
+        case "--conf" =>
+          val Array(k, v) = args(i + 1).split(":", 2); confs += (k -> v)
+          i += 2
         case f => factors += f.toInt; i += 1
       }
     }
@@ -279,12 +296,13 @@ object ScaleProbe {
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    confs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 

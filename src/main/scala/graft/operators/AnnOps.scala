@@ -208,6 +208,65 @@ object AnnOps {
        SELECT vec_id, vec_id2, sim, rn FROM ranked
        WHERE rn <= $TopK ORDER BY vec_id, rn"""
 
+  /** DuckDB mirror of `stream_ann_live` (round-12): the per-epoch
+    * truth as `k` prefix-parameterized images of [[annIvfOracleSql]]
+    * UNION ALLed — epoch e sees exactly the id-ordered prefix
+    * vec_id < (max+1)·e/k (the tableBatchDir split formula) with the
+    * quantizer re-trained on that prefix, which is precisely what the
+    * streamed run publishes per trigger. The CTE bodies are the proven
+    * centroid/probe arithmetic with an epoch suffix. */
+  private[graft] def annLiveOracleSql(k: Int): String = {
+    def cos(a: String, b: String): String =
+      s"""list_dot_product($a, $b)
+             / (sqrt(list_dot_product($a, $a))
+                * sqrt(list_dot_product($b, $b)))"""
+    val blocks = (1 to k).map { e =>
+      s"""pre$e AS (SELECT * FROM embeddings
+              WHERE vec_id <
+                ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
+         cent$e AS (
+           SELECT label, j,
+             CASE WHEN sm >= 0 THEN sm // n
+                  ELSE -((-sm) // n) END / 1000000.0 AS c
+           FROM (
+             SELECT e.label, t.j,
+               SUM(CAST(round(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+                 * 1000000.0) AS BIGINT)) AS sm,
+               count(*) AS n
+             FROM pre$e e, range(1, 65) t(j)
+             GROUP BY 1, 2)),
+         cvecs$e AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
+                     FROM cent$e GROUP BY 1),
+         probes$e AS (
+           SELECT q_id, c_label FROM (
+             SELECT q.q_id, c.c_label,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 ${cos("q.qv", "c.cv")} DESC, c.c_label) AS prn
+             FROM qs q, cvecs$e c)
+           WHERE prn <= $NProbe),
+         scored$e AS (
+           SELECT p.q_id, cl.vec_id AS vec_id2,
+             round(${cos("q.qv", "CAST(cl.embedding AS DOUBLE[])")}, 6)
+               AS sim
+           FROM probes$e p JOIN pre$e cl ON cl.label = p.c_label
+           JOIN qs q ON q.q_id = p.q_id
+           WHERE p.q_id <> cl.vec_id),
+         ranked$e AS (
+           SELECT CAST($e AS INTEGER) AS epoch, q_id AS vec_id, vec_id2,
+                  sim,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, vec_id2) AS INTEGER) AS rn
+           FROM scored$e)"""
+    }
+    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       ${blocks.mkString(",\n       ")}
+       ${(1 to k).map(e =>
+           s"SELECT epoch, vec_id, vec_id2, sim, rn FROM ranked$e " +
+             s"WHERE rn <= $TopK").mkString(" UNION ALL ")}
+       ORDER BY epoch, vec_id, rn"""
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql,
     "llm_ann_ivf" -> annIvfOracleSql)

@@ -551,18 +551,20 @@ class PlanShapeSpec extends GraftSpec {
       s"shuffle exchange inside the $label loop:\n$plan")
   }
 
-  test("llm_semantic_dedup generates in-cluster pairs via a label-keyed equi-join") {
+  test("llm_semantic_dedup generates in-cluster pairs via a cell-keyed equi-join") {
     val plan = finalPlan("llm_semantic_dedup")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
-    // the corpus pair join must be an EQUI-join keyed by the cluster
-    // label (hash or sort-merge — size-based adaptivity may broadcast
-    // at test scale, the equi-key is the invariant); the centroid join
-    // is the only legitimate broadcast of a non-corpus side
+    // the corpus pair join must be an EQUI-join keyed by the quantizer
+    // cell (the plain label at test scale — round-12 renamed the key
+    // to `cell` for the adaptive sub-quantization; hash or sort-merge,
+    // size-based adaptivity may broadcast at test scale, the equi-key
+    // is the invariant); the centroid join is the only legitimate
+    // broadcast of a non-corpus side
     val pairJoin =
-      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[label#".r
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
         .findFirstIn(plan).isDefined ||
-      plan.contains("hashpartitioning(label")
-    assert(pairJoin, s"pair join not keyed by label:\n$plan")
+      plan.contains("hashpartitioning(cell")
+    assert(pairJoin, s"pair join not keyed by cell:\n$plan")
   }
 
   test("llm_perplexity_bucket's only Window sorts the bin table, never the corpus") {

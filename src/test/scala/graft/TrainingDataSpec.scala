@@ -722,40 +722,77 @@ class TrainingDataSpec extends GraftSpec {
   }
   private def cosD(a: Array[Double], b: Array[Double]): Double =
     dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
-  private def semanticDedupBrute(vecs: Array[(Long, Array[Double], Int)])
-      : Map[Long, (Int, Double, Boolean, Option[Long])] = {
-    val cent: Map[Int, Array[Double]] = vecs.groupBy(_._3).map {
-      case (l, ms) =>
-        l -> Array.tabulate(ms.head._2.length) { j =>
-          val sm = ms.map(m => java.math.BigDecimal.valueOf(m._2(j) * 1e6)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sum
-          (sm / ms.size) / 1e6
+  private def microCentroid(ms: Array[Array[Double]]): Array[Double] =
+    Array.tabulate(ms.head.length) { j =>
+      val sm = ms.map(v => java.math.BigDecimal.valueOf(v(j) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue).sum
+      (sm / ms.length) / 1e6
+    }
+
+  /** Round-12: the full ADAPTIVE contract — per-label cells by
+    * default, deterministic 2-iteration Lloyd sub-k-means for any cell
+    * with p² > cap·n (seeds by Knuth hash of vec_id, argmax of
+    * 6-dp cosine with subcell tie-break, micro-unit centroids),
+    * cluster_id = (label+1)·2²⁰ + subcell when refined. */
+  private def semanticDedupBrute(vecs: Array[(Long, Array[Double], Int)],
+      cap: Long = 16L): Map[Long, (Long, Double, Boolean, Option[Long])] = {
+    val n = vecs.length.toLong
+    val sN = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    def mh(id: Long): Long = ((id % 268435456L) * 2654435761L) % 1000000007L
+    val cellOf = scala.collection.mutable.Map.empty[Long, Long]
+    val centOf = scala.collection.mutable.Map.empty[Long, Array[Double]]
+    vecs.groupBy(_._3).foreach { case (l, ms) =>
+      val p = ms.length.toLong
+      if (p * p > cap * n) {
+        val ncells = ((p + sN - 1) / sN).toInt
+        val seedCents = ms.sortBy(m => (mh(m._1), m._1)).take(ncells)
+          .map(_._2).zipWithIndex.map { case (v, j) => (j, v) }.toSeq
+        def assign(cents: Seq[(Int, Array[Double])]): Map[Long, Int] =
+          ms.map { m =>
+            m._1 -> cents.maxBy { case (j, c) =>
+              (huD(cosD(m._2, c), 6), -j) }._1
+          }.toMap
+        val a1 = assign(seedCents)
+        val c1 = ms.groupBy(m => a1(m._1)).toSeq.sortBy(_._1)
+          .map { case (j, mm) => (j, microCentroid(mm.map(_._2))) }
+        val a2 = assign(c1)
+        val c2 = ms.groupBy(m => a2(m._1))
+          .map { case (j, mm) => j -> microCentroid(mm.map(_._2)) }
+        ms.foreach { m =>
+          val cid = (l + 1).toLong * 1048576L + a2(m._1)
+          cellOf(m._1) = cid
+          centOf(cid) = c2(a2(m._1))
         }
+      } else {
+        ms.foreach(m => cellOf(m._1) = l.toLong)
+        centOf(l.toLong) = microCentroid(ms.map(_._2))
+      }
     }
-    val withC = vecs.map { case (id, v, l) =>
-      (id, v, l, huD(cosD(v, cent(l)), 6))
+    val withC = vecs.map { case (id, v, _) =>
+      val cid = cellOf(id)
+      (id, v, cid, huD(cosD(v, centOf(cid)), 6))
     }
-    withC.map { case (id, v, l, cs) =>
-      val preds = withC.filter { case (id2, v2, l2, cs2) =>
-        l2 == l && (cs2 < cs || (cs2 == cs && id2 < id)) &&
+    withC.map { case (id, v, cid, cs) =>
+      val preds = withC.filter { case (id2, v2, cid2, cs2) =>
+        cid2 == cid && (cs2 < cs || (cs2 == cs && id2 < id)) &&
           huD(cosD(v, v2), 6) >= 0.4
       }
       val dupOf = if (preds.isEmpty) None else Some(preds.map(_._1).min)
-      id -> ((l, cs, dupOf.isEmpty, dupOf))
+      id -> ((cid, cs, dupOf.isEmpty, dupOf))
     }.toMap
   }
 
-  private def assertSemanticMatches(dir: String): Unit = {
+  private def assertSemanticMatches(dir: String, cap: Long = 16L): Unit = {
     val rows = SparkEntry.queries("llm_semantic_dedup")(spark, dir)
       .collect()
     val vecs = Tables.embeddings(spark, dir).collect().map { r =>
       (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2))
     }
     assert(rows.length == vecs.length)
-    val truth = semanticDedupBrute(vecs)
+    val truth = semanticDedupBrute(vecs, cap)
     rows.foreach { r =>
       val id = r.getLong(0)
-      val got = (r.getInt(1), r.getDouble(2), r.getBoolean(3),
+      val got = (r.getLong(1), r.getDouble(2), r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getLong(4)))
       assert(got == truth(id), s"vec $id: got $got exp ${truth(id)}")
     }
@@ -808,6 +845,60 @@ class TrainingDataSpec extends GraftSpec {
     }
     assert(runWith("always") == runWith("never"),
       "collapse path != direct path on the dup-heavy corpus")
+  }
+
+  test("llm_semantic_dedup adaptive sub-quantization: the stock corpus " +
+      "stays on plain labels, the forced cap refines every cell to the " +
+      "brute-force sub-k-means truth, and the collapse theorem holds " +
+      "under refinement") {
+    // default cap = 16 at sf0.001: max cell 63 < 4·√500 ≈ 89 — every
+    // cluster_id must be a plain label (the trigger boundary is real)
+    val plain = SparkEntry.queries("llm_semantic_dedup")(spark, sf)
+      .collect()
+    assert(plain.forall(_.getLong(1) < 1048576L),
+      "stock sf0.001 corpus must not refine")
+    // cap = 0 forces p² > 0 for every cell: all labels refine; the op
+    // must match the independently-computed Lloyd reference exactly
+    spark.conf.set("spark.graft.semanticCellCap", "0")
+    try {
+      assertSemanticMatches(sf, cap = 0L)
+      val refined = SparkEntry.queries("llm_semantic_dedup")(spark, sf)
+        .collect()
+      assert(refined.forall(_.getLong(1) >= 1048576L),
+        "cap=0 must put every vector in a refined subcell")
+      assert(refined.map(_.getLong(1)).distinct.length > 10,
+        "refinement should split the 10 labels into more subcells")
+    } finally spark.conf.unset("spark.graft.semanticCellCap")
+    // collapse ≡ direct WITH refinement live: the dup-heavy fixture
+    // from the tie-break test, cap forced, both override paths
+    import spark.implicits._
+    val dim = 8
+    val rows =
+      (for (g <- 0 until 3; m <- 0 until 3) yield ((g + 10 * m).toLong,
+        Array.tabulate(dim)(j =>
+          (if (j == g) 3.0 else 0.25 * math.cos(g + j)).toFloat), g)) ++
+      (0 until 3).map { g => ((g + 100).toLong,
+        Array.tabulate(dim)(j =>
+          (if (j == (g + 4) % dim) 2.0 else 0.0).toFloat), g)
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sem_requant_").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def runWith(mode: String) = {
+      spark.conf.set("spark.graft.semanticCellCap", "0")
+      spark.conf.set("spark.graft.semanticCollapse", mode)
+      try SparkEntry.queries("llm_semantic_dedup")(spark, dir)
+        .collect().toSeq
+      finally {
+        spark.conf.unset("spark.graft.semanticCollapse")
+        spark.conf.unset("spark.graft.semanticCellCap")
+      }
+    }
+    val always = runWith("always")
+    assert(always == runWith("never"),
+      "collapse path != direct path under forced refinement")
+    assert(always.forall(_.getLong(1) >= 1048576L))
   }
 
   test("llm_ccnet_pipeline: dedup verdicts, per-lang tercile coverage, stage consistency") {
