@@ -195,7 +195,18 @@ object ScaleProbe {
       // replicas carry DISTINCT shingles the text collapse can't
       // absorb — the sketch prunes the inflated train stream before
       // any shuffle, which is the op's whole claim
-      "stream_decontaminate_ingest")
+      "stream_decontaminate_ingest",
+      // round-12 adds (the r11 verdict's item 2): the CCNet trio on
+      // the VOCABULARY axis — trainheavy's per-replica token tags make
+      // every replica a DISTINCT text, so the exact collapse absorbs
+      // nothing, the bigram grid and per-lang histograms grow with the
+      // corpus, and the curve measures exactly the model-table growth
+      // the identical-replica probe could not see. Expected shapes:
+      // vocab-sized model tables grow ~linearly in distinct tokens,
+      // histograms stay bin-bounded, so all three should track the
+      // linear explode/score floor
+      "llm_perplexity_bucket", "llm_ccnet_pipeline",
+      "stream_perplexity_bucket")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest
@@ -261,6 +272,7 @@ object ScaleProbe {
     case "events" => EventQueries
     case "bucketed" => BucketedQueries
     case "graph" => GraphQueries
+    case "queries" => Seq.empty // query-volume axis: see the main loop
     case m => throw new IllegalArgumentException(s"unknown probe mode $m")
   }
 
@@ -356,6 +368,15 @@ object ScaleProbe {
               .filterNot { case (id, _) => preexisting(id) }
               .values.foreach(_.unpersist(blocking = true))
           }
+          if (mode == "queries")
+            // the serving read path at k× the QUERY volume over the
+            // unchanged 1× corpus/index: stream_ann_query's per-batch
+            // claim is O(batch queries × probed cells), so the curve
+            // should be ~linear in nq above the fixed 4-trigger +
+            // one-time quantizer-staging floor
+            timed(s"stream_ann_query_q${10 * k}")(
+              graft.streaming.StreamingOps
+                .annQueryRun(spark, dir, 4, nq = 10 * k)._1.count())
           if (mode == "perturbed" && opsFilter.isEmpty)
             // candidate volume BEFORE verification — the quantity whose
             // growth curve decides whether the banding is sub-quadratic
@@ -545,6 +566,13 @@ object ScaleProbe {
               pmod(col("l_suppkey") - 1 + lit(i * 37L), lit(maxSupp)) + 1))
           .reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      case "queries" =>
+        // QUERY-VOLUME axis (round-12, the r11 verdict's item 7): the
+        // corpus/index stays at 1× — only the serving query stream
+        // scales (handled in the main loop via annQueryRun's nq), so
+        // the curve isolates per-batch cost O(batch queries × probed
+        // cells) from the corpus-axis growth r11 measured
+        link("documents"); link("embeddings")
       case "events" =>
         // USER-axis growth: every replica shifts user_id AND event_id, so
         // the same time window holds k× the users (per-user history depth

@@ -32,6 +32,14 @@ import org.apache.spark.sql.SparkSession
   * the round-11 concurrent bench lane: the sweep's per-op streaming
   * line is a regression tracker, this number is the honest marginal
   * cost of deploying the family together.
+  *
+  * MEDIAN-OF-N (round-12, the r11 verdict's item 5): the three
+  * same-day round-11 family runs spread 24.1-45.4 s concurrent (±47%),
+  * unusable as a regression gate at n=1 — so `--family` now runs the
+  * whole sequential+concurrent pair 3 times by default (`--reps N`
+  * overrides) and emits per-rep numbers, medians and the concurrent
+  * spread in ONE artifact. The gate (BASELINE.md): compare MEDIANS,
+  * flag only a delta above the measured same-artifact spread.
   */
 object StreamFloorProbe {
 
@@ -71,25 +79,50 @@ object StreamFloorProbe {
     // and so the ingest quartet's staging writes don't all collide
     val poolSize = math.min(ops.size, 8)
 
+    val reps = args.sliding(2).collectFirst {
+      case Array("--reps", n) => n.toInt
+    }.getOrElse(if (family) 3 else 1)
+
     // warm the JVM (codegen, state-store classes) outside both timings
     runOne(ops.head)
 
-    val seqTimes = ops.map(op => op -> runOne(op))
-    val seqTotal = seqTimes.map(_._2).sum
+    def measurePair(): (Seq[(String, Double)], Double, Double) = {
+      val seqTimes = ops.map(op => op -> runOne(op))
+      val pool = Executors.newFixedThreadPool(poolSize)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val fs = ops.map(op => Future(runOne(op)))
+      Await.result(Future.sequence(fs), Duration.Inf)
+      val concTotal = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      (seqTimes, seqTimes.map(_._2).sum, concTotal)
+    }
 
-    val pool = Executors.newFixedThreadPool(poolSize)
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutor(pool)
-    val t0 = System.nanoTime()
-    val fs = ops.map(op => Future(runOne(op)))
-    Await.result(Future.sequence(fs), Duration.Inf)
-    val concTotal = (System.nanoTime() - t0) / 1e9
-    pool.shutdown()
-
-    val per = seqTimes.map { case (k, v) => s"\"$k\":$v" }
+    val runs = (1 to reps).map { i =>
+      val r = measurePair()
+      println(f"[streamfloor] rep $i: sequential ${r._2}%.2f s, " +
+        f"concurrent ${r._3}%.2f s")
+      r
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val seqMed = median(runs.map(_._2))
+    val concMed = median(runs.map(_._3))
+    val concs = runs.map(_._3)
+    val spreadPct =
+      if (concMed == 0) 0.0 else (concs.max - concs.min) / concMed * 100
+    val per = runs.last._1.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"$metric%s","sequential_sec":$seqTotal%.2f,""" +
-      f""""concurrent_sec":$concTotal%.2f,"ops":${ops.size},""" +
+    val repsJson = runs.map { case (_, sq, cc) =>
+      f"""{"sequential_sec":$sq%.2f,"concurrent_sec":$cc%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"$metric%s","sequential_sec":$seqMed%.2f,""" +
+      f""""concurrent_sec":$concMed%.2f,"reps":$repsJson,""" +
+      f""""concurrent_spread_pct":$spreadPct%.1f,"ops":${ops.size},""" +
       s""""pool":$poolSize,"per_op_sequential":$per,"sf":"$sfDir"}""")
     spark.stop()
   }

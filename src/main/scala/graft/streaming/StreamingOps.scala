@@ -1260,7 +1260,11 @@ object StreamingOps {
     "stream_ann_query" -> ((s, d) => annQueryRun(s, d, 4)._1),
 
     "stream_perplexity_bucket" ->
-      ((s, d) => perplexityBucketRun(s, d, 4)._1)
+      ((s, d) => perplexityBucketRun(s, d, 4)._1),
+
+    "stream_ann_live" -> ((s, d) => annLiveRun(s, d, 4)._1),
+
+    "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1721,25 +1725,30 @@ object StreamingOps {
     * static index) and the readout folds through `distinct()`, so
     * at-least-once appends collapse exactly; the quantizer re-stage on
     * resume is idempotent (mode=overwrite of a deterministic table). */
-  private[graft] def annQueryRun(s: SparkSession, d: String, k: Int)
-      : (DataFrame, Int) = {
+  private[graft] def annQueryRun(s: SparkSession, d: String, k: Int,
+      nq: Int = 10): (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
-    try annQueryRunAt(s, d, k, registeredScratchDir("graft_annq_"), ckpt)
+    try annQueryRunAt(s, d, k, registeredScratchDir("graft_annq_"), ckpt,
+      nq = nq)
     finally deleteRecursively(ckpt)
   }
 
   /** Resumable core of [[annQueryRun]]: `root` holds the staged
     * quantizer (`cent/`) and the append verdict sink (`out/`); `ckpt`
     * is the caller-owned checkpoint; `failBeforeEpoch` injects a
-    * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch.
+    * `nq` sizes the query set (vec_id < nq; 10 for the registered op —
+    * ScaleProbe's `queries` mode scales it to measure the per-batch
+    * serving cost on the QUERY-VOLUME axis, the r11 verdict's item 7). */
   private[graft] def annQueryRunAt(s: SparkSession, d: String, k: Int,
       root: String, ckpt: String,
-      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+      failBeforeEpoch: Int = Int.MaxValue, nq: Int = 10)
+      : (DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val emb = embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(col("vec_id") < nq)
       .select(col("vec_id"), col("embedding"))
-    val srcDir = tableBatchDir(s"annq:$d@$k", queries, "vec_id", k)
+    val srcDir = tableBatchDir(s"annq:$d@$k:$nq", queries, "vec_id", k)
     val qSchema = queries.schema
     val centDir = s"$root/cent"
     val outDir = s"$root/out"
@@ -1900,6 +1909,268 @@ object StreamingOps {
                 .otherwise(lit("tail")).as("bucket"))
             .write.mode("append").parquet(outDir)
           nBatches.set(batchId.toInt + 1)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("doc_id")), nBatches.get())
+  }
+
+  /** §2.I streaming LIVE ANN serving (round-12 add, the r11 verdict's
+    * item 3): the read+WRITE composition `stream_ann_query` (static
+    * index) deliberately left open — the corpus arrives as id-ordered
+    * epochs and the SAME stream serves queries, each query batch
+    * answered against exactly the index version visible at its epoch.
+    * Per trigger: (write path) the visible corpus extends to the
+    * batch's high-watermark prefix and the coarse quantizer is
+    * RE-PUBLISHED from that prefix (epoch-versioned parquet dir — the
+    * artifact a real deployment re-trains and republishes per index
+    * epoch; training on the prefix only, never on unarrived data);
+    * (read path) the static query set probes the staged quantizer via
+    * the shared [[graft.operators.AnnOps.annIvfVerdictsCore]] — probe
+    * set broadcast, cell-keyed equi-join, exact top-5 — against the
+    * prefix corpus, emitting (epoch, q, neighbour, sim, rn). Per-epoch
+    * work is O(prefix centroid agg + probed cells); the corpus never
+    * all-pairs. The oracle recomputes every epoch's truth from the
+    * tableBatchDir split formula (prefix e = vec_id < (max+1)·e/k) —
+    * k prefix-parameterized images of the llm_ann_ivf mirror
+    * ([[graft.operators.AnnOps.annLiveOracleSql]]). Replay + restart:
+    * verdict rows are a deterministic function of (epoch prefix,
+    * query set), the quantizer re-stage is an idempotent overwrite of
+    * a deterministic table keyed by epoch, and the readout folds
+    * through `distinct()` — so a replayed epoch re-materializes
+    * byte-identical rows. */
+  private[graft] def annLiveRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try annLiveRunAt(s, d, k, registeredScratchDir("graft_annl_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[annLiveRun]]: `root` holds the epoch-versioned
+    * quantizer stages (`cent_v<e>`) and the append verdict sink
+    * (`out/`); `ckpt` is the caller-owned checkpoint; `failBeforeEpoch`
+    * injects a [[PlannedIngestKill]] at the top of the given (1-based)
+    * epoch. */
+  private[graft] def annLiveRunAt(s: SparkSession, d: String, k: Int,
+      root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val srcDir = tableBatchDir(s"annlive:$d@$k", emb, "vec_id", k)
+    val embSchema = emb.schema
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val verdictSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec_id2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rn",
+        org.apache.spark.sql.types.IntegerType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "vec_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          graft.functions.CosineSimilarity.register(ss)
+          monotoneBatchBounds(batch, "vec_id",
+              "stream_ann_live", prevMax).foreach { case (_, hi) =>
+            // the index version visible at this epoch: the id-ordered
+            // prefix up to the batch's own high watermark (the static
+            // base table filtered — equal to the union of staged
+            // batches 0..b, with no self-append read hazard)
+            val prefix = embeddings(ss, d).filter(col("vec_id") <= hi)
+            val centDir = s"$root/cent_v${batchId + 1}"
+            graft.operators.AnnOps.centroids(prefix)
+              .write.mode("overwrite").parquet(centDir)
+            val cent = ss.read.schema(centSchema).parquet(centDir)
+            val queries = embeddings(ss, d).filter(col("vec_id") < 10)
+              .select(col("vec_id").as("q_id"),
+                col("embedding").as("q_vec"))
+            graft.operators.AnnOps
+              .annIvfVerdictsCore(queries, prefix, cent)
+              .select(lit(batchId.toInt + 1).as("epoch"), col("vec_id"),
+                col("vec_id2"), col("sim"), col("rn"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(batchId.toInt + 1)
+            prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("epoch"), col("vec_id"), col("rn")), nBatches.get())
+  }
+
+  /** §2.I streaming CCNet INGEST (round-12 add, the r11 verdict's
+    * item 4): the CCNet gate as a LIVE corpus build, completing the
+    * batch-pipeline/streaming-twin symmetry for the composed pipeline.
+    * Frozen artifacts staged once at stream start (the
+    * [[perplexityBucketRunAt]] pattern, trained exactly as
+    * `llm_ccnet_pipeline` trains them — on full-corpus survivors, per
+    * the batch op's self-trained contract): the lang-ID grid, the
+    * per-predicted-lang bigram LM grid, and the per-lang tercile
+    * cutoffs ([[graft.operators.TrainingDataOps.ccnetArtifacts]]).
+    * Exact-dedup state carried ACROSS batches (the ingest-index
+    * pattern): an append-only (text, keeper) survivor index; each
+    * id-ordered batch folds keeper = least(index keeper, in-batch min),
+    * so first arrival IS the global min-id keeper. Batch survivors are
+    * classified against the staged lang-ID FileScan, scored against
+    * the staged per-lang grid (bg-keyed equi-join, O(batch bigrams)),
+    * and bucketed by the static cutoffs; dups emit (dup, keeper) —
+    * one verdict row per doc, and the final table equals
+    * `llm_ccnet_pipeline` verbatim (shared oracle). Replay + restart:
+    * keeper folding through least() is idempotent when a replayed
+    * epoch finds its own appended survivors in the index (keeper =
+    * its own brep — the same verdict), duplicate index rows are
+    * absorbed by the min-fold, duplicate verdict appends by the
+    * readout's `distinct()`, and the artifact re-stage is an
+    * idempotent overwrite of deterministic tables. */
+  private[graft] def ccnetIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try ccnetIngestRunAt(s, d, k, registeredScratchDir("graft_ccn_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[ccnetIngestRun]]: `root` holds the staged
+    * frozen artifacts (`langgrid/`, `lmgrid/`, `cuts/`), the
+    * append-only survivor index (`seen/`) and the append verdict sink
+    * (`out/`); `ckpt` is the caller-owned checkpoint; `failBeforeEpoch`
+    * injects a [[PlannedIngestKill]] at the top of the given (1-based)
+    * epoch. */
+  private[graft] def ccnetIngestRunAt(s: SparkSession, d: String, k: Int,
+      root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val srcDir = documentsBatchDir(s, d, k)
+    val docsSchema = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .schema
+    val lgDir = s"$root/langgrid"
+    val lmDir = s"$root/lmgrid"
+    val cutsDir = s"$root/cuts"
+    val seenDir = s"$root/seen"
+    val outDir = s"$root/out"
+    Seq(seenDir, outDir).foreach(p =>
+      Files.createDirectories(java.nio.file.Paths.get(p)))
+    val (langGrid, lmGrid, cuts) =
+      graft.operators.TrainingDataOps.ccnetArtifacts(s, d)
+    langGrid.write.mode("overwrite").parquet(lgDir)
+    lmGrid.write.mode("overwrite").parquet(lmDir)
+    cuts.write.mode("overwrite").parquet(cutsDir)
+    import org.apache.spark.sql.types._
+    val lgSchema = StructType(Seq(StructField("m_lang", StringType),
+      StructField("w", StringType), StructField("lp", DoubleType)))
+    val lmSchema = StructType(Seq(StructField("plang", StringType),
+      StructField("bg", StringType), StructField("lpm", LongType)))
+    val cutsSchema = StructType(Seq(StructField("plang", StringType),
+      StructField("b1", LongType), StructField("b2", LongType)))
+    val seenSchema = StructType(Seq(StructField("text", StringType),
+      StructField("keeper", LongType)))
+    val verdictSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("status", StringType),
+      StructField("dup_of", LongType),
+      StructField("lang", StringType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "doc_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          batch.persist()
+          try monotoneBatchBounds(batch, "doc_id",
+              "stream_ccnet_ingest", prevMax).foreach { case (_, hi) =>
+            val seen = ss.read.schema(seenSchema).parquet(seenDir)
+              .groupBy(col("text")).agg(min(col("keeper")).as("prev"))
+            val bGroups = batch.groupBy(col("text"))
+              .agg(min(col("doc_id")).as("brep"))
+            val staged = batch.select(col("doc_id"), col("text"))
+              .join(bGroups, Seq("text"))
+              .join(seen, Seq("text"), "left")
+              // least() makes a mid-epoch replay exact with no guard:
+              // a replayed survivor finds ITSELF in the index
+              // (prev == brep) and folds to the same keeper
+              .withColumn("keeper",
+                least(coalesce(col("prev"), col("brep")), col("brep")))
+            staged.persist()
+            try {
+              val survB = staged
+                .filter(col("doc_id") === col("keeper"))
+                .select(col("doc_id"), col("text"))
+              val lg = ss.read.schema(lgSchema).parquet(lgDir)
+              val lm = ss.read.schema(lmSchema).parquet(lmDir)
+              val cts = ss.read.schema(cutsSchema).parquet(cutsDir)
+              val predB = graft.operators.TrainingDataOps.langIdArgmax(
+                  graft.operators.TrainingDataOps.langIdTfOf(survB), lg)
+                .select(col("gid").as("doc_id"),
+                  col("predicted").as("plang"))
+              val sc = graft.operators.TrainingDataOps
+                .ngramLmTfOf(survB)
+                .join(predB, Seq("doc_id"))
+                .join(lm, Seq("plang", "bg"))
+                .withColumn("c", col("tf") * col("lpm"))
+                .groupBy(col("doc_id"))
+                .agg((-sum(col("c"))).as("p"),
+                  sum(col("tf")).as("n_bigrams"))
+              val baseB = predB
+                .join(sc, Seq("doc_id"), "left")
+                .select(col("doc_id"), col("plang"), col("p"),
+                  coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+              val usBin = expr(
+                "((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+              val gate = baseB.join(broadcast(cts), Seq("plang"), "left")
+                .select(col("doc_id"),
+                  when(col("n_bigrams") === lit(0L), lit("na"))
+                    .when(usBin <= col("b1"), lit("head"))
+                    .when(usBin <= col("b2"), lit("middle"))
+                    .otherwise(lit("tail")).as("status"),
+                  lit(null).cast("long").as("dup_of"),
+                  col("plang").as("lang"))
+              val dups = staged.filter(col("doc_id") =!= col("keeper"))
+                .select(col("doc_id"), lit("dup").as("status"),
+                  col("keeper").as("dup_of"),
+                  lit(null).cast("string").as("lang"))
+              // WRITE ORDER: verdicts first — the survivor-index
+              // append below fires refreshByPath on the path every
+              // frame here descends from (the embeddingIngestRun
+              // lesson)
+              gate.unionByName(dups).write.mode("append").parquet(outDir)
+              staged.filter(col("doc_id") === col("keeper"))
+                .select(col("text"), col("doc_id").as("keeper"))
+                .write.mode("append").parquet(seenDir)
+              nBatches.set(batchId.toInt + 1)
+              prevMax.set(hi)
+            } finally staged.unpersist()
+          } finally batch.unpersist()
           ()
         }
         .trigger(Trigger.AvailableNow())
@@ -3135,6 +3406,18 @@ object StreamingOps {
     // streamed gate equal the batch op verbatim — shared mirror
     "stream_perplexity_bucket" ->
       graft.operators.TrainingDataOps.oracle("llm_perplexity_bucket"),
+
+    // per-epoch truth from the tableBatchDir split formula: k
+    // prefix-parameterized images of llm_ann_ivf's mirror, one per
+    // published index version (see annLiveRun)
+    "stream_ann_live" -> graft.operators.AnnOps.annLiveOracleSql(4),
+
+    // first-arrival keepers ≡ global min-id keepers under id-ordered
+    // epochs + frozen staged models trained the batch op's way make
+    // the live corpus build equal llm_ccnet_pipeline verbatim —
+    // shared mirror (see ccnetIngestRun)
+    "stream_ccnet_ingest" ->
+      graft.operators.TrainingDataOps.oracle("llm_ccnet_pipeline"),
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -345,6 +345,112 @@ class StreamIngestSpec extends GraftSpec {
       "resumed serving stream != batch llm_ann_ivf")
   }
 
+  test("stream_ann_live: every epoch's verdicts equal llm_ann_ivf run " +
+      "on that epoch's id-ordered prefix with a prefix-trained " +
+      "quantizer, and a planned kill resumes to the same table") {
+    val k = 4
+    val (streamedDf, n1) = StreamingOps.annLiveRun(spark, sf, k)
+    assert(n1 == k)
+    val streamed = streamedDf.collect().toSeq
+    // independent per-epoch truth: stage each prefix as its own corpus
+    // dir and run the BATCH op on it — same quantizer training, same
+    // probe, no shared code path through the streaming run
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val expected = (1 to k).flatMap { e =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_annl_pre${e}_").toString
+      emb.filter(col("vec_id") < (maxId + 1) * e / k)
+        .write.parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("llm_ann_ivf")(spark, dir).collect().toSeq
+        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+          r.get(2), r.get(3)))
+    }
+    assert(streamed == expected,
+      "per-epoch serving verdicts != per-prefix batch llm_ann_ivf")
+    // the composition is non-degenerate: some query's top-k must
+    // actually CHANGE across index versions (the live part)
+    val byEpoch = streamed.groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getInt(4))))
+    assert(byEpoch(1).toSet != byEpoch(k).toSet,
+      "degenerate fixture: the index never visibly advanced")
+    // kill-and-resume: epoch-keyed quantizer overwrite + distinct
+    // readout resume to the identical table
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.annLiveRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n2) = StreamingOps.annLiveRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == streamed,
+      "resumed live-serving stream != one-shot chain")
+  }
+
+  test("stream_ccnet_ingest: the live corpus build equals " +
+      "llm_ccnet_pipeline verbatim, a planned kill resumes to it, and " +
+      "a tampered last commit replays the epoch against its own " +
+      "appended survivor index exactly (the least() keeper fold)") {
+    val k = 4
+    val batch = SparkEntry.queries("llm_ccnet_pipeline")(spark, sf)
+      .collect().toSeq
+    val (streamedDf, n1) = StreamingOps.ccnetIngestRun(spark, sf, k)
+    assert(n1 == k)
+    assert(streamedDf.collect().toSeq == batch,
+      "live CCNet build != batch llm_ccnet_pipeline")
+    // cross-epoch dedup must actually fire — the stock sf0.001 corpus
+    // has no dup pair straddling an epoch boundary, so force one:
+    // verbatim replicas of every doc land in epoch 2 while all
+    // originals sit in epoch 1, and every replica must resolve
+    // through the PERSISTED survivor index
+    val docs = Tables.documents(spark, sf)
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val dupDir = java.nio.file.Files
+      .createTempDirectory("graft_ccn_dup_").toString
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(mx)))
+      .write.parquet(s"$dupDir/documents.parquet")
+    val exp2 = SparkEntry.queries("llm_ccnet_pipeline")(spark, dupDir)
+      .collect().toSeq
+    val (got2Df, nb2) = StreamingOps.ccnetIngestRun(spark, dupDir, 2)
+    assert(nb2 == 2)
+    assert(got2Df.collect().toSeq == exp2,
+      "replica-fixture live build != batch op")
+    exp2.filter(_.getLong(0) >= mx).foreach { r =>
+      assert(r.getString(1) == "dup" && !r.isNullAt(2) &&
+        r.getLong(2) < mx,
+        s"replica ${r.getLong(0)} did not dedup across the epoch " +
+          s"boundary: $r")
+    }
+    // kill-and-resume
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.ccnetIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n2) =
+      StreamingOps.ccnetIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed CCNet chain != batch op")
+    // checkpoint tamper: drop the last commit marker so epoch k
+    // replays with its own survivors already in seen/ — least() must
+    // fold each replayed survivor to its own keeper, byte-identically
+    val lastCommit = new java.io.File(s"$ckpt/commits/${k - 1}")
+    assert(lastCommit.isFile)
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt/commits/.${k - 1}.crc").delete()
+    assert(StreamingOps.committedBatches(ckpt) == k - 1)
+    val (replayed, n3) =
+      StreamingOps.ccnetIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n3 == k)
+    assert(replayed.collect().toSeq == batch,
+      "replayed epoch changed the final table — replay is not idempotent")
+  }
+
   test("stream_perplexity_bucket: k document micro-batches against the " +
       "frozen staged LM equal the batch op verbatim, and a planned " +
       "kill resumes from the checkpoint to the same table") {
