@@ -156,7 +156,22 @@ object ScaleProbe {
     // is the per-doc scoring linear floor + 4 triggers: 14.3 s at 4×
     // → 18.1 s at 16× (every doc gets a verdict row — output 20k →
     // 80k — the same verdict-per-doc floor as the ingest quartet)
-    "stream_perplexity_bucket")
+    "stream_perplexity_bucket",
+    // round-12 adds, probed on arrival (the r11 lesson: new ops ship
+    // with curves, not promises). stream_ccnet_ingest: identical
+    // replicas collapse at the stage-1 exact dedup (first arrival
+    // keeps, every replica emits one dup row against the persisted
+    // survivor index), so the expected curve is the flat
+    // collapse-first one plus the 4-trigger floor, the linear
+    // verdict-per-doc output, and the staging-inclusive one-time
+    // model training (itself survivor-sized = flat under replicas)
+    "stream_ccnet_ingest",
+    // stream_ann_live: identical replicas grow every epoch PREFIX k×,
+    // so per-epoch work is the linear prefix centroid agg + the
+    // cell-bounded probe — expected ~linear in corpus rows with the
+    // 4-trigger floor: the stream_ann_query corpus-axis shape plus
+    // the per-epoch quantizer re-publish
+    "stream_ann_live")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
