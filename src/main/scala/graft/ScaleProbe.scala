@@ -171,7 +171,14 @@ object ScaleProbe {
     // cell-bounded probe — expected ~linear in corpus rows with the
     // 4-trigger floor: the stream_ann_query corpus-axis shape plus
     // the per-epoch quantizer re-publish
-    "stream_ann_live")
+    "stream_ann_live",
+    // round-12: the SemDeDup ingest under identical replicas — the
+    // frozen quantizer refines on the FULL population (replicas count
+    // toward cell sizes), identical vectors share their cell, and the
+    // cell-local recompute collapses them to reps before the pair
+    // join, so the expected curve is the collapse-first flat one plus
+    // the O(corpus-so-far) state carry-forward write per epoch
+    "stream_semantic_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -186,7 +193,20 @@ object ScaleProbe {
     // default conf (refined) and with
     // --conf spark.graft.semanticCellCap:999999999999 (the un-refined
     // BEFORE curve, for the record)
-    "llm_semantic_dedup")
+    "llm_semantic_dedup",
+    // round-12: the live serving composition under DISTINCT-vector
+    // growth — per-epoch quantizer re-publish is a linear prefix agg
+    // and the probe stays cell-bounded, so the expected curve is
+    // ~linear in corpus rows plus the 4-trigger floor
+    "stream_ann_live",
+    // round-12: the SemDeDup ingest on its pair-heavy axis — distinct
+    // vectors defeat the exact collapse, so per-epoch cost is the
+    // affected cells' O(n·√n)-bounded pair volume under the frozen
+    // refined quantizer (every epoch recomputes its touched cells
+    // from full membership; the 4-epoch chain re-pays growing
+    // prefixes, so expect ~4× the batch op's own perturbed cost plus
+    // the state carry-forward writes)
+    "stream_semantic_ingest")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the
@@ -221,7 +241,12 @@ object ScaleProbe {
       // histograms stay bin-bounded, so all three should track the
       // linear explode/score floor
       "llm_perplexity_bucket", "llm_ccnet_pipeline",
-      "stream_perplexity_bucket")
+      "stream_perplexity_bucket",
+      // round-12: the live CCNet build on the same vocabulary axis —
+      // staging-inclusive (the frozen models train on k× distinct
+      // survivor texts at stream start) plus 4 triggers of per-batch
+      // classify/score; expected ~linear like its batch twin
+      "stream_ccnet_ingest")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest

@@ -1922,7 +1922,17 @@ object TrainingDataOps {
     * collapse/checkpoint confs it CHANGES the contract output — the
     * oracle states cap = 16 — so nothing but ScalaTest may set it. */
   private def semanticCells(s: SparkSession, emb: DataFrame)
-      : Option[(DataFrame, DataFrame)] = {
+      : Option[(DataFrame, DataFrame)] =
+    semanticCellsFull(s, emb).map(t => (t._1, t._2))
+
+  /** [[semanticCells]] plus the publishable ASSIGNMENT model: the
+    * third element is the post-iteration-1 centroid table
+    * (label, j, cvec) the final argmax ranks against — the piece
+    * `stream_semantic_ingest` stages so per-batch assignment
+    * reproduces the batch op's a2 verbatim (assignment ranks against
+    * C1; c_sim reads the final C2/plain centroid keyed by cell). */
+  private[graft] def semanticCellsFull(s: SparkSession, emb: DataFrame)
+      : Option[(DataFrame, DataFrame, DataFrame)] = {
     val cap = s.conf.getOption("spark.graft.semanticCellCap")
       .map(_.toLong).getOrElse(16L)
     val n = emb.count()
@@ -1965,7 +1975,8 @@ object TrainingDataOps {
         .select(col("label"), col("j"),
           transform(col("pc"), x => x.getField("c")).as("cvec"))
     val cutF = AdaptiveCollapse.stageCut(s) _
-    val a2 = cutF(assignTo(cutF(subCent(assignTo(seeds)))))
+    val c1 = cutF(subCent(assignTo(seeds)))
+    val a2 = cutF(assignTo(c1))
     val c2 = subCent(a2)
     val cellId =
       (col("label") + lit(1)).cast("long") * lit(1048576L) + col("j")
@@ -1978,7 +1989,49 @@ object TrainingDataOps {
           "left_anti"))
       .select(col("c_label").cast("long").as("cell"), col("centroid"))
       .unionByName(c2.select(cellId.as("cell"), col("cvec").as("centroid")))
-    Some((cutF(assign), cutF(cents)))
+    Some((cutF(assign), cutF(cents), c1))
+  }
+
+  /** Cell-local SemDeDup verdicts over a (vec_id, cell, embedding,
+    * c_sim) member frame — the batch op's collapse branch restricted
+    * to the given cells (round-12, the `stream_semantic_ingest` epoch
+    * step). CELL-LOCALITY THEOREM: a vector's verdict depends only on
+    * its cell-mates — the keep order ranks (c_sim, vec_id) within the
+    * cell and the 0.4 radius is only ever tested against order-earlier
+    * cell-mates — so recomputing an AFFECTED cell from its full
+    * membership under a frozen quantizer is exact, and the union of
+    * per-cell verdict tables over all cells IS the batch op's output.
+    * The exact-vector collapse applies unconditionally here (cells are
+    * already population-bounded by the quantizer, but a dup-heavy
+    * stream can still pile identical vectors into one cell — the rep
+    * machinery + the r11 expansion theorem are both cell-local, so
+    * grouping by (embedding, cell) ≡ the batch op's (embedding, label)
+    * groups: identical vectors share their assignment). */
+  private[graft] def semanticCellVerdicts(m: DataFrame): DataFrame = {
+    val withG = AdaptiveCollapse.withGid(m, "vec_id",
+      Seq("embedding", "cell"), gidName = "rep_id")
+    val mRep = AdaptiveCollapse.repsOf(withG, "vec_id", "rep_id")
+      .select(col("rep_id").as("rid"), col("cell"), col("embedding"),
+        col("c_sim"))
+    val y = mRep.select(col("rid").as("y_id"), col("cell"),
+      col("embedding").as("y_emb"), col("c_sim").as("y_csim"))
+    val rd = mRep.join(y, Seq("cell"))
+      .filter(col("y_csim") < col("c_sim") ||
+        (col("y_csim") === col("c_sim") && col("y_id") < col("rid")))
+      .filter(round(expr("cosine_sim(embedding, y_emb)"), 6) >= 0.4)
+      .groupBy(col("rid")).agg(min(col("y_id")).as("dup_of"))
+      .withColumnRenamed("rid", "rep_id")
+    val perRep = mRep.select(col("rid").as("rep_id"), col("cell"),
+      col("c_sim"))
+      .join(rd, Seq("rep_id"), "left")
+    withG.select(col("vec_id"), col("rep_id"))
+      .join(perRep, Seq("rep_id"))
+      .select(col("vec_id"), col("cell").as("cluster_id"), col("c_sim"),
+        when(col("vec_id") === col("rep_id"), col("dup_of"))
+          .otherwise(least(col("rep_id"),
+            coalesce(col("dup_of"), col("rep_id")))).as("dup_of"))
+      .select(col("vec_id"), col("cluster_id"), col("c_sim"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
   /** Tercile cutoff bins over the integer micro-nat scores of `base`

@@ -1264,7 +1264,9 @@ object StreamingOps {
 
     "stream_ann_live" -> ((s, d) => annLiveRun(s, d, 4)._1),
 
-    "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1)
+    "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1),
+
+    "stream_semantic_ingest" -> ((s, d) => semanticIngestRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -2022,6 +2024,183 @@ object StreamingOps {
     }
     (s.read.schema(verdictSchema).parquet(outDir).distinct()
       .orderBy(col("epoch"), col("vec_id"), col("rn")), nBatches.get())
+  }
+
+  /** §2.I streaming SEMANTIC-DEDUP INGEST (round-12 add): SemDeDup as
+    * a live corpus build — the one major batch pipeline op that still
+    * lacked a streaming twin after the round-12 CCNet ingest. The
+    * quantizer is FROZEN at stream start (the published-artifact
+    * pattern; trained on the streamed corpus per the batch op's
+    * self-trained contract): the adaptive sub-k-means' ASSIGNMENT
+    * centroids (post-iteration-1 C1 — what the batch op's final argmax
+    * ranks against) and the final per-cell c_sim centroids are staged
+    * to parquet via
+    * [[graft.operators.TrainingDataOps.semanticCellsFull]]. Each
+    * id-ordered micro-batch then: assigns its vectors (broadcast C1
+    * argmax for refined labels, plain label otherwise — reproducing
+    * the batch op's assignment verbatim), computes c_sim against the
+    * staged cell centroid, and recomputes verdicts for the AFFECTED
+    * cells only from their full membership (prior members from the
+    * append-only per-cell index + the batch), carrying every untouched
+    * cell's verdicts forward from the batchId-keyed versioned state.
+    * Exactness is the cell-locality theorem
+    * ([[graft.operators.TrainingDataOps.semanticCellVerdicts]]):
+    * verdicts depend only on cell-mates under a frozen quantizer, so
+    * the final state ≡ `llm_semantic_dedup` over the whole corpus and
+    * the oracle is that op's mirror VERBATIM — unlike arrival-frozen
+    * designs, a later-arriving vector that precedes existing members
+    * in the (c_sim, vec_id) keep order correctly FLIPS their verdicts
+    * when its cell recomputes. Scale: per epoch O(Σ affected-cell
+    * members² at rep level) pair work + an O(corpus-so-far) state
+    * carry-forward write (the keep_best-documented once-per-epoch
+    * shape); the member index is append-only. Replay + restart: state
+    * keyed on batchId with mode=overwrite, member-index duplicate
+    * appends absorbed by the read-side distinct(), assignment/verdicts
+    * deterministic functions of (batch, staged model, committed
+    * index). */
+  private[graft] def semanticIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try semanticIngestRunAt(s, d, k, registeredScratchDir("graft_semi_"),
+      ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[semanticIngestRun]]: `root` holds the staged
+    * quantizer (`qassign/` = C1, `qcents/` = final cell centroids),
+    * the append-only member index (`members/`) and the batchId-keyed
+    * versioned verdict state (`state_v*`); `ckpt` is the caller-owned
+    * checkpoint; `failBeforeEpoch` injects a [[PlannedIngestKill]] at
+    * the top of the given (1-based) epoch. */
+  private[graft] def semanticIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val srcDir = tableBatchDir(s"semi:$d@$k", emb, "vec_id", k)
+    val embSchema = emb.schema
+    val qaDir = s"$root/qassign"
+    val qcDir = s"$root/qcents"
+    val memberDir = s"$root/members"
+    Files.createDirectories(java.nio.file.Paths.get(memberDir))
+    // frozen quantizer model (idempotent overwrites of deterministic
+    // tables): C1 empty when no cell is oversized — every label then
+    // routes through the plain branch
+    graft.operators.TrainingDataOps.semanticCellsFull(s, emb) match {
+      case Some((_, cents, c1)) =>
+        c1.write.mode("overwrite").parquet(qaDir)
+        cents.write.mode("overwrite").parquet(qcDir)
+      case None =>
+        emb.select(col("label"), lit(0L).as("j"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+          .filter(lit(false))
+          .write.mode("overwrite").parquet(qaDir)
+        graft.operators.AnnOps.centroids(emb)
+          .select(col("c_label").cast("long").as("cell"), col("centroid"))
+          .write.mode("overwrite").parquet(qcDir)
+    }
+    import org.apache.spark.sql.types._
+    val acSchema = StructType(Seq(StructField("label", IntegerType),
+      StructField("j", LongType),
+      StructField("cvec", ArrayType(DoubleType))))
+    val fcSchema = StructType(Seq(StructField("cell", LongType),
+      StructField("centroid", ArrayType(DoubleType))))
+    val idxSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cell", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("c_sim", DoubleType)))
+    val stateSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cluster_id", LongType),
+      StructField("c_sim", DoubleType),
+      StructField("kept", BooleanType),
+      StructField("dup_of", LongType)))
+    // state_v0: the empty pre-stream verdict table (idempotent)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stateSchema).write.mode("overwrite").parquet(s"$root/state_v0")
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "vec_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          graft.functions.CosineSimilarity.register(ss)
+          val stateIn = s"$root/state_v$batchId"
+          val stateOut = s"$root/state_v${batchId + 1}"
+          monotoneBatchBounds(batch, "vec_id",
+              "stream_semantic_ingest", prevMax) match {
+            case Some((_, hi)) =>
+              val ac = ss.read.schema(acSchema).parquet(qaDir)
+              val fc = ss.read.schema(fcSchema).parquet(qcDir)
+              val refined = batch.join(broadcast(ac), Seq("label"))
+                .withColumn("cs",
+                  round(expr("cosine_sim(embedding, cvec)"), 6))
+                .groupBy(col("vec_id"), col("label"))
+                .agg(expr("max_by(j, struct(cs, -j))").as("j"))
+                .select(col("vec_id"),
+                  ((col("label") + lit(1)).cast("long") * lit(1048576L)
+                    + col("j")).as("cell"))
+              val plain = batch.join(
+                  broadcast(ac.select(col("label")).distinct()),
+                  Seq("label"), "left_anti")
+                .select(col("vec_id"), col("label").cast("long").as("cell"))
+              val batchIdx = batch.select(col("vec_id"), col("embedding"))
+                .join(refined.unionByName(plain), Seq("vec_id"))
+                .join(broadcast(fc), Seq("cell"))
+                .withColumn("c_sim",
+                  round(expr("cosine_sim(embedding, centroid)"), 6))
+                .select(col("vec_id"), col("cell"), col("embedding"),
+                  col("c_sim"))
+              batchIdx.persist()
+              try {
+                val prior =
+                  ss.read.schema(idxSchema).parquet(memberDir).distinct()
+                val affected = batchIdx.select(col("cell")).distinct()
+                // distinct: a replayed epoch finds its own members in
+                // the index — full-row duplicates fold away, so the
+                // recompute sees exactly the union membership
+                val members = prior
+                  .join(affected, Seq("cell"), "left_semi")
+                  .unionByName(batchIdx).distinct()
+                val affVerd = graft.operators.TrainingDataOps
+                  .semanticCellVerdicts(members)
+                val carried = ss.read.schema(stateSchema).parquet(stateIn)
+                  .join(affected.select(col("cell").as("cluster_id")),
+                    Seq("cluster_id"), "left_anti")
+                  // the USING join fronts cluster_id — restore the
+                  // contract order so the staged files read naturally
+                  .select(col("vec_id"), col("cluster_id"),
+                    col("c_sim"), col("kept"), col("dup_of"))
+                carried.unionByName(affVerd
+                    .select(col("vec_id"), col("cluster_id"),
+                      col("c_sim"), col("kept"), col("dup_of")))
+                  .write.mode("overwrite").parquet(stateOut)
+                // index append LAST (the refreshByPath write-order
+                // lesson: every frame above descends from the
+                // memberDir read)
+                batchIdx.write.mode("append").parquet(memberDir)
+                nBatches.set(batchId.toInt + 1)
+                prevMax.set(hi)
+              } finally batchIdx.unpersist()
+            case None =>
+              // empty epoch: advance the version chain unchanged
+              ss.read.schema(stateSchema).parquet(stateIn)
+                .write.mode("overwrite").parquet(stateOut)
+              nBatches.set(batchId.toInt + 1)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(stateSchema).parquet(s"$root/state_v${nBatches.get()}")
+      .orderBy(col("vec_id")), nBatches.get())
   }
 
   /** §2.I streaming CCNet INGEST (round-12 add, the r11 verdict's
@@ -3418,6 +3597,12 @@ object StreamingOps {
     // shared mirror (see ccnetIngestRun)
     "stream_ccnet_ingest" ->
       graft.operators.TrainingDataOps.oracle("llm_ccnet_pipeline"),
+
+    // the cell-locality theorem (semanticCellVerdicts) makes the final
+    // chained state equal the batch op over the whole corpus under the
+    // frozen self-trained quantizer — shared mirror verbatim
+    "stream_semantic_ingest" ->
+      graft.operators.TrainingDataOps.oracle("llm_semantic_dedup"),
 
     "stream_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

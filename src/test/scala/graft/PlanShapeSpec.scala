@@ -567,6 +567,28 @@ class PlanShapeSpec extends GraftSpec {
     assert(pairJoin, s"pair join not keyed by cell:\n$plan")
   }
 
+  test("llm_semantic_dedup REFINED path stays cell-keyed with no " +
+      "cartesian anywhere in the sub-k-means") {
+    // force the sub-quantizer at test scale: the refinement's
+    // assignment rounds must be broadcast joins of the tiny centroid
+    // tables (never a corpus-side broadcast or a cartesian), and the
+    // pair join must still key on the (now refined) cell
+    spark.conf.set("spark.graft.semanticCellCap", "0")
+    try {
+      val df = SparkEntry.queries("llm_semantic_dedup")(spark, sf)
+      df.collect()
+      val s0 = df.queryExecution.executedPlan.toString
+      val init = s0.indexOf("== Initial Plan ==")
+      val plan = if (init >= 0) s0.substring(0, init) else s0
+      assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+      val pairJoin =
+        "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
+          .findFirstIn(plan).isDefined ||
+        plan.contains("hashpartitioning(cell")
+      assert(pairJoin, s"refined pair join not keyed by cell:\n$plan")
+    } finally spark.conf.unset("spark.graft.semanticCellCap")
+  }
+
   test("llm_perplexity_bucket's only Window sorts the bin table, never the corpus") {
     val plan = finalPlan("llm_perplexity_bucket")
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")

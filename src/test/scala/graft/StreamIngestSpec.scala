@@ -451,6 +451,93 @@ class StreamIngestSpec extends GraftSpec {
       "replayed epoch changed the final table — replay is not idempotent")
   }
 
+  test("stream_semantic_ingest: the chained cell recomputes land on " +
+      "llm_semantic_dedup verbatim, a later-arriving keep-order " +
+      "PREDECESSOR flips an earlier epoch's verdict, and " +
+      "kill-and-resume + checkpoint-tamper replay are exact") {
+    val k = 4
+    // final state ≡ batch op on the stock corpus
+    val batch = SparkEntry.queries("llm_semantic_dedup")(spark, sf)
+      .collect().toSeq
+    val (got, n1) = StreamingOps.semanticIngestRun(spark, sf, k)
+    assert(n1 == k)
+    assert(got.collect().toSeq == batch,
+      "chained semantic ingest != batch llm_semantic_dedup")
+
+    // THE FLIP: SemDeDup's keep order is (c_sim asc, vec_id) — NOT
+    // arrival order — so a late-arriving outlier that precedes an
+    // already-kept member must flip that member to dup when its cell
+    // recomputes. Fixture (2-D directions padded to dim 8, one label):
+    // v0 at 0° (id 0, epoch 1), v2 at 90° (id 1, epoch 1), v1 at −55°
+    // (id 1000, epoch 2). Frozen centroid ≈ 6.6°, so keep order is
+    // v2 (0.115) < v1 (0.475) < v0 (0.993), and cos(v0, v1) =
+    // cos 55° ≈ 0.574 ≥ 0.4: after epoch 1 v0 is KEPT, after epoch 2
+    // it must be dup_of = 1000 — a dup_of LARGER than its own id,
+    // impossible under arrival-frozen verdicts.
+    import spark.implicits._
+    def vec(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(8)(j =>
+        if (j == 0) (2.0 * math.cos(r)).toFloat
+        else if (j == 1) (2.0 * math.sin(r)).toFloat
+        else 0.0f)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semi_flip_").toString
+    Seq((0L, vec(0), 0), (1L, vec(90), 0), (1000L, vec(-55), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_semi_flip_root_").toString
+    val ckptF = s"$root/ckpt"
+    val (flipDf, nf) =
+      StreamingOps.semanticIngestRunAt(spark, dir, 2, root, ckptF)
+    assert(nf == 2)
+    val fin = flipDf.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(fin(0L) == ((false, Some(1000L))),
+      s"v0 must flip to dup_of=1000, got ${fin(0L)}")
+    assert(fin(1L) == ((true, None)) && fin(1000L) == ((true, None)))
+    // and the epoch-1 state really had v0 KEPT (the flip happened
+    // across the epoch boundary, not within one recompute)
+    val v1state = spark.read.parquet(s"$root/state_v1")
+      .select(col("vec_id"), col("kept"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1state == Map(0L -> true, 1L -> true),
+      s"epoch-1 state wrong: $v1state")
+    // the flip fixture's final state also equals the batch op on it
+    assert(flipDf.collect().toSeq ==
+      SparkEntry.queries("llm_semantic_dedup")(spark, dir)
+        .collect().toSeq)
+
+    // kill-and-resume + tamper on the stock corpus
+    val (root2, ckpt2) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.semanticIngestRunAt(spark, sf, k, root2, ckpt2,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt2) == 2)
+    val (resumed, n2) =
+      StreamingOps.semanticIngestRunAt(spark, sf, k, root2, ckpt2)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed semantic ingest != batch op")
+    // tamper: replay the last epoch against its own appended members —
+    // the member-index distinct() + batchId-keyed state overwrite must
+    // re-materialize the identical table
+    val lastCommit = new java.io.File(s"$ckpt2/commits/${k - 1}")
+    assert(lastCommit.isFile)
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt2/commits/.${k - 1}.crc").delete()
+    val (replayed, n3) =
+      StreamingOps.semanticIngestRunAt(spark, sf, k, root2, ckpt2)
+    assert(n3 == k)
+    assert(replayed.collect().toSeq == batch,
+      "tampered replay changed the final state")
+  }
+
   test("stream_perplexity_bucket: k document micro-batches against the " +
       "frozen staged LM equal the batch op verbatim, and a planned " +
       "kill resumes from the checkpoint to the same table") {
