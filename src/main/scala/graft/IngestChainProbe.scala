@@ -65,7 +65,18 @@ object IngestChainProbe {
         "stream_keep_best_ingest" ->
           (k => StreamingOps.keepBestIngestRun(spark, sfDir, k)),
         "stream_decontaminate_ingest" ->
-          (k => StreamingOps.decontaminateIngestRun(spark, sfDir, k)))
+          (k => StreamingOps.decontaminateIngestRun(spark, sfDir, k)),
+        // round-12 ingest additions: the CCNet live build (per-epoch
+        // cost = batch classify/score + the survivor-index probe; the
+        // one-time model staging amortizes over the chain) and the
+        // SemDeDup live build (per-epoch cost = affected-cell recompute
+        // + the O(corpus-so-far) state carry-forward — the keep_best
+        // write shape, expected to ramp with state size, priced in
+        // BASELINE.md)
+        "stream_ccnet_ingest" ->
+          (k => StreamingOps.ccnetIngestRun(spark, sfDir, k)),
+        "stream_semantic_ingest" ->
+          (k => StreamingOps.semanticIngestRun(spark, sfDir, k)))
 
     // JVM warm-up outside all timings (codegen, parquet, stream classes)
     runs.head._2(2)
