@@ -2150,10 +2150,18 @@ object TrainingDataOps {
       .select(col("gid").as("doc_id"), col("predicted").as("plang"))
     val pls = AdaptiveCollapse.stageCut(s)(surv.join(pred, Seq("doc_id"))
       .select(col("doc_id"), col("plang"), col("text")))
-    val tfBg = ngramLmTfOf(pls.select(col("doc_id"), col("text")))
-      .join(pls.select(col("doc_id"), col("plang")), Seq("doc_id"))
-    val lmGrid = ngramLmGridByLang(pls, tfBg)
-    val cuts = perLangCutsOf(ngramLmScoresByLang(pls))
+    val tfBg = AdaptiveCollapse.stageCut(s)(
+      ngramLmTfOf(pls.select(col("doc_id"), col("text")))
+        .join(pls.select(col("doc_id"), col("plang")), Seq("doc_id")))
+    val lmGrid = AdaptiveCollapse.stageCut(s)(ngramLmGridByLang(pls, tfBg))
+    // score against the SAME staged grid instead of re-deriving the
+    // whole LM lineage through ngramLmScoresByLang — the cutoffs are
+    // a pure function of (tfBg, lmGrid), both already materialized
+    val scores = tfBg.join(lmGrid, Seq("plang", "bg"))
+      .withColumn("c", col("tf") * col("lpm"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
+    val cuts = perLangCutsOf(scores)
     (langGrid, lmGrid, cuts)
   }
 
