@@ -28,16 +28,27 @@ with open(out_path, "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
 print(f"wrote {out_path}")
 
+import re
+
 for mode, per in sorted(merged["modes"].items()):
     factors = sorted(int(k) for k in per)
     if len(factors) < 2:
         continue
     ops = sorted({op for f2 in per.values() for op in f2})
-    print(f"\n[{mode}] factors={factors}")
+    # the `queries` mode emits one entry per scaled query volume
+    # (op_qNN at factor NN/10) — fold them back to one op so the
+    # growth fit runs over the nq axis instead of reporting
+    # "insufficient points" per distinct name
+    folded = {}
     for op in ops:
-        pts = [(f, per[str(f)][op]["sec"], per[str(f)][op]["rows"])
-               for f in factors if op in per[str(f)]
-               and per[str(f)][op]["rows"] >= 0]
+        m = re.fullmatch(r"(.+)_q(\d+)", op)
+        folded.setdefault(m.group(1) if m else op, []).append(op)
+    print(f"\n[{mode}] factors={factors}")
+    for base, names in sorted(folded.items()):
+        op = base if len(names) > 1 else names[0]
+        pts = [(f, per[str(f)][nm]["sec"], per[str(f)][nm]["rows"])
+               for f in factors for nm in names if nm in per[str(f)]
+               and per[str(f)][nm]["rows"] >= 0]
         if len(pts) < 2:
             print(f"  {op}: insufficient points")
             continue

@@ -387,6 +387,18 @@ class StreamIngestSpec extends GraftSpec {
     assert(n2 == k)
     assert(resumed.collect().toSeq == streamed,
       "resumed live-serving stream != one-shot chain")
+    // checkpoint tamper: replay epoch k — the epoch-keyed quantizer
+    // overwrite is idempotent and the re-appended verdict rows are
+    // byte-identical, so the distinct() readout collapses them exactly
+    val lastCommit = new java.io.File(s"$ckpt/commits/${k - 1}")
+    assert(lastCommit.isFile)
+    assert(lastCommit.delete())
+    new java.io.File(s"$ckpt/commits/.${k - 1}.crc").delete()
+    val (replayed, n3) =
+      StreamingOps.annLiveRunAt(spark, sf, k, root, ckpt)
+    assert(n3 == k)
+    assert(replayed.collect().toSeq == streamed,
+      "tampered replay changed the served verdicts")
   }
 
   test("stream_ccnet_ingest: the live corpus build equals " +

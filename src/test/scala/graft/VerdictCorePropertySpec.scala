@@ -135,4 +135,58 @@ class VerdictCorePropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("semanticCellVerdicts == brute-force within-cell keep-order " +
+      "truth on random dup-heavy member frames") {
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+    def cosR6(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0 until 4).foreach { trial =>
+      // 8 distinct direction groups over 3 cells; identical
+      // (embedding, cell) members share their c_sim — the rep
+      // expansion theorem's premise (in the op, c_sim is a pure
+      // function of (embedding, cell)); rows repeat groups heavily so
+      // the cell-local exact collapse really fires
+      val groups = Vector.fill(8)((
+        Array.fill(6)(rnd.nextGaussian().toFloat),
+        rnd.nextInt(3).toLong,
+        math.rint(rnd.nextDouble() * 1e6) / 1e6))
+      val rows = (0 until 50).map { i =>
+        val (v, cell, cs) = groups(rnd.nextInt(groups.size))
+        (i.toLong, cell, v, cs)
+      }
+      val got = graft.operators.TrainingDataOps.semanticCellVerdicts(
+          rows.toDF("vec_id", "cell", "embedding", "c_sim"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+      // implementation-free truth: keep order = (c_sim asc, vec_id)
+      // WITHIN the cell; drop iff an order-earlier cell-mate sits
+      // within round(cos, 6) >= 0.4; dup_of = the least such id
+      rows.foreach { case (id, cell, v, cs) =>
+        val preds = rows.filter { case (id2, cell2, v2, cs2) =>
+          cell2 == cell && (cs2 < cs || (cs2 == cs && id2 < id)) &&
+            cosR6(v2.toSeq, v.toSeq) >= 0.4
+        }.map(_._1)
+        val expected = (cell, preds.isEmpty,
+          if (preds.isEmpty) None else Some(preds.min))
+        assert(got(id) == expected,
+          s"trial $trial vec $id: got ${got(id)} expected $expected")
+      }
+      // non-degenerate: the trial must exercise drops, keeps AND
+      // repeated identical members
+      assert(got.values.exists(!_._2) && got.values.exists(_._2))
+      assert(rows.groupBy(r => (r._3.toSeq, r._2)).exists(_._2.size > 1))
+    }
+  }
 }
