@@ -408,7 +408,7 @@ object ScaleProbe {
               .filterNot { case (id, _) => preexisting(id) }
               .values.foreach(_.unpersist(blocking = true))
           }
-          if (mode == "queries")
+          if (mode == "queries") {
             // the serving read path at k× the QUERY volume over the
             // unchanged 1× corpus/index: stream_ann_query's per-batch
             // claim is O(batch queries × probed cells), so the curve
@@ -417,6 +417,14 @@ object ScaleProbe {
             timed(s"stream_ann_query_q${10 * k}")(
               graft.streaming.StreamingOps
                 .annQueryRun(spark, dir, 4, nq = 10 * k)._1.count())
+            // the read+write composition on the same axis: each of the
+            // 4 epochs re-answers the k×-sized STATIC query set against
+            // its prefix, so expect ~linear in nq on top of the
+            // per-epoch quantizer-re-publish floor
+            timed(s"stream_ann_live_q${10 * k}")(
+              graft.streaming.StreamingOps
+                .annLiveRun(spark, dir, 4, nq = 10 * k)._1.count())
+          }
           if (mode == "perturbed" && opsFilter.isEmpty)
             // candidate volume BEFORE verification — the quantity whose
             // growth curve decides whether the banding is sub-quadratic

@@ -1943,10 +1943,11 @@ object StreamingOps {
     * a deterministic table keyed by epoch, and the readout folds
     * through `distinct()` — so a replayed epoch re-materializes
     * byte-identical rows. */
-  private[graft] def annLiveRun(s: SparkSession, d: String, k: Int)
-      : (DataFrame, Int) = {
+  private[graft] def annLiveRun(s: SparkSession, d: String, k: Int,
+      nq: Int = 10): (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
-    try annLiveRunAt(s, d, k, registeredScratchDir("graft_annl_"), ckpt)
+    try annLiveRunAt(s, d, k, registeredScratchDir("graft_annl_"), ckpt,
+      nq = nq)
     finally deleteRecursively(ckpt)
   }
 
@@ -1957,7 +1958,8 @@ object StreamingOps {
     * epoch. */
   private[graft] def annLiveRunAt(s: SparkSession, d: String, k: Int,
       root: String, ckpt: String,
-      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+      failBeforeEpoch: Int = Int.MaxValue, nq: Int = 10)
+      : (DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -2007,7 +2009,7 @@ object StreamingOps {
             graft.operators.AnnOps.centroids(prefix)
               .write.mode("overwrite").parquet(centDir)
             val cent = ss.read.schema(centSchema).parquet(centDir)
-            val queries = embeddings(ss, d).filter(col("vec_id") < 10)
+            val queries = embeddings(ss, d).filter(col("vec_id") < nq)
               .select(col("vec_id").as("q_id"),
                 col("embedding").as("q_vec"))
             graft.operators.AnnOps
