@@ -39,9 +39,11 @@ for mode, per in sorted(merged["modes"].items()):
     # (op_qNN at factor NN/10) — fold them back to one op so the
     # growth fit runs over the nq axis instead of reporting
     # "insufficient points" per distinct name
+    # (queries mode only — elsewhere an op whose real name happens to
+    # end in _q<digits> must not be folded with unrelated siblings)
     folded = {}
     for op in ops:
-        m = re.fullmatch(r"(.+)_q(\d+)", op)
+        m = re.fullmatch(r"(.+)_q(\d+)", op) if mode == "queries" else None
         folded.setdefault(m.group(1) if m else op, []).append(op)
     print(f"\n[{mode}] factors={factors}")
     for base, names in sorted(folded.items()):

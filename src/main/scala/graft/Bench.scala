@@ -38,6 +38,57 @@ object Bench {
     // cross-query interference (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // Hot-box canary (r12 verdict item 6): the driver's sweep has read
+    // a recurring ~uniform +15-20 s vs the same-day committed local
+    // sweep every round — a contended-host signature, not a regression.
+    // Time 3 cheap stable ops (scan/agg/join) FIRST, right after
+    // warmup, and emit their delta vs the latest committed
+    // BENCH_r*_local.json so the artifact self-labels a contaminated
+    // run: canary_delta_pct far above the ~±30% idle-host jitter of
+    // sub-second ops means the WHOLE sweep ran hot and per-query
+    // regressions should be read against that offset (BASELINE.md
+    // "Bench canary" section).
+    val canaryOps = Seq("scan_parquet", "agg_groupby_pricing",
+      "join_shuffle_inner")
+    // min-of-2 like the sweep itself — the committed reference values
+    // are min-of-2, so a single cold shot would carry a systematic
+    // codegen-compile bias into every delta
+    val canary = canaryOps.map { name =>
+      name -> (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(SparkEntry.queries(name)(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] canary $name: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val canaryRef: Option[(String, Double)] = try {
+      val refs = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .toArray.map(_.toString.stripPrefix("./"))
+        .filter(n => n.matches("BENCH_r\\d+_local\\.json")).sorted
+      refs.lastOption.flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), "UTF-8")
+        // minimal extraction (no JSON lib on the unmanaged classpath):
+        // each canary key appears once, as "name":<sec>
+        val vals = canaryOps.map { op =>
+          ("\"" + op + "\":([0-9.Ee+-]+)").r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        }
+        if (vals.forall(_.isDefined)) Some((f, vals.flatten.sum)) else None
+      }
+    } catch { case _: Throwable => None }
+    val canaryJson = {
+      val per = canary.map { case (k, v) => s"\"$k\":$v" }.mkString(",")
+      val sum = canary.map(_._2).sum
+      canaryRef match {
+        case Some((f, refSum)) if refSum > 0 =>
+          val delta = (sum / refSum - 1) * 100
+          s"""{$per,"ref":"$f","ref_sec":$refSum,"delta_pct":${math.round(delta * 10) / 10.0}}"""
+        case _ => s"""{$per,"ref":null}"""
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
@@ -105,7 +156,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The driver tail-captures stdout and has truncated the (one, long)
     // JSON line mid-key before (BENCH_r03.json arrived with
     // "parsed": null) — so ALSO write the full line to BENCH.json in the

@@ -414,16 +414,20 @@ object ScaleProbe {
             // claim is O(batch queries × probed cells), so the curve
             // should be ~linear in nq above the fixed 4-trigger +
             // one-time quantizer-staging floor
-            timed(s"stream_ann_query_q${10 * k}")(
-              graft.streaming.StreamingOps
-                .annQueryRun(spark, dir, 4, nq = 10 * k)._1.count())
+            // (--ops applies here too — r12 advice: these two were
+            // hardcoded past the filter)
+            if (opsFilter.forall(_.contains("stream_ann_query")))
+              timed(s"stream_ann_query_q${10 * k}")(
+                graft.streaming.StreamingOps
+                  .annQueryRun(spark, dir, 4, nq = 10 * k)._1.count())
             // the read+write composition on the same axis: each of the
             // 4 epochs re-answers the k×-sized STATIC query set against
             // its prefix, so expect ~linear in nq on top of the
             // per-epoch quantizer-re-publish floor
-            timed(s"stream_ann_live_q${10 * k}")(
-              graft.streaming.StreamingOps
-                .annLiveRun(spark, dir, 4, nq = 10 * k)._1.count())
+            if (opsFilter.forall(_.contains("stream_ann_live")))
+              timed(s"stream_ann_live_q${10 * k}")(
+                graft.streaming.StreamingOps
+                  .annLiveRun(spark, dir, 4, nq = 10 * k)._1.count())
           }
           if (mode == "perturbed" && opsFilter.isEmpty)
             // candidate volume BEFORE verification — the quantity whose

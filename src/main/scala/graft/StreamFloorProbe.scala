@@ -115,8 +115,14 @@ object StreamFloorProbe {
     val concs = runs.map(_._3)
     val spreadPct =
       if (concMed == 0) 0.0 else (concs.max - concs.min) / concMed * 100
-    val per = runs.last._1.map { case (k, v) => s"\"$k\":$v" }
-      .mkString("{", ",", "}")
+    // per-op medians across reps (r12 advice: the last-rep sample mixed
+    // one noisy measurement into a median-gated artifact)
+    val per = ops.map { op =>
+      val med = median(runs.map(_._1.collectFirst {
+        case (`op`, v) => v
+      }.get))
+      s""""$op":$med"""
+    }.mkString("{", ",", "}")
     val repsJson = runs.map { case (_, sq, cc) =>
       f"""{"sequential_sec":$sq%.2f,"concurrent_sec":$cc%.2f}"""
     }.mkString("[", ",", "]")

@@ -1917,10 +1917,14 @@ object TrainingDataOps {
     * reps) so both adaptive-collapse paths see the identical quantizer;
     * identical vectors share every assignment step, so the rep
     * expansion theorem carries to cells verbatim.
-    * `spark.graft.semanticCellCap` is a TEST-ONLY override of the
-    * cap factor (0 ⇒ refine every cell): unlike the output-invariant
+    * `spark.graft.semanticCellCap` is an override of the cap factor
+    * (0 ⇒ refine every cell): unlike the output-invariant
     * collapse/checkpoint confs it CHANGES the contract output — the
-    * oracle states cap = 16 — so nothing but ScalaTest may set it. */
+    * oracle states cap = 16 — so exactly two callers may set it:
+    * ScalaTest (forced-cap reference matches) and ScaleProbe's
+    * `--conf` BEFORE/AFTER bracketing, which is timing-only (its
+    * measurements are never oracle-compared). Registered queries and
+    * Verify always run the default. */
   private def semanticCells(s: SparkSession, emb: DataFrame)
       : Option[(DataFrame, DataFrame)] =
     semanticCellsFull(s, emb).map(t => (t._1, t._2))

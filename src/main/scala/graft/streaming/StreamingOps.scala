@@ -1998,8 +1998,16 @@ object StreamingOps {
             throw new PlannedIngestKill(batchId + 1)
           val ss = batch.sparkSession
           graft.functions.CosineSimilarity.register(ss)
-          monotoneBatchBounds(batch, "vec_id",
-              "stream_ann_live", prevMax).foreach { case (_, hi) =>
+          // An EMPTY epoch serves the UNCHANGED prefix (hi = prior max):
+          // the quantizer re-publishes and the static query set is
+          // re-answered under the new epoch number — mirror e equals
+          // mirror e-1 with epoch = e, and nBatches always advances
+          // (r12 advice: the skip undercounted the batch count and
+          // would break k-epoch oracle parity on an empty slice).
+          locally {
+            val hi = monotoneBatchBounds(batch, "vec_id",
+              "stream_ann_live", prevMax).map(_._2)
+              .getOrElse(prevMax.get())
             // the index version visible at this epoch: the id-ordered
             // prefix up to the batch's own high watermark (the static
             // base table filtered — equal to the union of staged
