@@ -1329,6 +1329,70 @@ object TrainingDataOps {
       out.orderBy(col("doc_id"))
     }),
 
+    // Gopher rule completion (round-13 add; Rae et al. 2021 §A1.1, the
+    // RedPajama-v2/Dolma reimplementations): the remaining PUBLIC
+    // document-quality rules beyond `llm_quality_score` (stop/short
+    // ratios) and `llm_repetition` (dup-word / top-bigram) — word-count
+    // bounds [50, 100k], mean word length bounds [3, 10],
+    // symbol-to-word ratio ('#' or '...' words) ≤ 0.1, bullet-led line
+    // fraction < 0.9, ellipsis-ended line fraction ≤ 0.3, alphabetic
+    // word fraction ≥ 0.8, and ≥ 2 distinct Gopher stop words — as ONE
+    // composite op sharing the whitespace tokenization. INTEGER-EXACT
+    // verdicts: every rule compares cross-multiplied longs (e.g.
+    // sym·10 ≤ n_words, 3n ≤ Σlen ≤ 10n), never a rounded double — the
+    // reported ratio columns are single int/int divisions rounded once,
+    // display-only (the llm_repetition discipline). All signals are
+    // per-doc array folds: scan-local, zero shuffles before the
+    // contract orderBy — the shape that holds at 100 TB (each executor
+    // gates its own documents; no cross-doc state). The synthetic
+    // corpus has no '#'/'...'/newlines, so those fractions read 0 here
+    // by corpus fact, not by construction — GopherRulesSpec pins each
+    // rule's flip on crafted texts (bulleted, ellipsis-heavy,
+    // symbol-stuffed, one-letter-word docs).
+    "llm_gopher_rules" -> ((s, d) => {
+      // words split on space OR newline (the shared `ws` convention
+      // extended to multi-line docs — a line boundary must not merge
+      // two words); lines split on newline only
+      val gw = split(col("text"), "[ \n]")
+      val lines = split(col("text"), "\n")
+      val nWords = size(gw).cast("long")
+      val nLines = size(lines).cast("long")
+      val sumLen = aggregate(gw, lit(0L), (acc, w) => acc + length(w))
+      val nSym = size(filter(gw, w =>
+        w.contains("#") || w.contains("..."))).cast("long")
+      val nBullet = size(filter(lines, l =>
+        l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("•"))).cast("long")
+      val nEllipsis = size(filter(lines, l =>
+        l.endsWith("..."))).cast("long")
+      val nAlpha = size(filter(gw, w => w.rlike("[a-zA-Z]"))).cast("long")
+      val stopHits = size(array_intersect(array_distinct(gw),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*))).cast("int")
+      val pass =
+        col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("sum_word_len") >= col("n_words") * 3L &&
+          col("sum_word_len") <= col("n_words") * 10L &&
+          col("n_sym") * 10L <= col("n_words") &&
+          col("n_bullet") * 10L < col("n_lines") * 9L &&
+          col("n_ellipsis") * 10L <= col("n_lines") * 3L &&
+          col("n_alpha") * 10L >= col("n_words") * 8L &&
+          col("stop_hits") >= 2
+      documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"), nLines.as("n_lines"),
+          round(sumLen / nWords, 4).as("mean_word_len"),
+          round(nSym / nWords, 6).as("symbol_ratio"),
+          round(nBullet / nLines, 6).as("bullet_frac"),
+          round(nEllipsis / nLines, 6).as("ellipsis_frac"),
+          round(nAlpha / nWords, 6).as("alpha_frac"),
+          stopHits.as("stop_hits"),
+          sumLen.as("sum_word_len"), nSym.as("n_sym"),
+          nBullet.as("n_bullet"), nEllipsis.as("n_ellipsis"),
+          nAlpha.as("n_alpha"))
+        .withColumn("gopher_pass", pass)
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document duplicated-n-gram coverage (round-5 add): for each
     // doc, the fraction of its 5-gram positions whose 5-gram also
     // appears in at least one OTHER doc — the substring-duplication
@@ -2878,6 +2942,48 @@ object TrainingDataOps {
               END AS top_bigram_frac
        FROM base b LEFT JOIN mx m ON m.doc_id = b.doc_id
        ORDER BY b.doc_id""",
+
+    "llm_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(text, '[ \n]') AS ws,
+                      string_split(text, chr(10)) AS ls
+                    FROM documents),
+            sig AS (SELECT doc_id,
+                      CAST(len(ws) AS BIGINT) AS n_words,
+                      CAST(len(ls) AS BIGINT) AS n_lines,
+                      CAST(list_sum(list_transform(ws, w -> len(w)))
+                        AS BIGINT) AS sum_word_len,
+                      CAST(len(list_filter(ws, w -> contains(w, '#')
+                        OR contains(w, '...'))) AS BIGINT) AS n_sym,
+                      CAST(len(list_filter(ls, l -> l LIKE '- %'
+                        OR l LIKE '* %' OR l LIKE '•%')) AS BIGINT)
+                        AS n_bullet,
+                      CAST(len(list_filter(ls, l -> l LIKE '%...'))
+                        AS BIGINT) AS n_ellipsis,
+                      CAST(len(list_filter(ws,
+                        w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                        AS n_alpha,
+                      CAST(len(list_intersect(list_distinct(ws),
+                        ['the','be','to','of','and','that','have','with']))
+                        AS INT) AS stop_hits
+                    FROM t)
+         SELECT doc_id, n_words, n_lines,
+                round(sum_word_len / n_words, 4) AS mean_word_len,
+                round(n_sym / n_words, 6) AS symbol_ratio,
+                round(n_bullet / n_lines, 6) AS bullet_frac,
+                round(n_ellipsis / n_lines, 6) AS ellipsis_frac,
+                round(n_alpha / n_words, 6) AS alpha_frac,
+                stop_hits, sum_word_len, n_sym, n_bullet, n_ellipsis,
+                n_alpha,
+                (n_words >= 50 AND n_words <= 100000
+                 AND sum_word_len >= n_words * 3
+                 AND sum_word_len <= n_words * 10
+                 AND n_sym * 10 <= n_words
+                 AND n_bullet * 10 < n_lines * 9
+                 AND n_ellipsis * 10 <= n_lines * 3
+                 AND n_alpha * 10 >= n_words * 8
+                 AND stop_hits >= 2) AS gopher_pass
+         FROM sig ORDER BY doc_id""",
 
     "llm_dup_ngram_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
