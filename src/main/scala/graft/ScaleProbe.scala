@@ -56,6 +56,12 @@ object ScaleProbe {
     "llm_repetition", "llm_dup_ngram_coverage",
     // round-7 add (see PairQueries note)
     "llm_dup_spans",
+    // round-13 add (DSIR): identical replicas collapse to distinct
+    // texts with k/hk-weighted bucket grids, so the hashed-bigram
+    // explode runs at distinct-corpus size and the grid stays ≤ 1024
+    // rows at any factor — expected curve flat like llm_ngram_lm's
+    // (measured 4×/16×: see PROBE_r13)
+    "llm_importance_weights",
     // round-9 adds (the round-8 review's evidence gap): the ITERATIVE
     // dedup members — pointer-jump clusters, both keep-best variants —
     // were the only LLM pipeline ops with no dup-heavy curve; under

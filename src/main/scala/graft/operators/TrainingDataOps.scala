@@ -1632,6 +1632,74 @@ object TrainingDataOps {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance weighting (round-13 add; Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // hashed-bigram importance ratios between a TARGET sample and the
+    // RAW corpus — per doc, log weight = Σ_buckets tf_doc[b] ·
+    // (ln p̂_target[b] − ln q̂_raw[b]), the quantity DSIR resamples on.
+    // Target = the head-tercile docs of `llm_perplexity_bucket`
+    // (identical stage-cut base + cutoff histogram, so the target set
+    // is that op's verdict verbatim). Features are bigrams hashed into
+    // 1024 buckets by the scala MurmurHash3 string hash (the MinHash/
+    // SimHash constant discipline — mirrored bit-exactly in DuckDB via
+    // MurmurSql); both distributions are add-1 smoothed over the
+    // bucket alphabet. Fixed-point: each ln rounds to integer
+    // micro-nats ONCE (the llm_ngram_lm discipline), λ[b] and the
+    // per-doc Σ tf·λ are exact long arithmetic — partition-order
+    // independent — and the display division by 1e6 is one identical
+    // IEEE op both engines. Scale: one corpus bigram explode, a
+    // ≤1024-row bucket grid (vocab-INDEPENDENT — the whole point of
+    // hashing at 100 TB), one broadcast grid join back; under heavy
+    // duplication the explode collapses to distinct texts with
+    // k-weighted grid counts (head multiplicity hk per group —
+    // replicas of a head text are each target members), identical
+    // docs expand from rep answers by one gid join.
+    // `spark.graft.dsirCollapse` = always|never overrides.
+    "llm_importance_weights" -> ((s, d) => {
+      val docs = documents(s, d)
+      val base = AdaptiveCollapse.stageCut(s)(ngramLmPerDoc(s, d))
+      val usBin =
+        expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+      val heads = base.crossJoin(broadcast(perplexityCutsOf(base)))
+        .filter(col("n_bigrams") > lit(0L) && usBin <= col("b1"))
+        .select(col("doc_id"))
+      val collapse = AdaptiveCollapse.decideByMass(s, docs,
+        "spark.graft.dsirCollapse", xxhash64(col("text")))
+      val out =
+        if (!collapse) {
+          val src = docs.select(col("doc_id"), col("text"))
+            .join(heads.withColumn("hk", lit(1L)), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"), lit(1L).as("k"),
+              coalesce(col("hk"), lit(0L)).as("hk"))
+          dsirWeights(src)
+            .select(col("gid").as("doc_id"), col("w_micro"),
+              col("n_bigrams"))
+        } else {
+          val withG = AdaptiveCollapse.withGid(
+            docs.select(col("doc_id"), col("text")), "doc_id",
+            Seq("text"), withK = true).localCheckpoint()
+          val hkOf = withG.select(col("doc_id"), col("gid"))
+            .join(heads, Seq("doc_id"))
+            .groupBy(col("gid")).agg(count(lit(1)).as("hk"))
+          val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
+            .select(col("doc_id"), col("text"), col("k"))
+            .join(hkOf.withColumnRenamed("gid", "doc_id"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text"), col("k"),
+              coalesce(col("hk"), lit(0L)).as("hk"))
+          withG.select(col("doc_id"), col("gid"))
+            .join(dsirWeights(reps), Seq("gid"))
+            .select(col("doc_id"), col("w_micro"), col("n_bigrams"))
+        }
+      documents(s, d).select(col("doc_id"))
+        .join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("w_micro"),
+          (col("w_micro") / lit(1e6)).as("log_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (round-11 add; Abbas et al., "SemDeDup: Data-efficient
     // learning at web-scale through semantic deduplication"): offline
     // k-means clustering (the pretrained `label`, like llm_ann_ivf's
@@ -1917,6 +1985,48 @@ object TrainingDataOps {
       .groupBy(col("doc_id"))
       .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
       .select(col("doc_id").as("gid"), col("p"), col("n_bigrams"))
+  }
+
+  /** DSIR bucket count of the scala MurmurHash3 string hash — the
+    * MinHash/SimHash hash family, mirrored in DuckDB via [[MurmurSql]];
+    * 1024 buckets bounds the importance grid regardless of vocabulary
+    * (the paper's hashed-feature bargain). */
+  private[graft] val DsirBuckets = 1024L
+
+  private val dsirBucket = udf((bg: String) =>
+    (scala.util.hashing.MurmurHash3.stringHash(bg).toLong
+      & 0xffffffffL) % DsirBuckets)
+
+  /** DSIR importance-weight core over a (doc_id, text, k, hk) frame,
+    * where `k` is the row's replica multiplicity and `hk` its TARGET
+    * multiplicity (members of the row's group in the head sample; 0/1
+    * on the direct path). Raw grid counts are k-weighted, target grid
+    * counts hk-weighted; per-row scores use the row's own unweighted
+    * tf. Returns (gid = input doc_id, w_micro, n_bigrams) for rows
+    * with ≥ 1 bigram — exact long arithmetic throughout (two micro-nat
+    * ln rounds per bucket, λ differences and Σ tf·λ in bigints). */
+  private def dsirWeights(src: DataFrame): DataFrame = {
+    val bt = ngramLmTfOf(src.select(col("doc_id"), col("text")))
+      .withColumn("bkt", dsirBucket(col("bg")))
+      .groupBy(col("doc_id"), col("bkt")).agg(sum(col("tf")).as("tf"))
+    val btk = bt.join(src.select(col("doc_id"), col("k"), col("hk")),
+      Seq("doc_id"))
+    val grids = btk.groupBy(col("bkt"))
+      .agg(sum(col("tf") * col("k")).as("cq"),
+        sum(col("tf") * col("hk")).as("ct"))
+    val tot = grids.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
+    val lam = grids.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (round(log((col("ct") + 1).cast("double")
+            / (col("nt") + lit(DsirBuckets))) * 1e6, 0).cast("long")
+          - round(log((col("cq") + 1).cast("double")
+            / (col("nq") + lit(DsirBuckets))) * 1e6, 0).cast("long"))
+          .as("lam"))
+    bt.join(broadcast(lam), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("lam")).as("w_micro"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id").as("gid"), col("w_micro"), col("n_bigrams"))
   }
 
   /** The k-weighted add-1 bigram model GRID (bg → lpm micro-nats) over
@@ -3149,6 +3259,59 @@ object TrainingDataOps {
                    ELSE 'tail' END AS bucket
        FROM base b CROSS JOIN cuts c
        ORDER BY b.doc_id""",
+
+    // DSIR mirror (round-13): heads = the llm_perplexity_bucket head
+    // CTEs verbatim; hashed buckets via the MurmurSql stringHash chain
+    // (seed = scala stringSeed, the MinHash constant); both grids,
+    // the micro-nat λ and the per-doc Σ tf·λ are the same bigint
+    // arithmetic the engine runs. The collapse path is invisible here
+    // by the k/hk-weighting theorem (replica counts fold identically).
+    "llm_importance_weights" ->
+      s"""$ngramLmBaseSql,
+            scored AS (SELECT ((2 * p + n_bigrams) // (2 * n_bigrams))
+                         // 10000 AS bin
+                       FROM base WHERE n_bigrams > 0),
+            hist AS (SELECT bin, count(*) AS cnt FROM scored GROUP BY 1),
+            cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
+                    FROM hist),
+            nn AS (SELECT sum(cnt) AS n FROM hist),
+            cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN bin END)
+                       AS b1
+                     FROM cum CROSS JOIN nn),
+            heads AS (SELECT b.doc_id FROM base b CROSS JOIN cuts c
+                      WHERE b.n_bigrams > 0
+                        AND ((2 * b.p + b.n_bigrams)
+                              // (2 * b.n_bigrams)) // 10000 <= c.b1),
+            tw AS (SELECT DISTINCT bg AS w FROM tf),
+            ${MurmurSql.stringHashCtes("", "tw", 0xf7ca7fd2L)},
+            bkt AS (SELECT t.doc_id, wh.h % 1024 AS bkt,
+                      CAST(sum(t.tf) AS BIGINT) AS tf
+                    FROM tf t JOIN whash wh ON wh.w = t.bg
+                    GROUP BY 1, 2),
+            grids AS (SELECT b.bkt,
+                        CAST(sum(b.tf) AS BIGINT) AS cq,
+                        CAST(sum(CASE WHEN h.doc_id IS NOT NULL
+                                      THEN b.tf ELSE 0 END) AS BIGINT)
+                          AS ct
+                      FROM bkt b LEFT JOIN heads h USING (doc_id)
+                      GROUP BY 1),
+            tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM grids),
+            lam AS (SELECT g.bkt,
+                      CAST(round(ln(CAST(g.ct + 1 AS DOUBLE)
+                          / (t.nt + 1024)) * 1000000, 0) AS BIGINT)
+                      - CAST(round(ln(CAST(g.cq + 1 AS DOUBLE)
+                          / (t.nq + 1024)) * 1000000, 0) AS BIGINT)
+                        AS lam
+                    FROM grids g CROSS JOIN tot t),
+            wsum AS (SELECT b.doc_id,
+                       CAST(sum(b.tf * l.lam) AS BIGINT) AS w_micro,
+                       CAST(sum(b.tf) AS BIGINT) AS n_bigrams
+                     FROM bkt b JOIN lam l USING (bkt) GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(w.n_bigrams, 0) AS n_bigrams, w.w_micro,
+              CAST(w.w_micro AS DOUBLE) / 1000000 AS log_weight
+       FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
 
     // The adaptive sub-quantization mirror (round-12, see
     // [[semanticCells]]): nn/ov decide refinement per label from the

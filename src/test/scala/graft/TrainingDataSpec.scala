@@ -562,6 +562,16 @@ class TrainingDataSpec extends GraftSpec {
       "spark.graft.ngramLmCollapse", "llm_ngram_lm")
   }
 
+  test("llm_importance_weights collapse path equals the direct path " +
+      "on a replica-heavy corpus (k/hk-weighted grids are exact)") {
+    // Raw-grid counts are k-weighted, target-grid counts hk-weighted
+    // (every replica of a head text is a target member), so the
+    // collapsed grids — and hence λ and every per-doc Σ tf·λ — must
+    // equal the direct path's bit-for-bit.
+    bothPathsEqual(replicaHeavyDocsDir("dsir"),
+      "spark.graft.dsirCollapse", "llm_importance_weights")
+  }
+
   test("llm_repetition collapse path equals the direct path on a " +
       "replica-heavy corpus") {
     bothPathsEqual(replicaHeavyDocsDir("rep"),
