@@ -293,6 +293,10 @@ object ScaleProbe {
     // is bounded by the live horizon, so the user axis is the honest one)
     "events_pattern_optional", "stream_pattern_optional",
     "events_pattern_absence", "stream_pattern_absence",
+    // round-13 add: the iterative-condition twins — the predicate is
+    // one extra conjunct on the same user-keyed join / filtered buffer
+    // scan, so the expected curve matches the funnel pair's
+    "events_pattern_value", "stream_pattern_value",
     "events_count_window", "stream_count_window",
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",

@@ -76,10 +76,18 @@ object BatchCep {
         "type — pass the complete event alphabet as typeNames and set " +
         "fullAlphabet = true")
 
-    def cand(tc: Int): DataFrame =
-      ev.filter(col("event_type") === typeNames(tc))
-        .select(col("user_id").as("cand_user"),
-          col("event_id").as("cand_id"), col("ts_us").as("cand_ts"))
+    // Value patterns (round-13, followedByIf) thread each binding's
+    // event value through the legs as `<name>_value` columns; plain
+    // patterns carry none, so their compiled plans (and output
+    // schemas) stay byte-identical to pre-round-13.
+    val needsVals = pattern.steps.exists(_.isInstanceOf[Cep.BindIf])
+
+    def cand(tc: Int): DataFrame = {
+      val cols = Seq(col("user_id").as("cand_user"),
+        col("event_id").as("cand_id"), col("ts_us").as("cand_ts")) ++
+        (if (needsVals) Seq(col("value").as("cand_value")) else Nil)
+      ev.filter(col("event_type") === typeNames(tc)).select(cols: _*)
+    }
 
     final case class State(df: DataFrame, groupCols: Vector[String],
         lo: String)
@@ -87,23 +95,34 @@ object BatchCep {
     // One bind leg: first `tc` event in (lo, anchor_ts + W], min-struct
     // pick, binding columns appended to the carried group key.
     def bindLeg(st: State, stepName: String, tc: Int,
-        inner: Boolean): State = {
+        inner: Boolean, extraPred: Option[Column] = None): State = {
+      // an iterative condition (followedByIf) is one extra conjunct on
+      // the same time-bounded equi-join — the min-struct pick then
+      // lands on the first QUALIFYING event, so a non-qualifying
+      // earlier event is skipped exactly as Cep.eval's filtered scan
       val joined = st.df.join(cand(tc),
-        col("user_id") === col("cand_user") &&
-          col("cand_ts") > col(st.lo) &&
-          col("cand_ts") <= col("anchor_ts") + lit(W),
+        extraPred.foldLeft(
+          col("user_id") === col("cand_user") &&
+            col("cand_ts") > col(st.lo) &&
+            col("cand_ts") <= col("anchor_ts") + lit(W))(_ && _),
         if (inner) "inner" else "left")
+      val structCols =
+        Seq(col("cand_ts"), col("cand_id")) ++
+          (if (needsVals) Seq(col("cand_value")) else Nil)
       val pick =
-        if (inner) min(struct(col("cand_ts"), col("cand_id")))
-        else min(when(col("cand_id").isNotNull,
-          struct(col("cand_ts"), col("cand_id"))))
+        if (inner) min(struct(structCols: _*))
+        else min(when(col("cand_id").isNotNull, struct(structCols: _*)))
+      val outCols = Seq(
+        col("h.cand_ts").as(s"${stepName}_ts"),
+        col("h.cand_id").as(s"${stepName}_id")) ++
+        (if (needsVals) Seq(col("h.cand_value").as(s"${stepName}_value"))
+         else Nil)
       val agg = joined.groupBy(st.groupCols.map(col): _*)
         .agg(pick.as("h"))
-        .select(st.groupCols.map(col) ++ Seq(
-          col("h.cand_ts").as(s"${stepName}_ts"),
-          col("h.cand_id").as(s"${stepName}_id")): _*)
-      State(agg, st.groupCols ++ Seq(s"${stepName}_ts", s"${stepName}_id"),
-        s"${stepName}_ts")
+        .select(st.groupCols.map(col) ++ outCols: _*)
+      val bound = Seq(s"${stepName}_ts", s"${stepName}_id") ++
+        (if (needsVals) Seq(s"${stepName}_value") else Nil)
+      State(agg, st.groupCols ++ bound, s"${stepName}_ts")
     }
 
     // Steps strictly after an Opt must be plain Binds (checked below);
@@ -120,10 +139,15 @@ object BatchCep {
           s"BatchCep: unsupported step after optional/quantifier: $other")
       }
 
+    val anchorCols = Seq(col("user_id"),
+      col("event_id").as("anchor_id"), col("ts_us").as("anchor_ts")) ++
+      (if (needsVals) Seq(col("value").as("anchor_value")) else Nil)
     val anchors = ev.filter(col("event_type") === anchorType)
-      .select(col("user_id"), col("event_id").as("anchor_id"),
-        col("ts_us").as("anchor_ts"))
-    var st = State(anchors, Vector("user_id", "anchor_id", "anchor_ts"), "anchor_ts")
+      .select(anchorCols: _*)
+    var st = State(anchors,
+      Vector("user_id", "anchor_id", "anchor_ts") ++
+        (if (needsVals) Vector("anchor_value") else Vector.empty),
+      "anchor_ts")
     // (quantifier name, type code, lo column at the quantifier's step,
     // step names bound after it — the close candidates in chain order)
     var quant: Option[(String, Int, String)] = None
@@ -137,6 +161,24 @@ object BatchCep {
           st = bindLeg(st, nm, tc, matchedOnly)
           if (quant.isDefined) afterQuant :+= nm
         }
+        rest = tail
+
+      case Cep.BindIf(name, tc, ref, cmp) :: tail =>
+        // iterative condition: candidate value vs the ref binding's
+        // value (the anchor's, or a prior step's carried column) as
+        // one extra join conjunct — the builder guarantees the ref is
+        // bound before this step, so the column exists in groupCols
+        val refCol =
+          if (ref == "anchor") col("anchor_value")
+          else col(s"${ref}_value")
+        val pred = cmp match {
+          case Cep.Gt => col("cand_value") > refCol
+          case Cep.Ge => col("cand_value") >= refCol
+          case Cep.Lt => col("cand_value") < refCol
+          case Cep.Le => col("cand_value") <= refCol
+        }
+        st = bindLeg(st, name, tc, matchedOnly, Some(pred))
+        if (quant.isDefined) afterQuant :+= name
         rest = tail
 
       case Cep.Next(name, tc) :: tail =>

@@ -131,6 +131,27 @@ object ScalarQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // Iterative-condition pattern (round-13 add): Flink-CEP's
+    // `IterativeCondition` (a step predicate reading PRIOR bindings) —
+    // signup → the FIRST purchase within 1 h whose value EXCEEDS the
+    // signup's own value. BatchCep compiles the shared `valuePattern`:
+    // the predicate is one extra conjunct on the same time-bounded
+    // user-keyed equi-join, so a cheaper earlier purchase is SKIPPED
+    // by the filtered min-struct pick, never a match-ender — the
+    // semantics the streaming twin's filtered first-match scan pins.
+    // Same shuffle shape as events_funnel (one hash join + partial
+    // agg); the value columns ride the existing rows, no extra pass.
+    "events_pattern_value" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      BatchCep.bindings(ev, graft.streaming.StreamingOps.valuePattern,
+          "signup", graft.streaming.StreamingOps.cepTypeNames)
+        .select(col("user_id"), col("anchor_id").as("signup_id"),
+          col("anchor_value").as("signup_value"),
+          col("purchase_id"), col("purchase_value"),
+          (col("purchase_ts") - col("anchor_ts")).as("us_to_convert"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Until-condition quantifier (round-5 add): A B* until C — signup,
     // then EVERY click up to the FIRST purchase, the purchase closing
     // the loop — an ADAPTATION of Flink-CEP's
@@ -1031,6 +1052,28 @@ object ScalarQueries {
                    AND p.p_ts <= s.s_ts + 3600000000)
        SELECT user_id, signup_id, purchase_id,
               p_ts - s_ts AS us_to_convert
+       FROM j WHERE rn = 1 ORDER BY signup_id""",
+
+    "events_pattern_value" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       value AS s_val,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       value AS p_val,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT s.user_id, s.signup_id, s.s_val, s.s_ts,
+                    p.purchase_id, p.p_val, p.p_ts,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s LEFT JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000
+                   AND p.p_val > s.s_val)
+       SELECT user_id, signup_id, s_val AS signup_value, purchase_id,
+              p_val AS purchase_value, p_ts - s_ts AS us_to_convert
        FROM j WHERE rn = 1 ORDER BY signup_id""",
 
     "events_pattern_abc" ->

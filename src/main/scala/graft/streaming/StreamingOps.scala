@@ -23,6 +23,16 @@ private[streaming] case class AbcState(
     sId: Array[Long], sTs: Array[Long],
     eType: Array[Int], eTs: Array[Long], eId: Array[Long])
 
+/** Value-carrying twin of [[AbcState]] for iterative-condition CEP
+  * patterns (round-13 `followedByIf`): pending anchors carry the anchor
+  * event's value (`sVal`), buffered events theirs (`eVal`), so sealed
+  * windows can evaluate value predicates. Same flat-primitive-array
+  * codegen rationale. */
+private[streaming] case class AbcVState(
+    sId: Array[Long], sTs: Array[Long], sVal: Array[Double],
+    eType: Array[Int], eTs: Array[Long], eId: Array[Long],
+    eVal: Array[Double])
+
 /** State row for [[StreamingOps]]'s count-window processor: the events
   * of one user not yet evicted, as parallel primitive arrays (same
   * codegen rationale as [[AbcState]]), plus the count of windows
@@ -887,6 +897,37 @@ object StreamingOps {
           TimeMode.EventTime(), OutputMode.Append())
       runToMemory(
         out.toDF("user_id", "signup_id", "next_click_id"),
+        "append")
+        .orderBy(col("signup_id"))
+    }),
+
+    // Streaming iterative condition (round-13 add): Flink-CEP's
+    // `IterativeCondition` (`.where(ctx)` reading prior bindings) — per
+    // signup, the FIRST purchase within 1 h whose value EXCEEDS the
+    // signup's own value; a cheaper earlier purchase is SKIPPED, not a
+    // match-ender (the value predicate filters the first-match scan).
+    // Rides the value-carrying twin of the shared buffer processor
+    // (CepValuePatternProcessor — anchors and buffered events carry
+    // their `value`); the SAME Pattern object compiles to the batch
+    // `events_pattern_value` via BatchCep, so the predicate semantics
+    // are provably one spec. Verdict at watermark seal, as always: an
+    // earlier-timestamped qualifying purchase may arrive late until
+    // the window is final.
+    "stream_pattern_value" -> ((s, d) => withRocksDb(s) {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts_utc", "0 seconds")
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"),
+          col("value"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long, Double)]
+      val out = ev.groupByKey(_._3)
+        .transformWithState(new CepValuePatternProcessor(valuePattern,
+          valueProject),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(
+        out.toDF("user_id", "signup_id", "purchase_id",
+          "purchase_value", "us_to_convert"),
         "append")
         .orderBy(col("signup_id"))
     }),
@@ -3329,6 +3370,114 @@ object StreamingOps {
       project(key, sid, sTs, pattern.eval(sTs, events))
   }
 
+  /** Value-carrying twin of [[CepPatternProcessor]] for
+    * iterative-condition patterns ([[Cep.Pattern.needsValues]]): the
+    * buffer rows and pending anchors carry each event's `value`, so the
+    * sealed-window evaluation can resolve `followedByIf` refs. A
+    * SEPARATE class rather than a type parameter on the shared one
+    * because the state row must stay flat primitive arrays for state
+    * codegen ([[AbcVState]]) and the 9 value-free pattern ops must keep
+    * their state shape untouched; the timer/eviction discipline below
+    * reproduces [[AbcBufferProcessor]]'s verbatim on the widened row
+    * (same bounds, same same-batch-race protection — see the comments
+    * there for the proofs). */
+  private class CepValuePatternProcessor[O](pattern: Cep.Pattern,
+      project: (Long, Long, Long, Cep.Outcome) => O,
+      anchorType: String = "signup",
+      typeCodes: Map[String, Int] = Map("click" -> 0, "purchase" -> 1))
+      extends StatefulProcessor[
+      Long, (java.sql.Timestamp, Long, Long, String, Long, Double), O] {
+
+    private val WindowUs = 3600000000L
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[AbcVState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbcVState]("abcv",
+        Encoders.product[AbcVState], TTLConfig.NONE)
+
+    private def wanted(tc: Int): Boolean =
+      pattern.needsAllTypes || pattern.wantedTypes(tc)
+
+    private def signupsOf(s: AbcVState): Seq[(Long, Long, Double)] =
+      s.sId.indices.map(i => (s.sId(i), s.sTs(i), s.sVal(i)))
+    private def eventsOf(s: AbcVState): Seq[(Int, Long, Long, Double)] =
+      s.eType.indices.map(i => (s.eType(i), s.eTs(i), s.eId(i), s.eVal(i)))
+    private def pack(signups: Seq[(Long, Long, Double)],
+        events: Seq[(Int, Long, Long, Double)]): AbcVState =
+      AbcVState(
+        signups.map(_._1).toArray, signups.map(_._2).toArray,
+        signups.map(_._3).toArray,
+        events.map(_._1).toArray, events.map(_._2).toArray,
+        events.map(_._3).toArray, events.map(_._4).toArray)
+
+    private def rearm(signups: Seq[(Long, Long, Double)],
+        events: Seq[(Int, Long, Long, Double)]): Unit = {
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      val deadlines =
+        signups.map { case (_, sTs, _) => (sTs + WindowUs) / 1000 } ++
+          (if (signups.isEmpty && events.nonEmpty)
+            Seq(events.map(_._2).max / 1000 + 1)
+          else Nil)
+      if (deadlines.nonEmpty) getHandle.registerTimer(deadlines.min)
+    }
+
+    private def evict(events: Seq[(Int, Long, Long, Double)],
+        signups: Seq[(Long, Long, Double)], wmMs: Long)
+        : Seq[(Int, Long, Long, Double)] = {
+      val minS =
+        if (signups.isEmpty) Long.MaxValue else signups.map(_._2).min
+      events.filter { case (_, tsUs, _, _) =>
+        tsUs > minS || tsUs > wmMs * 1000 }
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long,
+          Double)],
+        timerValues: TimerValues): Iterator[O] = {
+      val cur = Option(st.get())
+      val signups = scala.collection.mutable.ArrayBuffer(
+        cur.map(signupsOf).getOrElse(Nil): _*)
+      val events = scala.collection.mutable.ArrayBuffer(
+        cur.map(eventsOf).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, etype, eid, v) =>
+        if (etype == anchorType) signups += ((eid, tsUs, v))
+        typeCodes.get(etype) match {
+          case Some(tc) if wanted(tc) => events += ((tc, tsUs, eid, v))
+          case _ => ()
+        }
+      }
+      val live = evict(events.toSeq, signups.toSeq,
+        timerValues.getCurrentWatermarkInMs())
+      if (signups.nonEmpty || live.nonEmpty)
+        st.update(pack(signups.toSeq, live))
+      else st.clear()
+      rearm(signups.toSeq, live)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[O] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val cur = Option(st.get())
+      val curSignups = cur.map(signupsOf).getOrElse(Nil)
+      val curEvents = cur.map(eventsOf).getOrElse(Nil)
+      val (matured, rest) = curSignups.partition {
+        case (_, sTs, _) => (sTs + WindowUs) / 1000 <= wm
+      }
+      val live = evict(curEvents, rest, wm)
+      if (rest.nonEmpty || live.nonEmpty)
+        st.update(pack(rest, live))
+      else st.clear()
+      rearm(rest, live)
+      matured.sortBy(_._1).iterator.map { case (sid, sTs, sVal) =>
+        project(key, sid, sTs, pattern.eval(sTs, sVal, curEvents))
+      }
+    }
+  }
+
   /** The five registered CEP patterns, composed through the [[Cep]]
     * builder (1 h window, click = type 0, purchase = type 1). Each
     * pattern's matching semantics are documented at its registered
@@ -3359,6 +3508,12 @@ object StreamingOps {
     .followedBy("click", 0).notFollowedBy("purchase", 1)
   private[graft] val strictPattern = Cep.begin(CepWindowUs)
     .next("click", 0)
+  /** Iterative condition (round-13): the FIRST purchase within 1 h
+    * whose value EXCEEDS the signup's value — Flink's
+    * `IterativeCondition` shape; an earlier cheaper purchase is
+    * skipped, not a match-ender. */
+  private[graft] val valuePattern = Cep.begin(CepWindowUs)
+    .followedByIf("purchase", 1, Cep.Gt)
   /** The FULL event alphabet, for strict-contiguity patterns — next()
     * must see every event type to decide "immediately following"
     * (including other signups: an intervening signup breaks
@@ -3398,6 +3553,10 @@ object StreamingOps {
   private val strictProject =
     (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
       (key, sid, o.id("click"))
+  private val valueProject =
+    (key: Long, sid: Long, sTs: Long, o: Cep.Outcome) =>
+      (key, sid, o.id("purchase"), o.value("purchase"),
+        o.ts("purchase").map(_ - sTs))
 
   /** Test-only processor proving value-state TTL semantics: `cnt_ttl`
     * expires `ttlMs` of processing time after its last update, the
@@ -3870,6 +4029,37 @@ object StreamingOps {
                    AND p.p_ts <= s.s_ts + 3600000000)
        SELECT user_id, signup_id, purchase_id,
               p_ts - s_ts AS us_to_convert
+       FROM j, mx
+       WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
+       ORDER BY signup_id""",
+
+    // Batch recompute of the iterative-condition pattern + the same
+    // watermark cutoff convention as stream_funnel: first purchase
+    // whose value exceeds the signup's (the predicate filters the
+    // candidate set BEFORE the first-match rank, so a cheaper earlier
+    // purchase never blocks a later qualifying one).
+    "stream_pattern_value" ->
+      """WITH sg AS (SELECT user_id, event_id AS signup_id,
+                       value AS s_val,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts
+                     FROM events WHERE event_type = 'signup'),
+            pu AS (SELECT user_id, event_id AS purchase_id,
+                       value AS p_val,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+            mx AS (SELECT epoch_ms(max(CAST(ts AS TIMESTAMP))) AS wm
+                   FROM events),
+            j AS (SELECT s.user_id, s.signup_id, s.s_ts,
+                    p.purchase_id, p.p_val, p.p_ts,
+                    row_number() OVER (PARTITION BY s.signup_id
+                      ORDER BY p.p_ts, p.purchase_id) AS rn
+                  FROM sg s LEFT JOIN pu p
+                    ON p.user_id = s.user_id
+                   AND p.p_ts > s.s_ts
+                   AND p.p_ts <= s.s_ts + 3600000000
+                   AND p.p_val > s.s_val)
+       SELECT user_id, signup_id, purchase_id,
+              p_val AS purchase_value, p_ts - s_ts AS us_to_convert
        FROM j, mx
        WHERE rn = 1 AND (s_ts + 3600000000) // 1000 <= wm
        ORDER BY signup_id""",

@@ -226,4 +226,51 @@ class BatchCepParitySpec extends GraftSpec {
     assert(o.values.exists(_.matched) && o.values.exists(!_.matched),
       "synthetic corpus lost its strict matched/broken split")
   }
+
+  test("followedByIf (round-13): BatchCep's predicate conjunct equals " +
+      "the value-carrying Cep.eval, skip case included") {
+    import spark.implicits._
+    // (user, id, ts, type, value): u1 skip-then-bind (the earlier
+    // CHEAPER purchase must not end the match), u2 all-cheaper
+    // (unmatched), u3 qualifying tie at equal ts (id decides), u4
+    // qualifying purchase out of window, u5 boundary Gt (equal value
+    // does not qualify)
+    val rows = Seq[(Long, Long, Long, String, Double)](
+      (1, 10, 1000, "signup", 50.0), (1, 11, 2000, "purchase", 40.0),
+      (1, 12, 3000, "purchase", 60.0),
+      (2, 20, 1000, "signup", 50.0), (2, 21, 1500, "purchase", 40.0),
+      (3, 30, 1000, "signup", 10.0), (3, 32, 2000, "purchase", 20.0),
+      (3, 31, 2000, "purchase", 30.0),
+      (4, 40, 1000, "signup", 5.0),
+      (4, 41, 1001 + W, "purchase", 50.0),
+      (5, 50, 1000, "signup", 50.0), (5, 51, 1500, "purchase", 50.0))
+    val ev = rows
+      .toDF("user_id", "event_id", "ts_us", "event_type", "value")
+    val got = BatchCep.bindings(ev, StreamingOps.valuePattern, "signup",
+        StreamingOps.cepTypeNames)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val byUser = rows.groupBy(_._1)
+    rows.filter(_._4 == "signup").foreach { case (u, sid, sTs, _, sv) =>
+      val evs = byUser(u).collect {
+        case (_, eid, ets, "purchase", v) => (1, ets, eid, v)
+        case (_, eid, ets, "click", v) => (0, ets, eid, v)
+      }
+      val o = StreamingOps.valuePattern.eval(sTs, sv, evs)
+      val row = got(sid)
+      assert(optLong(row, "purchase_id") == o.id("purchase") &&
+        optLong(row, "purchase_ts") == o.ts("purchase"),
+        s"anchor $sid: batch ${optLong(row, "purchase_id")} vs " +
+          s"eval ${o.id("purchase")}")
+      val pvIdx = row.fieldIndex("purchase_value")
+      val pv = if (row.isNullAt(pvIdx)) None else Some(row.getDouble(pvIdx))
+      assert(pv == o.value("purchase"),
+        s"anchor $sid value: batch $pv vs eval ${o.value("purchase")}")
+    }
+    // the pins themselves: skip-then-bind, reject-all, tie, window, Gt
+    assert(optLong(got(10L), "purchase_id").contains(12L))
+    assert(optLong(got(20L), "purchase_id").isEmpty)
+    assert(optLong(got(30L), "purchase_id").contains(31L))
+    assert(optLong(got(40L), "purchase_id").isEmpty)
+    assert(optLong(got(50L), "purchase_id").isEmpty)
+  }
 }

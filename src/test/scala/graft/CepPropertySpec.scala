@@ -30,6 +30,8 @@ class CepPropertySpec extends AnyFunSuite {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   private type Ev = (Int, Long, Long)
+  // value-carrying buffer row (round-13, followedByIf coverage)
+  private type EvV = (Int, Long, Long, Double)
   private val AnchorTs = 1000L
   private val WindowUs = 40L
 
@@ -41,14 +43,29 @@ class CepPropertySpec extends AnyFunSuite {
     case other => Seq(other.name)
   }
 
-  /** Choice-enumeration reference (see class doc). */
-  private def reference(p: Cep.Pattern, events: Seq[Ev]): Cep.Outcome = {
+  /** Choice-enumeration reference (see class doc) — value-aware since
+    * round-13: every binding's value is tracked (the eval invariant
+    * values.keySet == bindings.keySet) and BindIf steps filter their
+    * first-match scan through the cmp against the ref's tracked
+    * value. */
+  private def reference(p: Cep.Pattern, events: Seq[EvV],
+      anchorVal: Double): Cep.Outcome = {
     val deadline = AnchorTs + p.windowUs
     val evs = events.sortBy(e => (e._2, e._3))
-    def first(tc: Int, lo: Long): Option[Cep.Hit] =
-      evs.find(e => e._1 == tc && e._2 > lo && e._2 <= deadline)
-        .map(e => (e._2, e._3))
-    def immediate(lo: Long): Option[Ev] =
+    def firstWhere(tc: Int, lo: Long, pr: Double => Boolean)
+        : Option[(Long, Long, Double)] =
+      evs.find(e => e._1 == tc && e._2 > lo && e._2 <= deadline
+          && pr(e._4))
+        .map(e => (e._2, e._3, e._4))
+    def first(tc: Int, lo: Long): Option[(Long, Long, Double)] =
+      firstWhere(tc, lo, _ => true)
+    def cmpOk(c: Cep.Cmp, v: Double, r: Double): Boolean = c match {
+      case Cep.Gt => v > r
+      case Cep.Ge => v >= r
+      case Cep.Lt => v < r
+      case Cep.Le => v <= r
+    }
+    def immediate(lo: Long): Option[EvV] =
       evs.find(e => e._2 > lo && e._2 <= deadline)
 
     val optIdx = p.steps.zipWithIndex
@@ -63,13 +80,17 @@ class CepPropertySpec extends AnyFunSuite {
       }
 
     final case class Fold(b: Map[String, Cep.Hit], loAt: Map[Int, Long],
-        m: Boolean)
+        m: Boolean, vals: Map[String, Double])
     def fold(skipOf: Map[Int, Boolean]): Fold = {
       var lo = AnchorTs
       var b = Map.empty[String, Cep.Hit]
+      var vals = Map.empty[String, Double]
       var loAt = Map.empty[Int, Long]
       var failed = false
       var i = 0
+      def bind(name: String, h: (Long, Long, Double)): Unit = {
+        b += name -> ((h._1, h._2)); vals += name -> h._3; lo = h._1
+      }
       while (i < p.steps.length && !failed) {
         loAt += i -> lo
         p.steps(i) match {
@@ -77,41 +98,48 @@ class CepPropertySpec extends AnyFunSuite {
             var k = 1
             while (k <= n && !failed) first(tc, lo) match {
               case Some(h) =>
-                b += (if (n == 1) name else s"$name$k") -> h
-                lo = h._1; k += 1
+                bind(if (n == 1) name else s"$name$k", h); k += 1
+              case None => failed = true
+            }
+          case Cep.BindIf(name, tc, ref, cmp) =>
+            val rv = if (ref == "anchor") anchorVal else vals(ref)
+            firstWhere(tc, lo, v => cmpOk(cmp, v, rv)) match {
+              case Some(h) => bind(name, h)
               case None => failed = true
             }
           case Cep.OneOrMore(name, tc) =>
             first(tc, lo) match {
-              case Some(h) => b += name -> h; lo = h._1
+              case Some(h) => bind(name, h)
               case None => failed = true
             }
           case Cep.UntilClose(_, _, closeName, closeTc) =>
             // zero-or-more loop: only the REQUIRED close binds/advances
             first(closeTc, lo) match {
-              case Some(h) => b += closeName -> h; lo = h._1
+              case Some(h) => bind(closeName, h)
               case None => failed = true
             }
           case Cep.Opt(name, tc) =>
             first(tc, lo) match {
-              case Some(h) if !skipOf(i) => b += name -> h; lo = h._1
+              case Some(h) if !skipOf(i) => bind(name, h)
               case _ => () // skip chosen, or no occurrence: lo unchanged
             }
           case Cep.Next(name, tc) =>
             immediate(lo) match {
-              case Some((t, ts, id)) if t == tc =>
-                b += name -> ((ts, id)); lo = ts
+              case Some((t, ts, id, v)) if t == tc =>
+                bind(name, (ts, id, v))
               case _ => failed = true
             }
           case Cep.Absent(name, tc) =>
             first(tc, lo) match {
-              case Some(h) => b += name -> h; failed = true
+              case Some(h) =>
+                b += name -> ((h._1, h._2)); vals += name -> h._3
+                failed = true
               case None => ()
             }
         }
         i += 1
       }
-      Fold(b, loAt, !failed)
+      Fold(b, loAt, !failed, vals)
     }
 
     def countsOf(f: Fold): Map[String, Long] =
@@ -132,27 +160,36 @@ class CepPropertySpec extends AnyFunSuite {
       }.toMap
 
     vectors.iterator.map(fold).find(_.m) match {
-      case Some(f) => Cep.Outcome(f.b, countsOf(f), matched = true)
+      case Some(f) => Cep.Outcome(f.b, countsOf(f), matched = true,
+        f.vals)
       case None =>
         val g = fold(vectors.head) // the all-greedy cascade partial
-        Cep.Outcome(g.b, Map.empty, matched = false)
+        Cep.Outcome(g.b, Map.empty, matched = false, g.vals)
     }
   }
 
   // kinds: 0 bind, 1 bind x2, 2 opt, 3 oneOrMore, 4 next, 5 absent,
-  // 6 untilClose (round-11; closes on (tc+1)%3 — a distinct type)
+  // 6 untilClose (round-11; closes on (tc+1)%3 — a distinct type),
+  // 7 followedByIf Gt vs anchor, 8 followedByIf Le vs the most recent
+  // prior single-bind step (anchor when none precedes) — round-13
   private def build(kinds: Seq[Int], tcs: Seq[Int]): Cep.Pattern = {
     var p = Cep.begin(WindowUs)
+    var refCand = "anchor"
     kinds.zip(tcs).zipWithIndex.foreach { case ((k, tc), i) =>
       val nm = s"s$i"
       p = k match {
-        case 0 => p.followedBy(nm, tc)
+        case 0 => refCand = nm; p.followedBy(nm, tc)
         case 1 => p.followedBy(nm, tc, times = 2)
         case 2 => p.optionallyFollowedBy(nm, tc)
         case 3 => p.oneOrMoreGreedy(nm, tc)
         case 4 => p.next(nm, tc)
         case 5 => p.notFollowedBy(nm, tc)
         case 6 => p.oneOrMoreUntil(nm, tc, s"${nm}c", (tc + 1) % 3)
+        case 7 => refCand = nm; p.followedByIf(nm, tc, Cep.Gt)
+        case 8 =>
+          val r = refCand
+          refCand = nm
+          p.followedByIf(nm, tc, Cep.Le, ref = r)
       }
     }
     p
@@ -180,8 +217,11 @@ class CepPropertySpec extends AnyFunSuite {
     var failedM = 0
     cases.zipWithIndex.foreach { case ((kinds, tcs, evs), ci) =>
       val p = build(kinds, tcs)
-      val got = p.eval(AnchorTs, evs)
-      val want = reference(p, evs)
+      // the value eval with zero values: identical semantics for the
+      // value-free kinds, and the values maps compare too
+      val evs4 = evs.map { case (t, ts, id) => (t, ts, id, 0.0) }
+      val got = p.eval(AnchorTs, 0.0, evs4)
+      val want = reference(p, evs4, 0.0)
       assert(got == want,
         s"case $ci diverged\n pattern: ${p.steps}\n events: $evs\n" +
           s" eval: $got\n ref:  $want")
@@ -198,5 +238,50 @@ class CepPropertySpec extends AnyFunSuite {
     assert(has(k => k.contains(4) && k.contains(3)) > 20, "Next+OneOrMore")
     assert(has(k => k.count(_ == 3) >= 2) > 10, "double quantifier")
     assert(has(k => k.nonEmpty && k.last == 3) > 20, "terminal quantifier")
+  }
+
+  private val genCaseV: Gen[(Seq[Int], Seq[Int], Seq[EvV], Double)] =
+    for {
+      len <- Gen.choose(1, 4)
+      kinds <- Gen.listOfN(len - 1, Gen.oneOf(0, 1, 2, 3, 4, 6, 7, 8))
+      last <- Gen.choose(0, 8)
+      tcs <- Gen.listOfN(len, Gen.choose(0, 2))
+      av <- Gen.choose(0, 9)
+      nEv <- Gen.choose(0, 12)
+      evts <- Gen.listOfN(nEv, for {
+        t <- Gen.choose(0, 2)
+        dt <- Gen.choose(-5L, 55L)
+        v <- Gen.choose(0, 9) // small alphabet → real Ge/Le/Gt ties
+      } yield (t, AnchorTs + dt, v.toDouble))
+    } yield (kinds :+ last, tcs,
+      evts.zipWithIndex.map { case ((t, ts, v), i) =>
+        (t, ts, 100L + i, v) },
+      av.toDouble)
+
+  test("value-carrying eval equals the reference over followedByIf " +
+      "compositions on 3000 random cases") {
+    val cases = sample(genCaseV, 3000)
+    assert(cases.size >= 2900, "generator discarded too many cases")
+    var withIf = 0
+    cases.zipWithIndex.foreach { case ((kinds, tcs, evs, av), ci) =>
+      val p = build(kinds, tcs)
+      val got = p.eval(AnchorTs, av, evs)
+      val want = reference(p, evs, av)
+      assert(got == want,
+        s"case $ci diverged\n pattern: ${p.steps}\n anchorVal: $av\n" +
+          s" events: $evs\n eval: $got\n ref:  $want")
+      if (kinds.exists(k => k == 7 || k == 8)) withIf += 1
+    }
+    assert(withIf > 500, s"degenerate coverage: only $withIf BindIf " +
+      "cases")
+    // a BindIf whose ref is a PRIOR BIND (not the anchor) must occur:
+    // that's the iterative-condition composition the registered
+    // pattern never exercises
+    val priorRef = cases.count { case (kinds, _, _, _) =>
+      kinds.zipWithIndex.exists { case (k, i) =>
+        k == 8 && kinds.take(i).exists(x => x == 0 || x == 7 || x == 8)
+      }
+    }
+    assert(priorRef > 50, s"only $priorRef prior-ref BindIf cases")
   }
 }

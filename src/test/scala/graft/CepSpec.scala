@@ -154,4 +154,43 @@ class CepSpec extends AnyFunSuite {
     assert(Cep.begin(W).notFollowedBy("c", 1).wantedTypes == Set(1))
     assert(abc.wantedTypes == Set(0, 1))
   }
+
+  test("followedByIf (round-13): the value predicate REJECTS an " +
+      "earlier, cheaper purchase and binds the first qualifying one") {
+    val p = Cep.begin(W).followedByIf("purchase", 1, Cep.Gt)
+    // anchor value 50: the ts-10 purchase (40, cheaper) is SKIPPED,
+    // not a match-ender — the ts-20 purchase (60) binds
+    val o = p.eval(0, 50.0, Seq((1, 10, 1, 40.0), (1, 20, 2, 60.0)))
+    assert(o.matched && o.id("purchase").contains(2L))
+    assert(o.value("purchase").contains(60.0))
+    // only cheaper ones in window → unmatched, nothing bound
+    val n = p.eval(0, 50.0, Seq((1, 10, 1, 40.0), (1, 30, 2, 50.0)))
+    assert(!n.matched && n.bindings.isEmpty)
+    // Gt is strict: an equal-value purchase does not qualify (above),
+    // Ge admits it
+    val ge = Cep.begin(W).followedByIf("purchase", 1, Cep.Ge)
+    assert(ge.eval(0, 50.0, Seq((1, 30, 2, 50.0))).matched)
+    // the legacy value-free eval refuses iterative-condition patterns
+    intercept[IllegalArgumentException] {
+      p.eval(0, Seq((1, 10, 1)))
+    }
+  }
+
+  test("followedByIf ref resolves a PRIOR step's bound value") {
+    // purchase must be >= the bound click's value, not the anchor's
+    val p = Cep.begin(W).followedBy("click", 0)
+      .followedByIf("purchase", 1, Cep.Ge, ref = "click")
+    val o = p.eval(0, 999.0,
+      Seq((0, 5, 1, 30.0), (1, 10, 2, 20.0), (1, 15, 3, 30.0)))
+    assert(o.matched && o.id("purchase").contains(3L))
+    assert(o.value("click").contains(30.0))
+    // builder rejects an unknown / non-single-bind ref
+    intercept[IllegalArgumentException] {
+      Cep.begin(W).followedByIf("p", 1, Cep.Gt, ref = "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Cep.begin(W).followedBy("c", 0, times = 2)
+        .followedByIf("p", 1, Cep.Gt, ref = "c")
+    }
+  }
 }
