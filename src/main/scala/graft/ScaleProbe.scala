@@ -297,6 +297,14 @@ object ScaleProbe {
     // one extra conjunct on the same user-keyed join / filtered buffer
     // scan, so the expected curve matches the funnel pair's
     "events_pattern_value", "stream_pattern_value",
+    // round-13 add: temporal table join — the dim (customer replicas)
+    // grows with the user axis and stays broadcast; expected ~linear
+    // in events on top of the 4-trigger floor + k dim re-publishes.
+    // NOTE the replicated corpus breaks ts-monotonicity-in-id across
+    // replicas, so the probe measures the JOIN PLUMBING cost only
+    // (boundaries degenerate to ~t0); correctness is the real-corpus
+    // oracle's job
+    "stream_temporal_join",
     "events_count_window", "stream_count_window",
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",
@@ -651,11 +659,29 @@ object ScaleProbe {
           val mx = ev.agg(max("event_id"), max("user_id")).head()
           val maxEvent = mx.getLong(0) + 1
           val maxUser = mx.getLong(1) + 1
+          // 7-aligned user shift (round-13): stream_temporal_join's dim
+          // derives its update set from user/customer keys mod 7, so
+          // the replica shift must preserve residues — and the dim side
+          // (customer) replicates with the SAME shift so every replica
+          // user still resolves (the dim grows with the user axis, the
+          // realistic shape). The shift must clear BOTH key spaces:
+          // customer keys run far past the event user ids, and a
+          // shorter shift would alias replica customers onto original
+          // keys — duplicate dim keys, output multiplied (caught live:
+          // 16× read 11.5M rows instead of 1.6M)
+          val maxCust = s.read.parquet(s"$baseSf/customer.parquet")
+            .agg(max("c_custkey")).head().getLong(0) + 1
+          val userShift = ((math.max(maxUser, maxCust) + 6) / 7) * 7
           (0 until k).map(i => ev
               .withColumn("event_id", col("event_id") + lit(i * maxEvent))
-              .withColumn("user_id", col("user_id") + lit(i * maxUser)))
+              .withColumn("user_id", col("user_id") + lit(i * userShift)))
             .reduce(_ unionAll _)
             .write.mode("overwrite").parquet(s"$dir/events.parquet")
+          val cust = s.read.parquet(s"$baseSf/customer.parquet")
+          (0 until k).map(i => cust
+              .withColumn("c_custkey", col("c_custkey") + lit(i * userShift)))
+            .reduce(_ unionAll _)
+            .write.mode("overwrite").parquet(s"$dir/customer.parquet")
         } finally prevNanos match {
           // restore so staging can't leak conf into the timed probe run
           case Some(v) => s.conf.set(nanosKey, v)

@@ -1307,7 +1307,9 @@ object StreamingOps {
 
     "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1),
 
-    "stream_semantic_ingest" -> ((s, d) => semanticIngestRun(s, d, 4)._1)
+    "stream_semantic_ingest" -> ((s, d) => semanticIngestRun(s, d, 4)._1),
+
+    "stream_temporal_join" -> ((s, d) => temporalJoinRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -2252,6 +2254,156 @@ object StreamingOps {
     }
     (s.read.schema(stateSchema).parquet(s"$root/state_v${nBatches.get()}")
       .orderBy(col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming TEMPORAL TABLE JOIN (round-13 add, the r12
+    * verdict's item 1 — the Flink event-time temporal-table-join
+    * analog, `FOR SYSTEM_TIME AS OF e.ts`): each event enriched with
+    * the SCD2 dim VERSION valid at its EVENT TIME, against a dim a
+    * SECOND WRITER advances between micro-batches (the staged-artifact
+    * pattern in reverse — the artifact CHANGES). The dim is the
+    * `merge_scd2` history extended to a k-version event-time timeline:
+    * customers with c_custkey % 7 = 0 take version v with balance
+    * dec(c_acctbal · (10+v)/10) valid [B(v+1), B(v+2)) — B(e) = the
+    * min event time of staged id-slice e−1, the epoch boundary in
+    * EVENT time — while everyone else keeps version 0 open forever.
+    * Before epoch e processes, the writer publishes the history after
+    * e−1 updates to `dim_v{e}` (idempotent overwrite of a
+    * deterministic table); the batch then BROADCAST-joins its events
+    * against that version set with the validity interval in the
+    * condition. EXACTNESS (≡ the one-shot interval join over the FULL
+    * history, the D7 batch oracle): event ids are staged in id order
+    * and `events.ts` is strictly monotone in event_id (verified at
+    * all SFs), so every event of epoch e has ts ≥ B(e) — the newest
+    * published interval containing its ts is FINAL; versions published
+    * later only partition time the epoch's events have already passed.
+    * The intervals partition [0, ∞) per customer, so each event joins
+    * exactly one version. Scale: the dim is dim-sized (versions ≤ k ×
+    * customers) and broadcast — the fact stream never shuffles; a
+    * real deployment swaps the staged dir for the CDC-compacted dim
+    * topic, same plan. Replay + restart: the dim re-publish is an
+    * idempotent overwrite, duplicate verdict appends are absorbed by
+    * the read-side distinct(), and a replayed epoch re-joins against
+    * the identical dim version (deterministic function of e). */
+  private[graft] def temporalJoinRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try temporalJoinRunAt(s, d, k, registeredScratchDir("graft_tpj_"),
+      ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[temporalJoinRun]]: `root` holds the
+    * epoch-versioned dim stages (`dim_v<e>`) and the append verdict
+    * sink (`out/`); `ckpt` is the caller-owned checkpoint;
+    * `failBeforeEpoch` injects a [[PlannedIngestKill]] at the top of
+    * the given (1-based) epoch. */
+  private[graft] def temporalJoinRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("ts_us"))
+    val srcDir = tableBatchDir(s"tempo:$d@$k", ev, "event_id", k)
+    val evSchema = ev.schema
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Update boundaries in EVENT time: B(u) = min ts of staged slice u
+    // (u = 1..k-1) — k−1 one-time driver scalars off one pass over the
+    // staged id-slice bounds (the stagedMaxId staging-cost class). The
+    // oracle recomputes the identical bounds from max(event_id).
+    val maxId = {
+      val r = ev.agg(max(col("event_id"))).head()
+      require(!r.isNullAt(0), "stream_temporal_join: empty events table")
+      r.getLong(0)
+    }
+    def sliceLo(i: Int): Long = (maxId + 1) * i / k
+    val bndRows = ev
+      .select(col("ts_us"), (1 until k).foldLeft(lit(0)) { (acc, u) =>
+        when(col("event_id") >= sliceLo(u), lit(u)).otherwise(acc)
+      }.as("slice"))
+      .filter(col("slice") >= 1)
+      .groupBy(col("slice")).agg(min(col("ts_us")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(bndRows.size == k - 1,
+      s"stream_temporal_join: empty staged slice (got ${bndRows.size} " +
+        s"of ${k - 1} boundaries) — the version timeline needs every " +
+        "slice populated")
+    val bnds: Map[Int, Long] = bndRows
+
+    import org.apache.spark.sql.types._
+    val dimSchema = StructType(Seq(StructField("k", LongType),
+      StructField("version", IntegerType),
+      StructField("bal", DoubleType),
+      StructField("valid_from", LongType),
+      StructField("valid_to", LongType)))
+    val outSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("version", IntegerType),
+      StructField("bal", DoubleType)))
+
+    // the SCD2 history after `u` updates — the dim the second writer
+    // publishes before epoch u+1 (deterministic, so re-publish on
+    // replay is exact)
+    def dimAfter(ss: SparkSession, u: Int): DataFrame = {
+      val cust = customer(ss, d)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal0"),
+          (pmod(col("c_custkey"), lit(7)) === 0).as("upd"))
+      val v0 = cust.select(col("k"), lit(0).as("version"),
+        dec(col("bal0")).cast("double").as("bal"),
+        lit(0L).as("valid_from"),
+        when(col("upd") && lit(u >= 1), lit(bnds.getOrElse(1, 0L)))
+          .otherwise(lit(null).cast("long")).as("valid_to"))
+      (1 to u).foldLeft(v0) { (acc, v) =>
+        // (10+v)/10.0 is a correctly-rounded IEEE division — the same
+        // double as the SQL literal 1.v the oracle multiplies by
+        val m = (10.0 + v) / 10.0
+        acc.unionByName(cust.filter(col("upd"))
+          .select(col("k"), lit(v).as("version"),
+            dec(col("bal0") * lit(m)).cast("double").as("bal"),
+            lit(bnds(v)).as("valid_from"),
+            (if (v < u) lit(bnds(v + 1)) else lit(null).cast("long"))
+              .as("valid_to")))
+      }
+    }
+
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "event_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          monotoneBatchBounds(batch, "event_id",
+              "stream_temporal_join", prevMax).foreach { case (_, hi) =>
+            // SECOND WRITER: advance the dim to the version set
+            // visible at this epoch (history after batchId updates)
+            val dimDir = s"$root/dim_v${batchId + 1}"
+            dimAfter(ss, batchId.toInt).write.mode("overwrite")
+              .parquet(dimDir)
+            val dim = ss.read.schema(dimSchema).parquet(dimDir)
+            batch.join(broadcast(dim),
+                col("user_id") === col("k") &&
+                  col("ts_us") >= col("valid_from") &&
+                  (col("valid_to").isNull ||
+                    col("ts_us") < col("valid_to")), "inner")
+              .select(col("event_id"), col("user_id"), col("version"),
+                col("bal"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(batchId.toInt + 1)
+            prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(outSchema).parquet(outDir).distinct()
+      .orderBy(col("event_id")), nBatches.get())
   }
 
   /** §2.I streaming CCNet INGEST (round-12 add, the r11 verdict's
@@ -4005,6 +4157,49 @@ object StreamingOps {
        FROM sess, mx
        WHERE sess_id < last_sess OR epoch_ms(s_end) <= mx.wm
        ORDER BY user_id, s_start""",
+
+    // The temporal-table-join oracle: the one-shot validity-interval
+    // join over the FULL SCD2 history (exact by the ts-monotone
+    // finality argument on the op). Boundaries, versions and the
+    // decimal discipline mirror the engine bit-for-bit: B(u) = min ts
+    // of id-slice u via the same (maxId+1)·u // k bounds; version
+    // balances multiply by (10+u)/10.0 — the correctly-rounded IEEE
+    // division, the identical double to the engine's lit() — then
+    // take merge_scd2's DECIMAL(38,6) round-trip.
+    "stream_temporal_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                     FROM events),
+            mx AS (SELECT max(event_id) + 1 AS m FROM ev),
+            b AS (SELECT t.u AS u, min(e.ts_us) AS bu
+                  FROM ev e CROSS JOIN mx
+                  CROSS JOIN unnest(generate_series(1, 3)) AS t(u)
+                  WHERE e.event_id >= (mx.m * t.u) // 4
+                    AND e.event_id <
+                      CASE WHEN t.u = 3 THEN 9223372036854775807
+                           ELSE (mx.m * (t.u + 1)) // 4 END
+                  GROUP BY 1),
+            v0 AS (SELECT c.c_custkey AS k, 0 AS version,
+                     CAST(CAST(c.c_acctbal AS DECIMAL(38,6)) AS DOUBLE)
+                       AS bal,
+                     CAST(0 AS BIGINT) AS vf,
+                     CASE WHEN c.c_custkey % 7 = 0
+                          THEN (SELECT bu FROM b WHERE u = 1) END AS vt
+                   FROM customer c),
+            vv AS (SELECT c.c_custkey AS k, CAST(t.u AS INT) AS version,
+                     CAST(CAST(c.c_acctbal * ((10 + t.u) / 10.0)
+                       AS DECIMAL(38,6)) AS DOUBLE) AS bal,
+                     (SELECT bu FROM b WHERE b.u = t.u) AS vf,
+                     (SELECT bu FROM b WHERE b.u = t.u + 1) AS vt
+                   FROM customer c
+                   CROSS JOIN unnest(generate_series(1, 3)) AS t(u)
+                   WHERE c.c_custkey % 7 = 0),
+            allv AS (SELECT * FROM v0 UNION ALL SELECT * FROM vv)
+       SELECT e.event_id, e.user_id, CAST(v.version AS INT) AS version,
+              v.bal
+       FROM ev e JOIN allv v ON v.k = e.user_id
+         AND e.ts_us >= v.vf AND (v.vt IS NULL OR e.ts_us < v.vt)
+       ORDER BY e.event_id""",
 
     // Batch recompute of the streaming funnel + the watermark cutoff:
     // a signup's verdict emits iff its ms-truncated deadline cleared the
