@@ -305,6 +305,9 @@ object ScaleProbe {
     // (boundaries degenerate to ~t0); correctness is the real-corpus
     // oracle's job
     "stream_temporal_join",
+    // round-13 add: dynamic rules — O(|types|) broadcast per epoch,
+    // expected ~linear in events on the same 4-trigger floor
+    "stream_rules_apply",
     "events_count_window", "stream_count_window",
     "events_count_sliding", "stream_count_sliding",
     "ts_ewma", "stream_ewma", "events_retention",

@@ -1309,7 +1309,9 @@ object StreamingOps {
 
     "stream_semantic_ingest" -> ((s, d) => semanticIngestRun(s, d, 4)._1),
 
-    "stream_temporal_join" -> ((s, d) => temporalJoinRun(s, d, 4)._1)
+    "stream_temporal_join" -> ((s, d) => temporalJoinRun(s, d, 4)._1),
+
+    "stream_rules_apply" -> ((s, d) => rulesApplyRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -2254,6 +2256,110 @@ object StreamingOps {
     }
     (s.read.schema(stateSchema).parquet(s"$root/state_v${nBatches.get()}")
       .orderBy(col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming DYNAMIC RULES (round-13 add, the r12 verdict's
+    * item 5 — Flink's broadcast-state pattern: a small rules stream
+    * broadcast to every task, events classified against the rules
+    * version CURRENT at processing time). A tiny per-event-type
+    * threshold rule table is re-published to parquet before every
+    * micro-batch by a second writer — the staged-artifact pattern in
+    * reverse, like [[temporalJoinRunAt]]'s dim — re-READ per batch
+    * (the broadcast-state refresh) and broadcast-joined on event_type;
+    * each event's verdict is `flag` iff value ≥ the threshold of ITS
+    * epoch's rules version. Rule set version e is deterministic:
+    * thr(type, e) = 15·e + 10·code(type), except the `error` rule
+    * FLIPS at epoch 3 (always-flag thr 0 → never-flag thr 1000 — the
+    * rule-change the spec pins; a static join cannot show it). Oracle:
+    * ONE SQL — an event's epoch is its staged id-slice, recomputable
+    * from max(event_id), so the per-epoch rules inline as CASE
+    * arithmetic (all exact small-int double products). Scale: rules
+    * are O(|types|) rows broadcast per batch — the fact stream never
+    * shuffles; a real deployment swaps the staged dir for a compacted
+    * rules topic, same plan. Replay/restart: the rules re-publish is
+    * an idempotent overwrite keyed by epoch, verdict re-appends fold
+    * under the read-side distinct(). */
+  private[graft] def rulesApplyRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try rulesApplyRunAt(s, d, k, registeredScratchDir("graft_rules_"),
+      ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[rulesApplyRun]]: `root` holds the
+    * epoch-versioned rules stages (`rules_v<e>`) and the append
+    * verdict sink (`out/`); `ckpt` is the caller-owned checkpoint;
+    * `failBeforeEpoch` injects a [[PlannedIngestKill]] at the top of
+    * the given (1-based) epoch. */
+  private[graft] def rulesApplyRunAt(s: SparkSession, d: String, k: Int,
+      root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"))
+    val srcDir = tableBatchDir(s"rules:$d@$k", ev, "event_id", k)
+    val evSchema = ev.schema
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    import org.apache.spark.sql.types._
+    val rulesSchema = StructType(Seq(StructField("event_type", StringType),
+      StructField("thr", DoubleType)))
+    val outSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("epoch", IntegerType),
+      StructField("thr", DoubleType),
+      StructField("action", StringType)))
+    // rule set version e — deterministic, so a replayed publish is an
+    // idempotent overwrite; every product below is exact small-int
+    // double arithmetic, identical to the oracle's CASE expressions
+    val typeCodes =
+      Seq("click" -> 0, "purchase" -> 1, "view" -> 2, "error" -> 3,
+        "signup" -> 4)
+    def rulesFor(ss: SparkSession, e: Int): DataFrame = {
+      import ss.implicits._
+      typeCodes.map { case (t, c) =>
+        val thr =
+          if (t == "error") { if (e <= 2) 0.0 else 1000.0 }
+          else 15.0 * e + 10.0 * c
+        (t, thr)
+      }.toDF("event_type", "thr")
+    }
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "event_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          monotoneBatchBounds(batch, "event_id",
+              "stream_rules_apply", prevMax).foreach { case (_, hi) =>
+            // SECOND WRITER: publish this epoch's rules version, then
+            // re-read it — the broadcast-state refresh
+            val rulesDir = s"$root/rules_v${batchId + 1}"
+            rulesFor(ss, batchId.toInt + 1)
+              .write.mode("overwrite").parquet(rulesDir)
+            val rules = ss.read.schema(rulesSchema).parquet(rulesDir)
+            batch.join(broadcast(rules), Seq("event_type"))
+              .select(col("event_id"), col("event_type"),
+                lit(batchId.toInt + 1).as("epoch"), col("thr"),
+                when(col("value") >= col("thr"), lit("flag"))
+                  .otherwise(lit("pass")).as("action"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(batchId.toInt + 1)
+            prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(outSchema).parquet(outDir).distinct()
+      .orderBy(col("event_id")), nBatches.get())
   }
 
   /** §2.I streaming TEMPORAL TABLE JOIN (round-13 add, the r12
@@ -4157,6 +4263,33 @@ object StreamingOps {
        FROM sess, mx
        WHERE sess_id < last_sess OR epoch_ms(s_end) <= mx.wm
        ORDER BY user_id, s_start""",
+
+    // The dynamic-rules oracle: one SQL — an event's epoch is its
+    // staged id-slice (recomputed from max(event_id) via the same
+    // (m·u)//4 bounds), and each epoch's deterministic rule set
+    // inlines as CASE arithmetic (exact small-int double products,
+    // identical to the engine's staged thresholds).
+    "stream_rules_apply" ->
+      """WITH mx AS (SELECT max(event_id) + 1 AS m FROM events),
+            ev AS (SELECT event_id, event_type, value,
+                     CASE WHEN event_id >= (m * 3) // 4 THEN 4
+                          WHEN event_id >= (m * 2) // 4 THEN 3
+                          WHEN event_id >= (m * 1) // 4 THEN 2
+                          ELSE 1 END AS epoch
+                   FROM events CROSS JOIN mx),
+            cls AS (SELECT event_id, event_type, epoch, value,
+                      CASE WHEN event_type = 'error' THEN
+                             CASE WHEN epoch <= 2 THEN 0.0
+                                  ELSE 1000.0 END
+                           ELSE 15.0 * epoch + 10.0 *
+                             (CASE event_type WHEN 'click' THEN 0
+                               WHEN 'purchase' THEN 1
+                               WHEN 'view' THEN 2 ELSE 4 END) END AS thr
+                    FROM ev)
+       SELECT event_id, event_type, CAST(epoch AS INT) AS epoch, thr,
+              CASE WHEN value >= thr THEN 'flag' ELSE 'pass' END
+                AS action
+       FROM cls ORDER BY event_id""",
 
     // The temporal-table-join oracle: the one-shot validity-interval
     // join over the FULL SCD2 history (exact by the ts-monotone

@@ -627,4 +627,54 @@ class StreamIngestSpec extends GraftSpec {
     assert(resumed.collect().toSeq == out.collect().toSeq,
       "resumed temporal join != one-shot run")
   }
+
+  test("stream_rules_apply: a rule FLIPS between epochs — the same " +
+      "event shape classifies differently before and after; " +
+      "kill-and-resume holds") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val (out, n) = StreamingOps.rulesApplyRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    val rows = out.collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    assert(rows.map(_._1).toSet ==
+      Tables.events(spark, sf).select("event_id").collect()
+        .map(_.getLong(0)).toSet, "one verdict per event")
+
+    // the published rules artifact actually CHANGED between epochs
+    val errThr = (1 to k).map(e => spark.read
+      .parquet(s"$root/rules_v$e")
+      .filter(col("event_type") === "error")
+      .head().getDouble(1))
+    assert(errThr == Seq(0.0, 0.0, 1000.0, 1000.0),
+      s"error rule should flip at epoch 3, got $errThr")
+
+    // and events FELT the flip: error events flag in epochs 1-2
+    // (thr 0 — every value qualifies) and pass in 3-4 (thr 1000 —
+    // fixture values are far below)
+    val errs = rows.filter(_._2 == "error")
+    val byEpoch = errs.groupBy(_._3).view.mapValues(_.map(_._5).distinct)
+    assert(Seq(1, 2).forall(e => byEpoch.get(e).forall(_ == Seq("flag"))),
+      s"pre-flip error events must all flag: $byEpoch")
+    assert(Seq(3, 4).forall(e => byEpoch.get(e).forall(_ == Seq("pass"))),
+      s"post-flip error events must all pass: $byEpoch")
+    assert(Seq(1, 2).exists(byEpoch.contains) &&
+      Seq(3, 4).exists(byEpoch.contains),
+      "fixture must carry error events on both sides of the flip")
+
+    // kill before epoch 3 (the flip epoch), resume, equal one-shot
+    val (root2, ckpt2) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.rulesApplyRunAt(spark, sf, k, root2, ckpt2,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt2) == 2)
+    val (resumed, n2) =
+      StreamingOps.rulesApplyRunAt(spark, sf, k, root2, ckpt2)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == out.collect().toSeq,
+      "resumed rules stream != one-shot run")
+  }
 }
