@@ -23,6 +23,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object IngestChainProbe {
 
   def main(args: Array[String]): Unit = {
+    // --rollover: the geometry-generation experiment (round-13, the
+    // r12 verdict's item 2) instead of the quartet chains — see
+    // [[rollover]].
+    if (args.headOption.contains("--rollover")) {
+      rollover(args.drop(1)); return
+    }
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(4, 16)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -95,6 +101,89 @@ object IngestChainProbe {
           s""""per_epoch_ms":${per.mkString("[", ",", "]")},""" +
           s""""sf":"$sfDir"}""")
       }
+    }
+    spark.streams.removeListener(listener)
+    spark.stop()
+  }
+
+  /** Geometry-generation rollover experiment (round-13): the ingest
+    * twins FREEZE their quantizer/LSH geometry at stream start, so a
+    * corpus that grows far past the population the geometry was sized
+    * for degrades toward the un-refined O(n²/cells) regime the batch
+    * op's adaptive sub-quantization escapes. This probe prices that
+    * drift: stage a PERTURBED (distinct-vector) corpus at `factor`×
+    * sf0.1, then run the k=16 `stream_semantic_ingest` chain twice —
+    * quantizer trained on the FULL corpus (the registered op's
+    * contract: geometry sized for everything it will ever see) vs
+    * trained on only the FIRST QUARTER of ids (a live deployment that
+    * sized its generation at stream start and then grew 4× past it) —
+    * and record both per-epoch trigger curves. The delta curve is the
+    * measured cost of NOT rolling the generation; BASELINE.md carries
+    * the verdict + the rollover recipe.
+    *
+    * Run: sbt "runMain graft.IngestChainProbe --rollover [factor]"
+    * (default factor 4; one JSON line per variant). */
+  private def rollover(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val epochMs = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        epochMs.synchronized {
+          val ms = Option(e.progress.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(-1L)
+          if (!epochMs.contains(e.progress.batchId))
+            epochMs.put(e.progress.batchId, ms)
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_rollover_${factor}x_").toString
+    ScaleProbe.stage(spark, baseSf, dir, factor, "perturbed")
+    println(s"[rollover] perturbed ${factor}x corpus staged at $dir")
+    val maxId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val k = 16
+    import graft.streaming.StreamingOps
+    Seq(
+      // quantizer sized for everything it will see (the contract)
+      "full_corpus" -> Long.MaxValue,
+      // generation sized at stream start, corpus grows 4x past it
+      "first_quarter" -> ((maxId + 1) / 4 - 1),
+      // 16x growth past the sizing population — the drift regime
+      "first_sixteenth" -> ((maxId + 1) / 16 - 1)).foreach {
+      case (variant, hi) =>
+        epochMs.synchronized(epochMs.clear())
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_roll_${variant}_").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_roll_ckpt_").toString
+        val t0 = System.nanoTime()
+        val (df, n) = StreamingOps.semanticIngestRunAt(spark, dir, k,
+          root, ckpt, quantizerTrainHi = hi)
+        val rows = Bench.force(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val per = epochMs.synchronized(
+          epochMs.toSeq.sortBy(_._1).map(_._2))
+        println(f"""{"metric":"rollover","variant":"$variant",""" +
+          f""""factor":$factor,"k":$k,"batches":$n,""" +
+          f""""total_sec":$sec%.2f,"rows":$rows,""" +
+          s""""per_epoch_ms":${per.mkString("[", ",", "]")},""" +
+          s""""sf":"$baseSf"}""")
     }
     spark.streams.removeListener(listener)
     spark.stop()

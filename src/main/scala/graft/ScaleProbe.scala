@@ -527,7 +527,7 @@ object ScaleProbe {
   /** Symlink every base table; overwrite documents/embeddings per the
     * staging mode (see the object scaladoc). All replica content is a
     * deterministic function of (replica index, id) — no randomness. */
-  private def stage(s: SparkSession, baseSf: String, dir: String,
+  private[graft] def stage(s: SparkSession, baseSf: String, dir: String,
       k: Int, mode: String): Unit = {
     val stagedTables: Set[String] = mode match {
       case "events" => Set("events")

@@ -2129,10 +2129,23 @@ object StreamingOps {
     * the top of the given (1-based) epoch. */
   private[graft] def semanticIngestRunAt(s: SparkSession, d: String,
       k: Int, root: String, ckpt: String,
-      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+      failBeforeEpoch: Int = Int.MaxValue,
+      quantizerTrainHi: Long = Long.MaxValue): (DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
+    // `quantizerTrainHi` (probe-only; the registered path always
+    // trains on the full corpus) freezes the staged quantizer on the
+    // id-prefix ≤ hi — the geometry-generation rollover experiment:
+    // the stream then grows the corpus PAST the population the
+    // quantizer was sized for, and the per-epoch affected-cell cost
+    // curve prices the frozen-geometry degradation (BASELINE.md
+    // "Geometry-generation rollover"). Cell-locality still holds for
+    // whatever quantizer is frozen, so within the generation the
+    // ingest semantics stay exact — only the CELL SIZING drifts.
+    val qTrain =
+      if (quantizerTrainHi == Long.MaxValue) emb
+      else emb.filter(col("vec_id") <= quantizerTrainHi)
     val srcDir = tableBatchDir(s"semi:$d@$k", emb, "vec_id", k)
     val embSchema = emb.schema
     val qaDir = s"$root/qassign"
@@ -2142,16 +2155,16 @@ object StreamingOps {
     // frozen quantizer model (idempotent overwrites of deterministic
     // tables): C1 empty when no cell is oversized — every label then
     // routes through the plain branch
-    graft.operators.TrainingDataOps.semanticCellsFull(s, emb) match {
+    graft.operators.TrainingDataOps.semanticCellsFull(s, qTrain) match {
       case Some((_, cents, c1)) =>
         c1.write.mode("overwrite").parquet(qaDir)
         cents.write.mode("overwrite").parquet(qcDir)
       case None =>
-        emb.select(col("label"), lit(0L).as("j"),
+        qTrain.select(col("label"), lit(0L).as("j"),
             transform(col("embedding"), x => x.cast("double")).as("cvec"))
           .filter(lit(false))
           .write.mode("overwrite").parquet(qaDir)
-        graft.operators.AnnOps.centroids(emb)
+        graft.operators.AnnOps.centroids(qTrain)
           .select(col("c_label").cast("long").as("cell"), col("centroid"))
           .write.mode("overwrite").parquet(qcDir)
     }
