@@ -163,6 +163,13 @@ object ScaleProbe {
     // → 18.1 s at 16× (every doc gets a verdict row — output 20k →
     // 80k — the same verdict-per-doc floor as the ingest quartet)
     "stream_perplexity_bucket",
+    // round-13 add: the DSIR serving gate — the staged λ grid trains
+    // on the k× corpus (grid stays ≤1024 rows by construction,
+    // training collapse-free here since the explode is one-time
+    // staging), then per-batch work is O(batch bigrams) against the
+    // grid FileScan + the 4-trigger floor: expect the
+    // stream_perplexity_bucket linear shape
+    "stream_importance_ingest",
     // round-12 adds, probed on arrival (the r11 lesson: new ops ship
     // with curves, not promises). stream_ccnet_ingest: identical
     // replicas collapse at the stage-1 exact dedup (first arrival

@@ -1657,24 +1657,15 @@ object TrainingDataOps {
     // `spark.graft.dsirCollapse` = always|never overrides.
     "llm_importance_weights" -> ((s, d) => {
       val docs = documents(s, d)
-      val base = AdaptiveCollapse.stageCut(s)(ngramLmPerDoc(s, d))
-      val usBin =
-        expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
-      val heads = base.crossJoin(broadcast(perplexityCutsOf(base)))
-        .filter(col("n_bigrams") > lit(0L) && usBin <= col("b1"))
-        .select(col("doc_id"))
+      val heads = dsirHeads(s, d)
       val collapse = AdaptiveCollapse.decideByMass(s, docs,
         "spark.graft.dsirCollapse", xxhash64(col("text")))
       val out =
-        if (!collapse) {
-          val src = docs.select(col("doc_id"), col("text"))
-            .join(heads.withColumn("hk", lit(1L)), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("text"), lit(1L).as("k"),
-              coalesce(col("hk"), lit(0L)).as("hk"))
-          dsirWeights(src)
+        if (!collapse)
+          dsirWeights(dsirDirectSrc(s, d))
             .select(col("gid").as("doc_id"), col("w_micro"),
               col("n_bigrams"))
-        } else {
+        else {
           val withG = AdaptiveCollapse.withGid(
             docs.select(col("doc_id"), col("text")), "doc_id",
             Seq("text"), withK = true).localCheckpoint()
@@ -1997,6 +1988,56 @@ object TrainingDataOps {
     (scala.util.hashing.MurmurHash3.stringHash(bg).toLong
       & 0xffffffffL) % DsirBuckets)
 
+  /** Per-row hashed-bucket term frequencies (doc_id, bkt, tf) of a
+    * (doc_id, text) frame — shared by both DSIR faces so batch and
+    * stream bucket identically. */
+  private[graft] def dsirBucketTfOf(src: DataFrame): DataFrame =
+    ngramLmTfOf(src.select(col("doc_id"), col("text")))
+      .withColumn("bkt", dsirBucket(col("bg")))
+      .groupBy(col("doc_id"), col("bkt")).agg(sum(col("tf")).as("tf"))
+
+  /** The DSIR λ grid (bkt → lam micro-nats) from a bucketed
+    * (doc_id, bkt, tf, k, hk) frame: raw counts k-weighted, target
+    * counts hk-weighted, both add-1 smoothed over the bucket alphabet,
+    * each ln rounded to integer micro-nats ONCE. ≤ [[DsirBuckets]]
+    * rows — the publishable model artifact `stream_importance_ingest`
+    * stages. */
+  private[graft] def dsirLambda(btk: DataFrame): DataFrame = {
+    val grids = btk.groupBy(col("bkt"))
+      .agg(sum(col("tf") * col("k")).as("cq"),
+        sum(col("tf") * col("hk")).as("ct"))
+    val tot = grids.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
+    grids.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        (round(log((col("ct") + 1).cast("double")
+            / (col("nt") + lit(DsirBuckets))) * 1e6, 0).cast("long")
+          - round(log((col("cq") + 1).cast("double")
+            / (col("nq") + lit(DsirBuckets))) * 1e6, 0).cast("long"))
+          .as("lam"))
+  }
+
+  /** The head-tercile TARGET doc ids — exactly
+    * `llm_perplexity_bucket`'s head verdicts (identical stage-cut base
+    * + cutoff histogram). */
+  private[graft] def dsirHeads(s: SparkSession, d: String): DataFrame = {
+    val base = AdaptiveCollapse.stageCut(s)(ngramLmPerDoc(s, d))
+    val usBin =
+      expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+    base.crossJoin(broadcast(perplexityCutsOf(base)))
+      .filter(col("n_bigrams") > lit(0L) && usBin <= col("b1"))
+      .select(col("doc_id"))
+  }
+
+  /** The (doc_id, text, k=1, hk) direct-path DSIR source frame over
+    * the full corpus — what the λ artifact trains on. */
+  private[graft] def dsirDirectSrc(s: SparkSession, d: String)
+      : DataFrame =
+    documents(s, d).select(col("doc_id"), col("text"))
+      .join(dsirHeads(s, d).withColumn("hk", lit(1L)),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), lit(1L).as("k"),
+        coalesce(col("hk"), lit(0L)).as("hk"))
+
   /** DSIR importance-weight core over a (doc_id, text, k, hk) frame,
     * where `k` is the row's replica multiplicity and `hk` its TARGET
     * multiplicity (members of the row's group in the head sample; 0/1
@@ -2006,23 +2047,10 @@ object TrainingDataOps {
     * with ≥ 1 bigram — exact long arithmetic throughout (two micro-nat
     * ln rounds per bucket, λ differences and Σ tf·λ in bigints). */
   private def dsirWeights(src: DataFrame): DataFrame = {
-    val bt = ngramLmTfOf(src.select(col("doc_id"), col("text")))
-      .withColumn("bkt", dsirBucket(col("bg")))
-      .groupBy(col("doc_id"), col("bkt")).agg(sum(col("tf")).as("tf"))
+    val bt = dsirBucketTfOf(src)
     val btk = bt.join(src.select(col("doc_id"), col("k"), col("hk")),
       Seq("doc_id"))
-    val grids = btk.groupBy(col("bkt"))
-      .agg(sum(col("tf") * col("k")).as("cq"),
-        sum(col("tf") * col("hk")).as("ct"))
-    val tot = grids.agg(sum(col("cq")).as("nq"), sum(col("ct")).as("nt"))
-    val lam = grids.crossJoin(broadcast(tot))
-      .select(col("bkt"),
-        (round(log((col("ct") + 1).cast("double")
-            / (col("nt") + lit(DsirBuckets))) * 1e6, 0).cast("long")
-          - round(log((col("cq") + 1).cast("double")
-            / (col("nq") + lit(DsirBuckets))) * 1e6, 0).cast("long"))
-          .as("lam"))
-    bt.join(broadcast(lam), Seq("bkt"))
+    bt.join(broadcast(dsirLambda(btk)), Seq("bkt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("lam")).as("w_micro"),
         sum(col("tf")).as("n_bigrams"))
@@ -2834,6 +2862,57 @@ object TrainingDataOps {
                      FROM documents d
                      LEFT JOIN sc s ON s.doc_id = d.doc_id)"""
 
+
+  /** The DSIR mirror, shared verbatim by `llm_importance_weights` and
+    * `stream_importance_ingest` (structural batch invariance — per-doc
+    * independence + the frozen staged λ grid). */
+  private[graft] def importanceWeightsOracleSql: String =
+    s"""$ngramLmBaseSql,
+            scored AS (SELECT ((2 * p + n_bigrams) // (2 * n_bigrams))
+                         // 10000 AS bin
+                       FROM base WHERE n_bigrams > 0),
+            hist AS (SELECT bin, count(*) AS cnt FROM scored GROUP BY 1),
+            cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
+                    FROM hist),
+            nn AS (SELECT sum(cnt) AS n FROM hist),
+            cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN bin END)
+                       AS b1
+                     FROM cum CROSS JOIN nn),
+            heads AS (SELECT b.doc_id FROM base b CROSS JOIN cuts c
+                      WHERE b.n_bigrams > 0
+                        AND ((2 * b.p + b.n_bigrams)
+                              // (2 * b.n_bigrams)) // 10000 <= c.b1),
+            tw AS (SELECT DISTINCT bg AS w FROM tf),
+            ${MurmurSql.stringHashCtes("", "tw", 0xf7ca7fd2L)},
+            bkt AS (SELECT t.doc_id, wh.h % 1024 AS bkt,
+                      CAST(sum(t.tf) AS BIGINT) AS tf
+                    FROM tf t JOIN whash wh ON wh.w = t.bg
+                    GROUP BY 1, 2),
+            grids AS (SELECT b.bkt,
+                        CAST(sum(b.tf) AS BIGINT) AS cq,
+                        CAST(sum(CASE WHEN h.doc_id IS NOT NULL
+                                      THEN b.tf ELSE 0 END) AS BIGINT)
+                          AS ct
+                      FROM bkt b LEFT JOIN heads h USING (doc_id)
+                      GROUP BY 1),
+            tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM grids),
+            lam AS (SELECT g.bkt,
+                      CAST(round(ln(CAST(g.ct + 1 AS DOUBLE)
+                          / (t.nt + 1024)) * 1000000, 0) AS BIGINT)
+                      - CAST(round(ln(CAST(g.cq + 1 AS DOUBLE)
+                          / (t.nq + 1024)) * 1000000, 0) AS BIGINT)
+                        AS lam
+                    FROM grids g CROSS JOIN tot t),
+            wsum AS (SELECT b.doc_id,
+                       CAST(sum(b.tf * l.lam) AS BIGINT) AS w_micro,
+                       CAST(sum(b.tf) AS BIGINT) AS n_bigrams
+                     FROM bkt b JOIN lam l USING (bkt) GROUP BY 1)
+       SELECT d.doc_id,
+              coalesce(w.n_bigrams, 0) AS n_bigrams, w.w_micro,
+              CAST(w.w_micro AS DOUBLE) / 1000000 AS log_weight
+       FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "llm_fingerprint" -> fingerprintOracleSql,
     "llm_embedding_lsh" -> embeddingLshOracleSql,
@@ -3266,52 +3345,9 @@ object TrainingDataOps {
     // the micro-nat λ and the per-doc Σ tf·λ are the same bigint
     // arithmetic the engine runs. The collapse path is invisible here
     // by the k/hk-weighting theorem (replica counts fold identically).
-    "llm_importance_weights" ->
-      s"""$ngramLmBaseSql,
-            scored AS (SELECT ((2 * p + n_bigrams) // (2 * n_bigrams))
-                         // 10000 AS bin
-                       FROM base WHERE n_bigrams > 0),
-            hist AS (SELECT bin, count(*) AS cnt FROM scored GROUP BY 1),
-            cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum
-                    FROM hist),
-            nn AS (SELECT sum(cnt) AS n FROM hist),
-            cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN bin END)
-                       AS b1
-                     FROM cum CROSS JOIN nn),
-            heads AS (SELECT b.doc_id FROM base b CROSS JOIN cuts c
-                      WHERE b.n_bigrams > 0
-                        AND ((2 * b.p + b.n_bigrams)
-                              // (2 * b.n_bigrams)) // 10000 <= c.b1),
-            tw AS (SELECT DISTINCT bg AS w FROM tf),
-            ${MurmurSql.stringHashCtes("", "tw", 0xf7ca7fd2L)},
-            bkt AS (SELECT t.doc_id, wh.h % 1024 AS bkt,
-                      CAST(sum(t.tf) AS BIGINT) AS tf
-                    FROM tf t JOIN whash wh ON wh.w = t.bg
-                    GROUP BY 1, 2),
-            grids AS (SELECT b.bkt,
-                        CAST(sum(b.tf) AS BIGINT) AS cq,
-                        CAST(sum(CASE WHEN h.doc_id IS NOT NULL
-                                      THEN b.tf ELSE 0 END) AS BIGINT)
-                          AS ct
-                      FROM bkt b LEFT JOIN heads h USING (doc_id)
-                      GROUP BY 1),
-            tot AS (SELECT sum(cq) AS nq, sum(ct) AS nt FROM grids),
-            lam AS (SELECT g.bkt,
-                      CAST(round(ln(CAST(g.ct + 1 AS DOUBLE)
-                          / (t.nt + 1024)) * 1000000, 0) AS BIGINT)
-                      - CAST(round(ln(CAST(g.cq + 1 AS DOUBLE)
-                          / (t.nq + 1024)) * 1000000, 0) AS BIGINT)
-                        AS lam
-                    FROM grids g CROSS JOIN tot t),
-            wsum AS (SELECT b.doc_id,
-                       CAST(sum(b.tf * l.lam) AS BIGINT) AS w_micro,
-                       CAST(sum(b.tf) AS BIGINT) AS n_bigrams
-                     FROM bkt b JOIN lam l USING (bkt) GROUP BY 1)
-       SELECT d.doc_id,
-              coalesce(w.n_bigrams, 0) AS n_bigrams, w.w_micro,
-              CAST(w.w_micro AS DOUBLE) / 1000000 AS log_weight
-       FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
-       ORDER BY d.doc_id""",
+    // Shared verbatim with `stream_importance_ingest` (per-doc
+    // independence + frozen staged λ ⇒ structural batch invariance).
+    "llm_importance_weights" -> importanceWeightsOracleSql,
 
     // The adaptive sub-quantization mirror (round-12, see
     // [[semanticCells]]): nn/ov decide refinement per label from the

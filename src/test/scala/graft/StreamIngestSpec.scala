@@ -677,4 +677,28 @@ class StreamIngestSpec extends GraftSpec {
     assert(resumed.collect().toSeq == out.collect().toSeq,
       "resumed rules stream != one-shot run")
   }
+
+  test("stream_importance_ingest: k document micro-batches against " +
+      "the frozen staged DSIR λ grid equal the batch op verbatim, " +
+      "and a planned kill resumes to the same table") {
+    val k = 4
+    val streamed =
+      StreamingOps.importanceIngestRun(spark, sf, k)._1.collect().toSeq
+    val batch = SparkEntry.queries("llm_importance_weights")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch,
+      "streamed DSIR scores != batch llm_importance_weights")
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.importanceIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n) =
+      StreamingOps.importanceIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed DSIR stream != batch llm_importance_weights")
+  }
 }
