@@ -100,7 +100,13 @@ object PlanDump {
     "llm_semantic_dedup" ->
       "SemDeDup (round-11 op): micro-unit centroids broadcast for the c_sim pass (corpus streams past ncells rows, no shuffle); in-cluster pair generation is a label-keyed hash EQUI-join (never a cartesian) feeding a partial+final min agg — pair volume O(Σ cell²), the method's cost model, with the quantizer contract ncells ≈ √n at corpus scale",
     "llm_ccnet_pipeline" ->
-      "CCNet composition (round-11 op): ONE text-keyed window shuffle for the dedup keeper; the lang-ID and per-lang LM model tables roll up vocabulary-sized from survivor-scans and join back by (plang, key) — never a second corpus shuffle per stage; the tercile Window is partitioned by plang over the bounded bin histogram, and the per-lang cutoffs ride a lang-keyed join (broadcast-sized) into the verdict CASE")
+      "CCNet composition (round-11 op): ONE text-keyed window shuffle for the dedup keeper; the lang-ID and per-lang LM model tables roll up vocabulary-sized from survivor-scans and join back by (plang, key) — never a second corpus shuffle per stage; the tercile Window is partitioned by plang over the bounded bin histogram, and the per-lang cutoffs ride a lang-keyed join (broadcast-sized) into the verdict CASE",
+    "llm_gopher_rules" ->
+      "Gopher quality gate (round-13 op): every signal is a per-doc array fold inside ONE project over the scan — zero exchanges before the contract sort; the rule verdicts are cross-multiplied long comparisons in the same projection (no corpus-wide percentile/agg anywhere)",
+    "llm_importance_weights" ->
+      "DSIR importance weights (round-13 op): one corpus bigram explode feeds the (doc, bkt) partial+final agg; the raw/target grids roll up to ≤1024 rows, the λ table broadcasts back into the per-doc Σ tf·λ agg — the model side never shuffles the corpus, and the head-tercile target reuses the stage-cut perplexity base (no second LM train)",
+    "events_pattern_value" ->
+      "iterative-condition CEP (round-13 op): the SAME single user-keyed time-bounded hash equi-join + min-struct shape as events_funnel, with the value predicate riding the join condition as one extra conjunct — the skip semantics cost zero extra operators")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are
