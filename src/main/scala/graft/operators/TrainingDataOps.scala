@@ -1655,40 +1655,35 @@ object TrainingDataOps {
     // replicas of a head text are each target members), identical
     // docs expand from rep answers by one gid join.
     // `spark.graft.dsirCollapse` = always|never overrides.
-    "llm_importance_weights" -> ((s, d) => {
-      val docs = documents(s, d)
-      val heads = dsirHeads(s, d)
-      val collapse = AdaptiveCollapse.decideByMass(s, docs,
-        "spark.graft.dsirCollapse", xxhash64(col("text")))
-      val out =
-        if (!collapse)
-          dsirWeights(dsirDirectSrc(s, d))
-            .select(col("gid").as("doc_id"), col("w_micro"),
-              col("n_bigrams"))
-        else {
-          val withG = AdaptiveCollapse.withGid(
-            docs.select(col("doc_id"), col("text")), "doc_id",
-            Seq("text"), withK = true).localCheckpoint()
-          val hkOf = withG.select(col("doc_id"), col("gid"))
-            .join(heads, Seq("doc_id"))
-            .groupBy(col("gid")).agg(count(lit(1)).as("hk"))
-          val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
-            .select(col("doc_id"), col("text"), col("k"))
-            .join(hkOf.withColumnRenamed("gid", "doc_id"),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"), col("text"), col("k"),
-              coalesce(col("hk"), lit(0L)).as("hk"))
-          withG.select(col("doc_id"), col("gid"))
-            .join(dsirWeights(reps), Seq("gid"))
-            .select(col("doc_id"), col("w_micro"), col("n_bigrams"))
-        }
-      documents(s, d).select(col("doc_id"))
-        .join(out, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          col("w_micro"),
-          (col("w_micro") / lit(1e6)).as("log_weight"))
-        .orderBy(col("doc_id"))
+    "llm_importance_weights" -> ((s, d) =>
+      importanceWeightsOf(s, d).orderBy(col("doc_id"))),
+
+    // DSIR importance RESAMPLING (round-13 add; the selection step of
+    // Xie et al. 2023, §2.3): sample the target-sized subset WITHOUT
+    // replacement with probability ∝ importance weight, via the
+    // standard Gumbel top-k trick — key = log weight + Gumbel noise,
+    // take the k largest. The "noise" is DETERMINISTIC (the
+    // llm_sample_* discipline, never rand()): u = (multHash(10⁶) +
+    // 0.5)/10⁶ per doc, g = −ln(−ln u), both engines computing the
+    // identical double; g rounds ONCE to integer micro-nats so the
+    // sort key (w_micro + g_micro) is exact long arithmetic with a
+    // doc_id tie-break — no IEEE comparison on the rank path (the
+    // llm_ngram_lm round-once discipline applied to Gumbel).
+    // Bigram-less docs carry no weight and are excluded by contract.
+    // Scale: TakeOrderedAndProject over the weight frame — top-k per
+    // partition then k·partitions at the driver, never a full sort.
+    "llm_dsir_select" -> ((s, d) => {
+      val u = (multHash(1000000L).cast("double") + lit(0.5)) /
+        lit(1000000.0)
+      val g = round(-log(-log(u)) * lit(1e6), 0).cast("long")
+      importanceWeightsOf(s, d)
+        .filter(col("n_bigrams") > lit(0L))
+        .withColumn("g_micro", g)
+        .withColumn("key_micro", col("w_micro") + col("g_micro"))
+        .select(col("doc_id"), col("log_weight"), col("g_micro"),
+          col("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+        .limit(100)
     }),
 
     // SemDeDup (round-11 add; Abbas et al., "SemDeDup: Data-efficient
@@ -2037,6 +2032,46 @@ object TrainingDataOps {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), lit(1L).as("k"),
         coalesce(col("hk"), lit(0L)).as("hk"))
+
+  /** The full-corpus per-doc DSIR weight frame (doc_id, n_bigrams,
+    * w_micro, log_weight; w_micro null for bigram-less docs) —
+    * adaptive collapse included. The composition point shared by
+    * `llm_importance_weights` (the registered table) and
+    * `llm_dsir_select` (the resampling step). */
+  private def importanceWeightsOf(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = documents(s, d)
+    val collapse = AdaptiveCollapse.decideByMass(s, docs,
+      "spark.graft.dsirCollapse", xxhash64(col("text")))
+    val out =
+      if (!collapse)
+        dsirWeights(dsirDirectSrc(s, d))
+          .select(col("gid").as("doc_id"), col("w_micro"),
+            col("n_bigrams"))
+      else {
+        val withG = AdaptiveCollapse.withGid(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          Seq("text"), withK = true).localCheckpoint()
+        val hkOf = withG.select(col("doc_id"), col("gid"))
+          .join(dsirHeads(s, d), Seq("doc_id"))
+          .groupBy(col("gid")).agg(count(lit(1)).as("hk"))
+        val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
+          .select(col("doc_id"), col("text"), col("k"))
+          .join(hkOf.withColumnRenamed("gid", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"), col("k"),
+            coalesce(col("hk"), lit(0L)).as("hk"))
+        withG.select(col("doc_id"), col("gid"))
+          .join(dsirWeights(reps), Seq("gid"))
+          .select(col("doc_id"), col("w_micro"), col("n_bigrams"))
+      }
+    documents(s, d).select(col("doc_id"))
+      .join(out, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("w_micro"),
+        (col("w_micro") / lit(1e6)).as("log_weight"))
+  }
 
   /** DSIR importance-weight core over a (doc_id, text, k, hk) frame,
     * where `k` is the row's replica multiplicity and `hk` its TARGET
@@ -2863,10 +2898,10 @@ object TrainingDataOps {
                      LEFT JOIN sc s ON s.doc_id = d.doc_id)"""
 
 
-  /** The DSIR mirror, shared verbatim by `llm_importance_weights` and
-    * `stream_importance_ingest` (structural batch invariance — per-doc
-    * independence + the frozen staged λ grid). */
-  private[graft] def importanceWeightsOracleSql: String =
+  /** The DSIR CTE chain through the per-doc weight rollup (`wsum`) —
+    * shared by the weight-table mirror below and the `llm_dsir_select`
+    * resampling mirror. */
+  private def importanceWeightsCtes: String =
     s"""$ngramLmBaseSql,
             scored AS (SELECT ((2 * p + n_bigrams) // (2 * n_bigrams))
                          // 10000 AS bin
@@ -2906,7 +2941,13 @@ object TrainingDataOps {
             wsum AS (SELECT b.doc_id,
                        CAST(sum(b.tf * l.lam) AS BIGINT) AS w_micro,
                        CAST(sum(b.tf) AS BIGINT) AS n_bigrams
-                     FROM bkt b JOIN lam l USING (bkt) GROUP BY 1)
+                     FROM bkt b JOIN lam l USING (bkt) GROUP BY 1)"""
+
+  /** The DSIR mirror, shared verbatim by `llm_importance_weights` and
+    * `stream_importance_ingest` (structural batch invariance — per-doc
+    * independence + the frozen staged λ grid). */
+  private[graft] def importanceWeightsOracleSql: String =
+    s"""$importanceWeightsCtes
        SELECT d.doc_id,
               coalesce(w.n_bigrams, 0) AS n_bigrams, w.w_micro,
               CAST(w.w_micro AS DOUBLE) / 1000000 AS log_weight
@@ -3348,6 +3389,23 @@ object TrainingDataOps {
     // Shared verbatim with `stream_importance_ingest` (per-doc
     // independence + frozen staged λ ⇒ structural batch invariance).
     "llm_importance_weights" -> importanceWeightsOracleSql,
+
+    // The resampling mirror: same weight CTEs, then the Gumbel top-k —
+    // u from the Knuth multiplicative hash, g = −ln(−ln u) rounded
+    // ONCE to micro-nats, rank key = exact long w_micro + g_micro.
+    "llm_dsir_select" ->
+      s"""$importanceWeightsCtes,
+            sel AS (SELECT w.doc_id,
+                      CAST(w.w_micro AS DOUBLE) / 1000000 AS log_weight,
+                      CAST(round(-ln(-ln(
+                          (((w.doc_id % 268435456) * 2654435761)
+                             % 1000000 + 0.5) / 1000000.0))
+                        * 1000000, 0) AS BIGINT) AS g_micro,
+                      w.w_micro AS w_micro
+                    FROM wsum w WHERE w.n_bigrams > 0)
+       SELECT doc_id, log_weight, g_micro,
+              (w_micro + g_micro) AS key_micro
+       FROM sel ORDER BY key_micro DESC, doc_id LIMIT 100""",
 
     // The adaptive sub-quantization mirror (round-12, see
     // [[semanticCells]]): nn/ov decide refinement per label from the

@@ -562,6 +562,31 @@ class TrainingDataSpec extends GraftSpec {
       "spark.graft.ngramLmCollapse", "llm_ngram_lm")
   }
 
+  test("llm_dsir_select is exactly the Gumbel top-k over " +
+      "llm_importance_weights (independent recomputation)") {
+    // recompute the rank key from the REGISTERED weight table + a
+    // local Gumbel: the selection must be the exact top-100 by
+    // (w_micro + g_micro) desc, doc_id asc — no sampling slack
+    val w = SparkEntry.queries("llm_importance_weights")(spark, sf)
+      .collect().filter(r => r.getLong(1) > 0)
+      .map(r => r.getLong(0) -> r.getLong(2))
+    def gMicro(id: Long): Long = {
+      val u = (((id % 268435456L) * 2654435761L) % 1000000L + 0.5) / 1e6
+      math.round(-math.log(-math.log(u)) * 1e6)
+    }
+    val expect = w.map { case (id, wm) => (wm + gMicro(id), id) }
+      .sortBy { case (k, id) => (-k, id) }.take(100).map(_._2).toSeq
+    val got = SparkEntry.queries("llm_dsir_select")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect, s"selection diverged: got ${got.take(5)}... " +
+      s"expected ${expect.take(5)}...")
+    // weight matters: the selected set must not be the plain hash
+    // top-100 (i.e. the Gumbel key actually mixes the weight in)
+    val hashOnly = w.map { case (id, _) => (gMicro(id), id) }
+      .sortBy { case (k, id) => (-k, id) }.take(100).map(_._2).toSeq
+    assert(got != hashOnly, "selection ignored the importance weights")
+  }
+
   test("llm_importance_weights collapse path equals the direct path " +
       "on a replica-heavy corpus (k/hk-weighted grids are exact)") {
     // Raw-grid counts are k-weighted, target-grid counts hk-weighted
