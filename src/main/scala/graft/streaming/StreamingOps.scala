@@ -1314,7 +1314,10 @@ object StreamingOps {
     "stream_rules_apply" -> ((s, d) => rulesApplyRun(s, d, 4)._1),
 
     "stream_importance_ingest" ->
-      ((s, d) => importanceIngestRun(s, d, 4)._1)
+      ((s, d) => importanceIngestRun(s, d, 4)._1),
+
+    "stream_side_output_late" ->
+      ((s, d) => sideOutputLateRun(s, d, 4)._1)
   )
 
   // ---- stream_minhash_ingest plumbing ---------------------------------
@@ -1347,6 +1350,33 @@ object StreamingOps {
           if (i == k - 1) Long.MaxValue else (maxId + 1) * (i + 1) / k
         val slice = Files.createTempDirectory("graft_slice_").toString
         src.filter(col(idCol) >= lo && col(idCol) < hi)
+          .coalesce(1).write.mode("overwrite").parquet(slice)
+        val part = new java.io.File(slice).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for batch $i"))
+        val dst = java.nio.file.Paths.get(dir, f"batch_$i%02d.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + i * 60000L))
+        deleteRecursively(slice)
+      }
+      dir
+    })
+
+  /** Staged MOD-k batches: slice i holds the rows with id % k == i.
+    * Unlike the id-range staging, every slice spans the FULL
+    * event-time range, so slices 2..k carry genuinely LATE rows once
+    * the watermark has advanced to slice 1's max — the arrival shape
+    * the late-data side output exists for (an id-range-staged stream
+    * can never be late: ts is monotone in id). */
+  private def tableBatchDirMod(key: String, src: DataFrame,
+      idCol: String, k: Int): String =
+    stagedBatchDirs.computeIfAbsent(key, { _ =>
+      val dir = registeredScratchDir("graft_ingest_")
+      (0 until k).foreach { i =>
+        val slice = Files.createTempDirectory("graft_slice_").toString
+        src.filter(pmod(col(idCol), lit(k.toLong)) === i)
           .coalesce(1).write.mode("overwrite").parquet(slice)
         val part = new java.io.File(slice).listFiles()
           .find(_.getName.endsWith(".parquet"))
@@ -2272,6 +2302,111 @@ object StreamingOps {
     }
     (s.read.schema(stateSchema).parquet(s"$root/state_v${nBatches.get()}")
       .orderBy(col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming LATE-DATA SIDE OUTPUT (round-13 add, past the
+    * asked list — Flink's `allowedLateness(L)` +
+    * `sideOutputLateData(tag)`, the one classic DataStream surface
+    * piece the inventory still lacked): events arrive in MOD-k slices
+    * (every micro-batch spans the full event-time range —
+    * [[tableBatchDirMod]]; the id-range staging can never be late
+    * because ts is monotone in id), the op tracks the running
+    * watermark (max event-time ms seen in COMMITTED epochs, the
+    * delay-0 convention every D7 op uses), and a row whose
+    * ts + 60 000 ms (the allowed lateness) is still below the
+    * watermark at its arrival epoch is diverted to the SIDE sink with
+    * its epoch + the watermark that convicted it, instead of being
+    * silently dropped; on-time rows roll into a per-epoch main-sink
+    * count (the "window pipeline continues" half, read by the spec).
+    * Oracle: ONE SQL — a row's epoch is id % k + 1 and the epoch
+    * watermark is the max ms over earlier slices, both recomputable
+    * from the static table. Scale: the watermark state is ONE row,
+    * versioned per epoch (idempotent overwrite keyed by batchId — the
+    * exactly-once idiom), the split is a per-row comparison, and the
+    * side sink is append-only; replays fold under the read-side
+    * distinct(). */
+  private[graft] def sideOutputLateRun(s: SparkSession, d: String,
+      k: Int): (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try sideOutputLateRunAt(s, d, k,
+      registeredScratchDir("graft_late_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Allowed lateness of the side-output op, ms. */
+  private[graft] val SideOutputLatenessMs = 60000L
+
+  /** Resumable core of [[sideOutputLateRun]]: `root` holds the
+    * epoch-versioned watermark state (`wm_v<e>`, one row), the late
+    * SIDE sink (`side/`) and the on-time main-sink counts (`main/`);
+    * `ckpt` is the caller-owned checkpoint; `failBeforeEpoch` injects
+    * a [[PlannedIngestKill]] at the top of the given (1-based)
+    * epoch. */
+  private[graft] def sideOutputLateRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000000").as("ts_ms"))
+    val srcDir = tableBatchDirMod(s"late:$d@$k", ev, "event_id", k)
+    val evSchema = ev.schema
+    val sideDir = s"$root/side"
+    val mainDir = s"$root/main"
+    Seq(sideDir, mainDir).foreach(p =>
+      Files.createDirectories(java.nio.file.Paths.get(p)))
+    import org.apache.spark.sql.types._
+    val wmSchema = StructType(Seq(StructField("wm_ms", LongType)))
+    val sideSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("ts_ms", LongType),
+      StructField("epoch", IntegerType),
+      StructField("wm_ms", LongType)))
+    // wm_v0: no watermark yet (idempotent)
+    s.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(Long.MinValue)), wmSchema)
+      .write.mode("overwrite").parquet(s"$root/wm_v0")
+    val nBatches = new AtomicInteger(committedBatches(ckpt))
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          batch.persist()
+          try {
+            val wm = ss.read.schema(wmSchema)
+              .parquet(s"$root/wm_v$batchId").head().getLong(0)
+            val late = batch
+              .filter(col("ts_ms") + lit(SideOutputLatenessMs) < lit(wm))
+            late.select(col("event_id"), col("user_id"), col("ts_ms"),
+                lit(batchId.toInt + 1).as("epoch"), lit(wm).as("wm_ms"))
+              .write.mode("append").parquet(sideDir)
+            batch.filter(col("ts_ms") + lit(SideOutputLatenessMs)
+                >= lit(wm))
+              .groupBy().agg(count(lit(1)).as("n_ontime"))
+              .select(lit(batchId.toInt + 1).as("epoch"),
+                col("n_ontime"))
+              .write.mode("append").parquet(mainDir)
+            // advance the watermark to cover this epoch (empty batch:
+            // carry forward unchanged)
+            val mx = batch.agg(max(col("ts_ms"))).head()
+            val newWm =
+              if (mx.isNullAt(0)) wm else math.max(wm, mx.getLong(0))
+            ss.createDataFrame(
+              java.util.Collections.singletonList(
+                org.apache.spark.sql.Row(newWm)), wmSchema)
+              .write.mode("overwrite").parquet(s"$root/wm_v${batchId + 1}")
+            nBatches.set(batchId.toInt + 1)
+          } finally batch.unpersist()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(sideSchema).parquet(sideDir).distinct()
+      .orderBy(col("event_id")), nBatches.get())
   }
 
   /** §2.I streaming DSIR SCORING INGEST (round-13 add, past the asked
@@ -4380,6 +4515,26 @@ object StreamingOps {
     // independence make the final table the batch op's verbatim.
     "stream_importance_ingest" ->
       graft.operators.TrainingDataOps.importanceWeightsOracleSql,
+
+    // The side-output oracle: a row's arrival epoch is id % 4 + 1
+    // (the mod staging), the epoch watermark is the max event-time ms
+    // over EARLIER slices, and the side table is exactly the rows
+    // whose ts + 60 s allowed lateness is still below it.
+    "stream_side_output_late" ->
+      """WITH ev AS (SELECT event_id, user_id,
+                       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                       CAST(event_id % 4 AS INT) AS sl
+                     FROM events),
+            wm AS (SELECT t.u AS sl, max(e.ts_ms) AS wm_ms
+                   FROM ev e
+                   CROSS JOIN unnest(generate_series(1, 3)) AS t(u)
+                   WHERE e.sl < t.u
+                   GROUP BY 1)
+       SELECT e.event_id, e.user_id, e.ts_ms,
+              CAST(e.sl + 1 AS INT) AS epoch, w.wm_ms
+       FROM ev e JOIN wm w ON w.sl = e.sl
+       WHERE e.ts_ms + 60000 < w.wm_ms
+       ORDER BY e.event_id""",
 
     // The dynamic-rules oracle: one SQL — an event's epoch is its
     // staged id-slice (recomputed from max(event_id) via the same

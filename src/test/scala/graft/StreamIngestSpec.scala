@@ -701,4 +701,46 @@ class StreamIngestSpec extends GraftSpec {
     assert(resumed.collect().toSeq == batch,
       "resumed DSIR stream != batch llm_importance_weights")
   }
+
+  test("stream_side_output_late: late rows divert to the side sink " +
+      "(never epoch 1), on-time + late partition every batch, and " +
+      "kill-and-resume holds") {
+    val k = 4
+    val (root, ckpt) = freshRoot()
+    val (side, n) =
+      StreamingOps.sideOutputLateRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    val late = side.collect().toSeq.map(r =>
+      (r.getLong(0), r.getInt(3), r.getLong(2), r.getLong(4)))
+    assert(late.nonEmpty, "the mod-staged stream must produce late rows")
+    // epoch 1 has no watermark yet — nothing can be late there
+    assert(late.forall(_._2 >= 2))
+    // every late row really was late at its epoch: ts + lateness < wm
+    assert(late.forall { case (_, _, ts, wm) => ts + 60000L < wm })
+    // partition: per-epoch on-time counts + late counts == slice sizes
+    val onTime = spark.read.parquet(s"$root/main")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val sliceSizes = ev.groupBy((col("event_id") % k).cast("int"))
+      .count().collect().map(r => r.getInt(0) + 1 -> r.getLong(1)).toMap
+    val lateByEpoch =
+      late.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    (1 to k).foreach { e =>
+      assert(onTime.getOrElse(e, 0L) + lateByEpoch.getOrElse(e, 0L) ==
+        sliceSizes(e), s"epoch $e: on-time + late != slice size")
+    }
+    // kill before epoch 3, resume, equal the one-shot run
+    val (root2, ckpt2) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.sideOutputLateRunAt(spark, sf, k, root2, ckpt2,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt2) == 2)
+    val (resumed, n2) =
+      StreamingOps.sideOutputLateRunAt(spark, sf, k, root2, ckpt2)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == side.collect().toSeq,
+      "resumed side output != one-shot run")
+  }
 }
