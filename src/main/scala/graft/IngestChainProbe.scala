@@ -82,7 +82,21 @@ object IngestChainProbe {
         "stream_ccnet_ingest" ->
           (k => StreamingOps.ccnetIngestRun(spark, sfDir, k)),
         "stream_semantic_ingest" ->
-          (k => StreamingOps.semanticIngestRun(spark, sfDir, k)))
+          (k => StreamingOps.semanticIngestRun(spark, sfDir, k)),
+        // round-13 additions: all four claim per-epoch work O(batch)
+        // with O(1)-or-dim-sized artifact publishes — a k=16 chain
+        // should read FLAT per epoch for each (no carried corpus-sized
+        // state anywhere: temporal's dim is customer-sized, rules'
+        // table |types|-sized, the DSIR grid ≤1024 rows, the
+        // side-output watermark ONE row)
+        "stream_temporal_join" ->
+          (k => StreamingOps.temporalJoinRun(spark, sfDir, k)),
+        "stream_rules_apply" ->
+          (k => StreamingOps.rulesApplyRun(spark, sfDir, k)),
+        "stream_importance_ingest" ->
+          (k => StreamingOps.importanceIngestRun(spark, sfDir, k)),
+        "stream_side_output_late" ->
+          (k => StreamingOps.sideOutputLateRun(spark, sfDir, k)))
 
     // JVM warm-up outside all timings (codegen, parquet, stream classes)
     runs.head._2(2)
