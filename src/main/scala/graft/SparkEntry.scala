@@ -27,6 +27,7 @@ object SparkEntry {
       functions.ExtensionOps.queries ++
       operators.TrainingDataOps.queries ++
       operators.AnnOps.queries ++
+      operators.BpeOps.queries ++
       operators.Multimodal.queries ++
       sources.FileFormats.queries
 
@@ -45,6 +46,7 @@ object SparkEntry {
       functions.ExtensionOps.oracle ++
       operators.TrainingDataOps.oracle ++
       operators.AnnOps.oracle ++
+      operators.BpeOps.oracle ++
       operators.Multimodal.oracle ++
       sources.FileFormats.oracle
 }

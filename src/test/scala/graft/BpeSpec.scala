@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BPE trainer/tokenizer semantics: independent-reference match,
+  * greedy left-to-right overlap handling, tie-breaks, and the
+  * train/tokenize consistency contract.
+  */
+class BpeSpec extends GraftSpec {
+
+  /** Independent reference trainer (plain Scala, no Spark): overlapping
+    * position counts, (count DESC, l, r) argmax, greedy LTR rewrite. */
+  private def refBpe(words: Map[String, Long], n: Int)
+      : (Seq[(String, String, Long)], Map[String, Seq[String]]) = {
+    def apply1(s: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var seg: Map[String, Seq[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toSeq).toMap
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to n if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, s) <- seg; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) =
+          counts.getOrElse((s(i), s(i + 1)), 0L) + words(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) =
+          counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r, c))
+        seg = seg.map { case (w, s) => w -> apply1(s, l, r) }
+      }
+    }
+    (merges.toSeq, seg)
+  }
+
+  private def writeDocs(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def wordFreqs(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+
+  test("bpe_train matches the independent reference on a crafted corpus") {
+    // mixed lengths, shared substrings, a tie candidate pair
+    val texts = Seq(
+      "stream stream streams streaming batch batch",
+      "sort sorted sorting sort stream batch port part",
+      "abab abab baba aa")
+    val dir = writeDocs(texts)
+    val (refM, _) = refBpe(wordFreqs(texts), operators.BpeOps.NMerges)
+    val got = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == refM,
+      s"trainer drifted from reference:\n got=$got\n exp=$refM")
+    // ranks are 1..k contiguous, merged = l || r
+    val full = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+    assert(full.map(_.getInt(0)).toSeq == (1 to full.length))
+    assert(full.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+
+  test("bpe_train counts overlapping positions but merges greedily LTR") {
+    // one word "aaaa" ×3: pair (a,a) has THREE positions per word ⇒
+    // count 9; the merge rewrites to [aa, aa] (greedy LTR, never
+    // [a, aa, a]), so round 2's top pair is (aa, aa) with count 3.
+    val dir = writeDocs(Seq("aaaa aaaa aaaa"))
+    val got = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.take(2).toSeq ==
+      Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)),
+      s"greedy-LTR/overlap drift: ${got.toSeq}")
+    // after (a,a),(aa,aa) the word is one symbol — trainer stops early
+    assert(got.length == 2, s"expected early stop, got ${got.toSeq}")
+  }
+
+  test("bpe_train tie-break is (count DESC, left, right)") {
+    // "ba" and "ab" both appear exactly twice as adjacent pairs;
+    // lexicographic pick must choose (a,b)
+    val dir = writeDocs(Seq("ab ab ba ba"))
+    val first = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()(0)
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+
+  test("bpe_tokenize is consistent with the trained segmentation") {
+    val texts = Seq(
+      "stream stream streams streaming batch batch",
+      "sort sorted sorting sort stream batch port part",
+      "abab abab baba aa")
+    val dir = writeDocs(texts)
+    val (_, refSeg) = refBpe(wordFreqs(texts), operators.BpeOps.NMerges)
+    val got = SparkEntry.queries("llm_bpe_tokenize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exp = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").toSeq
+      i.toLong -> (ws.size.toLong, ws.map(w => refSeg(w).size.toLong).sum)
+    }.toMap
+    assert(got == exp, s"tokenize drift:\n got=$got\n exp=$exp")
+  }
+
+  test("bpe ops are deterministic and sane on the sf corpus") {
+    val m1 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq
+    val m2 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq
+    assert(m1 == m2)
+    assert(m1.size == operators.BpeOps.NMerges)
+    val t = SparkEntry.queries("llm_bpe_tokenize")(spark, sf)
+    val bad = t.filter(col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_words") * 32).count()
+    assert(bad == 0, "token counts out of [n_words, 32*n_words]")
+  }
+}
