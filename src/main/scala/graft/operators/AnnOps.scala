@@ -32,6 +32,20 @@ object AnnOps {
   val NProbe = 5
   val TopK = 5
 
+  // ---- Product quantization (`llm_ann_pq`, round-13) ----------------
+  // IVFADC with exact re-rank (Jégou et al. 2011 §IV; the +R refinement
+  // of §V): 16 subspaces × 4 dims, 16 codes each — 16 sub-byte codes
+  // per vector, a 16× read reduction at serving time — ADC shortlist of
+  // 50, then exact re-rank to top-5. Parameters were swept at sf0.001:
+  // M=16/K=16/R=50 recovers EXACTLY the exact-search-in-probed-cells
+  // ceiling (recall 0.56 vs global truth = the IVF probe ceiling; the
+  // PQ shortlist at R=50 loses nothing), while M=8 or R=25 drop 0.04-
+  // 0.16 below it.
+  val PqM = 16
+  val PqSubD = 4
+  val PqK = 16
+  val PqShortlist = 50
+
   /** Per-label centroids in MICRO-UNIT integer arithmetic (round-10
     * rework, the llm_ngram_lm discipline): each coordinate sums
     * round(x·10⁶) as a BIGINT (round = half-away-from-zero, identical
@@ -86,7 +100,137 @@ object AnnOps {
         col("rn"))
   }
 
+  /** Per-vector micro-unit sub-vectors: (vec_id, t, xm[PqSubD]) with
+    * xm[j] = round(embedding[t·SubD + j] · 10⁶) as BIGINT — the whole
+    * PQ pipeline (codebook training, code assignment, ADC tables, the
+    * exact re-rank) then runs in EXACT integer arithmetic: every
+    * distance is a sum of squared long differences (≤ 64·(4·10⁶)² ≪
+    * 2⁶³), so no accumulation order or engine can perturb an argmin
+    * and the oracle mirrors the full trainer bit-identically. */
+  private def pqSubvecs(emb: DataFrame): DataFrame = {
+    val subs = (0 until PqM).map { t =>
+      struct(lit(t).as("t"),
+        expr(s"""transform(sequence(${t * PqSubD + 1}, ${(t + 1) * PqSubD}),
+          i -> cast(round(cast(element_at(embedding, i) as double) * 1e6)
+                    as bigint))""").as("xm"))
+    }
+    emb.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.t").as("t"), col("s.xm").as("xm"))
+  }
+
+  /** Nearest-code assignment against a broadcast (t, k, cm) codebook:
+    * exact-long squared distance, min_by over the unique (d2, k)
+    * struct — partial-agg combinable, no per-vector window shuffle
+    * (the semanticCells argmax idiom). */
+  private def pqAssign(xm: DataFrame, cb: DataFrame): DataFrame =
+    xm.join(broadcast(cb), Seq("t"))
+      .withColumn("d2", aggregate(zip_with(col("xm"), col("cm"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(expr("min_by(k, struct(d2, k))").as("k"))
+
+  /** Micro-unit centroid recompute per (t, k): truncating integer
+    * division (Spark `div` ≡ the oracle's sign-CASE `//`), the
+    * AnnOps.centroids discipline kept in integer space. */
+  private def pqUpdate(xm: DataFrame, a: DataFrame): DataFrame =
+    a.join(xm, Seq("vec_id", "t"))
+      .select(col("t"), col("k"), posexplode(col("xm")))
+      .groupBy(col("t"), col("k"), col("pos"))
+      .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("c", expr("sm div n"))
+      .groupBy(col("t"), col("k"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("t"), col("k"),
+        transform(col("pc"), x => x.getField("c")).as("cm"))
+
+  /** The trained PQ model over a corpus: (xm sub-vectors, final
+    * codebook c2, per-vector codes). Seeds are the PqK corpus vectors
+    * ranked first by the Knuth multiplicative hash of vec_id (the
+    * semanticCells seed discipline — a deterministic uniform draw, no
+    * RNG; the rank window runs over the LIMITed PqK-row frame, never
+    * the corpus), then two Lloyd rounds per subspace, then codes
+    * against the final codebook. */
+  private[graft] def pqModel(s: SparkSession, emb: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cutF = AdaptiveCollapse.stageCut(s) _
+    val xm = cutF(pqSubvecs(emb))
+    val mh = pmod(pmod(col("vec_id"), lit(268435456L)) * lit(2654435761L),
+      lit(1000000007L))
+    val sdk = emb.select(col("vec_id"), mh.as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .withColumn("k", (row_number().over(
+        Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+    val cb0 = sdk.join(xm, Seq("vec_id"))
+      .select(col("t"), col("k"), col("xm").as("cm"))
+    val c1 = cutF(pqUpdate(xm, pqAssign(xm, cb0)))
+    val c2 = cutF(pqUpdate(xm, pqAssign(xm, c1)))
+    val codes = pqAssign(xm, c2)
+    (xm, c2, codes)
+  }
+
   val queries: Map[String, Q] = Map(
+    // IVF-PQ ANN (round-13 add): the compressed-domain scale path —
+    // IVF probe (the llm_ann_ivf stage, same NProbe) restricts to 5/10
+    // cells, the ADC table (10 queries × 16 subspaces × 16 codes,
+    // broadcast) scores candidates from their CODES ONLY (16 sub-byte
+    // codes/vector — at 100 TB the scan reads the code table, ~16
+    // bytes/vector, never the raw embeddings), the top-PqShortlist per
+    // query re-rank EXACTLY on raw sub-vectors (the method's standard
+    // refinement; the only stage that touches raw vectors, R·nq rows).
+    // Corpus-side shape: codes join broadcast probes + broadcast ADC
+    // table → (q, vec) keyed agg — no corpus shuffle before the
+    // per-query rank. All distances exact longs (micro-unit space), so
+    // the DuckDB oracle reproduces training + serving bit-identically.
+    "llm_ann_pq" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = graft.Tables.embeddings(s, d)
+      val (xm, c2, codes) = pqModel(s, emb)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("csim").desc, col("c_label"))
+      val probed = qs.crossJoin(broadcast(centroids(emb)))
+        .withColumn("csim", expr("cosine_sim(q_vec, centroid)"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= NProbe)
+        .select(col("q_id"), col("c_label").as("label"))
+      val qxm = pqSubvecs(emb.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("q_id"), col("t"), col("xm").as("qm"))
+      val dt = qxm.join(broadcast(c2), Seq("t"))
+        .withColumn("dist", aggregate(zip_with(col("qm"), col("cm"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .select(col("q_id"), col("t"), col("k"), col("dist"))
+      val codesL = codes
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
+          col("label"))
+      val cand = codesL.join(broadcast(probed), Seq("label"))
+        .filter(col("q_id") =!= col("vec_id2"))
+        .join(broadcast(dt), Seq("q_id", "t", "k"))
+        .groupBy(col("q_id"), col("vec_id2"))
+        .agg(sum(col("dist")).as("ad"))
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("ad"), col("vec_id2"))
+      val short = cand.withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= PqShortlist)
+        .select(col("q_id"), col("vec_id2"), col("arn"))
+      val rr = xm.withColumnRenamed("vec_id", "vec_id2")
+        .join(broadcast(short), Seq("vec_id2"))
+        .join(broadcast(qxm), Seq("q_id", "t"))
+        .withColumn("pd", aggregate(zip_with(col("qm"), col("xm"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .groupBy(col("q_id"), col("vec_id2"), col("arn"))
+        .agg(sum(col("pd")).as("ed"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("ed"), col("vec_id2"))
+      rr.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= TopK)
+        .select(col("q_id").as("vec_id"), col("vec_id2"),
+          round(col("ed") / lit(1e12), 6).as("adist"), col("arn"),
+          col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
+    }),
+
     "llm_ann_ivf" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = graft.Tables.embeddings(s, d)
@@ -208,6 +352,97 @@ object AnnOps {
        SELECT vec_id, vec_id2, sim, rn FROM ranked
        WHERE rn <= $TopK ORDER BY vec_id, rn"""
 
+  /** One PQ assignment round of the DuckDB mirror: nearest code per
+    * (vec, subspace) by exact-long squared distance, k tie-break —
+    * grouped-row arithmetic (the integer space makes accumulation
+    * order irrelevant, so rows vs arrays across engines is safe). */
+  private def pqAssignSql(srcCb: String, name: String): String =
+    s"""$name AS MATERIALIZED (
+         SELECT vec_id, t, k FROM (
+           SELECT x.vec_id, x.t, c.k,
+             row_number() OVER (PARTITION BY x.vec_id, x.t
+               ORDER BY sum((x.xmj - c.cm)*(x.xmj - c.cm)), c.k) AS rn
+           FROM xm x JOIN $srcCb c ON c.t = x.t AND c.j = x.j
+           GROUP BY x.vec_id, x.t, c.k)
+         WHERE rn = 1)"""
+
+  /** One PQ centroid recompute of the mirror — the sign-CASE
+    * truncating division (Spark `div`). */
+  private def pqUpdateSql(srcA: String, name: String): String =
+    s"""$name AS MATERIALIZED (
+         SELECT a.t, a.k, x.j,
+           CASE WHEN sum(x.xmj) >= 0 THEN sum(x.xmj) // count(*)
+                ELSE -((-sum(x.xmj)) // count(*)) END AS cm
+         FROM $srcA a JOIN xm x ON x.vec_id = a.vec_id AND x.t = a.t
+         GROUP BY a.t, a.k, x.j)"""
+
+  private[graft] def annPqOracleSql: String =
+    s"""WITH $centroidCtesSql,
+       xm AS MATERIALIZED (
+         SELECT vec_id, label, t.t AS t, g.j AS j,
+           CAST(round(CAST(embedding[CAST(t.t*$PqSubD + g.j AS INT)]
+             AS DOUBLE) * 1000000.0) AS BIGINT) AS xmj
+         FROM embeddings, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j)),
+       sd AS MATERIALIZED (
+         SELECT vec_id, srn - 1 AS k FROM (
+           SELECT vec_id, CAST(row_number() OVER (ORDER BY
+             ((vec_id % 268435456) * 2654435761) % 1000000007, vec_id)
+             AS INT) AS srn
+           FROM embeddings)
+         WHERE srn <= $PqK),
+       cb0 AS MATERIALIZED (
+         SELECT x.t, s.k, x.j, x.xmj AS cm FROM sd s JOIN xm x USING (vec_id)),
+       ${pqAssignSql("cb0", "a1")},
+       ${pqUpdateSql("a1", "c1")},
+       ${pqAssignSql("c1", "a2")},
+       ${pqUpdateSql("a2", "c2")},
+       ${pqAssignSql("c2", "codes")},
+       qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       probes AS (
+         SELECT q_id, c_label FROM (
+           SELECT q.q_id, c.c_label,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               list_dot_product(q.qv, c.cv) /
+                 (sqrt(list_dot_product(q.qv, q.qv))
+                   * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+               c.c_label) AS prn
+           FROM qs q, cvecs c)
+         WHERE prn <= $NProbe),
+       qxm AS (SELECT vec_id AS q_id, t, j, xmj FROM xm WHERE vec_id < 10),
+       dt AS MATERIALIZED (
+         SELECT q.q_id, c.t, c.k,
+           sum((q.xmj - c.cm)*(q.xmj - c.cm)) AS dist
+         FROM qxm q JOIN c2 c ON c.t = q.t AND c.j = q.j
+         GROUP BY 1, 2, 3),
+       cand AS (
+         SELECT p.q_id, cd.vec_id AS vec_id2, sum(d.dist) AS ad
+         FROM codes cd JOIN embeddings e ON e.vec_id = cd.vec_id
+         JOIN probes p ON p.c_label = e.label
+         JOIN dt d ON d.q_id = p.q_id AND d.t = cd.t AND d.k = cd.k
+         WHERE p.q_id <> cd.vec_id
+         GROUP BY 1, 2),
+       short AS (
+         SELECT q_id, vec_id2, arn FROM (
+           SELECT q_id, vec_id2, CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY ad, vec_id2) AS INT) AS arn
+           FROM cand)
+         WHERE arn <= $PqShortlist),
+       rr AS (
+         SELECT s.q_id, s.vec_id2, s.arn,
+           sum((q.xmj - x.xmj)*(q.xmj - x.xmj)) AS ed
+         FROM short s JOIN qxm q ON q.q_id = s.q_id
+         JOIN xm x ON x.vec_id = s.vec_id2 AND x.t = q.t AND x.j = q.j
+         GROUP BY 1, 2, 3),
+       ranked AS (
+         SELECT q_id AS vec_id, vec_id2,
+           round(ed / 1000000000000.0, 6) AS adist, arn,
+           CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY ed, vec_id2) AS INT) AS rn
+         FROM rr)
+       SELECT vec_id, vec_id2, adist, arn, rn FROM ranked
+       WHERE rn <= $TopK ORDER BY vec_id, rn"""
+
   /** DuckDB mirror of `stream_ann_live` (round-12): the per-epoch
     * truth as `k` prefix-parameterized images of [[annIvfOracleSql]]
     * UNION ALLed — epoch e sees exactly the id-ordered prefix
@@ -269,5 +504,6 @@ object AnnOps {
 
   val oracle: Map[String, String] = Map(
     "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql,
-    "llm_ann_ivf" -> annIvfOracleSql)
+    "llm_ann_ivf" -> annIvfOracleSql,
+    "llm_ann_pq" -> annPqOracleSql)
 }
