@@ -96,7 +96,12 @@ object IngestChainProbe {
         "stream_importance_ingest" ->
           (k => StreamingOps.importanceIngestRun(spark, sfDir, k)),
         "stream_side_output_late" ->
-          (k => StreamingOps.sideOutputLateRun(spark, sfDir, k)))
+          (k => StreamingOps.sideOutputLateRun(spark, sfDir, k)),
+        // round-13: the BPE serving twin — per-epoch O(batch words)
+        // against the frozen vocab-bounded seg FileScan (the DSIR
+        // shape with a word-keyed instead of bucket-keyed join)
+        "stream_bpe_ingest" ->
+          (k => StreamingOps.bpeIngestRun(spark, sfDir, k)))
 
     // JVM warm-up outside all timings (codegen, parquet, stream classes)
     runs.head._2(2)

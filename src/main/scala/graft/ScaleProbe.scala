@@ -170,6 +170,11 @@ object ScaleProbe {
     // grid FileScan + the 4-trigger floor: expect the
     // stream_perplexity_bucket linear shape
     "stream_importance_ingest",
+    // round-13: the BPE serving twin — staged tokenizer training is
+    // vocab-bounded at any factor (the word agg is the only
+    // corpus-scale stage), per-batch work O(batch words) against the
+    // frozen seg FileScan: expect the stream_importance_ingest shape
+    "stream_bpe_ingest",
     // round-12 adds, probed on arrival (the r11 lesson: new ops ship
     // with curves, not promises). stream_ccnet_ingest: identical
     // replicas collapse at the stage-1 exact dedup (first arrival
@@ -191,7 +196,19 @@ object ScaleProbe {
     // cell-local recompute collapses them to reps before the pair
     // join, so the expected curve is the collapse-first flat one plus
     // the O(corpus-so-far) state carry-forward write per epoch
-    "stream_semantic_ingest")
+    "stream_semantic_ingest",
+    // round-13 adds: BPE training — identical replicas multiply word
+    // FREQUENCIES but the vocab (the merge loop's working set) stays
+    // fixed, so after the one corpus-scale word agg the 10 rounds are
+    // factor-invariant: expected flat after the linear agg floor.
+    // Tokenize = the broadcast seg join + per-doc rollup — the linear
+    // verdict-per-doc floor
+    "llm_bpe_train", "llm_bpe_tokenize",
+    // round-13: IVF-PQ — identical replicas grow training/assignment
+    // linearly (codebook stays 16×16 by construction) and the probed
+    // cells k×; ADC + the fixed R=50 re-rank stay per-query bounded:
+    // expected ~linear in corpus rows (the ann serving family shape)
+    "llm_ann_pq")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -219,7 +236,13 @@ object ScaleProbe {
     // from full membership; the 4-epoch chain re-pays growing
     // prefixes, so expect ~4× the batch op's own perturbed cost plus
     // the state carry-forward writes)
-    "stream_semantic_ingest")
+    "stream_semantic_ingest",
+    // round-13: IVF-PQ on the distinct-vector axis (the real ANN
+    // regime): Lloyd training + code assignment are linear scans
+    // against the fixed 16×16 codebook, the ADC agg is linear in
+    // probed-cell population, the re-rank fixed at R·nq rows —
+    // expected ~linear in corpus rows, no quadratic cliff anywhere
+    "llm_ann_pq")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the

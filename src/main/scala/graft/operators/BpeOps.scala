@@ -111,6 +111,15 @@ object BpeOps {
     (merges.toSeq, seg)
   }
 
+  /** The publishable tokenizer artifact: (w, n_tok) — each vocab
+    * word's final-segmentation token count. `llm_bpe_tokenize` joins
+    * it directly; `stream_bpe_ingest` stages it to parquet once and
+    * serves every micro-batch against the frozen FileScan. */
+  private[graft] def segTable(s: SparkSession, d: String): DataFrame = {
+    val (_, segN) = bpeCore(s, d)
+    segN.select(col("w"), size(col("seg")).cast("long").as("n_tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_bpe_train" -> ((s, d) => {
       import s.implicits._
@@ -123,11 +132,9 @@ object BpeOps {
     }),
 
     "llm_bpe_tokenize" -> ((s, d) => {
-      val (_, segN) = bpeCore(s, d)
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .join(broadcast(segN.select(col("w"),
-          size(col("seg")).cast("long").as("n_tok"))), Seq("w"))
+        .join(broadcast(segTable(s, d)), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
         .select(col("doc_id"), col("n_words"), col("n_tokens"),

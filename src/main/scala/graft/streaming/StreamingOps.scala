@@ -1315,6 +1315,8 @@ object StreamingOps {
 
     "stream_importance_ingest" ->
       ((s, d) => importanceIngestRun(s, d, 4)._1),
+    "stream_bpe_ingest" ->
+      ((s, d) => bpeIngestRun(s, d, 4)._1),
 
     "stream_side_output_late" ->
       ((s, d) => sideOutputLateRun(s, d, 4)._1)
@@ -2496,6 +2498,92 @@ object StreamingOps {
                 .write.mode("append").parquet(outDir)
               nBatches.set(batchId.toInt + 1)
               prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(outSchema).parquet(outDir).distinct()
+      .orderBy(col("doc_id")), nBatches.get())
+  }
+
+  /** §2.I streaming BPE TOKEN-COUNT INGEST (round-13 add): documents
+    * token-counted live against a FROZEN published tokenizer — the
+    * [[importanceIngestRunAt]] pattern with the model artifact =
+    * `llm_bpe_train`'s final segmentation table (w, n_tok), trained
+    * once at stream start exactly as the batch trainer trains it
+    * (shared [[graft.operators.BpeOps.segTable]]) and staged to
+    * parquet. Each id-ordered micro-batch explodes its OWN words and
+    * broadcast-joins the seg FileScan (word-keyed equi-join, per-batch
+    * work O(batch words); the vocab build side is bounded by distinct
+    * corpus words) — the deployment shape of tokenizer-aware ingest
+    * metering (every arriving document priced in tokens before
+    * packing/quota decisions). Per-doc independence + the frozen
+    * artifact ⇒ STRUCTURAL batch invariance: the final table equals
+    * `llm_bpe_tokenize` verbatim and the oracle is that op's mirror.
+    * Replay + restart: appends fold under the read-side distinct(),
+    * the artifact re-stage is an idempotent overwrite of a
+    * deterministic table. */
+  private[graft] def bpeIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try bpeIngestRunAt(s, d, k, registeredScratchDir("graft_bpe_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[bpeIngestRun]]: `root` holds the staged seg
+    * table (`seg/`) and the append sink (`out/`); `ckpt` is the
+    * caller-owned checkpoint; `failBeforeEpoch` injects a
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+  private[graft] def bpeIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val srcDir = documentsBatchDir(s, d, k)
+    val docsSchema = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .schema
+    val segDir = s"$root/seg"
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // frozen model: the trained tokenizer's (w, n_tok) table
+    // (idempotent overwrite of a deterministic table)
+    graft.operators.BpeOps.segTable(s, d)
+      .write.mode("overwrite").parquet(segDir)
+    import org.apache.spark.sql.types._
+    val segSchema = StructType(Seq(StructField("w", StringType),
+      StructField("n_tok", LongType)))
+    val outSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_words", LongType),
+      StructField("n_tokens", LongType),
+      StructField("tokens_per_word", DoubleType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "doc_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          monotoneBatchBounds(batch, "doc_id", "stream_bpe_ingest",
+              prevMax).foreach { case (_, hi) =>
+            val seg = ss.read.schema(segSchema).parquet(segDir)
+            batch.select(col("doc_id"),
+                explode(split(col("text"), " ")).as("w"))
+              .join(broadcast(seg), Seq("w"))
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_words"),
+                sum(col("n_tok")).as("n_tokens"))
+              .select(col("doc_id"), col("n_words"), col("n_tokens"),
+                round(col("n_tokens") / col("n_words"), 6)
+                  .as("tokens_per_word"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(batchId.toInt + 1)
+            prevMax.set(hi)
           }
           ()
         }
@@ -4515,6 +4603,12 @@ object StreamingOps {
     // independence make the final table the batch op's verbatim.
     "stream_importance_ingest" ->
       graft.operators.TrainingDataOps.importanceWeightsOracleSql,
+
+    // Structural batch invariance again: the frozen staged seg table +
+    // per-doc independence make the final table `llm_bpe_tokenize`'s
+    // verbatim — the shared mirror (trainer chain included).
+    "stream_bpe_ingest" ->
+      graft.operators.BpeOps.oracle("llm_bpe_tokenize"),
 
     // The side-output oracle: a row's arrival epoch is id % 4 + 1
     // (the mod staging), the epoch watermark is the max event-time ms

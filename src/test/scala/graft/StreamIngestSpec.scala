@@ -702,6 +702,30 @@ class StreamIngestSpec extends GraftSpec {
       "resumed DSIR stream != batch llm_importance_weights")
   }
 
+  test("stream_bpe_ingest: k document micro-batches against the " +
+      "frozen staged tokenizer equal llm_bpe_tokenize verbatim, and " +
+      "a planned kill resumes to the same table") {
+    val k = 4
+    val streamed =
+      StreamingOps.bpeIngestRun(spark, sf, k)._1.collect().toSeq
+    val batch = SparkEntry.queries("llm_bpe_tokenize")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch,
+      "streamed BPE token counts != batch llm_bpe_tokenize")
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.bpeIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n) =
+      StreamingOps.bpeIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    assert(resumed.collect().toSeq == batch,
+      "resumed BPE stream != batch llm_bpe_tokenize")
+  }
+
   test("stream_side_output_late: late rows divert to the side sink " +
       "(never epoch 1), on-time + late partition every batch, and " +
       "kill-and-resume holds") {
