@@ -208,7 +208,12 @@ object ScaleProbe {
     // linearly (codebook stays 16×16 by construction) and the probed
     // cells k×; ADC + the fixed R=50 re-rank stay per-query bounded:
     // expected ~linear in corpus rows (the ann serving family shape)
-    "llm_ann_pq")
+    "llm_ann_pq",
+    // round-13: PCA — the covariance outer-product explode is n·d²
+    // rows into a d²-key map-side-combined agg, the model tier
+    // factor-invariant (64×64 collect + driver power method):
+    // expected linear in corpus rows with a flat model tail
+    "llm_embedding_pca")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -242,7 +247,11 @@ object ScaleProbe {
     // against the fixed 16×16 codebook, the ADC agg is linear in
     // probed-cell population, the re-rank fixed at R·nq rows —
     // expected ~linear in corpus rows, no quadratic cliff anywhere
-    "llm_ann_pq")
+    "llm_ann_pq",
+    // round-13: PCA under distinct-vector growth — same linear
+    // covariance shape as the identical axis (the explode cost
+    // depends only on row count), flat model tail
+    "llm_embedding_pca")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the

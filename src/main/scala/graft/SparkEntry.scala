@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TrainingDataOps.queries ++
       operators.AnnOps.queries ++
       operators.BpeOps.queries ++
+      operators.PcaOps.queries ++
       operators.Multimodal.queries ++
       sources.FileFormats.queries
 
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.TrainingDataOps.oracle ++
       operators.AnnOps.oracle ++
       operators.BpeOps.oracle ++
+      operators.PcaOps.oracle ++
       operators.Multimodal.oracle ++
       sources.FileFormats.oracle
 }

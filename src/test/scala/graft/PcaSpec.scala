@@ -1,0 +1,91 @@
+package graft
+
+/** `llm_embedding_pca` semantics: exact match against an independent
+  * in-test replay of the fixed-iteration power method, plus the
+  * centering invariant and determinism.
+  */
+class PcaSpec extends GraftSpec {
+
+  private val Dim = operators.PcaOps.Dim
+  private val Iters = operators.PcaOps.Iters
+
+  private def reference(): Map[Long, (Double, Double)] = {
+    val data = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val n = data.length
+    val xm = data.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6))
+    }
+    val mj = Array.tabulate(Dim) { j =>
+      val s = xm.map(_._2(j)).sum
+      if (s >= 0) s / n else -((-s) / n)
+    }
+    val cx = xm.map { case (id, v) =>
+      id -> Array.tabulate(Dim)(j => v(j) - mj(j))
+    }
+    val mat = Array.ofDim[Double](Dim, Dim)
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      var s = 0L
+      cx.foreach { case (_, c) => s += c(i) * c(j) }
+      mat(i)(j) = s.toDouble
+    }
+    def matvec(m: Array[Array[Double]], v: Array[Double]) =
+      Array.tabulate(Dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < Dim) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0
+      var j = 0
+      while (j < Dim) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    def power(m: Array[Array[Double]]) = {
+      var v = Array.tabulate(Dim)(i => if (i == 0) 1.0 else 0.0)
+      (1 to Iters).foreach { _ =>
+        val w = matvec(m, v)
+        val nrm = math.sqrt(dot(w, w))
+        v = w.map(_ / nrm)
+      }
+      v
+    }
+    val v1 = power(mat)
+    val l1 = dot(matvec(mat, v1), v1)
+    val m2 = Array.tabulate(Dim, Dim)((i, j) => mat(i)(j) - l1 * v1(i) * v1(j))
+    val v2 = power(m2)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cx.map { case (id, c) =>
+      val cd = c.map(_.toDouble)
+      id -> (r6(dot(cd, v1) / 1e6), r6(dot(cd, v2) / 1e6))
+    }.toMap
+  }
+
+  test("pca projections equal the independent power-method reference") {
+    val exp = reference()
+    val got = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == exp.keySet)
+    val bad = got.filter { case (id, p) => p != exp(id) }
+    assert(bad.isEmpty,
+      s"${bad.size} projections drifted; first: ${bad.headOption}")
+  }
+
+  test("pca projections are centered and deterministic") {
+    val a = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
+    val b = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    // centered data ⇒ projections sum to ~0 (only micro-round +
+    // display-round noise: ≤ 1.5e-6 per row)
+    val s1 = a.map(_.getDouble(1)).sum
+    val s2 = a.map(_.getDouble(2)).sum
+    assert(math.abs(s1) <= 1.5e-6 * a.length, s"p1 not centered: $s1")
+    assert(math.abs(s2) <= 1.5e-6 * a.length, s"p2 not centered: $s2")
+    // a projection axis is unit-scale: no |p| can exceed the max
+    // centered vector norm (≈ 2 for these unit-ish embeddings)
+    assert(a.forall(r => math.abs(r.getDouble(1)) < 10 &&
+      math.abs(r.getDouble(2)) < 10))
+  }
+}
