@@ -213,7 +213,13 @@ object ScaleProbe {
     // rows into a d²-key map-side-combined agg, the model tier
     // factor-invariant (64×64 collect + driver power method):
     // expected linear in corpus rows with a flat model tail
-    "llm_embedding_pca")
+    "llm_embedding_pca",
+    // round-13: the persisted-index PQ — staging-inclusive timing (the
+    // in-JVM guard fires on first touch per dir, the honest
+    // deployment-amortized number, like minhash_lsh_persisted); the
+    // continuing query itself reads the code FileScan + R raw rows, so
+    // even inclusive the curve should track llm_ann_pq's
+    "llm_ann_pq_persisted")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

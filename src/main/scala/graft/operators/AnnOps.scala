@@ -168,6 +168,94 @@ object AnnOps {
     (xm, c2, codes)
   }
 
+  /** The shared IVF-PQ serving path over explicit model frames —
+    * `cent` (c_label, centroid), `cb` (t, k, cm), `codesL`
+    * (vec_id2, t, k, label) — so the retrain op and the
+    * persisted-index op produce bit-identical answers from the same
+    * artifacts. Probe → broadcast ADC table → shortlist → exact
+    * re-rank; raw vectors are fetched ONLY for the shortlist (an
+    * id-keyed join BEFORE sub-vector extraction — the plan a 100 TB
+    * deployment needs, where the code table is 16 bytes/vector and
+    * raw embeddings live in cold storage). */
+  private def pqServe(emb: DataFrame, cent: DataFrame, cb: DataFrame,
+      codesL: DataFrame): DataFrame = {
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("c_label"))
+    val probed = qs.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(q_vec, centroid)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= NProbe)
+      .select(col("q_id"), col("c_label").as("label"))
+    val qxm = pqSubvecs(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("t"), col("xm").as("qm"))
+    val dt = qxm.join(broadcast(cb), Seq("t"))
+      .withColumn("dist", aggregate(zip_with(col("qm"), col("cm"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .select(col("q_id"), col("t"), col("k"), col("dist"))
+    val cand = codesL.join(broadcast(probed), Seq("label"))
+      .filter(col("q_id") =!= col("vec_id2"))
+      .join(broadcast(dt), Seq("q_id", "t", "k"))
+      .groupBy(col("q_id"), col("vec_id2"))
+      .agg(sum(col("dist")).as("ad"))
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad"), col("vec_id2"))
+    val short = cand.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= PqShortlist)
+      .select(col("q_id"), col("vec_id2"), col("arn"))
+    val shortVecs = pqSubvecs(emb.join(broadcast(
+        short.select(col("vec_id2").as("vec_id")).distinct()),
+      Seq("vec_id")))
+    val rr = shortVecs.withColumnRenamed("vec_id", "vec_id2")
+      .join(broadcast(short), Seq("vec_id2"))
+      .join(broadcast(qxm), Seq("q_id", "t"))
+      .withColumn("pd", aggregate(zip_with(col("qm"), col("xm"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .groupBy(col("q_id"), col("vec_id2"), col("arn"))
+      .agg(sum(col("pd")).as("ed"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("ed"), col("vec_id2"))
+    rr.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id").as("vec_id"), col("vec_id2"),
+        round(col("ed") / lit(1e12), 6).as("adist"), col("arn"),
+        col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** Where the staged PQ index lives (per corpus dir): codebook /
+    * codes / coarse centroids. */
+  private[graft] def pqIndexDirs(d: String): (String, String, String) = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+    (s"$base/cb", s"$base/codes", s"$base/cent")
+  }
+
+  /** In-JVM staging guard (the minhash_persisted discipline: a new
+    * JVM always re-stages so stale parquet from an older build can't
+    * feed the serving path; within one run the once-per-index cost is
+    * paid once). */
+  private val stagedPq =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def stagePqIndexOnce(s: SparkSession, d: String): Unit =
+    stagedPq.synchronized {
+      if (!stagedPq.contains(d)) {
+        val emb = graft.Tables.embeddings(s, d)
+        val (cbDir, codesDir, centDir) = pqIndexDirs(d)
+        val (_, c2, codes) = pqModel(s, emb)
+        c2.write.mode("overwrite").parquet(cbDir)
+        codes.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+          .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
+            col("label"))
+          .write.mode("overwrite").parquet(codesDir)
+        centroids(emb).write.mode("overwrite").parquet(centDir)
+        stagedPq.add(d)
+      }
+    }
+
   val queries: Map[String, Q] = Map(
     // IVF-PQ ANN (round-13 add): the compressed-domain scale path —
     // IVF probe (the llm_ann_ivf stage, same NProbe) restricts to 5/10
@@ -184,51 +272,34 @@ object AnnOps {
     "llm_ann_pq" -> ((s, d) => {
       CosineSimilarity.register(s)
       val emb = graft.Tables.embeddings(s, d)
-      val (xm, c2, codes) = pqModel(s, emb)
-      val qs = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val wp = Window.partitionBy(col("q_id"))
-        .orderBy(col("csim").desc, col("c_label"))
-      val probed = qs.crossJoin(broadcast(centroids(emb)))
-        .withColumn("csim", expr("cosine_sim(q_vec, centroid)"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select(col("q_id"), col("c_label").as("label"))
-      val qxm = pqSubvecs(emb.filter(col("vec_id") < 10))
-        .select(col("vec_id").as("q_id"), col("t"), col("xm").as("qm"))
-      val dt = qxm.join(broadcast(c2), Seq("t"))
-        .withColumn("dist", aggregate(zip_with(col("qm"), col("cm"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-        .select(col("q_id"), col("t"), col("k"), col("dist"))
+      val (_, c2, codes) = pqModel(s, emb)
       val codesL = codes
         .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
         .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
           col("label"))
-      val cand = codesL.join(broadcast(probed), Seq("label"))
-        .filter(col("q_id") =!= col("vec_id2"))
-        .join(broadcast(dt), Seq("q_id", "t", "k"))
-        .groupBy(col("q_id"), col("vec_id2"))
-        .agg(sum(col("dist")).as("ad"))
-      val wa = Window.partitionBy(col("q_id"))
-        .orderBy(col("ad"), col("vec_id2"))
-      val short = cand.withColumn("arn", row_number().over(wa))
-        .filter(col("arn") <= PqShortlist)
-        .select(col("q_id"), col("vec_id2"), col("arn"))
-      val rr = xm.withColumnRenamed("vec_id", "vec_id2")
-        .join(broadcast(short), Seq("vec_id2"))
-        .join(broadcast(qxm), Seq("q_id", "t"))
-        .withColumn("pd", aggregate(zip_with(col("qm"), col("xm"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-        .groupBy(col("q_id"), col("vec_id2"), col("arn"))
-        .agg(sum(col("pd")).as("ed"))
-      val wr = Window.partitionBy(col("q_id"))
-        .orderBy(col("ed"), col("vec_id2"))
-      rr.withColumn("rn", row_number().over(wr))
-        .filter(col("rn") <= TopK)
-        .select(col("q_id").as("vec_id"), col("vec_id2"),
-          round(col("ed") / lit(1e12), 6).as("adist"), col("arn"),
-          col("rn"))
-        .orderBy(col("vec_id"), col("rn"))
+      pqServe(emb, centroids(emb), c2, codesL)
+    }),
+
+    // Persisted-index IVF-PQ (round-13 add): the quantized family's
+    // DEPLOYMENT shape, completing the persisted trio (keep_best /
+    // minhash / pq) — codebook + per-vector codes + coarse centroids
+    // are STAGED TO PARQUET once (the index build a deployment
+    // amortizes; the in-JVM staging guard is the minhash_persisted
+    // discipline — a new JVM always re-stages, repeated invocations in
+    // one run pay it once), and the continuing query touches ONLY the
+    // staged index: probe against the staged centroids, ADC against
+    // the staged codes, raw vectors fetched for the R-row shortlist
+    // alone. Output ≡ `llm_ann_pq` verbatim (training is deterministic
+    // in the corpus, the parquet roundtrip exact longs/doubles), so
+    // the oracle is shared and the hash-match re-proves the staged
+    // derivation.
+    "llm_ann_pq_persisted" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = graft.Tables.embeddings(s, d)
+      stagePqIndexOnce(s, d)
+      val (cbDir, codesDir, centDir) = pqIndexDirs(d)
+      pqServe(emb, s.read.parquet(centDir), s.read.parquet(cbDir),
+        s.read.parquet(codesDir))
     }),
 
     "llm_ann_ivf" -> ((s, d) => {
@@ -505,5 +576,8 @@ object AnnOps {
   val oracle: Map[String, String] = Map(
     "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql,
     "llm_ann_ivf" -> annIvfOracleSql,
-    "llm_ann_pq" -> annPqOracleSql)
+    "llm_ann_pq" -> annPqOracleSql,
+    // staging is invisible (deterministic training + exact parquet
+    // roundtrip) — the shared mirror re-proves the staged derivation
+    "llm_ann_pq_persisted" -> annPqOracleSql)
 }

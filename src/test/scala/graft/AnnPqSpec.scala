@@ -52,6 +52,15 @@ class AnnPqSpec extends GraftSpec {
     assert(recall >= 0.4, s"recall@5 fell to $recall")
   }
 
+  test("pq persisted index serves the retrain op's answers verbatim") {
+    val retrain = SparkEntry.queries("llm_ann_pq")(spark, sf)
+      .collect().toSeq
+    val persisted = SparkEntry.queries("llm_ann_pq_persisted")(spark, sf)
+      .collect().toSeq
+    assert(persisted == retrain,
+      "staged-index serving drifted from the retrain op")
+  }
+
   test("pq output is deterministic and well-formed") {
     val a = SparkEntry.queries("llm_ann_pq")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("llm_ann_pq")(spark, sf).collect().toSeq
