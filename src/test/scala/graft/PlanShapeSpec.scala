@@ -119,6 +119,32 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
 
+  test("llm_ann_pq joins the code table by broadcast only — the corpus " +
+      "is never shuffle-joined or cartesian-paired") {
+    val plan = finalPlan("llm_ann_pq")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffle-joined:\n$plan")
+  }
+
+  test("llm_bpe_tokenize applies the tokenizer via one broadcast join") {
+    val plan = finalPlan("llm_bpe_tokenize")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"corpus shuffled against the vocab:\n$plan")
+  }
+
+  test("llm_embedding_pca projections are join-free scalar maps over " +
+      "the centered stage") {
+    // the model tier is driver-side (bounded 64×64 collect); the final
+    // projection plan must be literal-vector arithmetic — any Join here
+    // would mean the eigenvectors went through a corpus-side shuffle
+    val plan = finalPlan("llm_embedding_pca")
+    assert(!plan.contains("Join"), s"projection plans a join:\n$plan")
+  }
+
   test("llm_pack_sequences windows by (lang, shard), not lang alone") {
     // Keyed by lang alone, one partition would hold a language's whole
     // corpus at scale; the shard key multiplies parallelism by PackShards.
