@@ -113,6 +113,27 @@ class BpeSpec extends GraftSpec {
     assert(got == exp, s"tokenize drift:\n got=$got\n exp=$exp")
   }
 
+  test("bpe_train matches the reference on randomized corpora " +
+      "(property pin: seeded, reproducible)") {
+    // small alphabet forces dense pair collisions and real ties —
+    // the regime where a tie-break or overlap bug actually flips a
+    // merge choice
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 10).foreach { case_ =>
+      val nWords = 4 + rnd.nextInt(12)
+      val texts = Seq((1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" "))
+      val dir = writeDocs(texts)
+      val (refM, _) = refBpe(wordFreqs(texts), operators.BpeOps.NMerges)
+      val got = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got == refM,
+        s"case $case_ (corpus ${texts.head}):\n got=$got\n exp=$refM")
+    }
+  }
+
   test("bpe ops are deterministic and sane on the sf corpus") {
     val m1 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq
     val m2 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq
