@@ -219,7 +219,12 @@ object ScaleProbe {
     // deployment-amortized number, like minhash_lsh_persisted); the
     // continuing query itself reads the code FileScan + R raw rows, so
     // even inclusive the curve should track llm_ann_pq's
-    "llm_ann_pq_persisted")
+    "llm_ann_pq_persisted",
+    // round-13: the live PQ rebuild chain — each of the 4 epochs pays
+    // a prefix-linear retrain + re-encode + publish, so the chain is
+    // ~the batch op's cost × the prefix sum plus the 4-trigger floor
+    // (the stream_ann_live corpus-axis shape for the quantized index)
+    "stream_pq_live")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -257,7 +262,11 @@ object ScaleProbe {
     // round-13: PCA under distinct-vector growth — same linear
     // covariance shape as the identical axis (the explode cost
     // depends only on row count), flat model tail
-    "llm_embedding_pca")
+    "llm_embedding_pca",
+    // round-13: the live PQ rebuild on the distinct-vector axis —
+    // per-epoch retrain is prefix-linear against the fixed 16×16
+    // codebook, no quadratic cliff anywhere in the chain
+    "stream_pq_live")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the

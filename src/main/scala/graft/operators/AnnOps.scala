@@ -224,6 +224,39 @@ object AnnOps {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** [[pqServe]] over a staged index read back from parquet — the
+    * shared serving entry for `llm_ann_pq_persisted` (one frozen
+    * index) and `stream_pq_live` (per-epoch re-published indexes):
+    * explicit schemas so the read never depends on footer inference. */
+  private[graft] def pqServeFromDirs(s: SparkSession, emb: DataFrame,
+      cbDir: String, codesDir: String, centDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cbSchema = StructType(Seq(StructField("t", IntegerType),
+      StructField("k", IntegerType),
+      StructField("cm", ArrayType(LongType))))
+    val codesSchema = StructType(Seq(StructField("vec_id2", LongType),
+      StructField("t", IntegerType), StructField("k", IntegerType),
+      StructField("label", IntegerType)))
+    val centSchema = StructType(Seq(StructField("c_label", IntegerType),
+      StructField("centroid", ArrayType(DoubleType))))
+    pqServe(emb, s.read.schema(centSchema).parquet(centDir),
+      s.read.schema(cbSchema).parquet(cbDir),
+      s.read.schema(codesSchema).parquet(codesDir))
+  }
+
+  /** Train the PQ index of `emb` and stage it to the three dirs
+    * (idempotent overwrite of deterministic tables). */
+  private[graft] def stagePqIndexTo(s: SparkSession, emb: DataFrame,
+      cbDir: String, codesDir: String, centDir: String): Unit = {
+    val (_, c2, codes) = pqModel(s, emb)
+    c2.write.mode("overwrite").parquet(cbDir)
+    codes.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
+        col("label"))
+      .write.mode("overwrite").parquet(codesDir)
+    centroids(emb).write.mode("overwrite").parquet(centDir)
+  }
+
   /** Where the staged PQ index lives (per corpus dir): codebook /
     * codes / coarse centroids. */
   private[graft] def pqIndexDirs(d: String): (String, String, String) = {
@@ -243,15 +276,9 @@ object AnnOps {
   private[graft] def stagePqIndexOnce(s: SparkSession, d: String): Unit =
     stagedPq.synchronized {
       if (!stagedPq.contains(d)) {
-        val emb = graft.Tables.embeddings(s, d)
         val (cbDir, codesDir, centDir) = pqIndexDirs(d)
-        val (_, c2, codes) = pqModel(s, emb)
-        c2.write.mode("overwrite").parquet(cbDir)
-        codes.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-          .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
-            col("label"))
-          .write.mode("overwrite").parquet(codesDir)
-        centroids(emb).write.mode("overwrite").parquet(centDir)
+        stagePqIndexTo(s, graft.Tables.embeddings(s, d),
+          cbDir, codesDir, centDir)
         stagedPq.add(d)
       }
     }
@@ -295,11 +322,10 @@ object AnnOps {
     // derivation.
     "llm_ann_pq_persisted" -> ((s, d) => {
       CosineSimilarity.register(s)
-      val emb = graft.Tables.embeddings(s, d)
       stagePqIndexOnce(s, d)
       val (cbDir, codesDir, centDir) = pqIndexDirs(d)
-      pqServe(emb, s.read.parquet(centDir), s.read.parquet(cbDir),
-        s.read.parquet(codesDir))
+      pqServeFromDirs(s, graft.Tables.embeddings(s, d),
+        cbDir, codesDir, centDir)
     }),
 
     "llm_ann_ivf" -> ((s, d) => {
@@ -427,50 +453,70 @@ object AnnOps {
     * (vec, subspace) by exact-long squared distance, k tie-break —
     * grouped-row arithmetic (the integer space makes accumulation
     * order irrelevant, so rows vs arrays across engines is safe). */
-  private def pqAssignSql(srcCb: String, name: String): String =
-    s"""$name AS MATERIALIZED (
+  private def pqAssignSql(sfx: String, srcCb: String,
+      name: String): String =
+    s"""$name$sfx AS MATERIALIZED (
          SELECT vec_id, t, k FROM (
            SELECT x.vec_id, x.t, c.k,
              row_number() OVER (PARTITION BY x.vec_id, x.t
                ORDER BY sum((x.xmj - c.cm)*(x.xmj - c.cm)), c.k) AS rn
-           FROM xm x JOIN $srcCb c ON c.t = x.t AND c.j = x.j
+           FROM xm$sfx x JOIN $srcCb$sfx c ON c.t = x.t AND c.j = x.j
            GROUP BY x.vec_id, x.t, c.k)
          WHERE rn = 1)"""
 
   /** One PQ centroid recompute of the mirror — the sign-CASE
     * truncating division (Spark `div`). */
-  private def pqUpdateSql(srcA: String, name: String): String =
-    s"""$name AS MATERIALIZED (
+  private def pqUpdateSql(sfx: String, srcA: String,
+      name: String): String =
+    s"""$name$sfx AS MATERIALIZED (
          SELECT a.t, a.k, x.j,
            CASE WHEN sum(x.xmj) >= 0 THEN sum(x.xmj) // count(*)
                 ELSE -((-sum(x.xmj)) // count(*)) END AS cm
-         FROM $srcA a JOIN xm x ON x.vec_id = a.vec_id AND x.t = a.t
+         FROM $srcA$sfx a JOIN xm$sfx x
+           ON x.vec_id = a.vec_id AND x.t = a.t
          GROUP BY a.t, a.k, x.j)"""
 
-  private[graft] def annPqOracleSql: String =
-    s"""WITH $centroidCtesSql,
-       xm AS MATERIALIZED (
+  /** The full PQ mirror over corpus table `src`, every CTE name
+    * suffixed `sfx` — shared verbatim by the single-corpus oracle
+    * (sfx = "", src = embeddings) and the per-epoch blocks of
+    * [[pqLiveOracleSql]], so the trainer/serving arithmetic is
+    * transcribed exactly once. Expects a global `qs` CTE
+    * (q_id, qv) to exist. Ends at `ranked$sfx`. */
+  private def pqMirrorCtes(sfx: String, src: String): String =
+    s"""cent$sfx AS (
+         SELECT label, j,
+           CASE WHEN sm >= 0 THEN sm // n
+                ELSE -((-sm) // n) END / 1000000.0 AS c
+         FROM (
+           SELECT e.label, t.j,
+             SUM(CAST(round(CAST(e.embedding[CAST(t.j AS INT)] AS DOUBLE)
+               * 1000000.0) AS BIGINT)) AS sm,
+             count(*) AS n
+           FROM $src e, range(1, 65) t(j)
+           GROUP BY 1, 2)),
+       cvecs$sfx AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
+                     FROM cent$sfx GROUP BY 1),
+       xm$sfx AS MATERIALIZED (
          SELECT vec_id, label, t.t AS t, g.j AS j,
            CAST(round(CAST(embedding[CAST(t.t*$PqSubD + g.j AS INT)]
              AS DOUBLE) * 1000000.0) AS BIGINT) AS xmj
-         FROM embeddings, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j)),
-       sd AS MATERIALIZED (
+         FROM $src, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j)),
+       sd$sfx AS MATERIALIZED (
          SELECT vec_id, srn - 1 AS k FROM (
            SELECT vec_id, CAST(row_number() OVER (ORDER BY
              ((vec_id % 268435456) * 2654435761) % 1000000007, vec_id)
              AS INT) AS srn
-           FROM embeddings)
+           FROM $src)
          WHERE srn <= $PqK),
-       cb0 AS MATERIALIZED (
-         SELECT x.t, s.k, x.j, x.xmj AS cm FROM sd s JOIN xm x USING (vec_id)),
-       ${pqAssignSql("cb0", "a1")},
-       ${pqUpdateSql("a1", "c1")},
-       ${pqAssignSql("c1", "a2")},
-       ${pqUpdateSql("a2", "c2")},
-       ${pqAssignSql("c2", "codes")},
-       qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 10),
-       probes AS (
+       cb0$sfx AS MATERIALIZED (
+         SELECT x.t, s.k, x.j, x.xmj AS cm
+         FROM sd$sfx s JOIN xm$sfx x USING (vec_id)),
+       ${pqAssignSql(sfx, "cb0", "a1")},
+       ${pqUpdateSql(sfx, "a1", "c1")},
+       ${pqAssignSql(sfx, "c1", "a2")},
+       ${pqUpdateSql(sfx, "a2", "c2")},
+       ${pqAssignSql(sfx, "c2", "codes")},
+       probes$sfx AS (
          SELECT q_id, c_label FROM (
            SELECT q.q_id, c.c_label,
              row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -478,41 +524,72 @@ object AnnOps {
                  (sqrt(list_dot_product(q.qv, q.qv))
                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                c.c_label) AS prn
-           FROM qs q, cvecs c)
+           FROM qs q, cvecs$sfx c)
          WHERE prn <= $NProbe),
-       qxm AS (SELECT vec_id AS q_id, t, j, xmj FROM xm WHERE vec_id < 10),
-       dt AS MATERIALIZED (
+       qxm$sfx AS (SELECT vec_id AS q_id, t, j, xmj FROM xm$sfx
+                   WHERE vec_id < 10),
+       dt$sfx AS MATERIALIZED (
          SELECT q.q_id, c.t, c.k,
            sum((q.xmj - c.cm)*(q.xmj - c.cm)) AS dist
-         FROM qxm q JOIN c2 c ON c.t = q.t AND c.j = q.j
+         FROM qxm$sfx q JOIN c2$sfx c ON c.t = q.t AND c.j = q.j
          GROUP BY 1, 2, 3),
-       cand AS (
+       cand$sfx AS (
          SELECT p.q_id, cd.vec_id AS vec_id2, sum(d.dist) AS ad
-         FROM codes cd JOIN embeddings e ON e.vec_id = cd.vec_id
-         JOIN probes p ON p.c_label = e.label
-         JOIN dt d ON d.q_id = p.q_id AND d.t = cd.t AND d.k = cd.k
+         FROM codes$sfx cd JOIN $src e ON e.vec_id = cd.vec_id
+         JOIN probes$sfx p ON p.c_label = e.label
+         JOIN dt$sfx d ON d.q_id = p.q_id AND d.t = cd.t AND d.k = cd.k
          WHERE p.q_id <> cd.vec_id
          GROUP BY 1, 2),
-       short AS (
+       short$sfx AS (
          SELECT q_id, vec_id2, arn FROM (
            SELECT q_id, vec_id2, CAST(row_number() OVER (
              PARTITION BY q_id ORDER BY ad, vec_id2) AS INT) AS arn
-           FROM cand)
+           FROM cand$sfx)
          WHERE arn <= $PqShortlist),
-       rr AS (
+       rr$sfx AS (
          SELECT s.q_id, s.vec_id2, s.arn,
            sum((q.xmj - x.xmj)*(q.xmj - x.xmj)) AS ed
-         FROM short s JOIN qxm q ON q.q_id = s.q_id
-         JOIN xm x ON x.vec_id = s.vec_id2 AND x.t = q.t AND x.j = q.j
+         FROM short$sfx s JOIN qxm$sfx q ON q.q_id = s.q_id
+         JOIN xm$sfx x ON x.vec_id = s.vec_id2 AND x.t = q.t
+           AND x.j = q.j
          GROUP BY 1, 2, 3),
-       ranked AS (
+       ranked$sfx AS (
          SELECT q_id AS vec_id, vec_id2,
            round(ed / 1000000000000.0, 6) AS adist, arn,
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY ed, vec_id2) AS INT) AS rn
-         FROM rr)
+         FROM rr$sfx)"""
+
+  private[graft] def annPqOracleSql: String =
+    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       ${pqMirrorCtes("", "embeddings")}
        SELECT vec_id, vec_id2, adist, arn, rn FROM ranked
        WHERE rn <= $TopK ORDER BY vec_id, rn"""
+
+  /** DuckDB mirror of `stream_pq_live`: k prefix-parameterized images
+    * of the PQ mirror UNION ALLed — epoch e re-trains codebook +
+    * codes + coarse centroids on the id-ordered prefix
+    * vec_id < (max+1)·e/k (the tableBatchDir split formula) and
+    * re-answers the static query set, which is precisely what the
+    * streamed run publishes per trigger (the annLiveOracleSql
+    * pattern for the quantized index). */
+  private[graft] def pqLiveOracleSql(k: Int): String = {
+    val blocks = (1 to k).map { e =>
+      s"""pre$e AS (SELECT * FROM embeddings
+              WHERE vec_id <
+                ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
+         ${pqMirrorCtes(s"_$e", s"pre$e")}"""
+    }
+    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       ${blocks.mkString(",\n       ")}
+       ${(1 to k).map(e =>
+        s"SELECT CAST($e AS INTEGER) AS epoch, vec_id, vec_id2, adist, " +
+          s"arn, rn FROM ranked_$e WHERE rn <= $TopK")
+        .mkString(" UNION ALL ")}
+       ORDER BY epoch, vec_id, rn"""
+  }
 
   /** DuckDB mirror of `stream_ann_live` (round-12): the per-epoch
     * truth as `k` prefix-parameterized images of [[annIvfOracleSql]]

@@ -1304,6 +1304,7 @@ object StreamingOps {
       ((s, d) => perplexityBucketRun(s, d, 4)._1),
 
     "stream_ann_live" -> ((s, d) => annLiveRun(s, d, 4)._1),
+    "stream_pq_live" -> ((s, d) => pqLiveRun(s, d, 4)._1),
 
     "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1),
 
@@ -2023,6 +2024,93 @@ object StreamingOps {
     * a deterministic table keyed by epoch, and the readout folds
     * through `distinct()` — so a replayed epoch re-materializes
     * byte-identical rows. */
+  /** §2.I streaming PQ INDEX REBUILD + SERVE (round-13 add): the
+    * [[annLiveRunAt]] pattern for the QUANTIZED index — each
+    * id-ordered micro-batch advances the corpus prefix, the WHOLE
+    * IVF-PQ artifact (sub-quantizer codebooks, per-vector codes,
+    * coarse centroids) re-trains on that prefix and re-publishes as
+    * versioned parquet (`cb_v<e>`/`codes_v<e>`/`cent_v<e>` — the
+    * write side of live ANN serving for a compressed index: at scale
+    * the epoch re-encode is the linear scan a real index rebuild
+    * pays, while serving reads only code rows + the R-row raw
+    * fetch), and the static query set re-answers against the staged
+    * artifact via the shared [[graft.operators.AnnOps.pqServeFromDirs]]
+    * — so per-epoch verdicts are bit-identical to `llm_ann_pq` run on
+    * the prefix corpus, which is exactly what the k-epoch oracle
+    * mirror states. Empty epoch: re-publish the prior prefix under
+    * the new epoch number, nBatches always advances (the
+    * annLiveRunAt r12-advice discipline). */
+  private[graft] def pqLiveRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try pqLiveRunAt(s, d, k, registeredScratchDir("graft_pql_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[pqLiveRun]]: `root` holds the epoch-versioned
+    * index stages and the append verdict sink (`out/`); `ckpt` is the
+    * caller-owned checkpoint; `failBeforeEpoch` injects a
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+  private[graft] def pqLiveRunAt(s: SparkSession, d: String, k: Int,
+      root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val srcDir = tableBatchDir(s"pqlive:$d@$k", emb, "vec_id", k)
+    val embSchema = emb.schema
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    import org.apache.spark.sql.types._
+    val verdictSchema = StructType(Seq(
+      StructField("epoch", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("vec_id2", LongType),
+      StructField("adist", DoubleType),
+      StructField("arn", IntegerType),
+      StructField("rn", IntegerType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "vec_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          graft.functions.CosineSimilarity.register(ss)
+          locally {
+            // empty epoch: serve the unchanged prefix under the new
+            // epoch number (hi = prior max), nBatches always advances
+            val hi = monotoneBatchBounds(batch, "vec_id",
+              "stream_pq_live", prevMax).map(_._2)
+              .getOrElse(prevMax.get())
+            val prefix = embeddings(ss, d).filter(col("vec_id") <= hi)
+            val e = batchId + 1
+            val (cbDir, codesDir, centDir) =
+              (s"$root/cb_v$e", s"$root/codes_v$e", s"$root/cent_v$e")
+            graft.operators.AnnOps.stagePqIndexTo(ss, prefix,
+              cbDir, codesDir, centDir)
+            graft.operators.AnnOps.pqServeFromDirs(ss, prefix,
+              cbDir, codesDir, centDir)
+              .select(lit(e.toInt).as("epoch"), col("vec_id"),
+                col("vec_id2"), col("adist"), col("arn"), col("rn"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(batchId.toInt + 1)
+            prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(verdictSchema).parquet(outDir).distinct()
+      .orderBy(col("epoch"), col("vec_id"), col("rn")), nBatches.get())
+  }
+
   private[graft] def annLiveRun(s: SparkSession, d: String, k: Int,
       nq: Int = 10): (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
@@ -4352,6 +4440,9 @@ object StreamingOps {
     // prefix-parameterized images of llm_ann_ivf's mirror, one per
     // published index version (see annLiveRun)
     "stream_ann_live" -> graft.operators.AnnOps.annLiveOracleSql(4),
+    // per-epoch ≡ llm_ann_pq on the id-ordered prefix: the k-epoch
+    // union of prefix-parameterized PQ mirrors
+    "stream_pq_live" -> graft.operators.AnnOps.pqLiveOracleSql(4),
 
     // first-arrival keepers ≡ global min-id keepers under id-ordered
     // epochs + frozen staged models trained the batch op's way make

@@ -345,6 +345,48 @@ class StreamIngestSpec extends GraftSpec {
       "resumed serving stream != batch llm_ann_ivf")
   }
 
+  test("stream_pq_live: every epoch's verdicts equal llm_ann_pq run " +
+      "on that epoch's id-ordered prefix with a prefix-trained index, " +
+      "and a planned kill resumes to the same table") {
+    val k = 4
+    val (streamedDf, n1) = StreamingOps.pqLiveRun(spark, sf, k)
+    assert(n1 == k)
+    val streamed = streamedDf.collect().toSeq
+    // independent per-epoch truth: stage each prefix as its own corpus
+    // dir and run the BATCH op on it — same codebook training, same
+    // ADC + re-rank, no shared staged state with the streaming run
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val expected = (1 to k).flatMap { e =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pql_pre${e}_").toString
+      emb.filter(col("vec_id") < (maxId + 1) * e / k)
+        .write.parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("llm_ann_pq")(spark, dir).collect().toSeq
+        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+          r.get(2), r.get(3), r.get(4)))
+    }
+    assert(streamed == expected,
+      "per-epoch PQ serving verdicts != per-prefix batch llm_ann_pq")
+    // non-degenerate: some query's top-k must change across versions
+    val byEpoch = streamed.groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getInt(5))))
+    assert(byEpoch(1).toSet != byEpoch(k).toSet,
+      "degenerate fixture: the PQ index never visibly advanced")
+    // kill-and-resume: epoch-keyed index overwrite + distinct readout
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.pqLiveRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n2) = StreamingOps.pqLiveRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == streamed,
+      "resumed PQ live stream != one-shot chain")
+  }
+
   test("stream_ann_live: every epoch's verdicts equal llm_ann_ivf run " +
       "on that epoch's id-ordered prefix with a prefix-trained " +
       "quantizer, and a planned kill resumes to the same table") {
