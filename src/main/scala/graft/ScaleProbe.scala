@@ -224,7 +224,12 @@ object ScaleProbe {
     // a prefix-linear retrain + re-encode + publish, so the chain is
     // ~the batch op's cost × the prefix sum plus the 4-trigger floor
     // (the stream_ann_live corpus-axis shape for the quantized index)
-    "stream_pq_live")
+    "stream_pq_live",
+    // round-13: the sufficient-statistics PCA — per-epoch MODEL work
+    // is O(batch·d²) into a d²-row state (never a prefix rescan), so
+    // the chain cost is the linear batch scans + the prefix-linear
+    // projection rewrites + the 4-trigger floor
+    "stream_pca_live")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -266,7 +271,11 @@ object ScaleProbe {
     // round-13: the live PQ rebuild on the distinct-vector axis —
     // per-epoch retrain is prefix-linear against the fixed 16×16
     // codebook, no quadratic cliff anywhere in the chain
-    "stream_pq_live")
+    "stream_pq_live",
+    // round-13: the sufficient-statistics PCA under distinct vectors —
+    // identical shape to the identical axis (state work depends only
+    // on row count)
+    "stream_pca_live")
 
   // The pair-emitting subset of the identical regime, split out so the
   // 64× point (where a full identical sweep would mostly re-measure the

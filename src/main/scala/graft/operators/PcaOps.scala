@@ -50,7 +50,7 @@ object PcaOps {
     * fold ascending-index double multiply-add (the oracle's
     * list_dot_product order). Returns the unit vector after
     * [[Iters]] steps from init e₁. */
-  private def powerIter(m: Array[Array[Double]]): Array[Double] = {
+  private[graft] def powerIter(m: Array[Array[Double]]): Array[Double] = {
     var v = Array.tabulate(Dim)(i => if (i == 0) 1.0 else 0.0)
     var it = 0
     while (it < Iters) {
@@ -70,24 +70,66 @@ object PcaOps {
     v
   }
 
+  /** Top-2 components of the collected covariance matrix: power
+    * method, λ₁ via the same fold order, rank-1 deflation, power
+    * method again — shared by the batch op and the state-derived
+    * `stream_pca_live` model so both produce bit-identical
+    * eigenvectors from equal matrices. */
+  private[graft] def pcaComponents(mat: Array[Array[Double]])
+      : (Array[Double], Array[Double]) = {
+    val v1 = powerIter(mat)
+    val w1 = Array.tabulate(Dim) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < Dim) { s += mat(i)(j) * v1(j); j += 1 }
+      s
+    }
+    var l1 = 0.0
+    var j1 = 0
+    while (j1 < Dim) { l1 += w1(j1) * v1(j1); j1 += 1 }
+    val m2 = Array.tabulate(Dim, Dim)((i, j) =>
+      mat(i)(j) - l1 * v1(i) * v1(j))
+    (v1, powerIter(m2))
+  }
+
+  /** Centered micro-unit coordinate arrays (vec_id, arr[Dim] long) of
+    * an embeddings frame — the truncdiv mean of THAT frame. */
+  private[graft] def centeredArrays(emb: DataFrame): DataFrame = {
+    val xm = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xmj"))
+    val mn = xm.groupBy(col("j"))
+      .agg(sum(col("xmj")).as("sm"), count(lit(1)).as("n"))
+      .select(col("j"), expr("sm div n").as("mj"))
+    xm.join(broadcast(mn), Seq("j"))
+      .withColumn("c", col("xmj") - col("mj"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c"))))
+        .as("pc"))
+      .select(col("vec_id"),
+        transform(col("pc"), x => x.getField("c")).as("arr"))
+  }
+
+  /** Project a centered-array frame onto two literal eigenvectors —
+    * the shared fold (products in ascending index order, then the
+    * ordered sum; ≡ the oracle's list_dot_product). */
+  private[graft] def projectArrays(cxa: DataFrame, v1: Array[Double],
+      v2: Array[Double]): DataFrame = {
+    def proj(v: Array[Double]): org.apache.spark.sql.Column = {
+      val vlit = array(v.map(lit): _*)
+      round(aggregate(
+        zip_with(col("arr"), vlit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x) / lit(1e6), 6)
+    }
+    cxa.select(col("vec_id"), proj(v1).as("p1"), proj(v2).as("p2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_embedding_pca" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cutF = AdaptiveCollapse.stageCut(s) _
-      val xm = emb.select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).as("j"),
-          round(col("col").cast("double") * 1e6).cast("long").as("xmj"))
-      val mn = xm.groupBy(col("j"))
-        .agg(sum(col("xmj")).as("sm"), count(lit(1)).as("n"))
-        .select(col("j"), expr("sm div n").as("mj"))
-      // centered micro-unit arrays, ordered by coordinate
-      val cxa = cutF(xm.join(broadcast(mn), Seq("j"))
-        .withColumn("c", col("xmj") - col("mj"))
-        .groupBy(col("vec_id"))
-        .agg(array_sort(collect_list(struct(col("j"), col("c"))))
-          .as("pc"))
-        .select(col("vec_id"),
-          transform(col("pc"), x => x.getField("c")).as("arr")))
+      val cxa = cutF(centeredArrays(emb))
       // exact-long covariance via chained outer-product explodes —
       // one corpus pass, d²-key map-side-combined agg, no self-join
       val cov = cxa
@@ -100,97 +142,107 @@ object PcaOps {
       val mat = Array.ofDim[Double](Dim, Dim)
       cov.foreach(r =>
         mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
-      val v1 = powerIter(mat)
-      // λ₁ = v₁ᵀ C v₁ (same fold order), then deflate and re-iterate
-      val w1 = Array.tabulate(Dim) { i =>
-        var s = 0.0
-        var j = 0
-        while (j < Dim) { s += mat(i)(j) * v1(j); j += 1 }
-        s
-      }
-      var l1 = 0.0
-      var j1 = 0
-      while (j1 < Dim) { l1 += w1(j1) * v1(j1); j1 += 1 }
-      val m2 = Array.tabulate(Dim, Dim)((i, j) =>
-        mat(i)(j) - l1 * v1(i) * v1(j))
-      val v2 = powerIter(m2)
-      def proj(v: Array[Double]): org.apache.spark.sql.Column = {
-        val vlit = array(v.map(lit): _*)
-        round(aggregate(
-          zip_with(col("arr"), vlit, (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x) / lit(1e6), 6)
-      }
-      cxa.select(col("vec_id"), proj(v1).as("p1"), proj(v2).as("p2"))
-        .orderBy(col("vec_id"))
+      val (v1, v2) = pcaComponents(mat)
+      projectArrays(cxa, v1, v2)
     })
   )
 
   /** One unrolled power step of the DuckDB mirror: matvec over the
     * ordered covariance rows, norm, normalize — `mat` selects the
-    * crow1/crow2 row column. */
-  private def stepSql(mat: Int, r: Int, prev: String): String =
-    s"""w${mat}_$r AS MATERIALIZED (
+    * crow1/crow2 row column; every CTE name carries `sfx`. */
+  private def stepSql(sfx: String, mat: Int, r: Int,
+      prev: String): String =
+    s"""w${mat}_$r$sfx AS MATERIALIZED (
          SELECT c.i AS j, list_dot_product(c.row_$mat, v.v) AS wj
-         FROM crow$mat c, $prev v),
-       n${mat}_$r AS MATERIALIZED (
+         FROM crow$mat$sfx c, $prev v),
+       n${mat}_$r$sfx AS MATERIALIZED (
          SELECT sqrt(list_dot_product(list(wj ORDER BY j),
            list(wj ORDER BY j))) AS nrm
-         FROM w${mat}_$r),
-       v${mat}_$r AS MATERIALIZED (
+         FROM w${mat}_$r$sfx),
+       v${mat}_$r$sfx AS MATERIALIZED (
          SELECT list(w.wj / n.nrm ORDER BY w.j) AS v
-         FROM w${mat}_$r w, n${mat}_$r n GROUP BY n.nrm)"""
+         FROM w${mat}_$r$sfx w, n${mat}_$r$sfx n GROUP BY n.nrm)"""
 
-  private def pcaOracleSql: String = {
-    val last1 = s"v1_$Iters"
-    val last2 = s"v2_$Iters"
-    s"""WITH xm AS MATERIALIZED (
+  /** The full PCA mirror over corpus table `src`, every CTE name
+    * suffixed `sfx` — shared by the single-corpus oracle (sfx = "")
+    * and the per-epoch blocks of [[pcaLiveOracleSql]]. The mirror
+    * always recomputes the covariance DIRECTLY as Σ(x−m)(x−m)ᵀ: the
+    * streamed op derives the identical longs from its append-only
+    * (Σxxᵀ, Σx, n) state by the exact integer identity, and the
+    * hash-match IS the proof of that derivation. Ends at `proj$sfx`. */
+  private def pcaMirrorCtes(sfx: String, src: String): String = {
+    val last1 = s"v1_$Iters$sfx"
+    val last2 = s"v2_$Iters$sfx"
+    s"""xm$sfx AS MATERIALIZED (
          SELECT vec_id, g.j AS j,
            CAST(round(CAST(embedding[CAST(g.j AS INT)] AS DOUBLE)
              * 1000000.0) AS BIGINT) AS xmj
-         FROM embeddings, range(1, ${Dim + 1}) g(j)),
-       mn AS MATERIALIZED (
+         FROM $src, range(1, ${Dim + 1}) g(j)),
+       mn$sfx AS MATERIALIZED (
          SELECT j, CASE WHEN sum(xmj) >= 0 THEN sum(xmj) // count(*)
                         ELSE -((-sum(xmj)) // count(*)) END AS mj
-         FROM xm GROUP BY j),
-       cx AS MATERIALIZED (
+         FROM xm$sfx GROUP BY j),
+       cx$sfx AS MATERIALIZED (
          SELECT x.vec_id, x.j, CAST(x.xmj - m.mj AS BIGINT) AS c
-         FROM xm x JOIN mn m ON m.j = x.j),
-       cov AS MATERIALIZED (
+         FROM xm$sfx x JOIN mn$sfx m ON m.j = x.j),
+       cov$sfx AS MATERIALIZED (
          SELECT a.j AS i, b.j AS j, CAST(sum(a.c * b.c) AS DOUBLE) AS cij
-         FROM cx a JOIN cx b ON b.vec_id = a.vec_id
+         FROM cx$sfx a JOIN cx$sfx b ON b.vec_id = a.vec_id
          GROUP BY 1, 2),
-       crow1 AS MATERIALIZED (
-         SELECT i, list(cij ORDER BY j) AS row_1 FROM cov GROUP BY i),
-       v1_0 AS (SELECT list_transform(generate_series(1, $Dim),
+       crow1$sfx AS MATERIALIZED (
+         SELECT i, list(cij ORDER BY j) AS row_1 FROM cov$sfx GROUP BY i),
+       v1_0$sfx AS (SELECT list_transform(generate_series(1, $Dim),
          x -> CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END) AS v),
        ${(1 to Iters).map(r =>
-        stepSql(1, r, if (r == 1) "v1_0" else s"v1_${r - 1}"))
+        stepSql(sfx, 1, r, if (r == 1) s"v1_0$sfx" else s"v1_${r - 1}$sfx"))
         .mkString(",\n       ")},
-       wl AS (SELECT c.i AS j, list_dot_product(c.row_1, v.v) AS wj
-              FROM crow1 c, $last1 v),
-       lam1 AS (SELECT list_dot_product(
-           (SELECT list(wj ORDER BY j) FROM wl),
+       wl$sfx AS (SELECT c.i AS j, list_dot_product(c.row_1, v.v) AS wj
+              FROM crow1$sfx c, $last1 v),
+       lam1$sfx AS (SELECT list_dot_product(
+           (SELECT list(wj ORDER BY j) FROM wl$sfx),
            (SELECT v FROM $last1)) AS l1),
-       crow2 AS MATERIALIZED (
+       crow2$sfx AS MATERIALIZED (
          SELECT c.i,
            list_transform(generate_series(1, $Dim),
              x -> c.row_1[CAST(x AS INT)]
                - l.l1 * v.v[CAST(c.i AS INT)] * v.v[CAST(x AS INT)])
            AS row_2
-         FROM crow1 c, lam1 l, $last1 v),
-       v2_0 AS (SELECT list_transform(generate_series(1, $Dim),
+         FROM crow1$sfx c, lam1$sfx l, $last1 v),
+       v2_0$sfx AS (SELECT list_transform(generate_series(1, $Dim),
          x -> CASE WHEN x = 1 THEN 1.0 ELSE 0.0 END) AS v),
        ${(1 to Iters).map(r =>
-        stepSql(2, r, if (r == 1) "v2_0" else s"v2_${r - 1}"))
+        stepSql(sfx, 2, r, if (r == 1) s"v2_0$sfx" else s"v2_${r - 1}$sfx"))
         .mkString(",\n       ")},
-       proj AS (
+       proj$sfx AS (
          SELECT x.vec_id,
            round(list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
              (SELECT v FROM $last1)) / 1000000.0, 6) AS p1,
            round(list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
              (SELECT v FROM $last2)) / 1000000.0, 6) AS p2
-         FROM cx x GROUP BY x.vec_id)
+         FROM cx$sfx x GROUP BY x.vec_id)"""
+  }
+
+  private def pcaOracleSql: String =
+    s"""WITH ${pcaMirrorCtes("", "embeddings")}
        SELECT vec_id, p1, p2 FROM proj ORDER BY vec_id"""
+
+  /** DuckDB mirror of `stream_pca_live`: k prefix-parameterized images
+    * of the PCA mirror UNION ALLed — epoch e re-derives mean +
+    * covariance + components on the id-ordered prefix
+    * vec_id < (max+1)·e/k and re-projects the prefix, which is what
+    * the streamed run's state-derived model publishes per trigger. */
+  private[graft] def pcaLiveOracleSql(k: Int): String = {
+    val blocks = (1 to k).map { e =>
+      s"""pre$e AS (SELECT * FROM embeddings
+              WHERE vec_id <
+                ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
+         ${pcaMirrorCtes(s"_$e", s"pre$e")}"""
+    }
+    s"""WITH ${blocks.mkString(",\n       ")}
+       ${(1 to k).map(e =>
+        s"SELECT CAST($e AS INTEGER) AS epoch, vec_id, p1, p2 " +
+          s"FROM proj_$e").mkString(" UNION ALL ")}
+       ORDER BY epoch, vec_id"""
   }
 
   val oracle: Map[String, String] = Map(

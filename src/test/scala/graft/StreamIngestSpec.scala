@@ -387,6 +387,52 @@ class StreamIngestSpec extends GraftSpec {
       "resumed PQ live stream != one-shot chain")
   }
 
+  test("stream_pca_live: every epoch's projections equal " +
+      "llm_embedding_pca run on that epoch's id-ordered prefix — the " +
+      "append-only (sum_xx, sum_x, n) state derivation is exact — and " +
+      "a planned kill resumes from the versioned state") {
+    val k = 4
+    val (streamedDf, n1) = StreamingOps.pcaLiveRun(spark, sf, k)
+    assert(n1 == k)
+    val streamed = streamedDf.collect().toSeq
+    // independent per-epoch truth: the BATCH op on each prefix staged
+    // as its own corpus dir — it recomputes mean + covariance DIRECTLY,
+    // so equality proves the streamed sufficient-statistics identity
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val expected = (1 to k).flatMap { e =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pcal_pre${e}_").toString
+      emb.filter(col("vec_id") < (maxId + 1) * e / k)
+        .write.parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("llm_embedding_pca")(spark, dir).collect().toSeq
+        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+          r.get(2)))
+    }
+    assert(streamed == expected,
+      "per-epoch PCA projections != per-prefix batch llm_embedding_pca")
+    // the model visibly advances: epoch-1 projections of a shared
+    // vec_id differ from epoch-k's (covariance grew)
+    val e1 = streamed.filter(_.getInt(0) == 1)
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ek = streamed.filter(_.getInt(0) == k)
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(e1.keySet.exists(id => e1(id) != ek(id)),
+      "degenerate fixture: the PCA model never visibly advanced")
+    // kill-and-resume: epoch 3 resumes against the staged state_v2
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.pcaLiveRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n2) = StreamingOps.pcaLiveRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == streamed,
+      "resumed PCA live stream != one-shot chain")
+  }
+
   test("stream_ann_live: every epoch's verdicts equal llm_ann_ivf run " +
       "on that epoch's id-ordered prefix with a prefix-trained " +
       "quantizer, and a planned kill resumes to the same table") {
