@@ -106,7 +106,15 @@ object PlanDump {
     "llm_importance_weights" ->
       "DSIR importance weights (round-13 op): one corpus bigram explode feeds the (doc, bkt) partial+final agg; the raw/target grids roll up to ≤1024 rows, the λ table broadcasts back into the per-doc Σ tf·λ agg — the model side never shuffles the corpus, and the head-tercile target reuses the stage-cut perplexity base (no second LM train)",
     "events_pattern_value" ->
-      "iterative-condition CEP (round-13 op): the SAME single user-keyed time-bounded hash equi-join + min-struct shape as events_funnel, with the value predicate riding the join condition as one extra conjunct — the skip semantics cost zero extra operators")
+      "iterative-condition CEP (round-13 op): the SAME single user-keyed time-bounded hash equi-join + min-struct shape as events_funnel, with the value predicate riding the join condition as one extra conjunct — the skip semantics cost zero extra operators",
+    "llm_bpe_tokenize" ->
+      "BPE application (round-13 op): the corpus word explode joins the trained seg table by BROADCAST (vocab-sized build side) into a doc-keyed partial+final agg — the corpus never shuffles against the vocab; the trainer itself is vocab-tier (bounded tables, one argmax row per round)",
+    "llm_ann_pq" ->
+      "IVF-PQ ANN (round-13 op): the code table joins broadcast probes + the broadcast ADC grid into a (q, vec) keyed agg — no corpus shuffle, no cartesian, no SortMergeJoin anywhere; the exact re-rank fetches raw vectors only for the 50-row shortlist via an id-keyed join BEFORE sub-vector extraction",
+    "llm_ann_pq_persisted" ->
+      "persisted-index PQ (round-13 op): the same serving plan with the codebook/codes/centroids arriving as FileScans of the staged index — the deployment reads 16 sub-byte codes per vector, raw embeddings only for the shortlist",
+    "llm_embedding_pca" ->
+      "PCA (round-13 op): chained outer-product posexplodes feed the d²-key partial+final covariance agg (no self-join); the model tier is a bounded 64×64 collect + driver power method, and the projection plan is join-free literal-vector arithmetic over the centered stage")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are
