@@ -229,7 +229,11 @@ object ScaleProbe {
     // is O(batch·d²) into a d²-row state (never a prefix rescan), so
     // the chain cost is the linear batch scans + the prefix-linear
     // projection rewrites + the 4-trigger floor
-    "stream_pca_live")
+    "stream_pca_live",
+    // round-13: vocab artifact (vocab-tier after the corpus fold —
+    // flat like llm_bpe_train) and the PCA-residual outlier filter
+    // (the covariance linear shape + a TakeOrdered tail)
+    "llm_bpe_vocab", "llm_embedding_outliers")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -131,6 +131,24 @@ object BpeOps {
         .orderBy(col("merge_rank"))
     }),
 
+    // The tokenizer's VOCAB artifact (round-13 add): one row per
+    // distinct symbol of the final segmentation — the vocab file a
+    // trained tokenizer ships. corpus_freq counts every occurrence
+    // position weighted by word frequency (a symbol can appear twice
+    // in one word); n_vocab_words = distinct words containing it;
+    // merged = multi-char (single chars are the never-merged base
+    // alphabet by construction). Vocab-tier only: the corpus was
+    // already folded into (word, freq) by the shared trainer.
+    "llm_bpe_vocab" -> ((s, d) => {
+      val (_, segN) = bpeCore(s, d)
+      segN.select(col("w"), col("freq"), explode(col("seg")).as("symbol"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("freq")).as("corpus_freq"),
+          countDistinct(col("w")).as("n_vocab_words"))
+        .withColumn("merged", length(col("symbol")) > 1)
+        .orderBy(col("corpus_freq").desc, col("symbol"))
+    }),
+
     "llm_bpe_tokenize" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -200,6 +218,17 @@ object BpeOps {
               CAST(cnt AS BIGINT) AS pair_count FROM b$r""")
           .mkString(" UNION ALL ")}
          ORDER BY merge_rank""",
+
+    "llm_bpe_vocab" ->
+      s"""WITH RECURSIVE
+         $bpeCtesSql,
+         sym AS (SELECT w, freq, unnest(seg) AS symbol
+                 FROM seg$NMerges)
+         SELECT symbol, CAST(sum(freq) AS BIGINT) AS corpus_freq,
+                CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words,
+                length(symbol) > 1 AS merged
+         FROM sym GROUP BY symbol
+         ORDER BY corpus_freq DESC, symbol""",
 
     "llm_bpe_tokenize" ->
       s"""WITH RECURSIVE

@@ -144,6 +144,48 @@ object PcaOps {
         mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
       val (v1, v2) = pcaComponents(mat)
       projectArrays(cxa, v1, v2)
+    }),
+
+    // Embedding-space OUTLIER scoring (round-13 add): the curation
+    // filter PCA exists to feed — a vector's residual variance OFF the
+    // top-2 plane, resid = |c|²/10¹² − p1² − p2² (unrounded
+    // projections; |c|² is an EXACT long Σc², so the only doubles are
+    // the proven pinned-order folds), top-25 by (resid DESC, vec_id).
+    // Embedding outliers are the mislabeled/corrupted-modality
+    // candidates a pretraining pipeline quarantines before training.
+    // Shares the whole model tier with `llm_embedding_pca`; the rank
+    // compiles to TakeOrderedAndProject (never a global sort).
+    "llm_embedding_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cutF = AdaptiveCollapse.stageCut(s) _
+      val cxa = cutF(centeredArrays(emb))
+      val cov = cxa
+        .select(col("arr"), posexplode(col("arr")).as(Seq("i0", "ci")))
+        .select(col("i0"), col("ci"),
+          posexplode(col("arr")).as(Seq("j0", "cj")))
+        .groupBy(col("i0"), col("j0"))
+        .agg(sum(col("ci") * col("cj")).as("cl"))
+        .collect()
+      val mat = Array.ofDim[Double](Dim, Dim)
+      cov.foreach(r =>
+        mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
+      val (v1, v2) = pcaComponents(mat)
+      def projRaw(v: Array[Double]): org.apache.spark.sql.Column = {
+        val vlit = array(v.map(lit): _*)
+        aggregate(
+          zip_with(col("arr"), vlit, (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x) / lit(1e6)
+      }
+      val self = aggregate(transform(col("arr"), c => c * c), lit(0L),
+        (acc, x) => acc + x).cast("double") / lit(1e12)
+      cxa.select(col("vec_id"), projRaw(v1).as("p1u"),
+          projRaw(v2).as("p2u"), self.as("selfv"))
+        .select(col("vec_id"), round(col("p1u"), 6).as("p1"),
+          round(col("p2u"), 6).as("p2"),
+          round(col("selfv") - col("p1u") * col("p1u")
+            - col("p2u") * col("p2u"), 6).as("resid"))
+        .orderBy(col("resid").desc, col("vec_id"))
+        .limit(25)
     })
   )
 
@@ -246,5 +288,20 @@ object PcaOps {
   }
 
   val oracle: Map[String, String] = Map(
-    "llm_embedding_pca" -> pcaOracleSql)
+    "llm_embedding_pca" -> pcaOracleSql,
+    "llm_embedding_outliers" ->
+      s"""WITH ${pcaMirrorCtes("", "embeddings")},
+         scored AS (
+           SELECT x.vec_id,
+             list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
+               (SELECT v FROM v1_$Iters)) / 1000000.0 AS p1u,
+             list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
+               (SELECT v FROM v2_$Iters)) / 1000000.0 AS p2u,
+             CAST(sum(x.c * x.c) AS DOUBLE) / 1000000000000.0 AS selfv
+           FROM cx x GROUP BY x.vec_id)
+         SELECT vec_id, round(p1u, 6) AS p1, round(p2u, 6) AS p2,
+                round(selfv - p1u * p1u - p2u * p2u, 6) AS resid
+         FROM scored
+         ORDER BY resid DESC, vec_id
+         LIMIT 25""")
 }

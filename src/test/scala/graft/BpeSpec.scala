@@ -134,6 +134,30 @@ class BpeSpec extends GraftSpec {
     }
   }
 
+  test("bpe_vocab is the reference segmentation's symbol table") {
+    val texts = Seq(
+      "stream stream streams streaming batch batch",
+      "sort sorted sorting sort stream batch port part",
+      "abab abab baba aa")
+    val dir = writeDocs(texts)
+    val wf = wordFreqs(texts)
+    val (_, refSeg) = refBpe(wf, operators.BpeOps.NMerges)
+    val exp = refSeg.toSeq
+      .flatMap { case (w, seg) => seg.map(sym => (sym, w, wf(w))) }
+      .groupBy(_._1)
+      .map { case (sym, occ) =>
+        sym -> (occ.map(_._3).sum, occ.map(_._2).distinct.size.toLong)
+      }
+    val got = SparkEntry.queries("llm_bpe_vocab")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp, s"vocab drift:\n got=$got\n exp=$exp")
+    // merged ⇔ multi-char; ordering is (corpus_freq DESC, symbol)
+    val rows = SparkEntry.queries("llm_bpe_vocab")(spark, dir).collect()
+    assert(rows.forall(r => r.getBoolean(3) == (r.getString(0).length > 1)))
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("bpe ops are deterministic and sane on the sf corpus") {
     val m1 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq
     val m2 = SparkEntry.queries("llm_bpe_train")(spark, sf).collect().toSeq

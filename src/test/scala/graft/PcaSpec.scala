@@ -73,6 +73,52 @@ class PcaSpec extends GraftSpec {
       s"${bad.size} projections drifted; first: ${bad.headOption}")
   }
 
+  test("embedding outliers are the top-25 by independent residual " +
+      "recomputation, and residuals are nonnegative off-plane energy") {
+    val data = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val n = data.length
+    val xm = data.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6))
+    }
+    val mj = Array.tabulate(Dim) { j =>
+      val s = xm.map(_._2(j)).sum
+      if (s >= 0) s / n else -((-s) / n)
+    }
+    val cx = xm.map { case (id, v) =>
+      id -> Array.tabulate(Dim)(j => v(j) - mj(j))
+    }
+    val mat = Array.ofDim[Double](Dim, Dim)
+    for (i <- 0 until Dim; j <- 0 until Dim) {
+      var s = 0L
+      cx.foreach { case (_, c) => s += c(i) * c(j) }
+      mat(i)(j) = s.toDouble
+    }
+    val (v1, v2) = operators.PcaOps.pcaComponents(mat)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0
+      var j = 0
+      while (j < Dim) { s += a(j) * b(j); j += 1 }
+      s
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = cx.map { case (id, c) =>
+      val cd = c.map(_.toDouble)
+      val p1 = dot(cd, v1) / 1e6
+      val p2 = dot(cd, v2) / 1e6
+      var s2 = 0L
+      c.foreach(v => s2 += v * v)
+      (id, r6(s2.toDouble / 1e12 - p1 * p1 - p2 * p2))
+    }
+    val exp = scored.sortBy { case (id, r) => (-r, id) }.take(25).toSeq
+    val got = SparkEntry.queries("llm_embedding_outliers")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == exp, s"outlier drift:\n got=$got\n exp=$exp")
+    // off-plane energy can't be negative (beyond the 1e-6 round)
+    assert(got.forall(_._2 >= -1e-6))
+  }
+
   test("pca projections are centered and deterministic") {
     val a = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
     val b = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
