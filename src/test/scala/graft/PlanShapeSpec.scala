@@ -145,6 +145,12 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("Join"), s"projection plans a join:\n$plan")
   }
 
+  test("llm_embedding_outliers takes its top-25 via TakeOrderedAndProject") {
+    val plan = finalPlan("llm_embedding_outliers")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
+    assert(!plan.contains("Join"), s"residual map plans a join:\n$plan")
+  }
+
   test("llm_pack_sequences windows by (lang, shard), not lang alone") {
     // Keyed by lang alone, one partition would hold a language's whole
     // corpus at scale; the shard key multiplies parallelism by PackShards.
