@@ -61,6 +61,120 @@ class AnnPqSpec extends GraftSpec {
       "staged-index serving drifted from the retrain op")
   }
 
+  test("pq matches a full independent pipeline replay on randomized " +
+      "corpora (property pin: seeded, reproducible)") {
+    // end-to-end reference: Knuth-hash seeds → 2 integer Lloyd rounds →
+    // codes → cosine probe (the kernel's single dot/na/nb loop) → ADC →
+    // exact micro-L2 re-rank — written independently of AnnOps
+    val Dim = 64
+    val M = operators.AnnOps.PqM
+    val SubD = operators.AnnOps.PqSubD
+    val K = operators.AnnOps.PqK
+    val NProbe = operators.AnnOps.NProbe
+    val R = operators.AnnOps.PqShortlist
+    val TopK = operators.AnnOps.TopK
+    val rnd = new scala.util.Random(13L)
+
+    def reference(vecs: Map[Long, Array[Float]], labels: Map[Long, Int])
+        : Seq[(Long, Long, Double, Int, Int)] = {
+      val ids = vecs.keys.toSeq.sorted
+      val xm = vecs.map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1e6))
+      }
+      def sub(id: Long, t: Int): Array[Long] =
+        Array.tabulate(SubD)(j => xm(id)(t * SubD + j))
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L
+        var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      // seeds by Knuth hash rank
+      def mh(id: Long) = ((id % 268435456L) * 2654435761L) % 1000000007L
+      val seeds = ids.sortBy(id => (mh(id), id)).take(K)
+      var cb: Map[(Int, Int), Array[Long]] = (for {
+        t <- 0 until M; k <- seeds.indices
+      } yield (t, k) -> sub(seeds(k), t)).toMap
+      def assign(): Map[(Long, Int), Int] =
+        (for (id <- ids; t <- 0 until M) yield {
+          val ks = cb.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+          (id, t) -> ks.minBy(k => (d2(sub(id, t), cb((t, k))), k))
+        }).toMap
+      def update(a: Map[(Long, Int), Int]): Map[(Int, Int), Array[Long]] =
+        a.groupBy { case ((_, t), k) => (t, k) }.map { case ((t, k), g) =>
+          val members = g.keys.map(_._1).toSeq
+          (t, k) -> Array.tabulate(SubD) { j =>
+            val s = members.map(id => sub(id, t)(j)).sum
+            if (s >= 0) s / members.size else -((-s) / members.size)
+          }
+        }
+      cb = update(assign()); cb = update(assign())
+      val codes = assign()
+      // coarse centroids (micro-unit trunc-div, /1e6) + kernel cosine
+      val cents = labels.values.toSeq.distinct.sorted.map { l =>
+        val mem = ids.filter(labels(_) == l)
+        l -> Array.tabulate(Dim) { j =>
+          val s = mem.map(id => xm(id)(j)).sum
+          (if (s >= 0) s / mem.size else -((-s) / mem.size)) / 1e6
+        }
+      }.toMap
+      def cos(q: Array[Float], c: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < Dim) {
+          val xi = q(i).toDouble
+          dot += xi * c(i); na += xi * xi; nb += c(i) * c(i)
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val qs = ids.filter(_ < 10)
+      qs.flatMap { q =>
+        val probed = cents.keys.toSeq
+          .sortBy(l => (-cos(vecs(q), cents(l)), l)).take(NProbe).toSet
+        val dt = (for (t <- 0 until M; k <- 0 until K
+            if cb.contains((t, k)))
+          yield (t, k) -> d2(sub(q, t), cb((t, k)))).toMap
+        val cand = ids.filter(v => v != q && probed(labels(v)))
+          .map { v =>
+            v -> (0 until M).map(t => dt((t, codes((v, t))))).sum
+          }
+        val short = cand.sortBy { case (v, ad) => (ad, v) }.take(R)
+          .zipWithIndex.map { case ((v, _), i) => (v, i + 1) }
+        val rr = short.map { case (v, arn) =>
+          (v, arn, (0 until M).map(t => d2(sub(q, t), sub(v, t))).sum)
+        }
+        rr.sortBy { case (v, _, ed) => (ed, v) }.take(TopK)
+          .zipWithIndex.map { case ((v, arn, ed), i) =>
+            (q, v, BigDecimal(ed / 1e12)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              arn, i + 1)
+          }
+      }
+    }
+
+    (1 to 3).foreach { case_ =>
+      import spark.implicits._
+      val n = 30 + rnd.nextInt(20)
+      val rows = (0L until n.toLong).map { id =>
+        (id, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat),
+          rnd.nextInt(4))
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pqprop${case_}_").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val exp = reference(rows.map(r => r._1 -> r._2).toMap,
+        rows.map(r => r._1 -> r._3).toMap)
+      val got = SparkEntry.queries("llm_ann_pq")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3), r.getInt(4))).toSeq
+      assert(got == exp,
+        s"case $case_ (n=$n): PQ drifted from the independent replay\n" +
+          s" got=${got.take(8)}\n exp=${exp.take(8)}")
+    }
+  }
+
   test("pq output is deterministic and well-formed") {
     val a = SparkEntry.queries("llm_ann_pq")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("llm_ann_pq")(spark, sf).collect().toSeq
