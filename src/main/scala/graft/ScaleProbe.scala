@@ -233,7 +233,11 @@ object ScaleProbe {
     // round-13: vocab artifact (vocab-tier after the corpus fold —
     // flat like llm_bpe_train) and the PCA-residual outlier filter
     // (the covariance linear shape + a TakeOrdered tail)
-    "llm_bpe_vocab", "llm_embedding_outliers")
+    "llm_bpe_vocab", "llm_embedding_outliers",
+    // round-13: the live quarantine — stream_pca_live's state shape
+    // with a per-epoch top-25 re-select instead of the prefix
+    // projection rewrite (output 25·k rows at any factor)
+    "stream_outliers_live")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic

@@ -170,24 +170,35 @@ object PcaOps {
       cov.foreach(r =>
         mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
       val (v1, v2) = pcaComponents(mat)
-      def projRaw(v: Array[Double]): org.apache.spark.sql.Column = {
-        val vlit = array(v.map(lit): _*)
-        aggregate(
-          zip_with(col("arr"), vlit, (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x) / lit(1e6)
-      }
-      val self = aggregate(transform(col("arr"), c => c * c), lit(0L),
-        (acc, x) => acc + x).cast("double") / lit(1e12)
-      cxa.select(col("vec_id"), projRaw(v1).as("p1u"),
-          projRaw(v2).as("p2u"), self.as("selfv"))
-        .select(col("vec_id"), round(col("p1u"), 6).as("p1"),
-          round(col("p2u"), 6).as("p2"),
-          round(col("selfv") - col("p1u") * col("p1u")
-            - col("p2u") * col("p2u"), 6).as("resid"))
-        .orderBy(col("resid").desc, col("vec_id"))
-        .limit(25)
+      outlierSelect(cxa, v1, v2)
     })
   )
+
+  /** The top-[[Outliers]] residual quarantine over a centered-array
+    * frame and two literal eigenvectors — shared by
+    * `llm_embedding_outliers` and the per-epoch `stream_outliers_live`
+    * emit so the batch and live faces select identically. */
+  private[graft] val Outliers = 25
+
+  private[graft] def outlierSelect(cxa: DataFrame, v1: Array[Double],
+      v2: Array[Double]): DataFrame = {
+    def projRaw(v: Array[Double]): org.apache.spark.sql.Column = {
+      val vlit = array(v.map(lit): _*)
+      aggregate(
+        zip_with(col("arr"), vlit, (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x) / lit(1e6)
+    }
+    val self = aggregate(transform(col("arr"), c => c * c), lit(0L),
+      (acc, x) => acc + x).cast("double") / lit(1e12)
+    cxa.select(col("vec_id"), projRaw(v1).as("p1u"),
+        projRaw(v2).as("p2u"), self.as("selfv"))
+      .select(col("vec_id"), round(col("p1u"), 6).as("p1"),
+        round(col("p2u"), 6).as("p2"),
+        round(col("selfv") - col("p1u") * col("p1u")
+          - col("p2u") * col("p2u"), 6).as("resid"))
+      .orderBy(col("resid").desc, col("vec_id"))
+      .limit(Outliers)
+  }
 
   /** One unrolled power step of the DuckDB mirror: matvec over the
     * ordered covariance rows, norm, normalize — `mat` selects the
@@ -285,6 +296,36 @@ object PcaOps {
         s"SELECT CAST($e AS INTEGER) AS epoch, vec_id, p1, p2 " +
           s"FROM proj_$e").mkString(" UNION ALL ")}
        ORDER BY epoch, vec_id"""
+  }
+
+  /** DuckDB mirror of `stream_outliers_live`: per epoch, the
+    * prefix-trained PCA mirror + the residual top-[[Outliers]] select
+    * (the llm_embedding_outliers final stage), UNION ALLed. */
+  private[graft] def outliersLiveOracleSql(k: Int): String = {
+    val blocks = (1 to k).map { e =>
+      s"""pre$e AS (SELECT * FROM embeddings
+              WHERE vec_id <
+                ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
+         ${pcaMirrorCtes(s"_$e", s"pre$e")},
+         scored_$e AS (
+           SELECT x.vec_id,
+             list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
+               (SELECT v FROM v1_${Iters}_$e)) / 1000000.0 AS p1u,
+             list_dot_product(list(CAST(x.c AS DOUBLE) ORDER BY x.j),
+               (SELECT v FROM v2_${Iters}_$e)) / 1000000.0 AS p2u,
+             CAST(sum(x.c * x.c) AS DOUBLE) / 1000000000000.0 AS selfv
+           FROM cx_$e x GROUP BY x.vec_id),
+         sel_$e AS (
+           SELECT vec_id, round(p1u, 6) AS p1, round(p2u, 6) AS p2,
+                  round(selfv - p1u * p1u - p2u * p2u, 6) AS resid
+           FROM scored_$e
+           ORDER BY resid DESC, vec_id LIMIT $Outliers)"""
+    }
+    s"""WITH ${blocks.mkString(",\n       ")}
+       ${(1 to k).map(e =>
+        s"SELECT CAST($e AS INTEGER) AS epoch, vec_id, p1, p2, resid " +
+          s"FROM sel_$e").mkString(" UNION ALL ")}
+       ORDER BY epoch, resid DESC, vec_id"""
   }
 
   val oracle: Map[String, String] = Map(

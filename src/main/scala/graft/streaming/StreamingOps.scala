@@ -1306,6 +1306,7 @@ object StreamingOps {
     "stream_ann_live" -> ((s, d) => annLiveRun(s, d, 4)._1),
     "stream_pq_live" -> ((s, d) => pqLiveRun(s, d, 4)._1),
     "stream_pca_live" -> ((s, d) => pcaLiveRun(s, d, 4)._1),
+    "stream_outliers_live" -> ((s, d) => outliersLiveRun(s, d, 4)._1),
 
     "stream_ccnet_ingest" -> ((s, d) => ccnetIngestRun(s, d, 4)._1),
 
@@ -2141,10 +2142,89 @@ object StreamingOps {
     * sufficient-statistics stages (`sxx_v<e>`, `sxn_v<e>`) and the
     * append sink (`out/`); `failBeforeEpoch` injects a
     * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+  private val pcaSxxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("i",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("j",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("sxx",
+      org.apache.spark.sql.types.LongType)))
+  private val pcaSxnSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("j",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("sx",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Advance the PCA sufficient-statistics state for epoch `e` with
+    * the batch's own contributions (micro-unit longs), stage
+    * `sxx_v<e>`/`sxn_v<e>` (idempotent per-epoch overwrite for
+    * replay/resume), and return the state-derived top-2 components —
+    * the covariance comes from the exact integer identity, never a
+    * corpus rescan. Shared by `stream_pca_live` (projections face)
+    * and `stream_outliers_live` (quarantine face). */
+  private def pcaStateAdvance(ss: SparkSession, root: String, e: Int,
+      batch: DataFrame): (Array[Double], Array[Double]) = {
+    val dim = graft.operators.PcaOps.Dim
+    val arrs = batch.select(col("vec_id"), expr(
+      """transform(embedding,
+         x -> cast(round(cast(x as double) * 1e6) as bigint))""")
+      .as("arr"))
+    val bxx = arrs
+      .select(col("arr"), posexplode(col("arr")).as(Seq("p0", "ci")))
+      .select(col("p0"), col("ci"),
+        posexplode(col("arr")).as(Seq("p1x", "cj")))
+      .groupBy((col("p0") + 1).cast("int").as("i"),
+        (col("p1x") + 1).cast("int").as("j"))
+      .agg(sum(col("ci") * col("cj")).as("sxx"))
+    val bn = batch.count()
+    val bsxn = arrs
+      .select(posexplode(col("arr")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("int").as("j"))
+      .agg(sum(col("x")).as("sx"))
+      .withColumn("n", lit(bn))
+    val (sxxNew, sxnNew) =
+      if (e == 1) (bxx, bsxn)
+      else {
+        val pxx = ss.read.schema(pcaSxxSchema)
+          .parquet(s"$root/sxx_v${e - 1}")
+        val pxn = ss.read.schema(pcaSxnSchema)
+          .parquet(s"$root/sxn_v${e - 1}")
+        (pxx.join(bxx.withColumnRenamed("sxx", "b"),
+            Seq("i", "j"), "full")
+          .select(col("i"), col("j"),
+            (coalesce(col("sxx"), lit(0L))
+              + coalesce(col("b"), lit(0L))).as("sxx")),
+          pxn.join(bsxn.withColumnRenamed("sx", "bx")
+              .withColumnRenamed("n", "bn"), Seq("j"), "full")
+            .select(col("j"),
+              (coalesce(col("sx"), lit(0L))
+                + coalesce(col("bx"), lit(0L))).as("sx"),
+              (coalesce(col("n"), lit(0L))
+                + coalesce(col("bn"), lit(0L))).as("n")))
+      }
+    sxxNew.write.mode("overwrite").parquet(s"$root/sxx_v$e")
+    sxnNew.write.mode("overwrite").parquet(s"$root/sxn_v$e")
+    val sxn = ss.read.schema(pcaSxnSchema)
+      .parquet(s"$root/sxn_v$e").collect()
+    val n = sxn.head.getLong(2)
+    val sx = Array.ofDim[Long](dim)
+    sxn.foreach(r => sx(r.getInt(0) - 1) = r.getLong(1))
+    val m = sx.map(v => if (v >= 0) v / n else -((-v) / n))
+    val mat = Array.ofDim[Double](dim, dim)
+    ss.read.schema(pcaSxxSchema).parquet(s"$root/sxx_v$e")
+      .collect().foreach { r =>
+        val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+        mat(i)(j) = (r.getLong(2) - sx(i) * m(j) - m(i) * sx(j)
+          + n * m(i) * m(j)).toDouble
+      }
+    graft.operators.PcaOps.pcaComponents(mat)
+  }
+
   private[graft] def pcaLiveRunAt(s: SparkSession, d: String, k: Int,
       root: String, ckpt: String,
       failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
-    val dim = graft.operators.PcaOps.Dim
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
     val srcDir = tableBatchDir(s"pcalive:$d@$k", emb, "vec_id", k)
@@ -2152,10 +2232,6 @@ object StreamingOps {
     val outDir = s"$root/out"
     Files.createDirectories(java.nio.file.Paths.get(outDir))
     import org.apache.spark.sql.types._
-    val sxxSchema = StructType(Seq(StructField("i", IntegerType),
-      StructField("j", IntegerType), StructField("sxx", LongType)))
-    val sxnSchema = StructType(Seq(StructField("j", IntegerType),
-      StructField("sx", LongType), StructField("n", LongType)))
     val outSchema = StructType(Seq(
       StructField("epoch", IntegerType),
       StructField("vec_id", LongType),
@@ -2178,63 +2254,7 @@ object StreamingOps {
             val hi = monotoneBatchBounds(batch, "vec_id",
               "stream_pca_live", prevMax).map(_._2)
               .getOrElse(prevMax.get())
-            // batch-only sufficient statistics (micro-unit longs)
-            val arrs = batch.select(col("vec_id"), expr(
-              """transform(embedding,
-                 x -> cast(round(cast(x as double) * 1e6) as bigint))""")
-              .as("arr"))
-            val bxx = arrs
-              .select(col("arr"), posexplode(col("arr")).as(Seq("p0", "ci")))
-              .select(col("p0"), col("ci"),
-                posexplode(col("arr")).as(Seq("p1x", "cj")))
-              .groupBy((col("p0") + 1).cast("int").as("i"),
-                (col("p1x") + 1).cast("int").as("j"))
-              .agg(sum(col("ci") * col("cj")).as("sxx"))
-            val bn = batch.count()
-            val bsxn = arrs
-              .select(posexplode(col("arr")).as(Seq("p", "x")))
-              .groupBy((col("p") + 1).cast("int").as("j"))
-              .agg(sum(col("x")).as("sx"))
-              .withColumn("n", lit(bn))
-            // state_v{e} = state_v{e-1} + batch (append-only sums;
-            // overwrite is idempotent per epoch for replay/resume)
-            val (sxxNew, sxnNew) =
-              if (e == 1) (bxx, bsxn)
-              else {
-                val pxx = ss.read.schema(sxxSchema)
-                  .parquet(s"$root/sxx_v${e - 1}")
-                val pxn = ss.read.schema(sxnSchema)
-                  .parquet(s"$root/sxn_v${e - 1}")
-                (pxx.join(bxx.withColumnRenamed("sxx", "b"),
-                    Seq("i", "j"), "full")
-                  .select(col("i"), col("j"),
-                    (coalesce(col("sxx"), lit(0L))
-                      + coalesce(col("b"), lit(0L))).as("sxx")),
-                  pxn.join(bsxn.withColumnRenamed("sx", "bx")
-                      .withColumnRenamed("n", "bn"), Seq("j"), "full")
-                    .select(col("j"),
-                      (coalesce(col("sx"), lit(0L))
-                        + coalesce(col("bx"), lit(0L))).as("sx"),
-                      (coalesce(col("n"), lit(0L))
-                        + coalesce(col("bn"), lit(0L))).as("n")))
-              }
-            sxxNew.write.mode("overwrite").parquet(s"$root/sxx_v$e")
-            sxnNew.write.mode("overwrite").parquet(s"$root/sxn_v$e")
-            // covariance from state by the exact integer identity
-            val sxn = ss.read.schema(sxnSchema)
-              .parquet(s"$root/sxn_v$e").collect()
-            val n = sxn.head.getLong(2)
-            val sx = Array.ofDim[Long](dim)
-            sxn.foreach(r => sx(r.getInt(0) - 1) = r.getLong(1))
-            val m = sx.map(v => if (v >= 0) v / n else -((-v) / n))
-            val mat = Array.ofDim[Double](dim, dim)
-            ss.read.schema(sxxSchema).parquet(s"$root/sxx_v$e")
-              .collect().foreach { r =>
-                val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
-                mat(i)(j) = (r.getLong(2) - sx(i) * m(j) - m(i) * sx(j)
-                  + n * m(i) * m(j)).toDouble
-              }
-            val (v1, v2) = graft.operators.PcaOps.pcaComponents(mat)
+            val (v1, v2) = pcaStateAdvance(ss, root, e, batch)
             val prefix = embeddings(ss, d).filter(col("vec_id") <= hi)
             graft.operators.PcaOps.projectArrays(
                 graft.operators.PcaOps.centeredArrays(prefix), v1, v2)
@@ -2250,6 +2270,78 @@ object StreamingOps {
     }
     (s.read.schema(outSchema).parquet(outDir).distinct()
       .orderBy(col("epoch"), col("vec_id")), nBatches.get())
+  }
+
+  /** §2.I streaming OUTLIER QUARANTINE (round-13 add): the live face
+    * of `llm_embedding_outliers` riding the SAME sufficient-statistics
+    * state as [[pcaLiveRunAt]] (shared [[pcaStateAdvance]]) — each
+    * epoch advances the (Σxxᵀ, Σx, n) state with its batch only,
+    * derives the model by the exact integer identity, and re-selects
+    * the prefix's top-25 off-plane residuals (the quarantine list a
+    * curation pipeline re-publishes as its model sharpens; an
+    * early-epoch "outlier" can LEAVE the list when later data makes
+    * its direction mainstream — epoch-keyed output, not append-only
+    * verdicts). Per-epoch ≡ `llm_embedding_outliers` on the prefix. */
+  private[graft] def outliersLiveRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try outliersLiveRunAt(s, d, k, registeredScratchDir("graft_outl_"),
+      ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[outliersLiveRun]] — the [[pcaLiveRunAt]]
+    * skeleton with the quarantine emit. */
+  private[graft] def outliersLiveRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val srcDir = tableBatchDir(s"pcalive:$d@$k", emb, "vec_id", k)
+    val embSchema = emb.schema
+    val outDir = s"$root/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("epoch", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("p1", DoubleType), StructField("p2", DoubleType),
+      StructField("resid", DoubleType)))
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "vec_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          locally {
+            val e = batchId.toInt + 1
+            val hi = monotoneBatchBounds(batch, "vec_id",
+              "stream_outliers_live", prevMax).map(_._2)
+              .getOrElse(prevMax.get())
+            val (v1, v2) = pcaStateAdvance(ss, root, e, batch)
+            val prefix = embeddings(ss, d).filter(col("vec_id") <= hi)
+            graft.operators.PcaOps.outlierSelect(
+                graft.operators.PcaOps.centeredArrays(prefix), v1, v2)
+              .select(lit(e).as("epoch"), col("vec_id"), col("p1"),
+                col("p2"), col("resid"))
+              .write.mode("append").parquet(outDir)
+            nBatches.set(e)
+            prevMax.set(hi)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    (s.read.schema(outSchema).parquet(outDir).distinct()
+      .orderBy(col("epoch"), col("resid").desc, col("vec_id")),
+      nBatches.get())
   }
 
   private[graft] def annLiveRun(s: SparkSession, d: String, k: Int,
@@ -4588,6 +4680,10 @@ object StreamingOps {
     // recomputes covariance directly, so the hash-match proves the
     // streamed (Σxxᵀ, Σx, n) state derivation (exact integer identity)
     "stream_pca_live" -> graft.operators.PcaOps.pcaLiveOracleSql(4),
+    // per-epoch ≡ llm_embedding_outliers on the prefix — shared PCA
+    // mirrors + the residual top-25 select per epoch
+    "stream_outliers_live" ->
+      graft.operators.PcaOps.outliersLiveOracleSql(4),
 
     // first-arrival keepers ≡ global min-id keepers under id-ordered
     // epochs + frozen staged models trained the batch op's way make

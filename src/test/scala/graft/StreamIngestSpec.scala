@@ -433,6 +433,48 @@ class StreamIngestSpec extends GraftSpec {
       "resumed PCA live stream != one-shot chain")
   }
 
+  test("stream_outliers_live: every epoch's quarantine equals " +
+      "llm_embedding_outliers on that epoch's prefix, and the list " +
+      "is genuinely dynamic (early members leave as the model grows)") {
+    val k = 4
+    val (streamedDf, n1) = StreamingOps.outliersLiveRun(spark, sf, k)
+    assert(n1 == k)
+    val streamed = streamedDf.collect().toSeq
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val expected = (1 to k).flatMap { e =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_outl_pre${e}_").toString
+      emb.filter(col("vec_id") < (maxId + 1) * e / k)
+        .write.parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("llm_embedding_outliers")(spark, dir)
+        .collect().toSeq
+        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+          r.get(2), r.get(3)))
+    }
+    assert(streamed == expected,
+      "per-epoch quarantine != per-prefix batch llm_embedding_outliers")
+    // dynamic: at least one epoch-1 outlier is NOT in the final list
+    // even though it is still in the prefix (the model re-judged it)
+    val first = streamed.filter(_.getInt(0) == 1).map(_.getLong(1)).toSet
+    val last = streamed.filter(_.getInt(0) == k).map(_.getLong(1)).toSet
+    assert((first -- last).nonEmpty,
+      "degenerate fixture: no early outlier ever left the quarantine")
+    // kill-and-resume over the shared sufficient-statistics state
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.outliersLiveRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n2) =
+      StreamingOps.outliersLiveRunAt(spark, sf, k, root, ckpt)
+    assert(n2 == k)
+    assert(resumed.collect().toSeq == streamed,
+      "resumed quarantine stream != one-shot chain")
+  }
+
   test("stream_ann_live: every epoch's verdicts equal llm_ann_ivf run " +
       "on that epoch's id-ordered prefix with a prefix-trained " +
       "quantizer, and a planned kill resumes to the same table") {
