@@ -260,9 +260,19 @@ object AnnOps {
   /** Where the staged PQ index lives (per corpus dir): codebook /
     * codes / coarse centroids. */
   private[graft] def pqIndexDirs(d: String): (String, String, String) = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+    // key the staged index by the SANITIZED FULL corpus path plus two
+    // independently-seeded 32-bit hashes of the raw path: a 32-bit
+    // hash alone could collide two corpus dirs and silently serve one
+    // corpus's queries against the other's staged index (r13 review)
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_") match {
+      case x if x.length > 80 => x.takeRight(80)
+      case x => x
+    }
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(d, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(d, 0x1b873593)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_pq_${safe}_" +
+      java.lang.Long.toHexString(((h1.toLong & 0xffffffffL) << 32)
+        | (h2.toLong & 0xffffffffL))
     (s"$base/cb", s"$base/codes", s"$base/cent")
   }
 

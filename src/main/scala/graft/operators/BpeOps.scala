@@ -78,8 +78,13 @@ object BpeOps {
   private def bpeCore(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val cutF = AdaptiveCollapse.stageCut(s) _
+    // w <> '' : split keeps empty tokens for consecutive/leading/
+    // trailing spaces, and a zero-length word would diverge three ways
+    // (Spark's sequence(1,0) DESCENDS to [1,0] → seg ["",""], DuckDB's
+    // generate_series(1,0) is empty) — filter them in BOTH engines
     val vocab = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // stage-cut: the corpus explode must run ONCE, not once per round
     var seg = cutF(vocab.withColumn("seg",
@@ -152,6 +157,7 @@ object BpeOps {
     "llm_bpe_tokenize" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
         .join(broadcast(segTable(s, d)), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
@@ -200,7 +206,7 @@ object BpeOps {
     s"""vocab AS MATERIALIZED (
          SELECT w, count(*) AS freq FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         GROUP BY 1),
+         WHERE w <> '' GROUP BY 1),
        seg0 AS MATERIALIZED (
          SELECT w, freq,
            list_transform(generate_series(1, CAST(length(w) AS BIGINT)),
@@ -233,8 +239,9 @@ object BpeOps {
     "llm_bpe_tokenize" ->
       s"""WITH RECURSIVE
          $bpeCtesSql,
-         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                 FROM documents),
+         tok AS (SELECT doc_id, w FROM
+                   (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents) WHERE w <> ''),
          per AS (SELECT t.doc_id, count(*) AS n_words,
                    sum(len(s.seg)) AS n_tokens
                  FROM tok t JOIN seg$NMerges s USING (w) GROUP BY 1)

@@ -17,10 +17,11 @@ import graft.Tables
   *    centroid discipline), so C[i][j] = Σ c_i·c_j is an EXACT long
   *    (|c| ≤ 4·10⁶ ⇒ per-pair ≤ 1.6·10¹³, safe to ~10⁵·corpus rows;
   *    a 100 TB deployment upgrades the accumulator to DECIMAL(38) —
-  *    same plan). The d² = 4096-key agg is map-side combinable and
-  *    the ONLY corpus-scale stage: each row contributes its outer
-  *    product via two chained posexplodes, no self-join, no shuffle
-  *    wider than d² keys.
+  *    same plan). The d² = 4096-key agg is the ONLY corpus-scale
+  *    stage, fed by the per-partition Gram accumulator
+  *    ([[gramPartials]]): each PARTITION emits d² partial rows (not
+  *    each row — the r13 ×4096 posexplode amplification is gone), no
+  *    self-join, no shuffle wider than d² keys.
   *  - MODEL tier: the 64×64 matrix is collected (bounded at ANY
   *    corpus size — the BPE-argmax rule) and the top-2 components
   *    come from TWELVE fixed power-method steps + one deflation,
@@ -64,7 +65,10 @@ object PcaOps {
       var j = 0
       while (j < Dim) { n2 += w(j) * w(j); j += 1 }
       val nrm = math.sqrt(n2)
-      v = w.map(_ / nrm)
+      // degenerate matrix (single vector / constant embeddings → all-
+      // zero covariance): keep the current iterate instead of NaN-
+      // poisoning every downstream projection
+      if (nrm != 0.0) v = w.map(_ / nrm)
       it += 1
     }
     v
@@ -110,6 +114,52 @@ object PcaOps {
         transform(col("pc"), x => x.getField("c")).as("arr"))
   }
 
+  /** Per-partition Gram accumulator over an `arr` column of [[Dim]]
+    * long arrays: each partition folds its rows into ONE local d×d
+    * long matrix and emits d² (i, j, cl) partials (1-based), so the
+    * agg's input carries 4096 rows PER PARTITION instead of 4096
+    * exploded structs PER ROW — the corpus tier's per-row CPU drops
+    * from d² struct emissions to d² fused multiply-adds (the r13
+    * review's efficiency item). Long addition is associative and
+    * commutative, so the grouped sums are bit-identical to the
+    * per-row outer-product aggregation the oracle mirrors. */
+  private[graft] def gramPartials(src: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    val dim = Dim
+    src.select(col("arr")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dim * dim)
+        var any = false
+        while (it.hasNext) {
+          val a = it.next().toArray
+          any = true
+          var i = 0
+          while (i < dim) {
+            val ai = a(i); val base = i * dim; var j = 0
+            while (j < dim) { acc(base + j) += ai * a(j); j += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.tabulate(dim * dim) { x =>
+          (x / dim + 1, x % dim + 1, acc(x))
+        }
+      }
+      .toDF("i", "j", "cl")
+      .groupBy(col("i"), col("j")).agg(sum(col("cl")).as("cl"))
+  }
+
+  /** Collect the d×d covariance matrix of a centered-array frame via
+    * [[gramPartials]] — the bounded model-tier collect (d² rows at ANY
+    * corpus size), shared by both batch PCA ops. */
+  private[graft] def gramMatrix(cxa: DataFrame): Array[Array[Double]] = {
+    val mat = Array.ofDim[Double](Dim, Dim)
+    gramPartials(cxa).collect().foreach(r =>
+      mat(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2).toDouble)
+    mat
+  }
+
   /** Project a centered-array frame onto two literal eigenvectors —
     * the shared fold (products in ascending index order, then the
     * ordered sum; ≡ the oracle's list_dot_product). */
@@ -130,19 +180,9 @@ object PcaOps {
       val emb = Tables.embeddings(s, d)
       val cutF = AdaptiveCollapse.stageCut(s) _
       val cxa = cutF(centeredArrays(emb))
-      // exact-long covariance via chained outer-product explodes —
-      // one corpus pass, d²-key map-side-combined agg, no self-join
-      val cov = cxa
-        .select(col("arr"), posexplode(col("arr")).as(Seq("i0", "ci")))
-        .select(col("i0"), col("ci"),
-          posexplode(col("arr")).as(Seq("j0", "cj")))
-        .groupBy(col("i0"), col("j0"))
-        .agg(sum(col("ci") * col("cj")).as("cl"))
-        .collect()
-      val mat = Array.ofDim[Double](Dim, Dim)
-      cov.foreach(r =>
-        mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
-      val (v1, v2) = pcaComponents(mat)
+      // exact-long covariance via the per-partition Gram accumulator —
+      // one corpus pass, d² partial rows per partition, no self-join
+      val (v1, v2) = pcaComponents(gramMatrix(cxa))
       projectArrays(cxa, v1, v2)
     }),
 
@@ -159,17 +199,7 @@ object PcaOps {
       val emb = Tables.embeddings(s, d)
       val cutF = AdaptiveCollapse.stageCut(s) _
       val cxa = cutF(centeredArrays(emb))
-      val cov = cxa
-        .select(col("arr"), posexplode(col("arr")).as(Seq("i0", "ci")))
-        .select(col("i0"), col("ci"),
-          posexplode(col("arr")).as(Seq("j0", "cj")))
-        .groupBy(col("i0"), col("j0"))
-        .agg(sum(col("ci") * col("cj")).as("cl"))
-        .collect()
-      val mat = Array.ofDim[Double](Dim, Dim)
-      cov.foreach(r =>
-        mat(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble)
-      val (v1, v2) = pcaComponents(mat)
+      val (v1, v2) = pcaComponents(gramMatrix(cxa))
       outlierSelect(cxa, v1, v2)
     })
   )

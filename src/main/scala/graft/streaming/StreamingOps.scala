@@ -2171,13 +2171,11 @@ object StreamingOps {
       """transform(embedding,
          x -> cast(round(cast(x as double) * 1e6) as bigint))""")
       .as("arr"))
-    val bxx = arrs
-      .select(col("arr"), posexplode(col("arr")).as(Seq("p0", "ci")))
-      .select(col("p0"), col("ci"),
-        posexplode(col("arr")).as(Seq("p1x", "cj")))
-      .groupBy((col("p0") + 1).cast("int").as("i"),
-        (col("p1x") + 1).cast("int").as("j"))
-      .agg(sum(col("ci") * col("cj")).as("sxx"))
+    // per-partition Gram accumulator (PcaOps.gramPartials): d² partial
+    // rows per partition instead of d² exploded structs per row —
+    // identical exact longs (long addition commutes)
+    val bxx = graft.operators.PcaOps.gramPartials(arrs)
+      .select(col("i"), col("j"), col("cl").as("sxx"))
     val bn = batch.count()
     val bsxn = arrs
       .select(posexplode(col("arr")).as(Seq("p", "x")))
@@ -2208,6 +2206,11 @@ object StreamingOps {
     sxnNew.write.mode("overwrite").parquet(s"$root/sxn_v$e")
     val sxn = ss.read.schema(pcaSxnSchema)
       .parquet(s"$root/sxn_v$e").collect()
+    if (sxn.isEmpty)
+      // empty state (every micro-batch so far empty): no model to
+      // derive — publish the zero model; the caller's empty prefix
+      // emits no rows for this epoch (the empty-epoch discipline)
+      return (Array.fill(dim)(0.0), Array.fill(dim)(0.0))
     val n = sxn.head.getLong(2)
     val sx = Array.ofDim[Long](dim)
     sxn.foreach(r => sx(r.getInt(0) - 1) = r.getLong(1))
@@ -2895,6 +2898,7 @@ object StreamingOps {
             val seg = ss.read.schema(segSchema).parquet(segDir)
             batch.select(col("doc_id"),
                 explode(split(col("text"), " ")).as("w"))
+              .filter(col("w") =!= "")
               .join(broadcast(seg), Seq("w"))
               .groupBy(col("doc_id"))
               .agg(count(lit(1)).as("n_words"),

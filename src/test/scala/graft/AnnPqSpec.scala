@@ -191,4 +191,20 @@ class AnnPqSpec extends GraftSpec {
       assert(rows.forall(_.getLong(1) != q))
     }
   }
+
+  test("pq staged-index dirs are keyed by the full corpus path, not a " +
+      "32-bit hash") {
+    // r14 fix: two distinct corpus dirs must never share a staging dir
+    // (a collision would serve one corpus's queries against the
+    // other's index); the dir embeds the sanitized path + a 64-bit key
+    val a = operators.AnnOps.pqIndexDirs("/data/corpus_a")._1
+    val b = operators.AnnOps.pqIndexDirs("/data/corpus_b")._1
+    assert(a != b)
+    assert(a.contains("_data_corpus_a"), s"dir not path-keyed: $a")
+    // deterministic across calls (the idempotent-staging contract)
+    assert(a == operators.AnnOps.pqIndexDirs("/data/corpus_a")._1)
+    // long paths stay filesystem-safe (sanitized tail ≤ 80 chars)
+    val long = operators.AnnOps.pqIndexDirs("/x/" + "y" * 300)._1
+    assert(new java.io.File(long).getParentFile.getName.length < 120)
+  }
 }

@@ -89,6 +89,37 @@ class BpeSpec extends GraftSpec {
     assert(got.length == 2, s"expected early stop, got ${got.toSeq}")
   }
 
+  test("bpe ops drop the empty words a multi-space corpus splits out") {
+    // consecutive/leading/trailing spaces make split() emit "" tokens;
+    // untreated they would diverge three ways (Spark's sequence(1,0)
+    // DESCENDS → seg ["",""], DuckDB's generate_series(1,0) is empty,
+    // the reference has no empty word) — r14 filters w <> '' in both
+    // engines, so the trainer must match the reference computed on the
+    // non-empty vocabulary
+    val texts = Seq(
+      "stream  stream   streams batch", // double/triple interior runs
+      " sort sorted  sorting sort ",    // leading + trailing
+      "abab abab  baba aa")
+    val dir = writeDocs(texts)
+    val freqs = wordFreqs(texts).filter { case (w, _) => w.nonEmpty }
+    val (refM, refSeg) = refBpe(freqs, operators.BpeOps.NMerges)
+    val got = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == refM, s"trainer diverged on multi-space corpus:\n$got")
+    // tokenize: per-doc word/token counts over NON-empty words only
+    val tok = SparkEntry.queries("llm_bpe_tokenize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expTok = texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      i.toLong -> (ws.length.toLong,
+        ws.map(w => refSeg(w).length.toLong).sum)
+    }.toMap
+    assert(tok == expTok, s"tokenize diverged: $tok vs $expTok")
+    // vocab: no empty symbol anywhere
+    val vocab = SparkEntry.queries("llm_bpe_vocab")(spark, dir).collect()
+    assert(vocab.forall(_.getString(0).nonEmpty))
+  }
+
   test("bpe_train tie-break is (count DESC, left, right)") {
     // "ba" and "ab" both appear exactly twice as adjacent pairs;
     // lexicographic pick must choose (a,b)

@@ -119,6 +119,44 @@ class PcaSpec extends GraftSpec {
     assert(got.forall(_._2 >= -1e-6))
   }
 
+  test("gramPartials equals the brute-force outer-product sum, with " +
+      "empty partitions absorbed") {
+    // the per-partition accumulator (r14: replaces the ×d² posexplode)
+    // must reproduce the exact longs of the naive per-row outer product
+    // regardless of row-to-partition placement
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(37)(i =>
+      (i.toLong, Seq.fill(Dim)(rnd.between(-4000000L, 4000000L))))
+    import spark.implicits._
+    // 16 partitions over 37 rows → some partitions are empty-ish and
+    // the accumulator's any-guard must drop them silently
+    val df = rows.toDF("vec_id", "arr").repartition(16)
+    val got = operators.PcaOps.gramPartials(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exp = (for (i <- 0 until Dim; j <- 0 until Dim) yield {
+      var s = 0L
+      rows.foreach { case (_, a) => s += a(i) * a(j) }
+      (i + 1, j + 1) -> s
+    }).toMap
+    assert(got == exp)
+    // a fully-empty frame yields zero partial rows, not a zero matrix
+    assert(operators.PcaOps.gramPartials(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], df.schema)).count() == 0L)
+  }
+
+  test("powerIter survives the all-zero covariance of a degenerate " +
+      "prefix without NaN") {
+    val zero = Array.ofDim[Double](Dim, Dim)
+    val v = operators.PcaOps.powerIter(zero)
+    assert(v.forall(x => !x.isNaN && !x.isInfinite))
+    // the guard keeps the init vector e1 rather than poisoning it
+    assert(v(0) == 1.0 && v.drop(1).forall(_ == 0.0))
+    val (e1, e2) = operators.PcaOps.pcaComponents(zero)
+    assert(e1.forall(x => !x.isNaN) && e2.forall(x => !x.isNaN))
+  }
+
   test("pca projections are centered and deterministic") {
     val a = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
     val b = SparkEntry.queries("llm_embedding_pca")(spark, sf).collect()
