@@ -144,26 +144,44 @@ object AnnOps {
         transform(col("pc"), x => x.getField("c")).as("cm"))
 
   /** The trained PQ model over a corpus: (xm sub-vectors, final
-    * codebook c2, per-vector codes). Seeds are the PqK corpus vectors
-    * ranked first by the Knuth multiplicative hash of vec_id (the
-    * semanticCells seed discipline — a deterministic uniform draw, no
-    * RNG; the rank window runs over the LIMITed PqK-row frame, never
-    * the corpus), then two Lloyd rounds per subspace, then codes
-    * against the final codebook. */
-  private[graft] def pqModel(s: SparkSession, emb: DataFrame)
+    * codebook c2, per-vector codes).
+    *
+    * Cold start (`prev` = None — the registered `llm_ann_pq` /
+    * `llm_ann_pq_persisted` contract): seeds are the PqK corpus
+    * vectors ranked first by the Knuth multiplicative hash of vec_id
+    * (the semanticCells seed discipline — a deterministic uniform
+    * draw, no RNG; the rank window runs over the LIMITed PqK-row
+    * frame, never the corpus), then two Lloyd rounds per subspace,
+    * then codes against the final codebook.
+    *
+    * Warm start (`prev` = Some(codebook) — `stream_pq_live`'s
+    * epoch ≥ 2 path, r14): the previous epoch's near-converged
+    * codebook replaces the hash seeds and ONE Lloyd round refines it
+    * against the advanced prefix — the standard incremental-index
+    * discipline (a rebuild never re-derives seeds the last build
+    * already converged). Deterministic in (prefix, prev), so the
+    * per-epoch DuckDB mirror chains cb0_e := c2_{e−1} and replays the
+    * identical single round. Saves the seed rank + one full
+    * assign+update pass over the prefix per epoch. */
+  private[graft] def pqModel(s: SparkSession, emb: DataFrame,
+      prev: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val cutF = AdaptiveCollapse.stageCut(s) _
     val xm = cutF(pqSubvecs(emb))
-    val mh = pmod(pmod(col("vec_id"), lit(268435456L)) * lit(2654435761L),
-      lit(1000000007L))
-    val sdk = emb.select(col("vec_id"), mh.as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(PqK)
-      .withColumn("k", (row_number().over(
-        Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
-    val cb0 = sdk.join(xm, Seq("vec_id"))
-      .select(col("t"), col("k"), col("xm").as("cm"))
-    val c1 = cutF(pqUpdate(xm, pqAssign(xm, cb0)))
-    val c2 = cutF(pqUpdate(xm, pqAssign(xm, c1)))
+    val c2 = prev match {
+      case Some(cb) => cutF(pqUpdate(xm, pqAssign(xm, cb)))
+      case None =>
+        val mh = pmod(pmod(col("vec_id"), lit(268435456L))
+          * lit(2654435761L), lit(1000000007L))
+        val sdk = emb.select(col("vec_id"), mh.as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(PqK)
+          .withColumn("k", (row_number().over(
+            Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
+        val cb0 = sdk.join(xm, Seq("vec_id"))
+          .select(col("t"), col("k"), col("xm").as("cm"))
+        val c1 = cutF(pqUpdate(xm, pqAssign(xm, cb0)))
+        cutF(pqUpdate(xm, pqAssign(xm, c1)))
+    }
     val codes = pqAssign(xm, c2)
     (xm, c2, codes)
   }
@@ -228,12 +246,19 @@ object AnnOps {
     * shared serving entry for `llm_ann_pq_persisted` (one frozen
     * index) and `stream_pq_live` (per-epoch re-published indexes):
     * explicit schemas so the read never depends on footer inference. */
+  /** Explicit schema of a staged PQ codebook — shared by the serving
+    * read and the warm-start read of the previous epoch's codebook. */
+  private[graft] val pqCbSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("t", IntegerType),
+      StructField("k", IntegerType),
+      StructField("cm", ArrayType(LongType))))
+  }
+
   private[graft] def pqServeFromDirs(s: SparkSession, emb: DataFrame,
       cbDir: String, codesDir: String, centDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val cbSchema = StructType(Seq(StructField("t", IntegerType),
-      StructField("k", IntegerType),
-      StructField("cm", ArrayType(LongType))))
+    val cbSchema = pqCbSchema
     val codesSchema = StructType(Seq(StructField("vec_id2", LongType),
       StructField("t", IntegerType), StructField("k", IntegerType),
       StructField("label", IntegerType)))
@@ -245,10 +270,12 @@ object AnnOps {
   }
 
   /** Train the PQ index of `emb` and stage it to the three dirs
-    * (idempotent overwrite of deterministic tables). */
+    * (idempotent overwrite of deterministic tables). `prev` warm-
+    * starts the trainer from an existing codebook (see [[pqModel]]). */
   private[graft] def stagePqIndexTo(s: SparkSession, emb: DataFrame,
-      cbDir: String, codesDir: String, centDir: String): Unit = {
-    val (_, c2, codes) = pqModel(s, emb)
+      cbDir: String, codesDir: String, centDir: String,
+      prev: Option[DataFrame] = None): Unit = {
+    val (_, c2, codes) = pqModel(s, emb, prev)
     c2.write.mode("overwrite").parquet(cbDir)
     codes.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
@@ -491,8 +518,36 @@ object AnnOps {
     * (sfx = "", src = embeddings) and the per-epoch blocks of
     * [[pqLiveOracleSql]], so the trainer/serving arithmetic is
     * transcribed exactly once. Expects a global `qs` CTE
-    * (q_id, qv) to exist. Ends at `ranked$sfx`. */
-  private def pqMirrorCtes(sfx: String, src: String): String =
+    * (q_id, qv) to exist. Ends at `ranked$sfx`.
+    *
+    * `warmFrom` = Some(prevSfx) mirrors the warm-start trainer (r14):
+    * cb0 := the previous epoch's converged codebook c2$prevSfx and ONE
+    * refine round replaces the hash seeds + two rounds — exactly
+    * [[pqModel]]'s prev path. */
+  private def pqMirrorCtes(sfx: String, src: String,
+      warmFrom: Option[String] = None): String = {
+    val trainer = warmFrom match {
+      case Some(p) =>
+        s"""cb0$sfx AS MATERIALIZED (
+             SELECT t, k, j, cm FROM c2$p),
+           ${pqAssignSql(sfx, "cb0", "a1")},
+           ${pqUpdateSql(sfx, "a1", "c2")}"""
+      case None =>
+        s"""sd$sfx AS MATERIALIZED (
+             SELECT vec_id, srn - 1 AS k FROM (
+               SELECT vec_id, CAST(row_number() OVER (ORDER BY
+                 ((vec_id % 268435456) * 2654435761) % 1000000007, vec_id)
+                 AS INT) AS srn
+               FROM $src)
+             WHERE srn <= $PqK),
+           cb0$sfx AS MATERIALIZED (
+             SELECT x.t, s.k, x.j, x.xmj AS cm
+             FROM sd$sfx s JOIN xm$sfx x USING (vec_id)),
+           ${pqAssignSql(sfx, "cb0", "a1")},
+           ${pqUpdateSql(sfx, "a1", "c1")},
+           ${pqAssignSql(sfx, "c1", "a2")},
+           ${pqUpdateSql(sfx, "a2", "c2")}"""
+    }
     s"""cent$sfx AS (
          SELECT label, j,
            CASE WHEN sm >= 0 THEN sm // n
@@ -511,20 +566,7 @@ object AnnOps {
            CAST(round(CAST(embedding[CAST(t.t*$PqSubD + g.j AS INT)]
              AS DOUBLE) * 1000000.0) AS BIGINT) AS xmj
          FROM $src, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j)),
-       sd$sfx AS MATERIALIZED (
-         SELECT vec_id, srn - 1 AS k FROM (
-           SELECT vec_id, CAST(row_number() OVER (ORDER BY
-             ((vec_id % 268435456) * 2654435761) % 1000000007, vec_id)
-             AS INT) AS srn
-           FROM $src)
-         WHERE srn <= $PqK),
-       cb0$sfx AS MATERIALIZED (
-         SELECT x.t, s.k, x.j, x.xmj AS cm
-         FROM sd$sfx s JOIN xm$sfx x USING (vec_id)),
-       ${pqAssignSql(sfx, "cb0", "a1")},
-       ${pqUpdateSql(sfx, "a1", "c1")},
-       ${pqAssignSql(sfx, "c1", "a2")},
-       ${pqUpdateSql(sfx, "a2", "c2")},
+       $trainer,
        ${pqAssignSql(sfx, "c2", "codes")},
        probes$sfx AS (
          SELECT q_id, c_label FROM (
@@ -569,6 +611,7 @@ object AnnOps {
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY ed, vec_id2) AS INT) AS rn
          FROM rr$sfx)"""
+  }
 
   private[graft] def annPqOracleSql: String =
     s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -578,18 +621,21 @@ object AnnOps {
        WHERE rn <= $TopK ORDER BY vec_id, rn"""
 
   /** DuckDB mirror of `stream_pq_live`: k prefix-parameterized images
-    * of the PQ mirror UNION ALLed — epoch e re-trains codebook +
-    * codes + coarse centroids on the id-ordered prefix
-    * vec_id < (max+1)·e/k (the tableBatchDir split formula) and
+    * of the PQ mirror UNION ALLed — epoch 1 cold-trains on its
+    * id-ordered prefix vec_id < (max+1)·e/k (the tableBatchDir split
+    * formula); every later epoch WARM-STARTS from the previous
+    * epoch's converged codebook and refines with one Lloyd round on
+    * its prefix (r14 — exactly [[pqModel]]'s prev path), then
     * re-answers the static query set, which is precisely what the
     * streamed run publishes per trigger (the annLiveOracleSql
-    * pattern for the quantized index). */
+    * pattern for the quantized index, chained across epochs). */
   private[graft] def pqLiveOracleSql(k: Int): String = {
     val blocks = (1 to k).map { e =>
       s"""pre$e AS (SELECT * FROM embeddings
               WHERE vec_id <
                 ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
-         ${pqMirrorCtes(s"_$e", s"pre$e")}"""
+         ${pqMirrorCtes(s"_$e", s"pre$e",
+          if (e == 1) None else Some(s"_${e - 1}"))}"""
     }
     s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),

@@ -82,10 +82,23 @@ object BpeOps {
     // trailing spaces, and a zero-length word would diverge three ways
     // (Spark's sequence(1,0) DESCENDS to [1,0] → seg ["",""], DuckDB's
     // generate_series(1,0) is empty) — filter them in BOTH engines
-    val vocab = Tables.documents(s, d)
+    val vocabAll = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // frequency-capped vocab prune (conf spark.graft.bpeVocabCap,
+    // 0/unset = uncapped — the registered ops' contract): real
+    // trainers prune to a capped vocab before merging because the
+    // distinct-word table is the merge loop's one input that still
+    // grows with corpus size at 100 TB. Deterministic top-V by
+    // (freq DESC, w ASC) — compiles to TakeOrderedAndProject, never a
+    // global sort. In capped mode, tokenize drops OOV words (the
+    // pruned tail) by the inner vocab join — the standard
+    // closed-vocab semantics.
+    val cap = s.conf.getOption("spark.graft.bpeVocabCap")
+      .map(_.toInt).filter(_ > 0)
+    val vocab = cap.fold(vocabAll)(v =>
+      vocabAll.orderBy(col("freq").desc, col("w")).limit(v))
     // stage-cut: the corpus explode must run ONCE, not once per round
     var seg = cutF(vocab.withColumn("seg",
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))

@@ -2036,12 +2036,17 @@ object StreamingOps {
     * the epoch re-encode is the linear scan a real index rebuild
     * pays, while serving reads only code rows + the R-row raw
     * fetch), and the static query set re-answers against the staged
-    * artifact via the shared [[graft.operators.AnnOps.pqServeFromDirs]]
-    * — so per-epoch verdicts are bit-identical to `llm_ann_pq` run on
-    * the prefix corpus, which is exactly what the k-epoch oracle
-    * mirror states. Empty epoch: re-publish the prior prefix under
-    * the new epoch number, nBatches always advances (the
-    * annLiveRunAt r12-advice discipline). */
+    * artifact via the shared [[graft.operators.AnnOps.pqServeFromDirs]].
+    * Epoch 1 cold-trains (≡ `llm_ann_pq` on its prefix); every later
+    * epoch WARM-STARTS from the previous epoch's staged codebook and
+    * refines with ONE Lloyd round on its prefix (r14 — the standard
+    * incremental-rebuild discipline: seeds the last build already
+    * converged are never re-derived, saving the seed rank + one full
+    * assign+update prefix pass per epoch). Deterministic in (prefix
+    * chain), so the k-epoch oracle mirror chains cb0_e := c2_{e−1}
+    * and the hash-match proves the warm path exactly. Empty epoch:
+    * re-publish the prior prefix under the new epoch number, nBatches
+    * always advances (the annLiveRunAt r12-advice discipline). */
   private[graft] def pqLiveRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
@@ -2095,8 +2100,18 @@ object StreamingOps {
             val e = batchId + 1
             val (cbDir, codesDir, centDir) =
               (s"$root/cb_v$e", s"$root/codes_v$e", s"$root/cent_v$e")
+            // warm start (r14): epoch e ≥ 2 refines the PREVIOUS
+            // epoch's staged codebook with one Lloyd round instead of
+            // re-deriving seeds + two rounds on the whole prefix —
+            // cb_v(e−1) always exists at this point (staged before
+            // batch e−1's checkpoint commit, idempotent on replay)
+            val prevCb =
+              if (e == 1) None
+              else Some(ss.read
+                .schema(graft.operators.AnnOps.pqCbSchema)
+                .parquet(s"$root/cb_v${e - 1}"))
             graft.operators.AnnOps.stagePqIndexTo(ss, prefix,
-              cbDir, codesDir, centDir)
+              cbDir, codesDir, centDir, prevCb)
             graft.operators.AnnOps.pqServeFromDirs(ss, prefix,
               cbDir, codesDir, centDir)
               .select(lit(e.toInt).as("epoch"), col("vec_id"),

@@ -120,6 +120,52 @@ class BpeSpec extends GraftSpec {
     assert(vocab.forall(_.getString(0).nonEmpty))
   }
 
+  test("frequency-capped vocab prunes to the top-V words by " +
+      "(freq DESC, w) before the merge loop") {
+    // the cap (r14, conf spark.graft.bpeVocabCap) bounds the merge
+    // loop's vocab-tier input at 100 TB; the capped trainer must equal
+    // the reference trainer run on exactly the top-V word set, and
+    // must DIFFER from the uncapped run on a corpus built so the
+    // pruned tail changes the best pair
+    // freqs: zz 6, aaab 5, ccd 4, aab 4, bbe 3 → top-3 by
+    // (freq DESC, w ASC) = {zz, aaab, aab} (the freq-4 tie breaks to
+    // "aab"); the pruned ccd/bbe pairs change the full run's merges
+    val texts = Seq(
+      "aaab aaab aaab aaab aaab",
+      "ccd ccd ccd ccd",
+      "bbe bbe bbe",
+      "aab aab", "aab aab",
+      "zz zz zz zz zz zz")
+    val dir = writeDocs(texts)
+    val all = wordFreqs(texts).filter { case (w, _) => w.nonEmpty }
+    val cap = 3
+    val top = all.toSeq.sortBy { case (w, c) => (-c, w) }.take(cap).toMap
+    val (refCapped, _) = refBpe(top, operators.BpeOps.NMerges)
+    val (refFull, _) = refBpe(all, operators.BpeOps.NMerges)
+    assert(refCapped != refFull,
+      "corpus does not discriminate the cap — strengthen the fixture")
+    spark.conf.set("spark.graft.bpeVocabCap", cap.toString)
+    try {
+      val got = SparkEntry.queries("llm_bpe_train")(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got == refCapped,
+        s"capped trainer != reference-on-top-$cap:\n$got\n$refCapped")
+      // capped tokenize drops OOV words: every counted word is top-V
+      val tok = SparkEntry.queries("llm_bpe_tokenize")(spark, dir)
+        .collect()
+      val expWords = texts.zipWithIndex.flatMap { case (t, i) =>
+        val n = t.split(" ").filter(top.contains).length
+        if (n == 0) None else Some(i.toLong -> n.toLong)
+      }.toMap
+      assert(tok.map(r => r.getLong(0) -> r.getLong(1)).toMap == expWords)
+    } finally spark.conf.unset("spark.graft.bpeVocabCap")
+    // conf unset ⇒ the registered uncapped contract is untouched
+    val uncapped = SparkEntry.queries("llm_bpe_train")(spark, dir)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(uncapped == refFull)
+  }
+
   test("bpe_train tie-break is (count DESC, left, right)") {
     // "ba" and "ab" both appear exactly twice as adjacent pairs;
     // lexicographic pick must choose (a,b)

@@ -345,29 +345,46 @@ class StreamIngestSpec extends GraftSpec {
       "resumed serving stream != batch llm_ann_ivf")
   }
 
-  test("stream_pq_live: every epoch's verdicts equal llm_ann_pq run " +
-      "on that epoch's id-ordered prefix with a prefix-trained index, " +
-      "and a planned kill resumes to the same table") {
+  test("stream_pq_live: epoch 1 equals llm_ann_pq on its prefix, " +
+      "every later epoch equals the warm-started one-round refine of " +
+      "the previous epoch's codebook, and a planned kill resumes to " +
+      "the same table") {
     val k = 4
     val (streamedDf, n1) = StreamingOps.pqLiveRun(spark, sf, k)
     assert(n1 == k)
     val streamed = streamedDf.collect().toSeq
-    // independent per-epoch truth: stage each prefix as its own corpus
-    // dir and run the BATCH op on it — same codebook training, same
-    // ADC + re-rank, no shared staged state with the streaming run
+    // independent per-epoch truth: stage each prefix + its index into
+    // its OWN dirs (no shared staged state with the streaming run) —
+    // epoch 1 cold (≡ the batch op), epoch e > 1 warm from the TRUTH
+    // chain's own epoch-(e−1) codebook (r14 warm-start contract)
     val emb = Tables.embeddings(spark, sf)
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    var prevCbDir: Option[String] = None
     val expected = (1 to k).flatMap { e =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_pql_pre${e}_").toString
-      emb.filter(col("vec_id") < (maxId + 1) * e / k)
-        .write.parquet(s"$dir/embeddings.parquet")
-      SparkEntry.queries("llm_ann_pq")(spark, dir).collect().toSeq
-        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
-          r.get(2), r.get(3), r.get(4)))
+      val prefix = emb.filter(col("vec_id") < (maxId + 1) * e / k)
+      val (cbD, cdD, ctD) = (s"$dir/cb", s"$dir/codes", s"$dir/cent")
+      val prev = prevCbDir.map(p =>
+        spark.read.schema(operators.AnnOps.pqCbSchema).parquet(p))
+      operators.AnnOps.stagePqIndexTo(spark, prefix, cbD, cdD, ctD, prev)
+      prevCbDir = Some(cbD)
+      val rows =
+        operators.AnnOps.pqServeFromDirs(spark, prefix, cbD, cdD, ctD)
+          .collect().toSeq
+      // epoch 1 must ALSO equal the registered batch op verbatim (the
+      // cold path is the same contract)
+      if (e == 1) {
+        prefix.write.parquet(s"$dir/embeddings.parquet")
+        val batch = SparkEntry.queries("llm_ann_pq")(spark, dir)
+          .collect().toSeq
+        assert(rows == batch, "cold epoch != batch llm_ann_pq")
+      }
+      rows.map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+        r.get(2), r.get(3), r.get(4)))
     }
     assert(streamed == expected,
-      "per-epoch PQ serving verdicts != per-prefix batch llm_ann_pq")
+      "per-epoch PQ serving verdicts != chained warm-start replay")
     // non-degenerate: some query's top-k must change across versions
     val byEpoch = streamed.groupBy(_.getInt(0)).view
       .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getInt(5))))
