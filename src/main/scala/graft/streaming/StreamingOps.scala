@@ -4303,6 +4303,128 @@ object StreamingOps {
       project(key, sid, sTs, pattern.eval(sTs, events))
   }
 
+  /** §2.H OPEN-FORM `until` sealed by a PROCESSING-TIME idle timeout
+    * (round-14 stretch; ScalaTest-only and NON-ORACLE by contract —
+    * the verdict depends on wall clock, so no DuckDB replay exists).
+    * Flink's `oneOrMore().until(cond)` without `within()` is
+    * unsealable in the buffered-window model: no event-time horizon
+    * ever closes an open loop (the §2.H impossibility note). The
+    * deployment-standard adaptation is an idle timeout: each key's
+    * timer re-arms `timeoutMs` of PROCESSING time past its latest
+    * input, and when it fires — riding Spark's no-data micro-batches,
+    * so sealing needs no further input — every pending anchor seals
+    * with whatever arrived: the FIRST purchase after the signup closes
+    * the loop (b_count = clicks strictly between, `closed` = true);
+    * an open loop seals with purchase = null and every later click
+    * counted (`events_pattern_until`'s open shape, wall-clock-bounded).
+    * Same flat-array state as the event-time CEP family. */
+  private class UntilTimeoutProcessor(timeoutMs: Long)
+      extends StatefulProcessor[Long,
+        (java.sql.Timestamp, Long, Long, String, Long),
+        (Long, Long, Option[Long], Long, Boolean)] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[AbcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbcState]("untilT",
+        Encoders.product[AbcState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(java.sql.Timestamp, Long, Long, String, Long)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, Option[Long], Long, Boolean)] = {
+      val cur = Option(st.get())
+      val signups = scala.collection.mutable.ArrayBuffer(
+        cur.map(abcSignups).getOrElse(Nil): _*)
+      val events = scala.collection.mutable.ArrayBuffer(
+        cur.map(abcEvents).getOrElse(Nil): _*)
+      rows.foreach { case (_, tsUs, _, etype, eid) =>
+        etype match {
+          case "signup" => signups += ((eid, tsUs))
+          case "click" => events += ((0, tsUs, eid))
+          case "purchase" => events += ((1, tsUs, eid))
+          case _ => ()
+        }
+      }
+      if (signups.nonEmpty || events.nonEmpty)
+        st.update(packAbc(signups.toSeq, events.toSeq))
+      else st.clear()
+      // idle re-arm: ONE timer per key, timeoutMs past this batch's
+      // processing time — new input for the key postpones the seal
+      getHandle.listTimers()
+        .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (signups.nonEmpty)
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Option[Long], Long, Boolean)] = {
+      val cur = Option(st.get())
+      val signups = cur.map(abcSignups).getOrElse(Nil)
+      val events = cur.map(abcEvents).getOrElse(Nil)
+      st.clear()
+      signups.sortBy(_._1).iterator.map { case (sid, sTs) =>
+        val close = events.filter(e => e._1 == 1 && e._2 > sTs)
+          .sortBy(e => (e._2, e._3)).headOption
+        close match {
+          case Some((_, cts, cid)) =>
+            val b = events.count(e =>
+              e._1 == 0 && e._2 > sTs && e._2 < cts)
+            (key, sid, Some(cid), b.toLong, true)
+          case None =>
+            val b = events.count(e => e._1 == 0 && e._2 > sTs)
+            (key, sid, None, b.toLong, false)
+        }
+      }
+    }
+  }
+
+  /** Run the idle-timeout `until` over a crafted event source dir:
+    * starts a ProcessingTime-trigger query, polls the memory sink
+    * until `expectedRows` verdicts have sealed (every anchor seals
+    * eventually — the timer needs no further input), stops, returns
+    * the table. Test hook for `stream_pattern_until_timeout`. */
+  private[graft] def untilTimeoutRun(s: SparkSession, srcDir: String,
+      timeoutMs: Long, expectedRows: Int,
+      maxWaitMs: Long = 120000L): DataFrame = withRocksDb(s) {
+    import s.implicits._
+    val schema = s.read.parquet(srcDir).schema
+    val name = s"graft_untilto_${counter.incrementAndGet()}"
+    val ckpt = tempCheckpointDir()
+    val q = confLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions(s))
+      try s.readStream.schema(schema).parquet(srcDir)
+        .select(col("ts_utc"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("event_id"))
+        .as[(java.sql.Timestamp, Long, Long, String, Long)]
+        .groupByKey(_._3)
+        .transformWithState(new UntilTimeoutProcessor(timeoutMs),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("user_id", "signup_id", "purchase_id", "b_count", "closed")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    try {
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      while (s.table(name).count() < expectedRows &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally {
+      q.stop(); q.awaitTermination()
+      deleteRecursively(ckpt)
+    }
+    s.table(name).orderBy(col("user_id"), col("signup_id"))
+  }
+
   /** Value-carrying twin of [[CepPatternProcessor]] for
     * iterative-condition patterns ([[Cep.Pattern.needsValues]]): the
     * buffer rows and pending anchors carry each event's `value`, so the

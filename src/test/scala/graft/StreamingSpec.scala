@@ -55,6 +55,50 @@ class StreamingSpec extends GraftSpec {
 
   private def ckpt = Files.createTempDirectory("graft_test_ckpt_").toString
 
+  test("stream_pattern_until_timeout: the open until seals by idle " +
+      "processing-time timer — closed loops bind the first purchase, " +
+      "open loops seal with a null close and their click count") {
+    // NON-ORACLE by contract (§2.H): the open-form until has no
+    // event-time horizon; the idle timeout is wall-clock, so the pin
+    // is a crafted fixture + an independent in-test verdict, not a
+    // DuckDB replay. The timer must fire on Spark's no-data
+    // micro-batches — no further input exists after staging.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_untilto_").toString
+    val us = 1000000L
+    def row(tsUs: Long, uid: Long, et: String, eid: Long) =
+      (new Timestamp(tsUs / 1000), tsUs * 1000, uid, et, eid)
+    // user 1: signup → 3 clicks → purchase → 1 trailing click (closed,
+    //   b_count = 3 — the trailing click is outside the loop); user 2:
+    //   two signups, NO purchase — the first seals open counting all 3
+    //   later clicks, the second open with the 1 click after it;
+    //   user 3: purchase BEFORE its signup only (open, b_count = 0 —
+    //   a close never binds backwards)
+    Seq(
+      row(10 * us, 1L, "signup", 100L), row(11 * us, 1L, "click", 101L),
+      row(12 * us, 1L, "click", 102L), row(13 * us, 1L, "click", 103L),
+      row(14 * us, 1L, "purchase", 104L), row(15 * us, 1L, "click", 105L),
+      row(10 * us, 2L, "signup", 200L), row(11 * us, 2L, "click", 201L),
+      row(12 * us, 2L, "click", 202L), row(13 * us, 2L, "signup", 203L),
+      row(14 * us, 2L, "click", 204L),
+      row(9 * us, 3L, "purchase", 301L), row(10 * us, 3L, "signup", 300L))
+      .toDF("ts_utc", "ts", "user_id", "event_type", "event_id")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    // 4 anchors total (user 2 has two signups)
+    val got = StreamingOps.untilTimeoutRun(spark, dir,
+        timeoutMs = 1500L, expectedRows = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    val exp = Seq(
+      (1L, 100L, Some(104L), 3L, true),
+      (2L, 200L, None, 3L, false),
+      (2L, 203L, None, 1L, false),
+      (3L, 300L, None, 0L, false))
+    assert(got == exp, s"idle-timeout until verdicts drifted:\n$got")
+  }
+
   test("stream_watermark_late: late rows behind the watermark are dropped") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_late_").toString
