@@ -114,7 +114,7 @@ object PlanDump {
     "llm_ann_pq_persisted" ->
       "persisted-index PQ (round-13 op): the same serving plan with the codebook/codes/centroids arriving as FileScans of the staged index — the deployment reads 16 sub-byte codes per vector, raw embeddings only for the shortlist",
     "llm_embedding_pca" ->
-      "PCA (round-13 op): chained outer-product posexplodes feed the d²-key partial+final covariance agg (no self-join); the model tier is a bounded 64×64 collect + driver power method, and the projection plan is join-free literal-vector arithmetic over the centered stage",
+      "PCA (round-13 op; r14 Gram rework): a per-partition Gram accumulator (mapPartitions folding each partition into ONE d×d long matrix, d² partial rows per partition) feeds the d²-key covariance agg — no per-row posexplode amplification, no self-join; the model tier is a bounded 64×64 collect + driver power method, and the projection plan is join-free literal-vector arithmetic over the centered stage",
     "llm_embedding_outliers" ->
       "PCA-residual outlier filter (round-13 op): the same join-free literal-vector residual map with the top-25 compiling to TakeOrderedAndProject — never a global sort of the scored corpus")
 
