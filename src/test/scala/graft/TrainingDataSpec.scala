@@ -270,6 +270,53 @@ class TrainingDataSpec extends GraftSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("mm_phash_dedup equals the brute-force independent replay, and " +
+      "the pigeonhole banding loses nothing") {
+    // independent truth: plain-Scala aHash per doc + O(n²) pair scan
+    // with the contract's admissibility (same fmt, |Δlen| ≤ 16,
+    // hamming ≤ 3) — no banding, so the comparison also proves the
+    // 4×16-bit block join is lossless at this threshold
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def hash(t: String): Long = {
+      val b = t.getBytes("UTF-8"); val len = b.length
+      if (len == 0) 0L
+      else {
+        val cnt = new Array[Long](64)
+        b.foreach(x => cnt((x & 0xff) % 64) += 1)
+        (0 until 64).foldLeft(0L)((h, k) =>
+          if (cnt(k) * 64 > len) h | (1L << k) else h)
+      }
+    }
+    val ph = docs.map { case (id, fmt, t) =>
+      (id, fmt, t.getBytes("UTF-8").length, hash(t)) }
+    val exp = (for {
+      x <- ph; y <- ph
+      if y._1 > x._1 && y._2 == x._2 && math.abs(y._3 - x._3) <= 16
+      ham = java.lang.Long.bitCount(x._4 ^ y._4)
+      if ham <= 3
+    } yield (x._1, y._1, ham)).sorted.toSeq
+    val got = SparkEntry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == exp, s"phash pairs drifted: got ${got.size}, " +
+      s"expected ${exp.size}")
+    assert(exp.nonEmpty, "degenerate fixture: no near-dup pairs at all")
+    // identical payloads must pair at hamming 0 (crafted check)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phash_").toString
+    Seq((1L, "aaabbbcccddd", "en", "imgs", 12L),
+        (2L, "aaabbbcccddd", "en", "imgs", 12L),
+        (3L, "zzzzyyyyxxxx", "en", "imgs", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val crafted = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(crafted.contains((1L, 2L, 0)),
+      s"identical payloads not paired: ${crafted.toSeq}")
+  }
+
   test("llm_dedup_clusters: roots are self-labeled, labels never exceed ids") {
     val rows = SparkEntry.queries("llm_dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
