@@ -145,6 +145,48 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("Join"), s"projection plans a join:\n$plan")
   }
 
+  test("llm_embedding_pca covariance partials are a MapPartitions fold, " +
+      "not a posexplode amplification") {
+    // r14 Gram accumulator: the corpus tier must fold each partition
+    // into one d×d matrix (d² partial rows per PARTITION) — a Generate
+    // (posexplode) feeding the d²-key agg would be the ×4096 per-row
+    // shape the r13 review flagged
+    val emb = Tables.embeddings(spark, sf)
+    val cxa = operators.PcaOps.centeredArrays(emb)
+    val gp = operators.PcaOps.gramPartials(cxa)
+    gp.collect()
+    val plan = {
+      val s = gp.queryExecution.executedPlan.toString
+      val init = s.indexOf("== Initial Plan ==")
+      if (init >= 0) s.substring(0, init) else s
+    }
+    assert(plan.contains("MapPartitions"),
+      s"gram stage lost its partition fold:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"gram partials not combined by a keyed agg:\n$plan")
+    // the only Generate allowed is the centering stage's ×d posexplode
+    // (inside centeredArrays) — the GRAM side must not re-explode: the
+    // agg's input is the MapPartitions output, so between the fold and
+    // the final agg there is no Generate
+    val foldIdx = plan.indexOf("MapPartitions")
+    assert(!plan.substring(0, foldIdx).contains("Generate"),
+      s"a Generate sits above the partition fold (amplification):\n$plan")
+  }
+
+  test("mm_phash_dedup is a banded equi self-join over a partition-" +
+      "mapped hash, never a cartesian") {
+    val plan = finalPlan("mm_phash_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash candidates plan a nested loop:\n$plan")
+    // the pair join keys on the band (+ fmt + grid) — an equi join
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi join in the candidate stage:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"phash does not ride a partition-mapped stage:\n$plan")
+  }
+
   test("llm_embedding_outliers takes its top-25 via TakeOrderedAndProject") {
     val plan = finalPlan("llm_embedding_outliers")
     assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")

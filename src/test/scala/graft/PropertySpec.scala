@@ -25,6 +25,37 @@ class PropertySpec extends GraftSpec {
     assert(bad.count() == 0)
   }
 
+  test("the 4×16-bit pigeonhole is lossless at hamming ≤ 3 on random " +
+      "fingerprint pairs (shared by simhash and mm_phash banding)") {
+    // for any pair within the threshold, ≥ 1 block must be untouched
+    // (4 blocks, ≤ 3 flipped bits can dirty at most 3), so the banded
+    // equi-join generates every qualifying candidate; also check the
+    // converse direction on far pairs is MOSTLY pruned (not required
+    // for correctness — the hamming verify rejects survivors — but a
+    // bucket join that prunes nothing would be all-pairs in disguise
+    val base = sample(Gen.long, 400)
+    val flips3 = sample(for {
+      f <- Gen.long
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 63))
+    } yield (f, bits.foldLeft(f)((x, b) => x ^ (1L << b))), 400)
+    flips3.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3)
+      val ka = graft.functions.SimHash.blockKeys(a).toSet
+      val kb = graft.functions.SimHash.blockKeys(b).toSet
+      assert(ka.intersect(kb).nonEmpty,
+        f"pigeonhole lost a hamming-≤3 pair: $a%x vs $b%x")
+    }
+    // far pairs: random independent fingerprints share a block rarely
+    val far = base.zip(base.drop(1)).filter { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) > 16 }
+    val collisions = far.count { case (a, b) =>
+      graft.functions.SimHash.blockKeys(a).toSet
+        .intersect(graft.functions.SimHash.blockKeys(b).toSet).nonEmpty }
+    assert(collisions.toDouble <= 0.05 * far.size + 3,
+      s"banding prunes nothing: $collisions/${far.size} far collisions")
+  }
+
   test("math function invariants hold on generated doubles") {
     import spark.implicits._
     val xs = sample(Gen.choose(0.001, 1.0e6), 300)
