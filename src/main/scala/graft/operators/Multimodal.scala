@@ -183,6 +183,69 @@ object Multimodal {
         .select(col("doc_id"), col("doc_id2"), col("hamming"))
         .distinct()
         .orderBy(col("doc_id"), col("doc_id2"))
+    }),
+
+    // Incremental phash dedup (round-14 add): the asymmetric
+    // batch-vs-corpus split applied to the perceptual hash, completing
+    // the incremental symmetry with llm_simhash_incremental /
+    // llm_minhash_lsh_incremental for the MULTIMODAL modality. The
+    // collapse key is the FULL admissibility signature (fp, fmt,
+    // n_bytes): rows agreeing on it are interchangeable under both the
+    // block join and the hamming verify, so the pair machinery runs at
+    // group scale; only groups carrying a new asset ever probe, and
+    // member expansion resolves earlier-new admissibility (a new asset
+    // may dup an OLD one or an EARLIER new one, never a later one).
+    "mm_phash_incremental" -> ((s, d) => {
+      import s.implicits._
+      val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
+      val docs = assets(s, d).mapPartitions(_.map(phash)).toDF()
+        .withColumn("is_new", pmod(col("doc_id"), lit(100L)) >= 80)
+      val groups = docs
+        .groupBy(col("fp"), col("fmt"), col("n_bytes"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          max(col("is_new")).as("has_new"))
+        .withColumn("g", floor(col("n_bytes") / 16))
+      val probe = groups.filter(col("has_new"))
+        .select(col("rep_id"), col("fmt"), col("n_bytes"),
+          col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val index = groups
+        .withColumn("g", explode(array(col("g") - 1, col("g"),
+          col("g") + 1)))
+        .select(col("rep_id").as("rep_id2"), col("fmt").as("fmt2"),
+          col("n_bytes").as("n_bytes2"), col("g"),
+          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      val repPairs = probe.join(index,
+          col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
+            probe("g") === index("g") &&
+            col("rep_id") =!= col("rep_id2") &&
+            abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
+        .filter(expr("bit_count(fp ^ fp2)") <= 3)
+        .select(col("rep_id"), col("rep_id2"))
+        .distinct()
+      val selfPairs = groups.filter(col("has_new"))
+        .select(col("rep_id"), col("rep_id").as("rep_id2"))
+      val members = docs
+        .join(groups.select(col("fp"), col("fmt"), col("n_bytes"),
+            col("rep_id")),
+          Seq("fp", "fmt", "n_bytes"))
+        .select(col("rep_id"), col("doc_id"), col("is_new"))
+      val probes = members.filter(col("is_new"))
+        .select(col("rep_id"), col("doc_id"))
+      val cands = members.select(col("rep_id").as("rep_id2"),
+        col("doc_id").as("cand_id"), col("is_new").as("cand_new"))
+      val matched = repPairs.unionAll(selfPairs)
+        .join(probes, Seq("rep_id"))
+        .join(cands, Seq("rep_id2"))
+        .filter(((!col("cand_new")) || col("cand_id") < col("doc_id")) &&
+          col("cand_id") =!= col("doc_id"))
+        .groupBy(col("doc_id")).agg(min(col("cand_id")).as("dup_of"))
+      docs.filter(col("is_new"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fmt"),
+          when(col("dup_of").isNotNull, lit("band_dup"))
+            .otherwise(lit("kept")).as("stage"),
+          col("dup_of"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -287,9 +350,10 @@ object Multimodal {
     * 4×16-bit blocks ⇒ ≥ 1 identical block) and the grid ±1 blocking
     * is implied by |Δlen| ≤ 16, so the oracle states the direct
     * pairwise condition (the simhashOracleSql discipline). */
-  private def phashDedupOracleSql: String =
-    s"""WITH RECURSIVE
-       powers(s, pw) AS (
+  /** The aHash recompute CTEs shared by both phash oracles: powers →
+    * byte value classes → bit pack → `ph(doc_id, fmt, len, fp)`. */
+  private def phashCtes: String =
+    s"""powers(s, pw) AS (
          SELECT 0, CAST(1 AS HUGEINT)
          UNION ALL
          SELECT s + 1, pw * 2 FROM powers WHERE s < 63),
@@ -315,7 +379,11 @@ object Multimodal {
            CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
              THEN hu - CAST('18446744073709551616' AS HUGEINT)
              ELSE hu END AS BIGINT) AS fp
-         FROM bitsu)
+         FROM bitsu)"""
+
+  private def phashDedupOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashCtes
        SELECT x.doc_id, y.doc_id AS doc_id2,
               CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
        FROM ph x JOIN ph y
@@ -324,9 +392,31 @@ object Multimodal {
        WHERE bit_count(xor(x.fp, y.fp)) <= 3
        ORDER BY x.doc_id, doc_id2"""
 
+  /** DuckDB mirror of `mm_phash_incremental`: per new asset, the min
+    * admissible candidate (same fmt, |Δlen| ≤ 16, hamming ≤ 3) among
+    * old assets and earlier new ones — block-key-free by the
+    * pigeonhole theorem, the simhashVerdictOracleSql discipline. */
+  private def phashIncrementalOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashCtes,
+       m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+             FROM ph x JOIN ph y ON y.doc_id != x.doc_id
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
+             WHERE x.doc_id % 100 >= 80
+               AND (NOT (y.doc_id % 100 >= 80) OR y.doc_id < x.doc_id)
+               AND bit_count(xor(x.fp, y.fp)) <= 3
+             GROUP BY 1)
+       SELECT p.doc_id, p.fmt,
+              CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
+                   ELSE 'kept' END AS stage,
+              m.dup_of
+       FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id
+       WHERE p.doc_id % 100 >= 80 ORDER BY p.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleOracleSql,
     "mm_decode_features" -> decodeOracleSql,
     "mm_resize" -> resizeOracleSql,
-    "mm_phash_dedup" -> phashDedupOracleSql)
+    "mm_phash_dedup" -> phashDedupOracleSql,
+    "mm_phash_incremental" -> phashIncrementalOracleSql)
 }

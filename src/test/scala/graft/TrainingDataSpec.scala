@@ -317,6 +317,43 @@ class TrainingDataSpec extends GraftSpec {
       s"identical payloads not paired: ${crafted.toSeq}")
   }
 
+  test("mm_phash_incremental equals the brute-force asymmetric replay") {
+    // per NEW asset (doc_id % 100 >= 80): dup_of = min admissible
+    // candidate among OLD assets and EARLIER new ones — the group
+    // collapse and banding are optimizations the replay need not share
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def hash(t: String): Long = {
+      val b = t.getBytes("UTF-8"); val len = b.length
+      if (len == 0) 0L
+      else {
+        val cnt = new Array[Long](64)
+        b.foreach(x => cnt((x & 0xff) % 64) += 1)
+        (0 until 64).foldLeft(0L)((h, k) =>
+          if (cnt(k) * 64 > len) h | (1L << k) else h)
+      }
+    }
+    val ph = docs.map { case (id, fmt, t) =>
+      (id, fmt, t.getBytes("UTF-8").length, hash(t),
+        id % 100 >= 80) }
+    val exp = ph.filter(_._5).sortBy(_._1).map { x =>
+      val cands = ph.filter(y => y._1 != x._1 && y._2 == x._2 &&
+        math.abs(y._3 - x._3) <= 16 &&
+        java.lang.Long.bitCount(x._4 ^ y._4) <= 3 &&
+        (!y._5 || y._1 < x._1)).map(_._1)
+      val dup = if (cands.isEmpty) None else Some(cands.min)
+      (x._1, x._2, if (dup.isDefined) "band_dup" else "kept", dup)
+    }.toSeq
+    val got = SparkEntry.queries("mm_phash_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == exp,
+      s"incremental phash drifted: got ${got.size}, exp ${exp.size}")
+    assert(exp.exists(_._3 == "band_dup") && exp.exists(_._3 == "kept"),
+      "degenerate fixture: verdicts do not split")
+  }
+
   test("llm_dedup_clusters: roots are self-labeled, labels never exceed ids") {
     val rows = SparkEntry.queries("llm_dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
