@@ -120,6 +120,65 @@ object Multimodal {
       .as[MmAsset]
   }
 
+  /** The phash table of any (doc_id, source, text) frame —
+    * (doc_id, fmt, n_bytes, fp), computed in one partition-mapped
+    * stage. Shared by the batch ops and the streaming ingest twin. */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("source").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[MmAsset]
+      .mapPartitions(_.map(phash)).toDF()
+  }
+
+  /** Horizon-free arrival-order verdicts of one batch against the
+    * persisted phash index: dup_of(n) = min{c < n : c admissible}
+    * (same fmt, |Δn_bytes| ≤ 16, hamming ≤ 3). Index rows are all
+    * EARLIER than every batch row by the monotone-arrival guard and
+    * earlier-in-batch candidates have smaller ids, so the single
+    * `cand_id < doc_id` rule covers both sides — which is what makes
+    * the final k-epoch table batch-boundary-invariant and lets ONE
+    * global SQL be the oracle. Shared by `stream_phash_ingest`. */
+  private[graft] def phashVerdictsCore(batchPh: DataFrame,
+      indexPh: DataFrame): DataFrame = {
+    val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
+    val probe = batchPh
+      .withColumn("g", floor(col("n_bytes") / 16))
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("g"),
+        col("fp"), explode(bkU(col("fp"))).as("bk"))
+    val cands = indexPh.unionByName(batchPh)
+      .withColumn("g", floor(col("n_bytes") / 16))
+      .withColumn("g", explode(array(col("g") - 1, col("g"),
+        col("g") + 1)))
+      .select(col("doc_id").as("cand_id"), col("fmt").as("fmt2"),
+        col("n_bytes").as("n_bytes2"), col("g"),
+        col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+    val matched = probe.join(cands,
+        col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
+          probe("g") === cands("g") && col("cand_id") < col("doc_id") &&
+          abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
+      .filter(expr("bit_count(fp ^ fp2)") <= 3)
+      .groupBy(col("doc_id")).agg(min(col("cand_id")).as("dup_of"))
+    batchPh.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fmt"),
+        when(col("dup_of").isNotNull, lit("band_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        col("dup_of"))
+  }
+
+  /** Compact a phash index to one row per admissibility signature:
+    * only min(cand_id) ever decides a verdict, and within a (fp, fmt,
+    * n_bytes) group every member is interchangeable under blocking AND
+    * hamming, so the group minimum is a LOSSLESS index compaction —
+    * the persisted index stays O(distinct signatures) forever however
+    * many duplicate assets stream past (the keep-smallest discipline,
+    * exact, not a heuristic). */
+  private[graft] def compactPhashIndex(ph: DataFrame): DataFrame =
+    ph.groupBy(col("fp"), col("fmt"), col("n_bytes"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("fp"))
+
   val queries: Map[String, Q] = Map(
     // Oracle-checked since round 10 — the stub decode is deterministic
     // byte arithmetic, so it mirrors in SQL (see the oracle map below);
@@ -412,6 +471,27 @@ object Multimodal {
               m.dup_of
        FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id
        WHERE p.doc_id % 100 >= 80 ORDER BY p.doc_id"""
+
+  /** DuckDB mirror of `stream_phash_ingest`: the horizon-free
+    * arrival-order truth — per doc (ALL docs: every one streams past),
+    * dup_of = min admissible candidate with a SMALLER id; id-ordered
+    * arrival makes "seen before" ≡ "smaller id" REGARDLESS of where
+    * the epoch boundaries fall, so one global SQL is the oracle and a
+    * hash match proves batch-boundary invariance of the whole chain. */
+  private[graft] def phashIngestOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashCtes,
+       m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+             FROM ph x JOIN ph y ON y.doc_id < x.doc_id
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
+             WHERE bit_count(xor(x.fp, y.fp)) <= 3
+             GROUP BY 1)
+       SELECT p.doc_id, p.fmt,
+              CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
+                   ELSE 'kept' END AS stage,
+              m.dup_of
+       FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id
+       ORDER BY p.doc_id"""
 
   val oracle: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleOracleSql,

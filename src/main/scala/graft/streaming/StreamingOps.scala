@@ -1320,6 +1320,8 @@ object StreamingOps {
       ((s, d) => importanceIngestRun(s, d, 4)._1),
     "stream_bpe_ingest" ->
       ((s, d) => bpeIngestRun(s, d, 4)._1),
+    "stream_phash_ingest" ->
+      ((s, d) => phashIngestRun(s, d, 4)._1),
 
     "stream_side_output_late" ->
       ((s, d) => sideOutputLateRun(s, d, 4)._1)
@@ -2931,6 +2933,97 @@ object StreamingOps {
     }
     (s.read.schema(outSchema).parquet(outDir).distinct()
       .orderBy(col("doc_id")), nBatches.get())
+  }
+
+  /** §2.I streaming PERCEPTUAL-HASH dedup INGEST (round-14 add): the
+    * multimodal modality's continuous-arrival dedup — the
+    * [[minhashIngestRunAt]] pattern applied to `mm_phash_dedup`'s
+    * aHash. Each id-ordered micro-batch computes its phashes in one
+    * partition-mapped stage, probes the persisted signature index +
+    * its own earlier rows
+    * ([[graft.operators.Multimodal.phashVerdictsCore]] — dup_of(n) =
+    * min{c < n admissible}, batch-boundary-invariant by the monotone
+    * ids), appends verdicts, and stages the LOSSLESSLY COMPACTED
+    * index (one row per (fp, fmt, n_bytes) signature, the group
+    * minimum — O(distinct signatures) forever however many duplicate
+    * assets stream past). The oracle recomputes the horizon-free
+    * truth globally in one SQL. */
+  private[graft] def phashIngestRun(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Int) = {
+    val ckpt = tempCheckpointDir()
+    try phashIngestRunAt(s, d, k,
+      registeredScratchDir("graft_phi_"), ckpt)
+    finally deleteRecursively(ckpt)
+  }
+
+  /** Resumable core of [[phashIngestRun]] — the minhash ingest's
+    * recovery contract verbatim (versioned idx chain, empty-batch
+    * copy-forward, monotone-arrival guard, PlannedIngestKill hook). */
+  private[graft] def phashIngestRunAt(s: SparkSession, d: String,
+      k: Int, root: String, ckpt: String,
+      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+    import org.apache.spark.sql.types._
+    val srcDir = tableBatchDir(s"phashdocs:$d@$k",
+      documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      "doc_id", k)
+    val docSchema = documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val idxSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("fp", LongType)))
+    val verdictSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("stage", StringType),
+      StructField("dup_of", LongType)))
+    val outDir = s"$root/out"
+    val idxRoot = s"$root/idx"
+    val n0 = committedBatches(ckpt)
+    val prevMax = new java.util.concurrent.atomic.AtomicLong(
+      stagedMaxId(s, srcDir, "doc_id", n0))
+    val nBatches = new AtomicInteger(n0)
+    runIngestAt(s, ckpt) {
+      s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId + 1 >= failBeforeEpoch)
+            throw new PlannedIngestKill(batchId + 1)
+          val ss = batch.sparkSession
+          val idx =
+            if (batchId == 0) emptyFrame(ss, idxSchema)
+            else ss.read.schema(idxSchema).parquet(s"$idxRoot/v$batchId")
+          val nextDir = s"$idxRoot/v${batchId + 1}"
+          monotoneBatchBounds(batch, "doc_id",
+              "stream_phash_ingest", prevMax) match {
+            case None =>
+              idx.write.mode("overwrite").parquet(nextDir)
+            case Some((_, hi)) =>
+              val batchPh = graft.operators.Multimodal.phashOf(batch)
+              batchPh.persist()
+              try {
+                graft.operators.Multimodal
+                  .phashVerdictsCore(batchPh, idx)
+                  .write.mode("append").parquet(outDir)
+                graft.operators.Multimodal
+                  .compactPhashIndex(idx.unionByName(batchPh))
+                  .write.mode("overwrite").parquet(nextDir)
+                prevMax.set(hi)
+              } finally batchPh.unpersist()
+          }
+          nBatches.set(batchId.toInt + 1)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+    }
+    val verdicts =
+      if (!new java.io.File(outDir).isDirectory)
+        emptyFrame(s, verdictSchema)
+      else s.read.schema(verdictSchema).parquet(outDir).distinct()
+    (verdicts.orderBy(col("doc_id")), nBatches.get())
   }
 
   /** §2.I streaming DYNAMIC RULES (round-13 add, the r12 verdict's
@@ -5082,6 +5175,11 @@ object StreamingOps {
     // verbatim — the shared mirror (trainer chain included).
     "stream_bpe_ingest" ->
       graft.operators.BpeOps.oracle("llm_bpe_tokenize"),
+    // Horizon-free arrival-order truth (the minhash-ingest oracle
+    // discipline): one global SQL, batch-boundary-invariant by the
+    // monotone-id split
+    "stream_phash_ingest" ->
+      graft.operators.Multimodal.phashIngestOracleSql,
 
     // The side-output oracle: a row's arrival epoch is id % 4 + 1
     // (the mod staging), the epoch watermark is the max event-time ms

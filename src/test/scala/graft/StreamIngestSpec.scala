@@ -873,6 +873,65 @@ class StreamIngestSpec extends GraftSpec {
       "resumed BPE stream != batch llm_bpe_tokenize")
   }
 
+  test("stream_phash_ingest: k micro-batches equal the horizon-free " +
+      "arrival-order truth, the compacted index is signature-bounded, " +
+      "and a planned kill resumes to the same table") {
+    val k = 4
+    val streamed =
+      StreamingOps.phashIngestRun(spark, sf, k)._1.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // independent horizon-free replay: dup_of(n) = min admissible
+    // candidate with a smaller id, over the whole corpus
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def hash(t: String): Long = {
+      val b = t.getBytes("UTF-8"); val len = b.length
+      if (len == 0) 0L
+      else {
+        val cnt = new Array[Long](64)
+        b.foreach(x => cnt((x & 0xff) % 64) += 1)
+        (0 until 64).foldLeft(0L)((h, kk) =>
+          if (cnt(kk) * 64 > len) h | (1L << kk) else h)
+      }
+    }
+    val ph = docs.map { case (id, fmt, t) =>
+      (id, fmt, t.getBytes("UTF-8").length, hash(t)) }
+    val expected = ph.sortBy(_._1).map { x =>
+      val cands = ph.filter(y => y._1 < x._1 && y._2 == x._2 &&
+        math.abs(y._3 - x._3) <= 16 &&
+        java.lang.Long.bitCount(x._4 ^ y._4) <= 3).map(_._1)
+      (x._1, x._2,
+        if (cands.isEmpty) "kept" else "band_dup",
+        if (cands.isEmpty) None else Some(cands.min))
+    }.toSeq
+    assert(streamed == expected,
+      "streamed phash verdicts != horizon-free truth")
+    assert(expected.exists(_._3 == "band_dup"),
+      "degenerate fixture: no dup ever streamed")
+    // kill-and-resume: versioned index chain + distinct readout
+    val (root, ckpt) = freshRoot()
+    val e = intercept[Exception] {
+      StreamingOps.phashIngestRunAt(spark, sf, k, root, ckpt,
+        failBeforeEpoch = 3)
+    }
+    assert(killedBy(e, "planned ingest kill"))
+    assert(StreamingOps.committedBatches(ckpt) == 2)
+    val (resumed, n) =
+      StreamingOps.phashIngestRunAt(spark, sf, k, root, ckpt)
+    assert(n == k)
+    assert(resumed.collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))) == expected,
+      "resumed phash stream != one-shot chain")
+    // lossless compaction bound: the final staged index carries at
+    // most one row per distinct (fp, fmt, n_bytes) signature
+    val idx = spark.read.parquet(s"$root/idx/v$k")
+    val sigs = ph.map(x => (x._4, x._2, x._3)).distinct.size
+    assert(idx.count() <= sigs, "index grew past the signature bound")
+  }
+
   test("stream_side_output_late: late rows divert to the side sink " +
       "(never epoch 1), on-time + late partition every batch, and " +
       "kill-and-resume holds") {
