@@ -101,7 +101,14 @@ object IngestChainProbe {
         // against the frozen vocab-bounded seg FileScan (the DSIR
         // shape with a word-keyed instead of bucket-keyed join)
         "stream_bpe_ingest" ->
-          (k => StreamingOps.bpeIngestRun(spark, sfDir, k)))
+          (k => StreamingOps.bpeIngestRun(spark, sfDir, k)),
+        // round-15 (the r14 verdict's item 1): the perceptual-hash
+        // ingest — per-epoch work is the batch's partition-mapped
+        // hash + the banded probe against the losslessly compacted
+        // index (O(distinct signatures) forever), so a k=16 chain
+        // should read flat per epoch like the minhash twin
+        "stream_phash_ingest" ->
+          (k => StreamingOps.phashIngestRun(spark, sfDir, k)))
 
     // JVM warm-up outside all timings (codegen, parquet, stream classes)
     runs.head._2(2)

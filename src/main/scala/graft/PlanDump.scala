@@ -116,7 +116,11 @@ object PlanDump {
     "llm_embedding_pca" ->
       "PCA (round-13 op; r14 Gram rework): a per-partition Gram accumulator (mapPartitions folding each partition into ONE d×d long matrix, d² partial rows per partition) feeds the d²-key covariance agg — no per-row posexplode amplification, no self-join; the model tier is a bounded 64×64 collect + driver power method, and the projection plan is join-free literal-vector arithmetic over the centered stage",
     "llm_embedding_outliers" ->
-      "PCA-residual outlier filter (round-13 op): the same join-free literal-vector residual map with the top-25 compiling to TakeOrderedAndProject — never a global sort of the scored corpus")
+      "PCA-residual outlier filter (round-13 op): the same join-free literal-vector residual map with the top-25 compiling to TakeOrderedAndProject — never a global sort of the scored corpus",
+    "mm_phash_dedup" ->
+      "perceptual-hash media dedup (round-14 op; round-15 collapse-first rework): partition-mapped aHash → (fp, fmt, n_bytes) signature-group collapse agg → GROUP-scale banded equi-join (the plan's only distinct sits at group-pair volume) → output-sized member-expansion equi-joins (intra-group one gid-keyed self-join, inter-group the admissible group pairs' member cross) — no corpus-pair distinct, no nested loop, blocking pluggable (PhashBlocking)",
+    "mm_phash_incremental" ->
+      "incremental phash dedup (round-14 op): group collapse on the full admissibility signature, band probe restricted to new-carrying groups against the full group index, verdict resolution by member expansion into a partial+final min agg — one verdict row per new asset, candidate volume at group scale")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are
@@ -148,9 +152,23 @@ object PlanDump {
       .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
     val (verdicts, _, _) = graft.operators.TrainingDataOps
       .embeddingVerdictsCore(batch, repVecs, repBands, bands, bits)
+    // the phash ingest's per-batch probe (round-15): one half-corpus
+    // batch against the losslessly compacted signature index — in the
+    // stream both sides arrive as FileScans of the staged index dirs
+    val docs = graft.Tables.documents(spark, sfDir)
+    val ph = graft.operators.Multimodal.phashOf(docs)
+    val dMax = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val dCut = (dMax + 1) / 2
+    val phVerdicts = graft.operators.Multimodal.phashVerdictsCore(
+      ph.filter(col("doc_id") >= dCut),
+      graft.operators.Multimodal.compactPhashIndex(
+        ph.filter(col("doc_id") < dCut)))
     Seq(("stream_embedding_ingest (per-batch probe)",
       "the embedding ingest's foreachBatch body over one half-corpus batch: exact stage = broadcast join on the embedding key against the rep index; band stage = band-key equi-joins (staged rows + earlier in-batch reps), codegen'd cosine_sim verify, min-candidate fold — no cartesian product anywhere, candidate side at rep level",
-      verdicts))
+      verdicts),
+      ("stream_phash_ingest (per-batch probe)",
+        "the phash ingest's foreachBatch body over one half-corpus batch: partition-mapped aHash on the batch, banded equi-join against the COMPACTED signature index (one row per (fp, fmt, n_bytes) — O(distinct signatures) forever) unioned with the batch's own earlier rows, bit_count residual verify, min-candidate fold — one verdict row per batch doc, never a nested loop",
+        phVerdicts))
   }
 
   def main(args: Array[String]): Unit = {

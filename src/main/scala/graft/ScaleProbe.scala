@@ -237,7 +237,18 @@ object ScaleProbe {
     // round-13: the live quarantine — stream_pca_live's state shape
     // with a per-epoch top-25 re-select instead of the prefix
     // projection rewrite (output 25·k rows at any factor)
-    "stream_outliers_live")
+    "stream_outliers_live",
+    // round-15 adds (the r14 verdict's item 1): the perceptual-hash
+    // media family on its DANGEROUS axis — identical payloads share
+    // the full (fp, fmt, n_bytes) admissibility signature, so the
+    // pairs face's OUTPUT is C(k,2) per duplicate group by semantics
+    // (like join_interval_bucketed's density-quadratic truth); the
+    // probe measures that pair GENERATION is collapse-first (band
+    // machinery at group scale, expansion an equi-join growing with
+    // the output) rather than k²-amplified banded candidates + a
+    // corpus-pair distinct. incremental/ingest emit one verdict per
+    // new doc — expected flat-to-linear like their simhash twins
+    "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -323,7 +334,16 @@ object ScaleProbe {
       // staging-inclusive (the frozen models train on k× distinct
       // survivor texts at stream start) plus 4 triggers of per-batch
       // classify/score; expected ~linear like its batch twin
-      "stream_ccnet_ingest")
+      "stream_ccnet_ingest",
+      // round-15 adds: the phash family's DISTINCT-payload axis —
+      // trainheavy's per-replica token tags change byte distributions
+      // and lengths, so replicas carry distinct fingerprints the
+      // signature collapse cannot absorb: the banded join runs at k×
+      // distinct-signature scale (the real-corpus growth regime).
+      // For mm_phash_incremental the new set (doc_id%100 ≥ 80) stays
+      // at 1× while the old index grows k× distinct — the asymmetric
+      // deployment shape. Expected ~linear for all three
+      "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest

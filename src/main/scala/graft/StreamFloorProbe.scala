@@ -50,6 +50,21 @@ object StreamFloorProbe {
     "stream_dau", "stream_ewma", "stream_count_window",
     "stream_transitions", "stream_zscore")
 
+  /** LANE SPLIT (round-15, the r14 review's item 2): the family grew 8
+    * compute-heavy live-rebuild ops in r13 and the concurrent median
+    * moved 2.8× past its own ~30 % gate — the "setup floor amortizes"
+    * claim was proven on the CEP/window/join family, and ops that
+    * STAGE a model/index artifact per run (the `_ingest` chains, the
+    * `_live` per-epoch rebuilds, the artifact-staging `_query` server)
+    * saturate compute instead of idling between triggers, so hosting
+    * them in one 8-pool measures staging collisions, not floor
+    * amortization. `--lane floor` excludes them; `--lane live` is the
+    * complement; no flag = the whole family (the r13-comparable
+    * number). */
+  private def isLiveRebuild(op: String): Boolean =
+    op.endsWith("_ingest") || op.endsWith("_live") ||
+      op == "stream_ann_query"
+
   def main(args: Array[String]): Unit = {
     val family = args.contains("--family")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -69,11 +84,23 @@ object StreamFloorProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val ops =
-      if (family) SparkEntry.queries.keys.filter(_.startsWith("stream_"))
-        .toSeq.sorted
-      else Ops
-    val metric = if (family) "stream_floor_family" else "stream_floor"
+    val lane = args.sliding(2).collectFirst {
+      case Array("--lane", l) => l
+    }.getOrElse("all")
+    val ops = {
+      val base =
+        if (family) SparkEntry.queries.keys.filter(_.startsWith("stream_"))
+          .toSeq.sorted
+        else Ops
+      lane match {
+        case "floor" => base.filterNot(isLiveRebuild)
+        case "live" => base.filter(isLiveRebuild)
+        case "all" => base
+        case l => throw new IllegalArgumentException(s"unknown lane $l")
+      }
+    }
+    val metric = (if (family) "stream_floor_family" else "stream_floor") +
+      (if (lane == "all") "" else s"_$lane")
     // cap the pool below the executor thread count so the concurrent
     // lane measures query interleaving, not driver-thread starvation —
     // and so the ingest quartet's staging writes don't all collide

@@ -17,6 +17,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Semantics-changing probe confs must be UNSET before an oracle
+    // dump (r14 advice): each of these alters a registered op's OUTPUT
+    // while its DuckDB mirror stays at the default semantics, so a
+    // sweep run with one set would diverge silently. (The *Collapse
+    // plan-shape confs are result-invariant by their pinned theorems
+    // and stay legal.)
+    Seq("spark.graft.bpeVocabCap", "spark.graft.semanticCellCap",
+        "spark.graft.pqLiveWarmStart").foreach { k =>
+      require(spark.conf.getOption(k).isEmpty,
+        s"$k is set — unset it before an oracle dump (it changes " +
+          "registered-op output without changing the DuckDB mirror)")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -2047,8 +2047,15 @@ object StreamingOps {
     * assign+update prefix pass per epoch). Deterministic in (prefix
     * chain), so the k-epoch oracle mirror chains cb0_e := c2_{e−1}
     * and the hash-match proves the warm path exactly. Empty epoch:
-    * re-publish the prior prefix under the new epoch number, nBatches
-    * always advances (the annLiveRunAt r12-advice discipline). */
+    * the warm refine round still runs on the UNCHANGED prefix under
+    * the new epoch number (one more Lloyd round ⇒ the published
+    * codebook/verdicts may legitimately differ from the prior
+    * epoch's — the chained oracle runs the same round), and nBatches
+    * always advances (the annLiveRunAt r12-advice discipline).
+    * Probe-only A/B: `spark.graft.pqLiveWarmStart=false` forces every
+    * epoch down the cold path (full seed rank + two Lloyd rounds) —
+    * it CHANGES the published codebooks, so Verify asserts it unset
+    * before any oracle dump; ScaleProbe's --conf is the only caller. */
   private[graft] def pqLiveRun(s: SparkSession, d: String, k: Int)
       : (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
@@ -2107,8 +2114,11 @@ object StreamingOps {
             // re-deriving seeds + two rounds on the whole prefix —
             // cb_v(e−1) always exists at this point (staged before
             // batch e−1's checkpoint commit, idempotent on replay)
+            val warm = ss.conf
+              .getOption("spark.graft.pqLiveWarmStart")
+              .forall(_.trim.toBoolean)
             val prevCb =
-              if (e == 1) None
+              if (e == 1 || !warm) None
               else Some(ss.read
                 .schema(graft.operators.AnnOps.pqCbSchema)
                 .parquet(s"$root/cb_v${e - 1}"))
@@ -4444,10 +4454,14 @@ object StreamingOps {
         st.update(packAbc(signups.toSeq, events.toSeq))
       else st.clear()
       // idle re-arm: ONE timer per key, timeoutMs past this batch's
-      // processing time — new input for the key postpones the seal
+      // processing time — new input for the key postpones the seal.
+      // Armed whenever ANY state was written (r14 advice): a key that
+      // accumulates clicks/purchases but never a signup must still
+      // expire (its seal emits nothing — no anchors — but clears the
+      // state), or a long-running deployment leaks that state forever
       getHandle.listTimers()
         .foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      if (signups.nonEmpty)
+      if (signups.nonEmpty || events.nonEmpty)
         getHandle.registerTimer(
           timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
       Iterator.empty

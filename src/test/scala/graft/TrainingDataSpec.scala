@@ -317,6 +317,62 @@ class TrainingDataSpec extends GraftSpec {
       s"identical payloads not paired: ${crafted.toSeq}")
   }
 
+  test("phashPairs blocking is pluggable: a dimension-blocked variant " +
+      "equals its brute-force replay (r15; registered op unchanged)") {
+    // Real decoded assets block on DIMENSIONS, not payload bytes — the
+    // registered op's (n_bytes, 16) key is one instance of
+    // PhashBlocking (Multimodal.scala); this pins the lifted parameter
+    // with a width-blocked variant (|Δwidth| ≤ 2 over the decode
+    // stub's fake dims) against an O(n²) no-banding replay.
+    import spark.implicits._
+    import operators.Multimodal
+    def phOf(d: String) = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MmAsset]
+      .map { a =>
+        val f = Multimodal.decode(a)
+        val p = Multimodal.phash(a)
+        (p.doc_id, p.fmt, f.width, p.fp)
+      }.toDF("doc_id", "fmt", "width", "fp")
+    val ph = phOf(sf)
+    val rows = ph.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val exp = (for {
+      x <- rows; y <- rows
+      if y._1 > x._1 && y._2 == x._2 && math.abs(y._3 - x._3) <= 2
+      ham = java.lang.Long.bitCount(x._4 ^ y._4)
+      if ham <= 3
+    } yield (x._1, y._1, ham)).sorted.toSeq
+    val got = Multimodal.phashPairs(ph,
+        Multimodal.PhashBlocking("width", 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sorted.toSeq
+    assert(got == exp, s"width-blocked pairs drifted: got ${got.size}, " +
+      s"expected ${exp.size}")
+    assert(exp.nonEmpty, "degenerate fixture: no width-blocked pairs")
+    // crafted discriminator: identical byte DISTRIBUTIONS at lengths
+    // 100 vs 164 share the fp (threshold cnt·64 > len is invariant
+    // under exact repetition) and the fake width (16 + len % 64), so
+    // the dimension key admits the pair while the byte key (|Δ| = 64
+    // > 16) rejects it — the blocking genuinely changed admissibility
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_phash_blk_").toString
+    Seq((1L, "abcd" * 25, "en", "imgs", 100L),
+        (2L, "abcd" * 41, "en", "imgs", 164L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val wPairs = Multimodal.phashPairs(phOf(dir),
+        Multimodal.PhashBlocking("width", 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(wPairs.contains((1L, 2L)),
+      s"dimension blocking missed the same-width pair: ${wPairs.toSeq}")
+    val bPairs = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!bPairs.contains((1L, 2L)),
+      "byte blocking admitted a |Δn_bytes| = 64 pair — window broken")
+  }
+
   test("mm_phash_incremental equals the brute-force asymmetric replay") {
     // per NEW asset (doc_id % 100 >= 80): dup_of = min admissible
     // candidate among OLD assets and EARLIER new ones — the group
