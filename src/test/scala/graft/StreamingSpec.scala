@@ -73,7 +73,10 @@ class StreamingSpec extends GraftSpec {
     //   two signups, NO purchase — the first seals open counting all 3
     //   later clicks, the second open with the 1 click after it;
     //   user 3: purchase BEFORE its signup only (open, b_count = 0 —
-    //   a close never binds backwards)
+    //   a close never binds backwards); user 4: clicks + a purchase
+    //   but NO signup ever — its idle timer must still fire (r15 leak
+    //   fix: state is armed whenever written), seal with zero anchors
+    //   (no output row), and clear the buffered state
     Seq(
       row(10 * us, 1L, "signup", 100L), row(11 * us, 1L, "click", 101L),
       row(12 * us, 1L, "click", 102L), row(13 * us, 1L, "click", 103L),
@@ -81,7 +84,8 @@ class StreamingSpec extends GraftSpec {
       row(10 * us, 2L, "signup", 200L), row(11 * us, 2L, "click", 201L),
       row(12 * us, 2L, "click", 202L), row(13 * us, 2L, "signup", 203L),
       row(14 * us, 2L, "click", 204L),
-      row(9 * us, 3L, "purchase", 301L), row(10 * us, 3L, "signup", 300L))
+      row(9 * us, 3L, "purchase", 301L), row(10 * us, 3L, "signup", 300L),
+      row(10 * us, 4L, "click", 400L), row(11 * us, 4L, "purchase", 401L))
       .toDF("ts_utc", "ts", "user_id", "event_type", "event_id")
       .repartition(1).write.mode("overwrite").parquet(dir)
     // 4 anchors total (user 2 has two signups)
@@ -97,6 +101,10 @@ class StreamingSpec extends GraftSpec {
       (2L, 203L, None, 1L, false),
       (3L, 300L, None, 0L, false))
     assert(got == exp, s"idle-timeout until verdicts drifted:\n$got")
+    // the anchor-less user 4 sealed silently: no verdict row exists
+    // for it (its timer fired — the poll returned — and emitted none)
+    assert(!got.exists(_._1 == 4L),
+      s"anchor-less key emitted a verdict: $got")
   }
 
   test("stream_watermark_late: late rows behind the watermark are dropped") {
