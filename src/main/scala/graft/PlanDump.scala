@@ -120,7 +120,11 @@ object PlanDump {
     "mm_phash_dedup" ->
       "perceptual-hash media dedup (round-14 op; round-15 collapse-first rework): partition-mapped aHash → (fp, fmt, n_bytes) signature-group collapse agg → GROUP-scale banded equi-join (the plan's only distinct sits at group-pair volume) → output-sized member-expansion equi-joins (intra-group one gid-keyed self-join, inter-group the admissible group pairs' member cross) — no corpus-pair distinct, no nested loop, blocking pluggable (PhashBlocking)",
     "mm_phash_incremental" ->
-      "incremental phash dedup (round-14 op): group collapse on the full admissibility signature, band probe restricted to new-carrying groups against the full group index, verdict resolution by member expansion into a partial+final min agg — one verdict row per new asset, candidate volume at group scale")
+      "incremental phash dedup (round-14 op): group collapse on the full admissibility signature, band probe restricted to new-carrying groups against the full group index, verdict resolution by member expansion into a partial+final min agg — one verdict row per new asset, candidate volume at group scale",
+    "mm_phash_clusters" ->
+      "perceptual-hash dup clusters (round-15 op): group-scale band join (both orientations + self) derives the dup forest by the gid-minimality theorem — one member-keyed min agg, never a member-pair join; the closure is GraphLoop.jumpClosure's O(log chain) id-keyed join rounds over localCheckpoint-truncated lineage",
+    "llm_hybrid_rrf" ->
+      "hybrid RRF retrieval (round-15 op): both ranker stages are the broadcast-query corpus-stream shape (queries broadcast, one corpus pass per ranker, per-query top-50 windows); the fusion is a (q,cand)-keyed join of two shortlists + a top-5 window — the corpus never joins itself")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are

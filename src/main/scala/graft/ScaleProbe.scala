@@ -248,7 +248,19 @@ object ScaleProbe {
     // the output) rather than k²-amplified banded candidates + a
     // corpus-pair distinct. incremental/ingest emit one verdict per
     // new doc — expected flat-to-linear like their simhash twins
-    "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest")
+    "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest",
+    // round-15 continuation adds: the clusters face (group-scale
+    // verdicts by the gid-minimality theorem + pointer jumping —
+    // expected the flat collapse-first curve; identical replicas
+    // deepen no chain, they widen groups) and the RRF fusion (two
+    // broadcast-query corpus streams + shortlist-sized fusion —
+    // expected linear in corpus rows, the serving-family floor)
+    "mm_phash_clusters", "llm_hybrid_rrf",
+    // round-15: the recall evaluator — its corpus cost is its two
+    // rankers' (IVF probed above; the exact side is the brute-force
+    // baseline's one corpus stream past 10 broadcast queries), the
+    // hit join query-sized; expected ~linear
+    "llm_ann_recall")
 
   // Exact Ω(n²) embedding ops are deliberately absent: on 32k DISTINCT
   // vectors they are the documented quadratic family whose sub-quadratic
@@ -343,7 +355,11 @@ object ScaleProbe {
       // For mm_phash_incremental the new set (doc_id%100 ≥ 80) stays
       // at 1× while the old index grows k× distinct — the asymmetric
       // deployment shape. Expected ~linear for all three
-      "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest")
+      "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest",
+      // round-15 continuation: distinct payloads grow the signature
+      // group table k× — the clusters face's band join runs at that
+      // scale, the member agg linear; expected ~linear
+      "mm_phash_clusters")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest

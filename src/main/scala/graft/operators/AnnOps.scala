@@ -374,6 +374,38 @@ object AnnOps {
         .orderBy(col("vec_id"), col("rn"))
     }),
 
+    // ANN RECALL evaluation (round-15 add): the acceptance harness
+    // every ANN deployment ships — per query, recall@5 of the IVF
+    // shortlist against the exact brute-force cosine truth (the
+    // llm_cosine_topk machinery, so both sides reuse their proven
+    // arithmetic verbatim). Scale shape: both sides are per-query
+    // shortlists (≤ 5·|q| rows), so the hit join, agg, and output are
+    // query-set-sized — the corpus cost is the two rankers', already
+    // probed on their own axes; a 100 TB deployment samples the query
+    // set, never the corpus. Determinism: n_hits is an int count,
+    // recall one exact IEEE division by 5 — no rounding discipline
+    // needed on the compare path.
+    "llm_ann_recall" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val emb = graft.Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val approx = annIvfVerdictsCore(q, emb, centroids(emb))
+        .select(col("vec_id"), col("vec_id2"))
+      val exact = LlmOps.queries("llm_cosine_topk")(s, d)
+        .select(col("vec_id"), col("vec_id2"))
+      val hits = approx.join(exact, Seq("vec_id", "vec_id2"), "inner")
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+      emb.filter(col("vec_id") < 10).select(col("vec_id"))
+        .join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          lit(5).as("k"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5))
+            .as("recall"))
+        .orderBy(col("vec_id"))
+    }),
+
     // LSH-bucketed query ANN (round-4 add): the hyperplane-sketch
     // alternative to IVF for query-time search — no pretrained cell
     // assignment needed (IVF leans on the corpus's `label` quantizer;
@@ -454,8 +486,10 @@ object AnnOps {
        cvecs AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
                  FROM cent GROUP BY 1)"""
 
-  private[graft] def annIvfOracleSql: String =
-    s"""WITH $centroidCtesSql,
+  /** The IVF mirror's CTE chain (ends at `ranked`), shared by the
+    * llm_ann_ivf oracle and the r15 recall evaluator's oracle. */
+  private[graft] def annIvfCtesSql: String =
+    s"""$centroidCtesSql,
        qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),
        probes AS (
@@ -482,7 +516,10 @@ object AnnOps {
          SELECT q_id AS vec_id, vec_id2, sim,
                 CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY sim DESC, vec_id2) AS INTEGER) AS rn
-         FROM scored)
+         FROM scored)"""
+
+  private[graft] def annIvfOracleSql: String =
+    s"""WITH $annIvfCtesSql
        SELECT vec_id, vec_id2, sim, rn FROM ranked
        WHERE rn <= $TopK ORDER BY vec_id, rn"""
 
@@ -709,6 +746,35 @@ object AnnOps {
   val oracle: Map[String, String] = Map(
     "llm_ann_lsh" -> TrainingDataOps.annLshOracleSql,
     "llm_ann_ivf" -> annIvfOracleSql,
+
+    // recall mirror: the shared IVF chain (`ranked`) vs an inline
+    // brute-force exact top-5 (the llm_cosine_topk mirror), hit-joined
+    // per query; recall = one exact IEEE division of small ints
+    "llm_ann_recall" ->
+      s"""WITH $annIvfCtesSql,
+         e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                FROM embeddings),
+         d2 AS (SELECT vec_id, vec, list_dot_product(vec, vec)
+                  AS self_dot FROM e2),
+         s2 AS (SELECT q.vec_id AS vec_id, c.vec_id AS vec_id2,
+                  round(list_dot_product(q.vec, c.vec)
+                    / (sqrt(q.self_dot) * sqrt(c.self_dot)), 6) AS sim
+                FROM d2 q JOIN d2 c
+                  ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         ex AS (SELECT vec_id, vec_id2 FROM (
+                  SELECT vec_id, vec_id2, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY sim DESC, vec_id2) AS rn
+                  FROM s2) WHERE rn <= 5),
+         ap AS (SELECT vec_id, vec_id2 FROM ranked WHERE rn <= $TopK),
+         hits AS (SELECT a.vec_id, count(*) AS n_hits
+                  FROM ap a JOIN ex x
+                    ON x.vec_id = a.vec_id AND x.vec_id2 = a.vec_id2
+                  GROUP BY 1)
+         SELECT q.q_id AS vec_id, coalesce(h.n_hits, 0) AS n_hits,
+                5 AS k,
+                CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         FROM qs q LEFT JOIN hits h ON h.vec_id = q.q_id
+         ORDER BY vec_id""",
     "llm_ann_pq" -> annPqOracleSql,
     // staging is invisible (deterministic training + exact parquet
     // roundtrip) — the shared mirror re-proves the staged derivation

@@ -1242,6 +1242,77 @@ object LlmOps {
     // tfidf discipline); the ≤3 per-term scores add in FIXED order via
     // a conditional pivot (never a float sum() whose partition order
     // could differ); top-20 carries the doc_id tie-break (D1).
+    // Hybrid retrieval via RECIPROCAL-RANK FUSION (round-15 add;
+    // Cormack et al., SIGIR'09 — the standard dense+sparse fusion step
+    // every RAG retrieval stack runs): per query (the vec_id < 10 set
+    // the serving family shares), fuse the DENSE shortlist (exact
+    // cosine top-50, the llm_cosine_topk machinery and rounding) with
+    // a SPARSE lexical shortlist (distinct-token Jaccard top-50 over
+    // the embedded corpus slice); RRF(d) = Σ_lists 1/(60 + rank_l(d)),
+    // absent-from-a-list contributes 0, final top-5 by (rrf DESC, id).
+    // Scale shape: both shortlist stages are the broadcast-query
+    // corpus-stream pattern (queries broadcast, corpus streams past
+    // once per ranker, per-query top-k windows); the fusion is a
+    // (q, cand)-keyed join of two ≤ 50·|q|-row shortlists — at 100 TB
+    // the rankers swap in their ANN/inverted-index variants and the
+    // fusion stage is unchanged (its inputs are already shortlists).
+    // Determinism: ranks are ints, 1/(60+r) is one correctly-rounded
+    // IEEE division and one sum — bit-identical across engines, no
+    // rounding needed on the compare path.
+    "llm_hybrid_rrf" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val withDot = emb.withColumn("self_dot",
+        aggregate(zip_with(col("vec"), col("vec"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      val qd = withDot.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+          col("self_dot").as("q_dot"))
+      val dW = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("c_id"))
+      val dense = withDot
+        .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
+          col("self_dot").as("c_dot"))
+        .join(broadcast(qd), col("q_id") =!= col("c_id"), "inner")
+        .withColumn("sim",
+          round(aggregate(zip_with(col("q_vec"), col("c_vec"),
+              (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+            (sqrt(col("q_dot")) * sqrt(col("c_dot"))), 6))
+        .withColumn("r_dense", row_number().over(dW))
+        .filter(col("r_dense") <= 50)
+        .select(col("q_id"), col("c_id"), col("r_dense"))
+      val dtok = documents(s, d)
+        .join(embeddings(s, d).select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "inner")
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("tok"))
+      val qt = dtok.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("tok").as("q_tok"))
+      val sW = Window.partitionBy(col("q_id"))
+        .orderBy(col("jac").desc, col("c_id"))
+      val sparse = dtok
+        .select(col("doc_id").as("c_id"), col("tok").as("c_tok"))
+        .join(broadcast(qt), col("q_id") =!= col("c_id"), "inner")
+        .withColumn("inter",
+          size(array_intersect(col("q_tok"), col("c_tok"))))
+        .withColumn("jac", col("inter").cast("double") /
+          (size(col("q_tok")) + size(col("c_tok")) - col("inter")))
+        .withColumn("r_sparse", row_number().over(sW))
+        .filter(col("r_sparse") <= 50)
+        .select(col("q_id"), col("c_id"), col("r_sparse"))
+      val fW = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("c_id"))
+      dense.join(sparse, Seq("q_id", "c_id"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)))
+        .withColumn("rn", row_number().over(fW))
+        .filter(col("rn") <= 5)
+        .select(col("q_id").as("vec_id"), col("c_id").as("vec_id2"),
+          col("r_dense"), col("r_sparse"), col("rrf"), col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
+    }),
+
     "llm_bm25" -> ((s, d) => {
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -1880,6 +1951,53 @@ object LlmOps {
                   ORDER BY sim DESC, vec_id2) AS rn
          FROM s) WHERE rn <= 5
        ORDER BY vec_id, rn""",
+
+    // Mirror of llm_hybrid_rrf: dense CTEs = the llm_cosine_topk
+    // discipline (exact double dots, 6-dp sim, rank ties by id);
+    // sparse = distinct-token Jaccard as one exact double division;
+    // fusion = CAST(1 AS DOUBLE)/(60+rank) sums — every compare-path
+    // value is a correctly-rounded IEEE op on identical ints, so the
+    // hash matches without any rounding discipline beyond the sim's.
+    "llm_hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+                    FROM embeddings),
+            dd AS (SELECT vec_id, vec, list_dot_product(vec, vec)
+                     AS self_dot FROM e),
+            ds AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     round(list_dot_product(q.vec, c.vec)
+                       / (sqrt(q.self_dot) * sqrt(c.self_dot)), 6) AS sim
+                   FROM dd q JOIN dd c
+                     ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+            dr AS (SELECT q_id, c_id, rn AS r_dense FROM (
+                     SELECT q_id, c_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+                     FROM ds) WHERE rn <= 50),
+            dt AS (SELECT d.doc_id,
+                     list_distinct(string_split(d.text, ' ')) AS tok
+                   FROM documents d
+                   JOIN embeddings em ON em.vec_id = d.doc_id),
+            ss AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+                     CAST(len(list_intersect(q.tok, c.tok)) AS DOUBLE) /
+                       (len(q.tok) + len(c.tok)
+                         - len(list_intersect(q.tok, c.tok))) AS jac
+                   FROM dt q JOIN dt c
+                     ON q.doc_id < 10 AND c.doc_id != q.doc_id),
+            sr AS (SELECT q_id, c_id, rn AS r_sparse FROM (
+                     SELECT q_id, c_id, row_number() OVER (
+                       PARTITION BY q_id ORDER BY jac DESC, c_id) AS rn
+                     FROM ss) WHERE rn <= 50),
+            f AS (SELECT coalesce(dr.q_id, sr.q_id) AS q_id,
+                     coalesce(dr.c_id, sr.c_id) AS c_id,
+                     dr.r_dense, sr.r_sparse,
+                     coalesce(CAST(1 AS DOUBLE) / (60 + dr.r_dense), 0.0)
+                       + coalesce(CAST(1 AS DOUBLE) / (60 + sr.r_sparse),
+                           0.0) AS rrf
+                  FROM dr FULL JOIN sr
+                    ON sr.q_id = dr.q_id AND sr.c_id = dr.c_id)
+       SELECT q_id AS vec_id, c_id AS vec_id2, r_dense, r_sparse, rrf, rn
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn FROM f)
+       WHERE rn <= 5 ORDER BY vec_id, rn""",
 
     "llm_text_stats" ->
       """SELECT doc_id,

@@ -302,6 +302,60 @@ object Multimodal {
       phashPairs(phashOf(graft.Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("doc_id2"))),
 
+    // Perceptual-hash duplicate CLUSTERS (round-15 add): the media
+    // modality's transitive-closure face, completing the symmetry with
+    // llm_dedup_clusters — cluster = the closure of the arrival-order
+    // dup forest (dup_of(n) = min admissible candidate < n, exactly
+    // stream_phash_ingest's horizon-free verdict), labeled by the
+    // minimal member. GROUP-SCALE verdict derivation: gid = min(group)
+    // by construction, so the min admissible candidate < n is the min
+    // over admissible groups' gids < n — the band machinery runs on
+    // signature groups only (one rep-level equi-join, both
+    // orientations + self), then ONE member-keyed min agg; the
+    // pointer-jump closure is the shared GraphLoop.jumpClosure
+    // (O(log chain) corpus-keyed joins, the llm_dedup_clusters
+    // discipline).
+    "mm_phash_clusters" -> ((s, d) => {
+      val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
+      val ph = phashOf(graft.Tables.documents(s, d))
+      val groups = ph.groupBy(col("fp"), col("fmt"), col("n_bytes"))
+        .agg(min(col("doc_id")).as("gid"))
+        .withColumn("g", floor(col("n_bytes") / 16))
+      val a = groups.select(col("gid"), col("fmt"), col("n_bytes"),
+        col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val b = groups
+        .withColumn("g", explode(array(col("g") - 1, col("g"),
+          col("g") + 1)))
+        .select(col("gid").as("gid2"), col("fmt").as("fmt2"),
+          col("n_bytes").as("n_bytes2"), col("g"),
+          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      // admissible group pairs, BOTH orientations (each probe group
+      // needs every admissible neighbor's gid), plus self (a non-rep
+      // member's own gid is always an admissible earlier candidate)
+      val gpairs = a.join(b,
+          col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
+            a("g") === b("g") && col("gid") =!= col("gid2") &&
+            abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
+        .filter(expr("bit_count(fp ^ fp2)") <= 3)
+        .select(col("gid"), col("gid2")).distinct()
+        .unionByName(groups.select(col("gid"),
+          col("gid").as("gid2")))
+      val members = ph.join(
+          groups.select(col("fp"), col("fmt"), col("n_bytes"),
+            col("gid")), Seq("fp", "fmt", "n_bytes"))
+        .select(col("gid"), col("doc_id"))
+      val verdicts = members.join(gpairs, Seq("gid"), "left")
+        .filter(col("gid2") < col("doc_id"))
+        .groupBy(col("doc_id")).agg(min(col("gid2")).as("dup_of"))
+      GraphLoop.jumpClosure(
+        ph.select(col("doc_id")).join(verdicts, Seq("doc_id"), "left")
+          .select(col("doc_id").as("node"),
+            coalesce(col("dup_of"), col("doc_id")).as("root")),
+        "root")
+        .select(col("node").as("doc_id"), col("root").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental phash dedup (round-14 add): the asymmetric
     // batch-vs-corpus split applied to the perceptual hash, completing
     // the incremental symmetry with llm_simhash_incremental /
@@ -558,8 +612,37 @@ object Multimodal {
        FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id
        ORDER BY p.doc_id"""
 
+  /** DuckDB mirror of `mm_phash_clusters`: the horizon-free dup forest
+    * (min smaller-id admissible candidate per doc — the ingest oracle's
+    * `m` CTE) walked to its minimal root, the llm_dedup_clusters walk
+    * discipline (v MATERIALIZED is load-bearing: the recursive arm
+    * references it). The group-scale gid derivation on the Spark side
+    * is invisible here by the gid-minimality theorem (min admissible
+    * y < n ≡ min admissible group-min < n). */
+  private def phashClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashCtes,
+       m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
+             FROM ph x JOIN ph y ON y.doc_id < x.doc_id
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
+             WHERE bit_count(xor(x.fp, y.fp)) <= 3
+             GROUP BY 1),
+       v AS MATERIALIZED (SELECT p.doc_id, m.dup_of
+             FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id),
+       walk(doc_id, cur) AS (
+         SELECT doc_id, dup_of FROM v WHERE dup_of IS NOT NULL
+         UNION ALL
+         SELECT w.doc_id, v2.dup_of
+         FROM walk w JOIN v v2 ON v2.doc_id = w.cur
+         WHERE v2.dup_of IS NOT NULL),
+       roots AS (SELECT doc_id, min(cur) AS root FROM walk GROUP BY 1)
+       SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
+       FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id
+       ORDER BY v.doc_id"""
+
   val oracle: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleOracleSql,
+    "mm_phash_clusters" -> phashClustersOracleSql,
     "mm_decode_features" -> decodeOracleSql,
     "mm_resize" -> resizeOracleSql,
     "mm_phash_dedup" -> phashDedupOracleSql,

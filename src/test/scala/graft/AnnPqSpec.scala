@@ -207,4 +207,33 @@ class AnnPqSpec extends GraftSpec {
     val long = operators.AnnOps.pqIndexDirs("/x/" + "y" * 300)._1
     assert(new java.io.File(long).getParentFile.getName.length < 120)
   }
+
+  test("llm_ann_recall is the per-query overlap of the registered IVF " +
+      "and exact shortlists (r15)") {
+    // the DuckDB oracle re-derives BOTH rankers independently; this pin
+    // closes the remaining gap — the registered op's hits must equal
+    // the set overlap of the two REGISTERED ops' outputs (so the
+    // evaluator can never drift from what it claims to evaluate)
+    val approx = SparkEntry.queries("llm_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expHits = (approx intersect exact).groupBy(_._1)
+      .map { case (q, s) => q -> s.size.toLong }
+    val got = SparkEntry.queries("llm_ann_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (0L to 9L).toSeq,
+      "one row per query, id-ordered")
+    got.foreach { case (q, h, k, rec) =>
+      assert(k == 5)
+      assert(h == expHits.getOrElse(q, 0L),
+        s"q=$q hits drifted: $h vs ${expHits.getOrElse(q, 0L)}")
+      assert(rec == h.toDouble / 5)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the evaluator is informative on this corpus: neither all-0 nor
+    // all-1 (IVF's NProbe genuinely misses some true neighbours)
+    assert(got.exists(_._2 > 0) && got.exists(_._2 < 5),
+      s"degenerate recall fixture: ${got.toSeq}")
+  }
 }

@@ -410,6 +410,99 @@ class TrainingDataSpec extends GraftSpec {
       "degenerate fixture: verdicts do not split")
   }
 
+  test("mm_phash_clusters equals the brute-force walk of the " +
+      "horizon-free dup forest (r15)") {
+    // independent truth: plain-Scala aHash → dup_of(n) = min admissible
+    // candidate < n (no banding, no group collapse) → chain-walk each
+    // doc to its root — pins both the gid-minimality theorem (group-
+    // scale candidate derivation ≡ the direct min) and the closure
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def hash(t: String): Long = {
+      val b = t.getBytes("UTF-8"); val len = b.length
+      if (len == 0) 0L
+      else {
+        val cnt = new Array[Long](64)
+        b.foreach(x => cnt((x & 0xff) % 64) += 1)
+        (0 until 64).foldLeft(0L)((h, k) =>
+          if (cnt(k) * 64 > len) h | (1L << k) else h)
+      }
+    }
+    val ph = docs.map { case (id, fmt, t) =>
+      (id, fmt, t.getBytes("UTF-8").length, hash(t)) }
+    val dupOf = ph.map { x =>
+      val cands = ph.filter(y => y._1 < x._1 && y._2 == x._2 &&
+        math.abs(y._3 - x._3) <= 16 &&
+        java.lang.Long.bitCount(x._4 ^ y._4) <= 3).map(_._1)
+      x._1 -> (if (cands.isEmpty) None else Some(cands.min))
+    }.toMap
+    def root(id: Long): Long =
+      dupOf(id) match { case Some(p) => root(p); case None => id }
+    val exp = ph.map(_._1).sorted.map(id => (id, root(id))).toSeq
+    val got = SparkEntry.queries("mm_phash_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp, s"phash clusters drifted: got ${got.size}, " +
+      s"exp ${exp.size}")
+    // sanity: clusters are non-trivial and labels never exceed members
+    assert(exp.exists { case (id, c) => c != id },
+      "degenerate fixture: every doc its own cluster")
+    assert(got.forall { case (id, c) => c <= id })
+  }
+
+  test("llm_hybrid_rrf equals the independent dense+sparse fusion " +
+      "replay (r15)") {
+    // independent truth at sf: exact cosine ranks (6-dp, id ties) and
+    // distinct-token Jaccard ranks recomputed in plain Scala, top-50
+    // shortlists fused by RRF(60), top-5 per query by (rrf DESC, id)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val txt = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = emb.keySet.toSeq.sorted
+    val qs = ids.filter(_ < 10)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def shortlist(scores: Seq[(Long, Double)]): Map[Long, Int] =
+      scores.sortBy { case (id, s) => (-s, id) }.take(50)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val exp = qs.flatMap { q =>
+      val dRanks = shortlist(ids.filter(_ != q).map(c => c ->
+        rnd6(dot(emb(q), emb(c)) /
+          (math.sqrt(dot(emb(q), emb(q))) *
+            math.sqrt(dot(emb(c), emb(c)))))))
+      val qTok = txt(q).split(" ", -1).distinct.toSet
+      val sRanks = shortlist(ids.filter(_ != q).map { c =>
+        val cTok = txt(c).split(" ", -1).distinct.toSet
+        val inter = (qTok & cTok).size
+        c -> inter.toDouble / (qTok.size + cTok.size - inter)
+      })
+      (dRanks.keySet ++ sRanks.keySet).toSeq.map { c =>
+        val rrf = dRanks.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          sRanks.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, c, dRanks.get(c), sRanks.get(c), rrf)
+      }.sortBy { case (_, c, _, _, rrf) => (-rrf, c) }.take(5)
+        .zipWithIndex.map { case ((qq, c, rd, rs, rrf), i) =>
+          (qq, c, rd, rs, rrf, i + 1) }
+    }
+    val got = SparkEntry.queries("llm_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5))).toSeq
+    assert(got == exp, s"rrf fusion drifted:\n got ${got.take(6)}\n " +
+      s"exp ${exp.take(6)}")
+    // the fusion is non-trivial: some top-5 doc is single-list
+    assert(exp.exists(e => e._3.isEmpty || e._4.isEmpty),
+      "degenerate fixture: every fused doc in both shortlists")
+  }
+
   test("llm_dedup_clusters: roots are self-labeled, labels never exceed ids") {
     val rows = SparkEntry.queries("llm_dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
