@@ -256,6 +256,10 @@ object ScaleProbe {
     // broadcast-query corpus streams + shortlist-sized fusion —
     // expected linear in corpus rows, the serving-family floor)
     "mm_phash_clusters", "llm_hybrid_rrf",
+    // round-15: the selection face — clusters + a min-struct argmax
+    // + a cluster-keyed join back; expected the clusters curve + a
+    // linear agg
+    "mm_phash_keep_best",
     // round-15: the recall evaluator — its corpus cost is its two
     // rankers' (IVF probed above; the exact side is the brute-force
     // baseline's one corpus stream past 10 broadcast queries), the
@@ -358,8 +362,9 @@ object ScaleProbe {
       "mm_phash_dedup", "mm_phash_incremental", "stream_phash_ingest",
       // round-15 continuation: distinct payloads grow the signature
       // group table k× — the clusters face's band join runs at that
-      // scale, the member agg linear; expected ~linear
-      "mm_phash_clusters")
+      // scale, the member agg linear; expected ~linear (keep_best
+      // adds one corpus-linear argmax agg on top)
+      "mm_phash_clusters", "mm_phash_keep_best")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest

@@ -257,7 +257,7 @@ object Multimodal {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fmt"), col("n_bytes"), col("fp"))
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // Oracle-checked since round 10 — the stub decode is deterministic
     // byte arithmetic, so it mirrors in SQL (see the oracle map below);
     // MultimodalSpec additionally checks schema, determinism, and
@@ -315,7 +315,40 @@ object Multimodal {
     // pointer-jump closure is the shared GraphLoop.jumpClosure
     // (O(log chain) corpus-keyed joins, the llm_dedup_clusters
     // discipline).
-    "mm_phash_clusters" -> ((s, d) => {
+    "mm_phash_clusters" -> ((s, d) =>
+      phashClustersDf(s, d).orderBy(col("doc_id"))),
+
+    // Perceptual-hash KEEP-BEST (round-15 add): the media modality's
+    // selection face, completing the symmetry with
+    // llm_dedup_keep_best — per dup cluster keep ONE asset, the
+    // highest-QUALITY copy, where quality for the byte-stub is
+    // n_bytes (the resolution proxy; a real pipeline swaps in decoded
+    // pixel count/bitrate — the argmax shape is unchanged). Keeper =
+    // argmax by (n_bytes DESC, doc_id ASC), computed as a min-struct
+    // partial+final agg + one cluster-keyed join back (never a
+    // per-cluster window — the llm_dedup_keep_best discipline: a
+    // pathological giant cluster costs a partial agg, not a
+    // single-partition sort).
+    "mm_phash_keep_best" -> ((s, d) => {
+      val ph = phashOf(graft.Tables.documents(s, d))
+      val scored = phashClustersDf(s, d)
+        .join(ph.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
+      val best = scored.groupBy(col("cluster_id"))
+        .agg(min(struct((lit(0) - col("n_bytes")).as("nq"),
+          col("doc_id").as("bid"))).as("b"))
+        .select(col("cluster_id"), col("b.bid").as("best_id"))
+      scored.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_bytes"),
+          (col("doc_id") === col("best_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    })
+  ) ++ incrementalQueries
+
+  /** The phash dup clusters of a corpus — (doc_id, cluster_id), the
+    * transitive closure of the arrival-order dup forest, each cluster
+    * labeled by its minimal member. Shared by `mm_phash_clusters` and
+    * `mm_phash_keep_best`. */
+  private def phashClustersDf(s: SparkSession, d: String): DataFrame = {
       val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
       val ph = phashOf(graft.Tables.documents(s, d))
       val groups = ph.groupBy(col("fp"), col("fmt"), col("n_bytes"))
@@ -353,9 +386,9 @@ object Multimodal {
             coalesce(col("dup_of"), col("doc_id")).as("root")),
         "root")
         .select(col("node").as("doc_id"), col("root").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+  }
 
+  private def incrementalQueries: Map[String, Q] = Map(
     // Incremental phash dedup (round-14 add): the asymmetric
     // batch-vs-corpus split applied to the perceptual hash, completing
     // the incremental symmetry with llm_simhash_incremental /
@@ -619,9 +652,10 @@ object Multimodal {
     * references it). The group-scale gid derivation on the Spark side
     * is invisible here by the gid-minimality theorem (min admissible
     * y < n ≡ min admissible group-min < n). */
-  private def phashClustersOracleSql: String =
-    s"""WITH RECURSIVE
-       $phashCtes,
+  /** The clusters CTE chain (ends at `cl(doc_id, cluster_id)`),
+    * shared by the clusters and keep-best oracles. */
+  private def phashClusterCtes: String =
+    s"""$phashCtes,
        m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
              FROM ph x JOIN ph y ON y.doc_id < x.doc_id
                AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
@@ -635,14 +669,34 @@ object Multimodal {
          SELECT w.doc_id, v2.dup_of
          FROM walk w JOIN v v2 ON v2.doc_id = w.cur
          WHERE v2.dup_of IS NOT NULL),
-       roots AS (SELECT doc_id, min(cur) AS root FROM walk GROUP BY 1)
-       SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
-       FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id
-       ORDER BY v.doc_id"""
+       roots AS (SELECT doc_id, min(cur) AS root FROM walk GROUP BY 1),
+       cl AS (SELECT v.doc_id, coalesce(r.root, v.doc_id) AS cluster_id
+              FROM v LEFT JOIN roots r ON r.doc_id = v.doc_id)"""
+
+  private def phashClustersOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashClusterCtes
+       SELECT doc_id, cluster_id FROM cl ORDER BY doc_id"""
+
+  /** Mirror of `mm_phash_keep_best`: the shared clusters chain + the
+    * per-cluster quality argmax (n_bytes DESC, doc_id ASC) as a
+    * cluster-partitioned row_number — the llm_dedup_keep_best oracle
+    * discipline with the byte-stub's resolution proxy as quality. */
+  private def phashKeepBestOracleSql: String =
+    s"""WITH RECURSIVE
+       $phashClusterCtes,
+       sc AS (SELECT c.doc_id, c.cluster_id,
+                CAST(p.len AS INT) AS n_bytes,
+                row_number() OVER (PARTITION BY c.cluster_id
+                  ORDER BY p.len DESC, c.doc_id) AS krn
+              FROM cl c JOIN ph p ON p.doc_id = c.doc_id)
+       SELECT doc_id, cluster_id, n_bytes, krn = 1 AS keep
+       FROM sc ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "mm_frame_sample" -> frameSampleOracleSql,
     "mm_phash_clusters" -> phashClustersOracleSql,
+    "mm_phash_keep_best" -> phashKeepBestOracleSql,
     "mm_decode_features" -> decodeOracleSql,
     "mm_resize" -> resizeOracleSql,
     "mm_phash_dedup" -> phashDedupOracleSql,

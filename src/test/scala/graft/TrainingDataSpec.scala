@@ -450,6 +450,35 @@ class TrainingDataSpec extends GraftSpec {
     assert(got.forall { case (id, c) => c <= id })
   }
 
+  test("mm_phash_keep_best keeps exactly the per-cluster quality " +
+      "argmax (n_bytes DESC, doc_id ASC) (r15)") {
+    // builds on the clusters pin above: recompute clusters from the
+    // registered op (already proven vs brute force), then check the
+    // keeper flag against an independent per-cluster argmax
+    val cl = SparkEntry.queries("mm_phash_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("mm_phash_keep_best")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(got.map(t => t._1 -> t._2).toMap == cl,
+      "keep_best cluster labels drifted from mm_phash_clusters")
+    val best = got.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.minBy(m => (-m._3, m._1))._1
+    }
+    got.foreach { case (id, c, _, keep) =>
+      assert(keep == (best(c) == id),
+        s"keeper flag wrong for doc $id in cluster $c")
+    }
+    // exactly one keeper per cluster, and the fixture discriminates
+    // quality: some cluster's keeper is NOT its minimal member
+    assert(got.filter(_._4).map(_._2).distinct.length ==
+      got.map(_._2).distinct.length)
+    assert(got.exists { case (id, c, _, keep) => keep && id != c },
+      "degenerate fixture: every keeper is the cluster label " +
+        "(quality never discriminated)")
+  }
+
   test("llm_hybrid_rrf equals the independent dense+sparse fusion " +
       "replay (r15)") {
     // independent truth at sf: exact cosine ranks (6-dp, id ties) and
