@@ -2,7 +2,7 @@ package graft.operators
 
 import java.math.RoundingMode
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (`mm_decode_features`): treat media as an
@@ -132,17 +132,88 @@ object Multimodal {
       .mapPartitions(_.map(phash)).toDF()
   }
 
-  /** Pluggable admissibility blocking for the phash family (r15, the
-    * r14 verdict's item 5): candidates must share `fmt` and lie within
-    * `window` of the `sizeCol` value. The byte-stream STUB blocks on
-    * payload n_bytes; a real pipeline blocks on DECODED dimensions —
-    * swap `sizeCol` for a width/height-derived size column and the
-    * whole family (pairs face, verdicts core) follows, no operator
-    * rewrite. The window predicate rides an equi-key — grid =
-    * floor(size/window) with the candidate side exploded to grid ± 1
-    * (the Blocking.sizeBlockedPairs discipline), so every admissible
-    * pair meets on a key and the join is never a nested loop. */
-  case class PhashBlocking(sizeCol: String = "n_bytes", window: Int = 16)
+  /** Pluggable admissibility blocking for the phash family (r15
+    * parameter; r16 lift to ONE audited copy — the r14 verdict's
+    * item 5, closed): candidates must share `fmt` and lie within
+    * `window` of the `size` EXPRESSION's value. The byte-stream STUB
+    * blocks on payload n_bytes; a real pipeline blocks on DECODED
+    * dimensions — swap `size` for a width/height-derived expression
+    * and the whole family (pairs face, clusters, incremental,
+    * streaming verdicts core) follows, no operator rewrite: every
+    * site routes through [[admissibleMeet]], the single copy of the
+    * admissibility logic. `size` must be integral and derivable from
+    * the phash row's (fmt, n_bytes) — [[compactPhashIndex]]'s
+    * losslessness argument relies on that. The stub tuning cannot
+    * silently become load-bearing: the DEFAULT instance's constants
+    * ([[PhashBlocking.DefaultWindow]], [[PhashBlocking.HammingRadius]])
+    * are interpolated into every phash DuckDB oracle, so operator and
+    * oracle move together or the hash gate trips. */
+  case class PhashBlocking(size: Column = col("n_bytes"),
+      window: Int = PhashBlocking.DefaultWindow) {
+    require(window >= 1, s"phash blocking window must be >= 1: $window")
+  }
+
+  object PhashBlocking {
+    /** |Δsize| admissibility half-width of the default (byte-stub)
+      * blocking — shared with the oracle SQL by interpolation. */
+    val DefaultWindow = 16
+
+    /** Near-dup hamming radius. MUST stay ≤ SimHash.Blocks − 1 for
+      * the pigeonhole band join to be lossless (≤ Blocks−1 bit flips
+      * ⇒ ≥ 1 identical 16-bit block) — shared with the oracle SQL by
+      * interpolation. */
+    val HammingRadius = 3
+  }
+
+  /** Materialize `blk.size` as the canonical block-size column `bsz`
+    * — the ONLY place the pluggable size expression is evaluated.
+    * From here on the family speaks `bsz`, so signature-group frames
+    * (which no longer carry the raw asset columns) remain
+    * admissibility-compatible. */
+  private def withBlockSize(ph: DataFrame, blk: PhashBlocking): DataFrame =
+    ph.withColumn("bsz", blk.size)
+
+  /** THE one audited copy of phash admissibility (r16 — previously
+    * inlined at four sites): a probe row meets a candidate row iff
+    * fmt = fmt2, |bsz − bsz2| ≤ blk.window, and hamming(fp, fp2) ≤
+    * [[PhashBlocking.HammingRadius]]. Plan shape: the hamming radius
+    * rides the SimHash 4×16-bit block-key pigeonhole (≤ 3 flips ⇒
+    * ≥ 1 identical block) and the size window rides the
+    * floor(bsz/window) grid with the CANDIDATE side exploded to
+    * grid ± 1, so every admissible pair meets on the (bk, fmt, g)
+    * equi-key — a hash join, never a nested loop, at whatever scale
+    * (row or signature-group) the caller feeds it.
+    *
+    * Contract: both inputs already carry `bsz` (via [[withBlockSize]]
+    * or as a group key), plus (idCol resp. candIdCol, fmt, fp).
+    * Output: (idCol, candIdCol, hamming), one row PER MEETING KEY —
+    * callers apply their own id-ordering predicate and
+    * distinct/min-aggregate on top (Catalyst pushes that filter into
+    * the join condition, so post-hoc is plan-identical to inline). */
+  private def admissibleMeet(probe: DataFrame, idCol: String,
+      cand: DataFrame, candIdCol: String,
+      blk: PhashBlocking): DataFrame = {
+    val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
+    val p = probe
+      .withColumn("g", floor(col("bsz") / blk.window))
+      .select(col(idCol), col("fmt"), col("bsz"), col("g"), col("fp"),
+        explode(bkU(col("fp"))).as("bk"))
+    val c = cand
+      .withColumn("g", floor(col("bsz") / blk.window))
+      .withColumn("g", explode(array(col("g") - 1, col("g"),
+        col("g") + 1)))
+      .select(col(candIdCol), col("fmt").as("fmt2"),
+        col("bsz").as("bsz2"), col("g"), col("fp").as("fp2"),
+        explode(bkU(col("fp"))).as("bk2"))
+    p.join(c,
+        col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
+          p("g") === c("g") &&
+          abs(col("bsz") - col("bsz2")) <= blk.window, "inner")
+      .filter(expr("bit_count(fp ^ fp2)") <=
+        PhashBlocking.HammingRadius)
+      .select(col(idCol), col(candIdCol),
+        expr("bit_count(fp ^ fp2)").cast("int").as("hamming"))
+  }
 
   /** All near-dup pairs of a phash table (doc_id, fmt, <sizeCol>, fp):
     * (doc_id < doc_id2, hamming ≤ 3), both sides admissible under
@@ -162,34 +233,21 @@ object Multimodal {
     * identical replicas: 18.9 s → see PROBE_r15). */
   private[graft] def phashPairs(ph: DataFrame,
       blk: PhashBlocking = PhashBlocking()): DataFrame = {
-    val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
-    val sz2 = s"${blk.sizeCol}2"
-    val groups = ph.groupBy(col("fp"), col("fmt"), col(blk.sizeCol))
+    val pb = withBlockSize(ph, blk)
+    val groups = pb.groupBy(col("fp"), col("fmt"), col("bsz"))
       .agg(min(col("doc_id")).as("gid"))
-      .withColumn("g", floor(col(blk.sizeCol) / blk.window))
-    val a = groups.select(col("gid"), col("fmt"), col(blk.sizeCol),
-      col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
-    val b = groups
-      .withColumn("g", explode(array(col("g") - 1, col("g"),
-        col("g") + 1)))
-      .select(col("gid").as("gid2"), col("fmt").as("fmt2"),
-        col(blk.sizeCol).as(sz2), col("g"),
-        col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+    val gsel = groups.select(col("gid"), col("fmt"), col("bsz"),
+      col("fp"))
     // distinct ADMISSIBLE unordered group pairs — the only distinct in
     // the plan, at group-pair scale (a pair meets on ≤ 4 shared blocks
     // × ≤ 2 grid cells, never on corpus-pair volume)
-    val gpairs = a.join(b,
-        col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
-          a("g") === b("g") && col("gid") < col("gid2") &&
-          abs(col(blk.sizeCol) - col(sz2)) <= blk.window, "inner")
-      .filter(expr("bit_count(fp ^ fp2)") <= 3)
-      .select(col("gid"), col("gid2"),
-        expr("bit_count(fp ^ fp2)").cast("int").as("hamming"))
+    val gpairs = admissibleMeet(gsel, "gid",
+        gsel.withColumnRenamed("gid", "gid2"), "gid2", blk)
+      .filter(col("gid") < col("gid2"))
       .distinct()
-    val members = ph.join(
-        groups.select(col("fp"), col("fmt"), col(blk.sizeCol),
-          col("gid")),
-        Seq("fp", "fmt", blk.sizeCol))
+    val members = pb.join(
+        groups.select(col("fp"), col("fmt"), col("bsz"), col("gid")),
+        Seq("fp", "fmt", "bsz"))
       .select(col("gid"), col("doc_id"))
     val intra = members.join(
         members.select(col("gid"), col("doc_id").as("doc_id2")),
@@ -219,24 +277,13 @@ object Multimodal {
   private[graft] def phashVerdictsCore(batchPh: DataFrame,
       indexPh: DataFrame,
       blk: PhashBlocking = PhashBlocking()): DataFrame = {
-    val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
-    val sz2 = s"${blk.sizeCol}2"
-    val probe = batchPh
-      .withColumn("g", floor(col(blk.sizeCol) / blk.window))
-      .select(col("doc_id"), col("fmt"), col(blk.sizeCol), col("g"),
-        col("fp"), explode(bkU(col("fp"))).as("bk"))
-    val cands = indexPh.unionByName(batchPh)
-      .withColumn("g", floor(col(blk.sizeCol) / blk.window))
-      .withColumn("g", explode(array(col("g") - 1, col("g"),
-        col("g") + 1)))
-      .select(col("doc_id").as("cand_id"), col("fmt").as("fmt2"),
-        col(blk.sizeCol).as(sz2), col("g"),
-        col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
-    val matched = probe.join(cands,
-        col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
-          probe("g") === cands("g") && col("cand_id") < col("doc_id") &&
-          abs(col(blk.sizeCol) - col(sz2)) <= blk.window, "inner")
-      .filter(expr("bit_count(fp ^ fp2)") <= 3)
+    val probe = withBlockSize(batchPh, blk)
+      .select(col("doc_id"), col("fmt"), col("bsz"), col("fp"))
+    val cands = withBlockSize(indexPh.unionByName(batchPh), blk)
+      .select(col("doc_id").as("cand_id"), col("fmt"), col("bsz"),
+        col("fp"))
+    val matched = admissibleMeet(probe, "doc_id", cands, "cand_id", blk)
+      .filter(col("cand_id") < col("doc_id"))
       .groupBy(col("doc_id")).agg(min(col("cand_id")).as("dup_of"))
     batchPh.join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("fmt"),
@@ -251,7 +298,10 @@ object Multimodal {
     * hamming, so the group minimum is a LOSSLESS index compaction —
     * the persisted index stays O(distinct signatures) forever however
     * many duplicate assets stream past (the keep-smallest discipline,
-    * exact, not a heuristic). */
+    * exact, not a heuristic). Lossless for ANY [[PhashBlocking]] whose
+    * size expression derives from (fmt, n_bytes): the compaction key
+    * is then FINER than the admissibility signature, and min-of-mins
+    * over a finer partition is the group min. */
   private[graft] def compactPhashIndex(ph: DataFrame): DataFrame =
     ph.groupBy(col("fp"), col("fmt"), col("n_bytes"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -348,40 +398,31 @@ object Multimodal {
     * transitive closure of the arrival-order dup forest, each cluster
     * labeled by its minimal member. Shared by `mm_phash_clusters` and
     * `mm_phash_keep_best`. */
-  private def phashClustersDf(s: SparkSession, d: String): DataFrame = {
-      val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
-      val ph = phashOf(graft.Tables.documents(s, d))
-      val groups = ph.groupBy(col("fp"), col("fmt"), col("n_bytes"))
+  private def phashClustersDf(s: SparkSession, d: String,
+      blk: PhashBlocking = PhashBlocking()): DataFrame = {
+      val pb = withBlockSize(phashOf(graft.Tables.documents(s, d)), blk)
+      val groups = pb.groupBy(col("fp"), col("fmt"), col("bsz"))
         .agg(min(col("doc_id")).as("gid"))
-        .withColumn("g", floor(col("n_bytes") / 16))
-      val a = groups.select(col("gid"), col("fmt"), col("n_bytes"),
-        col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
-      val b = groups
-        .withColumn("g", explode(array(col("g") - 1, col("g"),
-          col("g") + 1)))
-        .select(col("gid").as("gid2"), col("fmt").as("fmt2"),
-          col("n_bytes").as("n_bytes2"), col("g"),
-          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
+      val gsel = groups.select(col("gid"), col("fmt"), col("bsz"),
+        col("fp"))
       // admissible group pairs, BOTH orientations (each probe group
       // needs every admissible neighbor's gid), plus self (a non-rep
       // member's own gid is always an admissible earlier candidate)
-      val gpairs = a.join(b,
-          col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
-            a("g") === b("g") && col("gid") =!= col("gid2") &&
-            abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
-        .filter(expr("bit_count(fp ^ fp2)") <= 3)
+      val gpairs = admissibleMeet(gsel, "gid",
+          gsel.withColumnRenamed("gid", "gid2"), "gid2", blk)
+        .filter(col("gid") =!= col("gid2"))
         .select(col("gid"), col("gid2")).distinct()
         .unionByName(groups.select(col("gid"),
           col("gid").as("gid2")))
-      val members = ph.join(
-          groups.select(col("fp"), col("fmt"), col("n_bytes"),
-            col("gid")), Seq("fp", "fmt", "n_bytes"))
+      val members = pb.join(
+          groups.select(col("fp"), col("fmt"), col("bsz"),
+            col("gid")), Seq("fp", "fmt", "bsz"))
         .select(col("gid"), col("doc_id"))
       val verdicts = members.join(gpairs, Seq("gid"), "left")
         .filter(col("gid2") < col("doc_id"))
         .groupBy(col("doc_id")).agg(min(col("gid2")).as("dup_of"))
       GraphLoop.jumpClosure(
-        ph.select(col("doc_id")).join(verdicts, Seq("doc_id"), "left")
+        pb.select(col("doc_id")).join(verdicts, Seq("doc_id"), "left")
           .select(col("doc_id").as("node"),
             coalesce(col("dup_of"), col("doc_id")).as("root")),
         "root")
@@ -401,37 +442,29 @@ object Multimodal {
     // may dup an OLD one or an EARLIER new one, never a later one).
     "mm_phash_incremental" -> ((s, d) => {
       import s.implicits._
-      val bkU = udf((fp: Long) => graft.functions.SimHash.blockKeys(fp))
-      val docs = assets(s, d).mapPartitions(_.map(phash)).toDF()
+      val blk = PhashBlocking()
+      val docs = withBlockSize(
+          assets(s, d).mapPartitions(_.map(phash)).toDF(), blk)
         .withColumn("is_new", pmod(col("doc_id"), lit(100L)) >= 80)
       val groups = docs
-        .groupBy(col("fp"), col("fmt"), col("n_bytes"))
+        .groupBy(col("fp"), col("fmt"), col("bsz"))
         .agg(min(col("doc_id")).as("rep_id"),
           max(col("is_new")).as("has_new"))
-        .withColumn("g", floor(col("n_bytes") / 16))
       val probe = groups.filter(col("has_new"))
-        .select(col("rep_id"), col("fmt"), col("n_bytes"),
-          col("g"), col("fp"), explode(bkU(col("fp"))).as("bk"))
-      val index = groups
-        .withColumn("g", explode(array(col("g") - 1, col("g"),
-          col("g") + 1)))
-        .select(col("rep_id").as("rep_id2"), col("fmt").as("fmt2"),
-          col("n_bytes").as("n_bytes2"), col("g"),
-          col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
-      val repPairs = probe.join(index,
-          col("bk") === col("bk2") && col("fmt") === col("fmt2") &&
-            probe("g") === index("g") &&
-            col("rep_id") =!= col("rep_id2") &&
-            abs(col("n_bytes") - col("n_bytes2")) <= 16, "inner")
-        .filter(expr("bit_count(fp ^ fp2)") <= 3)
+        .select(col("rep_id"), col("fmt"), col("bsz"), col("fp"))
+      val index = groups.select(col("rep_id").as("rep_id2"),
+        col("fmt"), col("bsz"), col("fp"))
+      val repPairs = admissibleMeet(probe, "rep_id", index, "rep_id2",
+          blk)
+        .filter(col("rep_id") =!= col("rep_id2"))
         .select(col("rep_id"), col("rep_id2"))
         .distinct()
       val selfPairs = groups.filter(col("has_new"))
         .select(col("rep_id"), col("rep_id").as("rep_id2"))
       val members = docs
-        .join(groups.select(col("fp"), col("fmt"), col("n_bytes"),
+        .join(groups.select(col("fp"), col("fmt"), col("bsz"),
             col("rep_id")),
-          Seq("fp", "fmt", "n_bytes"))
+          Seq("fp", "fmt", "bsz"))
         .select(col("rep_id"), col("doc_id"), col("is_new"))
       val probes = members.filter(col("is_new"))
         .select(col("rep_id"), col("doc_id"))
@@ -599,8 +632,8 @@ object Multimodal {
               CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
        FROM ph x JOIN ph y
          ON y.fmt = x.fmt AND y.doc_id > x.doc_id
-        AND abs(y.len - x.len) <= 16
-       WHERE bit_count(xor(x.fp, y.fp)) <= 3
+        AND abs(y.len - x.len) <= ${PhashBlocking.DefaultWindow}
+       WHERE bit_count(xor(x.fp, y.fp)) <= ${PhashBlocking.HammingRadius}
        ORDER BY x.doc_id, doc_id2"""
 
   /** DuckDB mirror of `mm_phash_incremental`: per new asset, the min
@@ -612,10 +645,10 @@ object Multimodal {
        $phashCtes,
        m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
              FROM ph x JOIN ph y ON y.doc_id != x.doc_id
-               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= ${PhashBlocking.DefaultWindow}
              WHERE x.doc_id % 100 >= 80
                AND (NOT (y.doc_id % 100 >= 80) OR y.doc_id < x.doc_id)
-               AND bit_count(xor(x.fp, y.fp)) <= 3
+               AND bit_count(xor(x.fp, y.fp)) <= ${PhashBlocking.HammingRadius}
              GROUP BY 1)
        SELECT p.doc_id, p.fmt,
               CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
@@ -635,8 +668,8 @@ object Multimodal {
        $phashCtes,
        m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
              FROM ph x JOIN ph y ON y.doc_id < x.doc_id
-               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
-             WHERE bit_count(xor(x.fp, y.fp)) <= 3
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= ${PhashBlocking.DefaultWindow}
+             WHERE bit_count(xor(x.fp, y.fp)) <= ${PhashBlocking.HammingRadius}
              GROUP BY 1)
        SELECT p.doc_id, p.fmt,
               CASE WHEN m.dup_of IS NOT NULL THEN 'band_dup'
@@ -658,8 +691,8 @@ object Multimodal {
     s"""$phashCtes,
        m AS (SELECT x.doc_id, min(y.doc_id) AS dup_of
              FROM ph x JOIN ph y ON y.doc_id < x.doc_id
-               AND y.fmt = x.fmt AND abs(y.len - x.len) <= 16
-             WHERE bit_count(xor(x.fp, y.fp)) <= 3
+               AND y.fmt = x.fmt AND abs(y.len - x.len) <= ${PhashBlocking.DefaultWindow}
+             WHERE bit_count(xor(x.fp, y.fp)) <= ${PhashBlocking.HammingRadius}
              GROUP BY 1),
        v AS MATERIALIZED (SELECT p.doc_id, m.dup_of
              FROM ph p LEFT JOIN m ON m.doc_id = p.doc_id),

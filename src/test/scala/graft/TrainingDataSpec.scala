@@ -345,7 +345,7 @@ class TrainingDataSpec extends GraftSpec {
       if ham <= 3
     } yield (x._1, y._1, ham)).sorted.toSeq
     val got = Multimodal.phashPairs(ph,
-        Multimodal.PhashBlocking("width", 2))
+        Multimodal.PhashBlocking(col("width"), 2))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       .sorted.toSeq
     assert(got == exp, s"width-blocked pairs drifted: got ${got.size}, " +
@@ -363,7 +363,7 @@ class TrainingDataSpec extends GraftSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val wPairs = Multimodal.phashPairs(phOf(dir),
-        Multimodal.PhashBlocking("width", 2))
+        Multimodal.PhashBlocking(col("width"), 2))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(wPairs.contains((1L, 2L)),
       s"dimension blocking missed the same-width pair: ${wPairs.toSeq}")
@@ -371,6 +371,45 @@ class TrainingDataSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(!bPairs.contains((1L, 2L)),
       "byte blocking admitted a |Δn_bytes| = 64 pair — window broken")
+  }
+
+  test("phashVerdictsCore blocking is pluggable: the dimension-blocked " +
+      "variant equals its brute-force replay (r16; one admissibility copy)") {
+    // The streaming twin's verdicts core goes through the SAME
+    // admissibleMeet copy as the batch pairs face — this pins the
+    // row-scale (batch-vs-index) path under the width blocking, so a
+    // future edit cannot fork the streaming admissibility from the
+    // batch one without tripping a spec.
+    import spark.implicits._
+    import operators.Multimodal
+    val ph = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source").as("fmt"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MmAsset]
+      .map { a =>
+        val f = Multimodal.decode(a)
+        val p = Multimodal.phash(a)
+        (p.doc_id, p.fmt, f.width, p.fp)
+      }.toDF("doc_id", "fmt", "width", "fp")
+    val batch = ph.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val index = ph.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    val got = Multimodal.phashVerdictsCore(batch, index,
+        Multimodal.PhashBlocking(col("width"), 2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).sortBy(_._1).toSeq
+    val rows = ph.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val exp = rows.filter(_._1 % 3 == 0).sortBy(_._1).map { x =>
+      val cands = rows.filter(y => y._1 < x._1 && y._2 == x._2 &&
+        math.abs(y._3 - x._3) <= 2 &&
+        java.lang.Long.bitCount(x._4 ^ y._4) <= 3).map(_._1)
+      val dup = if (cands.isEmpty) None else Some(cands.min)
+      (x._1, x._2, if (dup.isDefined) "band_dup" else "kept", dup)
+    }.toSeq
+    assert(got == exp, s"width-blocked verdicts drifted: got ${got.size}, " +
+      s"expected ${exp.size}")
+    assert(exp.exists(_._3 == "band_dup") && exp.exists(_._3 == "kept"),
+      "degenerate fixture: width-blocked verdicts do not split")
   }
 
   test("mm_phash_incremental equals the brute-force asymmetric replay") {
