@@ -124,7 +124,9 @@ object PlanDump {
     "mm_phash_clusters" ->
       "perceptual-hash dup clusters (round-15 op): group-scale band join (both orientations + self) derives the dup forest by the gid-minimality theorem — one member-keyed min agg, never a member-pair join; the closure is GraphLoop.jumpClosure's O(log chain) id-keyed join rounds over localCheckpoint-truncated lineage",
     "llm_hybrid_rrf" ->
-      "hybrid RRF retrieval (round-15 op): both ranker stages are the broadcast-query corpus-stream shape (queries broadcast, one corpus pass per ranker, per-query top-50 windows); the fusion is a (q,cand)-keyed join of two shortlists + a top-5 window — the corpus never joins itself")
+      "hybrid RRF retrieval (round-15 op): both ranker stages are the broadcast-query corpus-stream shape (queries broadcast, one corpus pass per ranker, per-query top-50 windows); the fusion is a (q,cand)-keyed join of two shortlists + a top-5 window — the corpus never joins itself",
+    "llm_hybrid_rrf_ann" ->
+      "ANN-backed hybrid RRF (round-16 op): the deployment shape — dense leg is the IVF probe core (cells join broadcast probes, no corpus shuffle) cut at ShortK, sparse leg semi-joins the token stream against the broadcast query-term table BEFORE the tf agg (only query-term postings aggregate), per-term 6-dp scores sum as micro-unit longs; fusion identical to llm_hybrid_rrf over two shortlist-sized inputs")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are

@@ -32,6 +32,11 @@ object AnnOps {
   val NProbe = 5
   val TopK = 5
 
+  // Shortlist length the hybrid-retrieval fusion consumes from each
+  // ranker (llm_hybrid_rrf_ann): long enough that RRF has overlap to
+  // fuse, small enough that every fusion input stays query-set-sized.
+  val ShortK = 20
+
   // ---- Product quantization (`llm_ann_pq`, round-13) ----------------
   // IVFADC with exact re-rank (Jégou et al. 2011 §IV; the +R refinement
   // of §V): 16 subspaces × 4 dims, 16 codes each — 16 sub-byte codes
@@ -79,7 +84,7 @@ object AnnOps {
     * mapped to it. Returns (vec_id, vec_id2, sim, rn ≤ TopK),
     * unordered. */
   private[graft] def annIvfVerdictsCore(q: DataFrame, emb: DataFrame,
-      cent: DataFrame): DataFrame = {
+      cent: DataFrame, k: Int = TopK): DataFrame = {
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("csim").desc, col("c_label"))
     val probed = q.crossJoin(broadcast(cent))
@@ -95,7 +100,7 @@ object AnnOps {
       .filter(col("q_id") =!= col("vec_id2"))
       .withColumn("sim", round(expr("cosine_sim(q_vec, c_vec)"), 6))
       .withColumn("rn", row_number().over(wr))
-      .filter(col("rn") <= TopK)
+      .filter(col("rn") <= k)
       .select(col("q_id").as("vec_id"), col("vec_id2"), col("sim"),
         col("rn"))
   }
@@ -396,12 +401,16 @@ object AnnOps {
         .select(col("vec_id"), col("vec_id2"))
       val hits = approx.join(exact, Seq("vec_id", "vec_id2"), "inner")
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+      // every k-facing value derives from the ONE TopK constant (r16,
+      // closing the r15 advice): the IVF cut, the exact-truth cut
+      // (llm_cosine_topk's own TopK), the reported k column, and the
+      // recall divisor move together or not at all
       emb.filter(col("vec_id") < 10).select(col("vec_id"))
         .join(hits, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          lit(5).as("k"),
-          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5))
+          lit(TopK).as("k"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(TopK))
             .as("recall"))
         .orderBy(col("vec_id"))
     }),
@@ -764,15 +773,15 @@ object AnnOps {
          ex AS (SELECT vec_id, vec_id2 FROM (
                   SELECT vec_id, vec_id2, row_number() OVER (
                     PARTITION BY vec_id ORDER BY sim DESC, vec_id2) AS rn
-                  FROM s2) WHERE rn <= 5),
+                  FROM s2) WHERE rn <= $TopK),
          ap AS (SELECT vec_id, vec_id2 FROM ranked WHERE rn <= $TopK),
          hits AS (SELECT a.vec_id, count(*) AS n_hits
                   FROM ap a JOIN ex x
                     ON x.vec_id = a.vec_id AND x.vec_id2 = a.vec_id2
                   GROUP BY 1)
          SELECT q.q_id AS vec_id, coalesce(h.n_hits, 0) AS n_hits,
-                5 AS k,
-                CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+                $TopK AS k,
+                CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $TopK AS recall
          FROM qs q LEFT JOIN hits h ON h.vec_id = q.q_id
          ORDER BY vec_id""",
     "llm_ann_pq" -> annPqOracleSql,

@@ -1151,7 +1151,9 @@ object LlmOps {
         .withColumn("sim",
           round(col("dot") / (sqrt(col("q_dot")) * sqrt(col("c_dot"))), 6))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+        // AnnOps.TopK, not a literal: llm_ann_recall compares this
+        // exact truth against the IVF shortlist at the same k (r16)
+        .filter(col("rn") <= AnnOps.TopK)
         .select(col("q_id").as("vec_id"), col("c_id").as("vec_id2"),
           col("sim"), col("rn"))
         .orderBy(col("vec_id"), col("rn"))
@@ -1308,6 +1310,88 @@ object LlmOps {
             coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)))
         .withColumn("rn", row_number().over(fW))
         .filter(col("rn") <= 5)
+        .select(col("q_id").as("vec_id"), col("c_id").as("vec_id2"),
+          col("r_dense"), col("r_sparse"), col("rrf"), col("rn"))
+        .orderBy(col("vec_id"), col("rn"))
+    }),
+
+    // ANN-backed hybrid retrieval (round-16 add; the r15 verdict's
+    // missing composition): the 100 TB deployment shape of
+    // llm_hybrid_rrf — RRF over SHORTLISTS from the two production
+    // rankers instead of two exact corpus scans. Dense leg = the IVF
+    // probe core (annIvfVerdictsCore — llm_ann_ivf's machinery
+    // verbatim) cut at ShortK; sparse leg = per-query BM25 (the
+    // llm_bm25 scoring formula verbatim, with the query doc's
+    // DISTINCT tokens as the query instead of the fixed 3-term one)
+    // cut at ShortK; fusion = the identical RRF stage (1/(60+rank),
+    // absence contributes 0, top-TopK by rrf DESC, id). Scale shape:
+    // the corpus streams ONCE per ranker (IVF: cells × broadcast
+    // probes, no corpus shuffle; BM25: the token stream semi-joins
+    // the broadcast query-term table BEFORE the tf agg, so only
+    // query-term postings ever aggregate) and everything downstream
+    // of the two rank windows is shortlist-sized. Determinism: each
+    // per-term BM25 score rounds once at 6 dp (the llm_bm25
+    // arithmetic) then sums as exact micro-unit longs — variable
+    // per-query term counts forbid llm_bm25's fixed-order 3-term
+    // pivot, and long addition commutes, so partition order cannot
+    // perturb a rank (the micro-unit discipline).
+    "llm_hybrid_rrf_ann" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val dense = AnnOps.annIvfVerdictsCore(q, emb,
+          AnnOps.centroids(emb), AnnOps.ShortK)
+        .select(col("vec_id").as("q_id"), col("vec_id2").as("c_id"),
+          col("rn").as("r_dense"))
+      val docs = documents(s, d)
+        .join(emb.select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "inner")
+        .select(col("doc_id"), col("text"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val g = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      val qtok = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+      val qterms = qtok.select(col("term")).distinct()
+      val tfq = docs
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val su = tfq.join(broadcast(qtok), Seq("term"))
+        .filter(col("q_id") =!= col("doc_id"))
+        .join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(g))
+        .withColumn("idf",
+          round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)), 6))
+        .withColumn("su",
+          round(round(col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * (col("dl") * col("n_docs")) / col("sum_dl"))),
+            6) * lit(1e6)).cast("long"))
+      val sW = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+      val sparse = su.groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("su")).as("score_u"))
+        .withColumn("r_sparse", row_number().over(sW))
+        .filter(col("r_sparse") <= AnnOps.ShortK)
+        .select(col("q_id"), col("doc_id").as("c_id"),
+          col("r_sparse"))
+      val fW = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("c_id"))
+      dense.join(sparse, Seq("q_id", "c_id"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)))
+        .withColumn("rn", row_number().over(fW))
+        .filter(col("rn") <= AnnOps.TopK)
         .select(col("q_id").as("vec_id"), col("c_id").as("vec_id2"),
           col("r_dense"), col("r_sparse"), col("rrf"), col("rn"))
         .orderBy(col("vec_id"), col("rn"))
@@ -1937,7 +2021,7 @@ object LlmOps {
        ORDER BY 1, 2""",
 
     "llm_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
                     FROM embeddings),
             d AS (SELECT vec_id, vec, list_dot_product(vec, vec) AS self_dot
                   FROM e),
@@ -1949,7 +2033,7 @@ object LlmOps {
          SELECT vec_id, vec_id2, sim,
                 row_number() OVER (PARTITION BY vec_id
                   ORDER BY sim DESC, vec_id2) AS rn
-         FROM s) WHERE rn <= 5
+         FROM s) WHERE rn <= ${AnnOps.TopK}
        ORDER BY vec_id, rn""",
 
     // Mirror of llm_hybrid_rrf: dense CTEs = the llm_cosine_topk
@@ -1998,6 +2082,68 @@ object LlmOps {
        FROM (SELECT *, row_number() OVER (
                PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn FROM f)
        WHERE rn <= 5 ORDER BY vec_id, rn""",
+
+    // Mirror of llm_hybrid_rrf_ann: the shared IVF CTE chain
+    // (annIvfCtesSql, ends at `ranked`) cut at ShortK for the dense
+    // shortlist; the llm_bm25 arithmetic over the query doc's distinct
+    // tokens for the sparse one, per-term scores 6-dp-rounded then
+    // summed as micro-unit BIGINTs (exactly the Spark op's order-free
+    // sum); the llm_hybrid_rrf fusion verbatim, cut at TopK. Every
+    // k in this mirror interpolates from the same constants the
+    // operator reads.
+    "llm_hybrid_rrf_ann" ->
+      s"""WITH ${AnnOps.annIvfCtesSql},
+            dr AS (SELECT vec_id AS q_id, vec_id2 AS c_id, rn AS r_dense
+                   FROM ranked WHERE rn <= ${AnnOps.ShortK}),
+            docs2 AS (SELECT d.doc_id, d.text FROM documents d
+                      JOIN embeddings em ON em.vec_id = d.doc_id),
+            dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                   FROM docs2),
+            g AS (SELECT count(*) AS n_docs,
+                    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+            qtok AS (SELECT doc_id AS q_id,
+                       unnest(list_distinct(string_split(text, ' ')))
+                         AS term
+                     FROM docs2 WHERE doc_id < 10),
+            tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+                      AS term
+                    FROM docs2),
+            tfq AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
+                    WHERE t.term IN (SELECT DISTINCT term FROM qtok)
+                    GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+            pt AS (SELECT q.q_id, t.doc_id,
+                     CAST(round(round(
+                       round(ln((g.n_docs - f.df + 0.5) /
+                           (f.df + 0.5) + 1.0), 6) *
+                         (t.tf * 2.2) /
+                         (t.tf + 1.2 * (1.0 - 0.75 +
+                           0.75 * (dd.dl * g.n_docs) / g.sum_dl)), 6)
+                       * 1000000.0) AS BIGINT) AS su
+                   FROM tfq t JOIN qtok q
+                     ON q.term = t.term AND q.q_id != t.doc_id
+                   JOIN df f ON f.term = t.term
+                   JOIN dl dd ON dd.doc_id = t.doc_id
+                   CROSS JOIN g),
+            bm AS (SELECT q_id, doc_id, sum(su) AS score_u
+                   FROM pt GROUP BY 1, 2),
+            sr AS (SELECT q_id, doc_id AS c_id, rn AS r_sparse FROM (
+                     SELECT q_id, doc_id, row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY score_u DESC, doc_id) AS rn
+                     FROM bm) WHERE rn <= ${AnnOps.ShortK}),
+            fu AS (SELECT coalesce(dr.q_id, sr.q_id) AS q_id,
+                     coalesce(dr.c_id, sr.c_id) AS c_id,
+                     dr.r_dense, sr.r_sparse,
+                     coalesce(CAST(1 AS DOUBLE) / (60 + dr.r_dense), 0.0)
+                       + coalesce(CAST(1 AS DOUBLE) / (60 + sr.r_sparse),
+                           0.0) AS rrf
+                   FROM dr FULL JOIN sr
+                     ON sr.q_id = dr.q_id AND sr.c_id = dr.c_id)
+       SELECT q_id AS vec_id, c_id AS vec_id2, r_dense, r_sparse, rrf, rn
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn FROM fu)
+       WHERE rn <= ${AnnOps.TopK} ORDER BY vec_id, rn""",
 
     "llm_text_stats" ->
       """SELECT doc_id,

@@ -119,6 +119,18 @@ class PlanShapeSpec extends GraftSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
   }
 
+  test("llm_hybrid_rrf_ann: both shortlist rankers broadcast the query " +
+      "side, the corpus is never cartesian-paired") {
+    // dense leg = the IVF probe core (broadcast probes into the cells),
+    // sparse leg = term-keyed broadcast semi-join of the query-term
+    // table into the token stream BEFORE the tf agg; the only
+    // nested-loop joins are the deliberately tiny broadcast products
+    // (ncells centroid grid, the 1-row global-stats frame)
+    val plan = finalPlan("llm_hybrid_rrf_ann")
+    assert(!plan.contains("CartesianProduct"), s"cartesian join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("llm_ann_pq joins the code table by broadcast only — the corpus " +
       "is never shuffle-joined or cartesian-paired") {
     val plan = finalPlan("llm_ann_pq")

@@ -571,6 +571,122 @@ class TrainingDataSpec extends GraftSpec {
       "degenerate fixture: every fused doc in both shortlists")
   }
 
+  test("llm_hybrid_rrf_ann: fusion properties hold and the hybrid " +
+      "loses less to ANN than the dense-only path does (r16)") {
+    // ADJUDICATION of the r15 brief's literal pin ("fused recall >= the
+    // dense-only llm_ann_recall baseline"): measured, it is FALSE at
+    // all three SFs (e.g. 22 vs 28 hits at sf0.001) — and false by
+    // construction, because llm_ann_recall's truth IS the exact dense
+    // ranking, so any lexical signal the fusion adds can only displace
+    // dense-true hits. The meaningful acceptance inequality, pinned
+    // here instead: each retrieval stack measured against ITS OWN
+    // exact counterpart — the ANN-backed hybrid vs the exact-dense-leg
+    // fusion, and dense-only IVF vs exact cosine (llm_ann_recall).
+    // The hybrid retains MORE of its exact truth (38 vs 28 hits at
+    // sf0.001): the sparse leg is exact in both stacks and anchors the
+    // fused ranking, so fusion is more robust to ANN approximation
+    // than the dense leg alone — the reason the 100 TB deployment
+    // shape is hybrid.
+    import operators.AnnOps
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val txt = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = emb.keySet.toSeq.sorted
+    val qs = ids.filter(_ < 10)
+    val corpus = ids.filter(txt.contains)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def shortlist[S](scores: Seq[(Long, S)])(implicit o: Ordering[S])
+        : Map[Long, Int] =
+      scores.sortBy { case (id, s) => (s, id) }(
+          Ordering.Tuple2(o.reverse, Ordering.Long))
+        .take(AnnOps.ShortK)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // exact BM25 leg (identical in both stacks): per-term 6-dp scores
+    // summed as micro-unit longs, the op's arithmetic verbatim
+    val dlM = corpus.map(c => c -> txt(c).split(" ", -1).length).toMap
+    val nDocs = corpus.size
+    val sumDl = dlM.values.map(_.toLong).sum
+    val tfM = corpus.map(c => c ->
+      txt(c).split(" ", -1).groupBy(identity)
+        .map { case (t, a) => t -> a.length }).toMap
+    def bm25Ranks(q: Long): Map[Long, Int] = {
+      val qTerms = txt(q).split(" ", -1).distinct
+      val df = qTerms.map(t =>
+        t -> corpus.count(c => tfM(c).contains(t))).toMap
+      shortlist(corpus.filter(_ != q).flatMap { c =>
+        val su = qTerms.flatMap { t =>
+          tfM(c).get(t).map { tf =>
+            val idf = rnd6(math.log(
+              (nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0))
+            math.round(rnd6(idf * (tf * 2.2) /
+              (tf + 1.2 * (1.0 - 0.75 +
+                0.75 * (dlM(c).toLong * nDocs).toDouble / sumDl)))
+              * 1e6)
+          }
+        }.sum
+        if (su == 0L && qTerms.forall(t => !tfM(c).contains(t))) None
+        else Some(c -> su)
+      })
+    }
+    def denseExactRanks(q: Long): Map[Long, Int] =
+      shortlist(ids.filter(_ != q).map(c => c ->
+        rnd6(dot(emb(q), emb(c)) /
+          (math.sqrt(dot(emb(q), emb(q))) *
+            math.sqrt(dot(emb(c), emb(c)))))))
+    def fuseTop5(d: Map[Long, Int], sp: Map[Long, Int]): Seq[Long] =
+      (d.keySet ++ sp.keySet).toSeq.map { c =>
+        c -> (d.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          sp.get(c).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      }.sortBy { case (c, rrf) => (-rrf, c) }.take(AnnOps.TopK)
+        .map(_._1)
+    val truth = qs.flatMap(q =>
+      fuseTop5(denseExactRanks(q), bm25Ranks(q)).map(q -> _)).toSet
+    val got = SparkEntry.queries("llm_hybrid_rrf_ann")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4), r.getInt(5))).toSeq
+    // shape + rrf arithmetic recomputes from the reported ranks
+    assert(got.map(r => (r._1, r._6)).sorted ==
+      qs.flatMap(q => (1 to AnnOps.TopK).map(q -> _)).sorted,
+      "not TopK rows per query")
+    got.foreach { case (_, _, rd, rs, rrf, _) =>
+      val expRrf = rd.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rs.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(rrf == expRrf, s"rrf drifted: $rrf vs $expRrf")
+      assert(rd.isDefined || rs.isDefined, "candidate from no shortlist")
+    }
+    // RRF dominance bound: with ranks <= ShortK and the 60 constant,
+    // 2/(60+ShortK) > 1/61, so every both-lists candidate outranks
+    // every single-list one — the both-rows form a per-query rn prefix
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val bothRns = rows.filter(r => r._3.isDefined && r._4.isDefined)
+        .map(_._6)
+      val singleRns = rows.filter(r => r._3.isEmpty || r._4.isEmpty)
+        .map(_._6)
+      if (bothRns.nonEmpty && singleRns.nonEmpty)
+        assert(bothRns.max < singleRns.min,
+          s"q=$q: single-list row outranked a both-lists row")
+    }
+    val fusedHits = got.map(r => (r._1, r._2)).count(truth.contains)
+    val denseHits = SparkEntry.queries("llm_ann_recall")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(fusedHits >= denseHits,
+      s"hybrid lost more to ANN ($fusedHits) than dense-only did " +
+        s"($denseHits) — the sparse anchor stopped working")
+    // and the evaluation is informative: neither stack is lossless
+    assert(fusedHits < qs.size * AnnOps.TopK,
+      "degenerate fixture: ANN-backed fusion is exact")
+  }
+
   test("llm_dedup_clusters: roots are self-labeled, labels never exceed ids") {
     val rows = SparkEntry.queries("llm_dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
