@@ -84,6 +84,11 @@ object StreamFloorProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // a trailing --lane with no operand must fail loudly, not fall
+    // back to measuring the full family (r15 advice)
+    if (args.lastOption.contains("--lane"))
+      throw new IllegalArgumentException(
+        "--lane requires an operand: floor, live, or all")
     val lane = args.sliding(2).collectFirst {
       case Array("--lane", l) => l
     }.getOrElse("all")

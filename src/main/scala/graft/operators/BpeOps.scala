@@ -107,13 +107,17 @@ object BpeOps {
     // pruned tail) by the inner vocab join — the standard
     // closed-vocab semantics.
     // defensive parse (r14 advice): a malformed conf value should name
-    // itself, not surface as a bare NumberFormatException mid-plan
-    val cap = s.conf.getOption("spark.graft.bpeVocabCap")
-      .map(v => scala.util.Try(v.trim.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"spark.graft.bpeVocabCap must be an integer, got '$v'")))
-      .filter(_ > 0)
-      .orElse(capDefault)
+    // itself, not surface as a bare NumberFormatException mid-plan.
+    // Precedence (r15 advice): a declared capDefault WINS — the
+    // registered capped faces pin CapVocab and a stray session conf
+    // must not silently move them off their oracle; the conf steers
+    // only the uncapped experiment path (capDefault = None).
+    val cap = capDefault.orElse(
+      s.conf.getOption("spark.graft.bpeVocabCap")
+        .map(v => scala.util.Try(v.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"spark.graft.bpeVocabCap must be an integer, got '$v'")))
+        .filter(_ > 0))
     val vocab = cap.fold(vocabAll)(v =>
       vocabAll.orderBy(col("freq").desc, col("w")).limit(v))
     // stage-cut: the corpus explode must run ONCE, not once per round

@@ -2114,9 +2114,18 @@ object StreamingOps {
             // re-deriving seeds + two rounds on the whole prefix —
             // cb_v(e−1) always exists at this point (staged before
             // batch e−1's checkpoint commit, idempotent on replay)
+            // self-naming parse (r15 advice — the bpeVocabCap
+            // discipline): malformed values must not surface as a
+            // bare IllegalArgumentException from toBoolean
             val warm = ss.conf
               .getOption("spark.graft.pqLiveWarmStart")
-              .forall(_.trim.toBoolean)
+              .forall(_.trim.toLowerCase match {
+                case "true" => true
+                case "false" => false
+                case v => throw new IllegalArgumentException(
+                  s"spark.graft.pqLiveWarmStart must be true or " +
+                    s"false, got '$v'")
+              })
             val prevCb =
               if (e == 1 || !warm) None
               else Some(ss.read
