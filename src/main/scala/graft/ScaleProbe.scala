@@ -225,6 +225,12 @@ object ScaleProbe {
     // ~the batch op's cost × the prefix sum plus the 4-trigger floor
     // (the stream_ann_live corpus-axis shape for the quantized index)
     "stream_pq_live",
+    // round-16: the delta-epoch cadence — epochs 2 and 4 skip the
+    // prefix-linear retrain+re-encode and pay only O(batch)
+    // assignment + the serve, so the chain should undercut
+    // stream_pq_live's rebuild floor (the 64× A/B vs
+    // probe_pq_warm64.json is the acceptance number)
+    "stream_pq_live_delta",
     // round-13: the sufficient-statistics PCA — per-epoch MODEL work
     // is O(batch·d²) into a d²-row state (never a prefix rescan), so
     // the chain cost is the linear batch scans + the prefix-linear

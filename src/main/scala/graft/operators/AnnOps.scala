@@ -289,6 +289,31 @@ object AnnOps {
     centroids(emb).write.mode("overwrite").parquet(centDir)
   }
 
+  /** DELTA-epoch code staging (r16, `stream_pq_live_delta`): assign
+    * ONLY the new suffix against the codebook IN FORCE and append to
+    * the previous epoch's staged codes — per-epoch assignment work is
+    * O(batch·M), never a prefix re-assign, and the model tables are
+    * not touched at all. The union is disjoint by the monotone-arrival
+    * guard (every new vec_id exceeds every staged one). Idempotent
+    * overwrite for replay/resume; an empty suffix stages a verbatim
+    * copy of the previous codes (the empty-epoch contract). */
+  private[graft] def stagePqCodesDelta(s: SparkSession,
+      newEmb: DataFrame, cbDir: String, prevCodesDir: String,
+      codesDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val codesSchema = StructType(Seq(StructField("vec_id2", LongType),
+      StructField("t", IntegerType), StructField("k", IntegerType),
+      StructField("label", IntegerType)))
+    val cb = s.read.schema(pqCbSchema).parquet(cbDir)
+    val newCodes = pqAssign(pqSubvecs(newEmb), cb)
+      .join(newEmb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
+        col("label"))
+    s.read.schema(codesSchema).parquet(prevCodesDir)
+      .unionByName(newCodes)
+      .write.mode("overwrite").parquet(codesDir)
+  }
+
   /** Where the staged PQ index lives (per corpus dir): codebook /
     * codes / coarse centroids. */
   private[graft] def pqIndexDirs(d: String): (String, String, String) = {
@@ -535,27 +560,29 @@ object AnnOps {
   /** One PQ assignment round of the DuckDB mirror: nearest code per
     * (vec, subspace) by exact-long squared distance, k tie-break —
     * grouped-row arithmetic (the integer space makes accumulation
-    * order irrelevant, so rows vs arrays across engines is safe). */
-  private def pqAssignSql(sfx: String, srcCb: String,
-      name: String): String =
-    s"""$name$sfx AS MATERIALIZED (
+    * order irrelevant, so rows vs arrays across engines is safe).
+    * Takes FULL table names (r16) so the delta mirror can assign a
+    * suffix-restricted xm against an earlier epoch's codebook. */
+  private def pqAssignSql(name: String, xmTbl: String,
+      cbTbl: String): String =
+    s"""$name AS MATERIALIZED (
          SELECT vec_id, t, k FROM (
            SELECT x.vec_id, x.t, c.k,
              row_number() OVER (PARTITION BY x.vec_id, x.t
                ORDER BY sum((x.xmj - c.cm)*(x.xmj - c.cm)), c.k) AS rn
-           FROM xm$sfx x JOIN $srcCb$sfx c ON c.t = x.t AND c.j = x.j
+           FROM $xmTbl x JOIN $cbTbl c ON c.t = x.t AND c.j = x.j
            GROUP BY x.vec_id, x.t, c.k)
          WHERE rn = 1)"""
 
   /** One PQ centroid recompute of the mirror — the sign-CASE
     * truncating division (Spark `div`). */
-  private def pqUpdateSql(sfx: String, srcA: String,
-      name: String): String =
-    s"""$name$sfx AS MATERIALIZED (
+  private def pqUpdateSql(name: String, aTbl: String,
+      xmTbl: String): String =
+    s"""$name AS MATERIALIZED (
          SELECT a.t, a.k, x.j,
            CASE WHEN sum(x.xmj) >= 0 THEN sum(x.xmj) // count(*)
                 ELSE -((-sum(x.xmj)) // count(*)) END AS cm
-         FROM $srcA$sfx a JOIN xm$sfx x
+         FROM $aTbl a JOIN $xmTbl x
            ON x.vec_id = a.vec_id AND x.t = a.t
          GROUP BY a.t, a.k, x.j)"""
 
@@ -571,13 +598,21 @@ object AnnOps {
     * refine round replaces the hash seeds + two rounds — exactly
     * [[pqModel]]'s prev path. */
   private def pqMirrorCtes(sfx: String, src: String,
-      warmFrom: Option[String] = None): String = {
+      warmFrom: Option[String] = None): String =
+    s"""${pqTrainCtes(sfx, src, warmFrom)},
+       ${pqServeCtes(sfx, src, s"cvecs$sfx", s"c2$sfx", s"codes$sfx")}"""
+
+  /** The training half of the PQ mirror: coarse centroids, sub-vector
+    * table, Lloyd trainer (cold or warm), full-prefix code
+    * assignment. Ends with `cent/cvecs/xm/c2/codes` + sfx. */
+  private def pqTrainCtes(sfx: String, src: String,
+      warmFrom: Option[String]): String = {
     val trainer = warmFrom match {
       case Some(p) =>
         s"""cb0$sfx AS MATERIALIZED (
              SELECT t, k, j, cm FROM c2$p),
-           ${pqAssignSql(sfx, "cb0", "a1")},
-           ${pqUpdateSql(sfx, "a1", "c2")}"""
+           ${pqAssignSql(s"a1$sfx", s"xm$sfx", s"cb0$sfx")},
+           ${pqUpdateSql(s"c2$sfx", s"a1$sfx", s"xm$sfx")}"""
       case None =>
         s"""sd$sfx AS MATERIALIZED (
              SELECT vec_id, srn - 1 AS k FROM (
@@ -589,11 +624,19 @@ object AnnOps {
            cb0$sfx AS MATERIALIZED (
              SELECT x.t, s.k, x.j, x.xmj AS cm
              FROM sd$sfx s JOIN xm$sfx x USING (vec_id)),
-           ${pqAssignSql(sfx, "cb0", "a1")},
-           ${pqUpdateSql(sfx, "a1", "c1")},
-           ${pqAssignSql(sfx, "c1", "a2")},
-           ${pqUpdateSql(sfx, "a2", "c2")}"""
+           ${pqAssignSql(s"a1$sfx", s"xm$sfx", s"cb0$sfx")},
+           ${pqUpdateSql(s"c1$sfx", s"a1$sfx", s"xm$sfx")},
+           ${pqAssignSql(s"a2$sfx", s"xm$sfx", s"c1$sfx")},
+           ${pqUpdateSql(s"c2$sfx", s"a2$sfx", s"xm$sfx")}"""
     }
+    s"""${pqCentXmCtes(sfx, src)},
+       $trainer,
+       ${pqAssignSql(s"codes$sfx", s"xm$sfx", s"c2$sfx")}"""
+  }
+
+  /** Coarse centroids + micro-unit sub-vector table of one prefix —
+    * shared by the full-train and delta mirror blocks. */
+  private def pqCentXmCtes(sfx: String, src: String): String =
     s"""cent$sfx AS (
          SELECT label, j,
            CASE WHEN sm >= 0 THEN sm // n
@@ -607,14 +650,26 @@ object AnnOps {
            GROUP BY 1, 2)),
        cvecs$sfx AS (SELECT label AS c_label, list(c ORDER BY j) AS cv
                      FROM cent$sfx GROUP BY 1),
-       xm$sfx AS MATERIALIZED (
+       ${pqXmCte(sfx, src)}"""
+
+  /** The micro-unit sub-vector CTE of one prefix — the one transcription
+    * of the xm arithmetic, shared by the train and delta blocks. */
+  private def pqXmCte(sfx: String, src: String): String =
+    s"""xm$sfx AS MATERIALIZED (
          SELECT vec_id, label, t.t AS t, g.j AS j,
            CAST(round(CAST(embedding[CAST(t.t*$PqSubD + g.j AS INT)]
              AS DOUBLE) * 1000000.0) AS BIGINT) AS xmj
-         FROM $src, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j)),
-       $trainer,
-       ${pqAssignSql(sfx, "c2", "codes")},
-       probes$sfx AS (
+         FROM $src, range(0, $PqM) t(t), range(1, ${PqSubD + 1}) g(j))"""
+
+  /** The serving half of the PQ mirror, parameterized by the model
+    * tables it reads (r16 split): probe against `cvecsTbl`, ADC
+    * against `cbTbl`, candidates from `codesTbl`, exact re-rank from
+    * the CURRENT prefix's raw sub-vectors — so a delta epoch can
+    * serve a fresh prefix from an earlier epoch's model. Ends at
+    * `ranked$sfx`. */
+  private def pqServeCtes(sfx: String, src: String, cvecsTbl: String,
+      cbTbl: String, codesTbl: String): String =
+    s"""probes$sfx AS (
          SELECT q_id, c_label FROM (
            SELECT q.q_id, c.c_label,
              row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -622,18 +677,18 @@ object AnnOps {
                  (sqrt(list_dot_product(q.qv, q.qv))
                    * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                c.c_label) AS prn
-           FROM qs q, cvecs$sfx c)
+           FROM qs q, $cvecsTbl c)
          WHERE prn <= $NProbe),
        qxm$sfx AS (SELECT vec_id AS q_id, t, j, xmj FROM xm$sfx
                    WHERE vec_id < 10),
        dt$sfx AS MATERIALIZED (
          SELECT q.q_id, c.t, c.k,
            sum((q.xmj - c.cm)*(q.xmj - c.cm)) AS dist
-         FROM qxm$sfx q JOIN c2$sfx c ON c.t = q.t AND c.j = q.j
+         FROM qxm$sfx q JOIN $cbTbl c ON c.t = q.t AND c.j = q.j
          GROUP BY 1, 2, 3),
        cand$sfx AS (
          SELECT p.q_id, cd.vec_id AS vec_id2, sum(d.dist) AS ad
-         FROM codes$sfx cd JOIN $src e ON e.vec_id = cd.vec_id
+         FROM $codesTbl cd JOIN $src e ON e.vec_id = cd.vec_id
          JOIN probes$sfx p ON p.c_label = e.label
          JOIN dt$sfx d ON d.q_id = p.q_id AND d.t = cd.t AND d.k = cd.k
          WHERE p.q_id <> cd.vec_id
@@ -657,7 +712,24 @@ object AnnOps {
            CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY ed, vec_id2) AS INT) AS rn
          FROM rr$sfx)"""
-  }
+
+  /** One DELTA epoch of the mirror (r16, `stream_pq_live_delta`):
+    * NO training — codes carry forward from the previous epoch and
+    * only the new suffix (vec_id ≥ the previous prefix bound) is
+    * assigned against the codebook IN FORCE (the last retrain
+    * epoch's); probes and ADC read that same stale model; the exact
+    * re-rank reads the CURRENT prefix. Mirrors the assign-only
+    * epoch the streaming op stages. */
+  private def pqDeltaCtes(sfx: String, src: String, prevSfx: String,
+      inForceSfx: String, prevCutSql: String): String =
+    s"""${pqXmCte(sfx, src)},
+       xmnew$sfx AS (SELECT * FROM xm$sfx WHERE vec_id >= $prevCutSql),
+       ${pqAssignSql(s"newc$sfx", s"xmnew$sfx", s"c2$inForceSfx")},
+       codes$sfx AS MATERIALIZED (
+         SELECT * FROM codes$prevSfx
+         UNION ALL SELECT * FROM newc$sfx),
+       ${pqServeCtes(sfx, src, s"cvecs$inForceSfx", s"c2$inForceSfx",
+        s"codes$sfx")}"""
 
   private[graft] def annPqOracleSql: String =
     s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -682,6 +754,44 @@ object AnnOps {
                 ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k),
          ${pqMirrorCtes(s"_$e", s"pre$e",
           if (e == 1) None else Some(s"_${e - 1}"))}"""
+    }
+    s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+       ${blocks.mkString(",\n       ")}
+       ${(1 to k).map(e =>
+        s"SELECT CAST($e AS INTEGER) AS epoch, vec_id, vec_id2, adist, " +
+          s"arn, rn FROM ranked_$e WHERE rn <= $TopK")
+        .mkString(" UNION ALL ")}
+       ORDER BY epoch, vec_id, rn"""
+  }
+
+  /** DuckDB mirror of `stream_pq_live_delta` (r16): retrain epochs
+    * (1, then every `every`-th after) are the [[pqLiveOracleSql]]
+    * blocks — cold at 1, warm-refined from the codebook IN FORCE
+    * otherwise; the epochs between are [[pqDeltaCtes]] blocks: codes
+    * carry forward, only the new suffix is assigned, probes/ADC read
+    * the stale in-force model, the re-rank reads the fresh prefix.
+    * The in-force suffix is a pure function of the epoch number, so
+    * the chain mirrors the streamed run exactly — including across
+    * kill/resume, which recomputes it from the epoch alone. */
+  private[graft] def pqLiveDeltaOracleSql(k: Int, every: Int): String = {
+    def isRetrain(e: Int) = e == 1 || (e - 1) % every == 0
+    def inForce(e: Int) = (1 to e).filter(isRetrain).max
+    val blocks = (1 to k).map { e =>
+      val pre = s"""pre$e AS (SELECT * FROM embeddings
+              WHERE vec_id <
+                ((SELECT max(vec_id) FROM embeddings) + 1) * $e // $k)"""
+      if (isRetrain(e)) {
+        val warm = if (e == 1) None else Some(s"_${inForce(e - 1)}")
+        s"""$pre,
+         ${pqMirrorCtes(s"_$e", s"pre$e", warm)}"""
+      } else {
+        val cut = s"((SELECT max(vec_id) FROM embeddings) + 1) " +
+          s"* ${e - 1} // $k"
+        s"""$pre,
+         ${pqDeltaCtes(s"_$e", s"pre$e", s"_${e - 1}",
+          s"_${inForce(e)}", cut)}"""
+      }
     }
     s"""WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
               FROM embeddings WHERE vec_id < 10),

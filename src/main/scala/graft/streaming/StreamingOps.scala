@@ -1305,6 +1305,12 @@ object StreamingOps {
 
     "stream_ann_live" -> ((s, d) => annLiveRun(s, d, 4)._1),
     "stream_pq_live" -> ((s, d) => pqLiveRun(s, d, 4)._1),
+    // delta-epoch variant (r16): retrain on epochs 1 and 3, assign-only
+    // on 2 and 4 — the 100 TB deployment cadence where a full rebuild
+    // is amortized over `retrainEvery` epochs and the epochs between
+    // pay only O(batch) assignment
+    "stream_pq_live_delta" ->
+      ((s, d) => pqLiveRun(s, d, 4, retrainEvery = 2)._1),
     "stream_pca_live" -> ((s, d) => pcaLiveRun(s, d, 4)._1),
     "stream_outliers_live" -> ((s, d) => outliersLiveRun(s, d, 4)._1),
 
@@ -2056,20 +2062,33 @@ object StreamingOps {
     * epoch down the cold path (full seed rank + two Lloyd rounds) —
     * it CHANGES the published codebooks, so Verify asserts it unset
     * before any oracle dump; ScaleProbe's --conf is the only caller. */
-  private[graft] def pqLiveRun(s: SparkSession, d: String, k: Int)
-      : (DataFrame, Int) = {
+  private[graft] def pqLiveRun(s: SparkSession, d: String, k: Int,
+      retrainEvery: Int = 1): (DataFrame, Int) = {
     val ckpt = tempCheckpointDir()
-    try pqLiveRunAt(s, d, k, registeredScratchDir("graft_pql_"), ckpt)
+    try pqLiveRunAt(s, d, k, registeredScratchDir("graft_pql_"), ckpt,
+      retrainEvery = retrainEvery)
     finally deleteRecursively(ckpt)
   }
 
   /** Resumable core of [[pqLiveRun]]: `root` holds the epoch-versioned
     * index stages and the append verdict sink (`out/`); `ckpt` is the
     * caller-owned checkpoint; `failBeforeEpoch` injects a
-    * [[PlannedIngestKill]] at the top of the given (1-based) epoch. */
+    * [[PlannedIngestKill]] at the top of the given (1-based) epoch.
+    *
+    * `retrainEvery` (r16, `stream_pq_live_delta`): epochs 1, 1+every,
+    * 1+2·every, … RETRAIN (cold at 1, warm-refined from the codebook
+    * in force otherwise — the `stream_pq_live` path); the epochs
+    * between are ASSIGN-ONLY — codes carry forward and only the new
+    * suffix is assigned against the in-force codebook
+    * ([[graft.operators.AnnOps.stagePqCodesDelta]]), probes/ADC serve
+    * from the stale in-force model, the exact re-rank reads the fresh
+    * prefix. The in-force epoch is a pure function of the epoch
+    * number, so kill/resume recomputes the identical chain.
+    * retrainEvery = 1 is exactly the full-rebuild op. */
   private[graft] def pqLiveRunAt(s: SparkSession, d: String, k: Int,
       root: String, ckpt: String,
-      failBeforeEpoch: Int = Int.MaxValue): (DataFrame, Int) = {
+      failBeforeEpoch: Int = Int.MaxValue,
+      retrainEvery: Int = 1): (DataFrame, Int) = {
     graft.functions.CosineSimilarity.register(s)
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -2102,37 +2121,54 @@ object StreamingOps {
           locally {
             // empty epoch: serve the unchanged prefix under the new
             // epoch number (hi = prior max), nBatches always advances
+            val lo0 = prevMax.get()
             val hi = monotoneBatchBounds(batch, "vec_id",
               "stream_pq_live", prevMax).map(_._2)
               .getOrElse(prevMax.get())
             val prefix = embeddings(ss, d).filter(col("vec_id") <= hi)
             val e = batchId + 1
-            val (cbDir, codesDir, centDir) =
-              (s"$root/cb_v$e", s"$root/codes_v$e", s"$root/cent_v$e")
-            // warm start (r14): epoch e ≥ 2 refines the PREVIOUS
-            // epoch's staged codebook with one Lloyd round instead of
-            // re-deriving seeds + two rounds on the whole prefix —
-            // cb_v(e−1) always exists at this point (staged before
-            // batch e−1's checkpoint commit, idempotent on replay)
-            // self-naming parse (r15 advice — the bpeVocabCap
-            // discipline): malformed values must not surface as a
-            // bare IllegalArgumentException from toBoolean
-            val warm = ss.conf
-              .getOption("spark.graft.pqLiveWarmStart")
-              .forall(_.trim.toLowerCase match {
-                case "true" => true
-                case "false" => false
-                case v => throw new IllegalArgumentException(
-                  s"spark.graft.pqLiveWarmStart must be true or " +
-                    s"false, got '$v'")
-              })
-            val prevCb =
-              if (e == 1 || !warm) None
-              else Some(ss.read
-                .schema(graft.operators.AnnOps.pqCbSchema)
-                .parquet(s"$root/cb_v${e - 1}"))
-            graft.operators.AnnOps.stagePqIndexTo(ss, prefix,
-              cbDir, codesDir, centDir, prevCb)
+            // pure functions of the epoch number — kill/resume
+            // recomputes the identical retrain/in-force chain
+            def isRe(x: Long) = x == 1 || (x - 1) % retrainEvery == 0
+            def inForce(x: Long) = (1L to x).filter(isRe).max
+            val codesDir = s"$root/codes_v$e"
+            val (cbDir, centDir) =
+              if (isRe(e)) (s"$root/cb_v$e", s"$root/cent_v$e")
+              else (s"$root/cb_v${inForce(e)}",
+                s"$root/cent_v${inForce(e)}")
+            if (isRe(e)) {
+              // warm start (r14): a retrain epoch e ≥ 2 refines the
+              // codebook IN FORCE with one Lloyd round instead of
+              // re-deriving seeds + two rounds on the whole prefix —
+              // cb_v(inForce(e−1)) always exists at this point
+              // (staged before that epoch's checkpoint commit,
+              // idempotent on replay)
+              // self-naming parse (r15 advice — the bpeVocabCap
+              // discipline): malformed values must not surface as a
+              // bare IllegalArgumentException from toBoolean
+              val warm = ss.conf
+                .getOption("spark.graft.pqLiveWarmStart")
+                .forall(_.trim.toLowerCase match {
+                  case "true" => true
+                  case "false" => false
+                  case v => throw new IllegalArgumentException(
+                    s"spark.graft.pqLiveWarmStart must be true or " +
+                      s"false, got '$v'")
+                })
+              val prevCb =
+                if (e == 1 || !warm) None
+                else Some(ss.read
+                  .schema(graft.operators.AnnOps.pqCbSchema)
+                  .parquet(s"$root/cb_v${inForce(e - 1)}"))
+              graft.operators.AnnOps.stagePqIndexTo(ss, prefix,
+                cbDir, codesDir, centDir, prevCb)
+            } else
+              // delta epoch (r16): codes carry forward, only the new
+              // suffix is assigned against the in-force codebook —
+              // the model tables are not rebuilt at all
+              graft.operators.AnnOps.stagePqCodesDelta(ss,
+                prefix.filter(col("vec_id") > lo0), cbDir,
+                s"$root/codes_v${e - 1}", codesDir)
             graft.operators.AnnOps.pqServeFromDirs(ss, prefix,
               cbDir, codesDir, centDir)
               .select(lit(e.toInt).as("epoch"), col("vec_id"),
@@ -4933,6 +4969,8 @@ object StreamingOps {
     // per-epoch ≡ llm_ann_pq on the id-ordered prefix: the k-epoch
     // union of prefix-parameterized PQ mirrors
     "stream_pq_live" -> graft.operators.AnnOps.pqLiveOracleSql(4),
+    "stream_pq_live_delta" ->
+      graft.operators.AnnOps.pqLiveDeltaOracleSql(4, 2),
     // per-epoch ≡ llm_embedding_pca on the prefix — the mirror
     // recomputes covariance directly, so the hash-match proves the
     // streamed (Σxxᵀ, Σx, n) state derivation (exact integer identity)

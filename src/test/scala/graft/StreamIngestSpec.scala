@@ -404,6 +404,109 @@ class StreamIngestSpec extends GraftSpec {
       "resumed PQ live stream != one-shot chain")
   }
 
+  test("stream_pq_live_delta: retrain epochs follow the warm chain, " +
+      "delta epochs carry codes forward and assign only the suffix " +
+      "against the in-force codebook, and kills resume across both " +
+      "epoch kinds") {
+    val k = 4
+    val (streamedDf, n1) = StreamingOps.pqLiveRun(spark, sf, k,
+      retrainEvery = 2)
+    assert(n1 == k)
+    val streamed = streamedDf.collect().toSeq
+    // independent truth chain: retrain epochs (1, 3) stage their own
+    // index — cold, then warm from the chain's OWN in-force codebook;
+    // delta epochs (2, 4) stage codes as previous-epoch codes UNION a
+    // PLAIN-SCALA nearest-code argmin over the new suffix (exact
+    // longs, written independently of pqAssign), then serve from the
+    // STALE in-force model tables
+    import operators.AnnOps
+    val emb = Tables.embeddings(spark, sf)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def cut(e: Int) = (maxId + 1) * e / k
+    var inForceCb: String = null
+    var inForceCent: String = null
+    var prevCodes: String = null
+    val expected = (1 to k).flatMap { e =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pqd_pre${e}_").toString
+      val prefix = emb.filter(col("vec_id") < cut(e))
+      val codesDir = s"$dir/codes"
+      if (e == 1 || (e - 1) % 2 == 0) {
+        val (cbD, ctD) = (s"$dir/cb", s"$dir/cent")
+        val prev = if (e == 1) None else Some(
+          spark.read.schema(AnnOps.pqCbSchema).parquet(inForceCb))
+        AnnOps.stagePqIndexTo(spark, prefix, cbD, codesDir, ctD, prev)
+        inForceCb = cbD
+        inForceCent = ctD
+      } else {
+        val cb = spark.read.schema(AnnOps.pqCbSchema)
+          .parquet(inForceCb).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Long](2).toArray).toMap
+        val suffix = emb.filter(col("vec_id") >= cut(e - 1) &&
+            col("vec_id") < cut(e))
+          .select("vec_id", "embedding", "label").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+            r.getInt(2)))
+        val newRows = suffix.toSeq.flatMap { case (id, v, lab) =>
+          (0 until AnnOps.PqM).map { t =>
+            val xm = Array.tabulate(AnnOps.PqSubD)(j =>
+              math.round(v(t * AnnOps.PqSubD + j).toDouble * 1e6))
+            val kBest = (0 until AnnOps.PqK).minBy { kk =>
+              val cm = cb((t, kk))
+              var d2 = 0L
+              var j = 0
+              while (j < AnnOps.PqSubD) {
+                val d = xm(j) - cm(j); d2 += d * d; j += 1
+              }
+              (d2, kk)
+            }
+            (id, t, kBest, lab)
+          }
+        }
+        import spark.implicits._
+        newRows.toDF("vec_id2", "t", "k", "label")
+          .unionByName(spark.read.parquet(prevCodes))
+          .write.parquet(codesDir)
+      }
+      prevCodes = codesDir
+      AnnOps.pqServeFromDirs(spark, prefix, inForceCb, codesDir,
+          inForceCent).collect().toSeq
+        .map(r => org.apache.spark.sql.Row(e, r.get(0), r.get(1),
+          r.get(2), r.get(3), r.get(4)))
+    }
+    assert(streamed == expected,
+      "delta-epoch PQ serving verdicts != independent assign-only replay")
+    // the delta cadence genuinely diverges from the full-rebuild op at
+    // some delta epoch, and the cold epoch agrees by construction
+    val full = StreamingOps.pqLiveRun(spark, sf, k)._1.collect().toSeq
+    def ep(rows: Seq[org.apache.spark.sql.Row], e: Int) =
+      rows.filter(_.getInt(0) == e)
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(5))).toSet
+    assert(ep(streamed, 1) == ep(full, 1),
+      "cold epoch drifted between the delta and full-rebuild faces")
+    assert((2 to k).exists(e => ep(streamed, e) != ep(full, e)),
+      "degenerate fixture: every delta epoch equals the full rebuild")
+    // kill-and-resume across BOTH epoch kinds: resume ENTERING a delta
+    // epoch (kill before 2: needs codes_v1 + the in-force cb_v1) and
+    // ENTERING a warm retrain (kill before 3: warm-reads cb_v1, the
+    // in-force codebook, not a cb_v2 that was never staged)
+    Seq(2, 3).foreach { fe =>
+      val (root, ckpt) = freshRoot()
+      val ex = intercept[Exception] {
+        StreamingOps.pqLiveRunAt(spark, sf, k, root, ckpt,
+          failBeforeEpoch = fe, retrainEvery = 2)
+      }
+      assert(killedBy(ex, "planned ingest kill"))
+      assert(StreamingOps.committedBatches(ckpt) == fe - 1)
+      val (resumed, n2) = StreamingOps.pqLiveRunAt(spark, sf, k, root,
+        ckpt, retrainEvery = 2)
+      assert(n2 == k)
+      assert(resumed.collect().toSeq == streamed,
+        s"resume after kill-before-$fe != the one-shot delta chain")
+    }
+  }
+
   test("stream_pca_live: every epoch's projections equal " +
       "llm_embedding_pca run on that epoch's id-ordered prefix — the " +
       "append-only (sum_xx, sum_x, n) state derivation is exact — and " +
