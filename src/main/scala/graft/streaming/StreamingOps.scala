@@ -1289,6 +1289,38 @@ object StreamingOps {
         .orderBy(col("event_type"))
     }),
 
+    // Exactly-once foreachBatch sink (round-16 add; the r15 verdict's
+    // item 5, made a registered face): Spark guarantees foreachBatch
+    // only AT-LEAST-once — a batch that fails between its side-effect
+    // and its checkpoint commit is REPLAYED under the SAME batchId —
+    // so a sink is effectively exactly-once iff the write is
+    // IDEMPOTENT in batchId. The registered pattern: a deterministic
+    // batch_id=<id> partition target + mode("overwrite"), so a replay
+    // replaces its own files (torn or complete) and can never
+    // duplicate. `sink_foreachBatch` above is the naive append
+    // contrast; StreamingRecoverySpec drives BOTH failure paths
+    // (torn write, and complete-write-then-crash-before-commit)
+    // through this exact pattern and proves no loss/no duplicates.
+    "sink_exactly_once" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft_fb_xo_").toString
+      val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
+      val ckpt = tempCheckpointDir()
+      try {
+        val q = ev.writeStream
+          .foreachBatch((batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite")
+              .parquet(s"$dir/batch_id=$batchId"))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      } finally deleteRecursively(ckpt)
+      s.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     "stream_minhash_ingest" -> ((s, d) => minhashIngestRun(s, d, 4)._1),
 
     "stream_embedding_ingest" -> ((s, d) => embeddingIngestRun(s, d, 4)._1),
@@ -5931,6 +5963,13 @@ object StreamingOps {
          ORDER BY p_id""",
 
     "sink_foreachBatch" ->
+      """SELECT event_type, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the idempotent sink must land exactly the same aggregate — the
+    // oracle is the no-loss/no-duplication proof over the partitioned
+    // batch_id targets
+    "sink_exactly_once" ->
       """SELECT event_type, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY 1"""
   )

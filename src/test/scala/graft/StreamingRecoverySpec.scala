@@ -304,7 +304,10 @@ class StreamingRecoverySpec extends GraftSpec {
         .write.mode("append").parquet(in)
 
     // driver-side fault injection: which batchId tears on its next run
+    // (crash mid-write), and which crashes AFTER a complete write but
+    // before the checkpoint commit (the full-duplicate replay path)
     val crashOnBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val crashAfterWrite = new java.util.concurrent.atomic.AtomicLong(-1L)
     def runOnce(): Option[Throwable] = {
       val sch = spark.read.parquet(in).schema
       val q = spark.readStream.schema(sch)
@@ -321,8 +324,14 @@ class StreamingRecoverySpec extends GraftSpec {
             throw new RuntimeException("injected sink crash")
           }
           // the idempotent pattern under test: deterministic
-          // batchId-keyed target + overwrite
+          // batchId-keyed target + overwrite (the registered
+          // sink_exactly_once pattern)
           batch.write.mode("overwrite").parquet(target)
+          if (batchId == crashAfterWrite.get())
+            // the write COMPLETED; the crash lands in the gap between
+            // side-effect and checkpoint commit — the replay is a
+            // FULL duplicate of the batch, not a torn one
+            throw new RuntimeException("injected post-write crash")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
@@ -350,5 +359,29 @@ class StreamingRecoverySpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(healed == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 1)),
       s"exactly-once violated — expected the exact input across batch dirs, got: $healed")
+
+    // second failure path (r16, closing the r15 verdict's item 5 in
+    // full): the side-effect COMPLETES, the crash lands between it and
+    // the checkpoint commit — Spark replays the whole batch under the
+    // same id, and a naive append sink would now hold every row of
+    // batch 2 TWICE. The batchId-keyed overwrite absorbs the complete
+    // duplicate exactly as it absorbed the torn write.
+    stage(Seq((5L, "e"), (6L, "f")))
+    crashAfterWrite.set(2L)
+    assert(runOnce().isDefined, "the injected post-write crash must fail the query")
+    // the COMPLETE output of batch 2 is on disk, but its commit is not
+    val preReplay = spark.read.parquet(out)
+      .filter(col("batch_id") === 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(preReplay == Set(5L, 6L),
+      s"expected batch 2's complete output before the replay: $preReplay")
+    crashAfterWrite.set(-1L)
+    assert(runOnce().isEmpty, "the restarted query must replay batch 2 and succeed")
+    val healed2 = spark.read.parquet(out)
+      .select(col("event_id"), col("event_type"), col("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(healed2 == Set((1L, "a", 0), (2L, "b", 0), (3L, "c", 1),
+      (4L, "d", 1), (5L, "e", 2), (6L, "f", 2)),
+      s"duplicate replay not absorbed — got: $healed2")
   }
 }
