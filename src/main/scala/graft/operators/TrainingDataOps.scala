@@ -479,6 +479,66 @@ object TrainingDataOps {
     }
   }
 
+  /** llm_quality_logreg machinery (round-16). All µ-unit (1e−6) longs.
+    * LogregK features: bias + five gopher-signal ratios, each CENTERED
+    * at its vote boundary and clamped to [−1e6, 1e6] with a single
+    * truncating `div` (Spark `div` ≡ DuckDB `//`: both toward zero).
+    * The teacher y is the 2-of-3 vote committee (n_words ≥ 50,
+    * stop_hits ≥ 1, 2·Σlen ≤ 9·n_words), NOT the literal gopher gate —
+    * that gate is one-class on this corpus (stop_hits ≥ 2 never fires).
+    * The committee is nonlinear (a symmetric threshold function), so
+    * the linear student genuinely approximates. is_train is the
+    * deterministic 20 % hash sample. */
+  private[graft] val LogregK = 6
+  private[graft] val LogregT = 16
+  private[graft] def logregFeats(s: SparkSession, d: String): DataFrame = {
+    val gw = split(col("text"), "[ \n]")
+    documents(s, d).select(col("doc_id"),
+      size(gw).cast("long").as("n_words"),
+      aggregate(gw, lit(0L), (acc, x) => acc + length(x))
+        .as("sum_word_len"),
+      size(filter(gw, x => x.rlike("[a-zA-Z]"))).cast("long")
+        .as("n_alpha"),
+      size(filter(gw, x => x.contains("#") || x.contains("...")))
+        .cast("long").as("n_sym"),
+      size(array_intersect(array_distinct(gw),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*))).cast("long").as("stop_hits"))
+      .select(col("doc_id"),
+        lit(1000000L).as("f0"),
+        clampMu(expr("(least(n_words, 100) - 50) * 1000000 div 50"))
+          .as("f1"),
+        clampMu((least(col("stop_hits"), lit(2L)) - 1L) * 1000000L)
+          .as("f2"),
+        clampMu(expr(
+          "(9 * n_words - 2 * sum_word_len) * 1000000 div (9 * n_words)"))
+          .as("f3"),
+        clampMu(expr(
+          "(10 * n_alpha - 8 * n_words) * 1000000 div (10 * n_words)"))
+          .as("f4"),
+        clampMu(expr("(n_words - 10 * n_sym) * 1000000 div n_words"))
+          .as("f5"),
+        (when(col("n_words") >= 50L, 1L).otherwise(0L)
+          + when(col("stop_hits") >= 1L, 1L).otherwise(0L)
+          + when(col("sum_word_len") * 2L <= col("n_words") * 9L, 1L)
+            .otherwise(0L) >= 2L).cast("long").as("y"),
+        (pmod(col("doc_id"), lit(5L)) === 0L).as("is_train"))
+  }
+  private def clampMu(c: Column): Column =
+    greatest(lit(-1000000L), least(lit(1000000L), c))
+  /** z = Σ wⱼ·fⱼ div µ as a SQL fragment with the weights inlined as
+    * bigint literals — the scoring pass ships constants, not state. */
+  private def logregZ(w: Array[Long]): String =
+    w.indices.map(j => s"${w(j)}L * f$j").mkString(" + ")
+  /** Hard sigmoid p = clamp(½ + z/4, 0, 1) in µ-units; the shifted
+    * numerator 2µ + clamp(z) is nonnegative, so the `div 4` cannot
+    * straddle the toward-zero/floor distinction. */
+  private def logregScore(w: Array[Long]): Column =
+    expr(s"(2000000 + greatest(-2000000, least(2000000, " +
+      s"(${logregZ(w)}) div 1000000))) div 4")
+  private def logregErr(w: Array[Long]): Column =
+    logregScore(w) - col("y") * 1000000L
+
   val queries: Map[String, Q] = Map(
     // SimHash near-dup candidates: 4×16-bit pigeonhole blocks (hamming ≤ 3
     // ⇒ at least one identical block) + the corpus (lang, size) blocking.
@@ -1390,6 +1450,61 @@ object TrainingDataOps {
           nBullet.as("n_bullet"), nEllipsis.as("n_ellipsis"),
           nAlpha.as("n_alpha"))
         .withColumn("gopher_pass", pass)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Trained quality classifier (round-16 add; the fasttext-classifier
+    // analog that completes the quality family the way the capped faces
+    // completed BPE): distill a NONLINEAR rule-committee teacher — 2 of
+    // 3 corpus-adapted gopher votes: n_words ≥ 50, stop_hits ≥ 1, mean
+    // word length ≤ 4.5 (the literal gopher gate is one-class on this
+    // corpus: stop_hits ≥ 2 never fires, so distilling it would teach
+    // the constant function) — into a LINEAR scorer via LogregT=16
+    // full-batch hard-sigmoid gradient steps. Integer-exact end to end:
+    // features are threshold-CENTERED single-division µ-unit ratios
+    // clamped to [−1, 1]µ (centering at the vote boundaries is what
+    // makes the committee linearly visible — the uncentered variant
+    // converges to the majority class, measured r16), the activation is
+    // the HARD sigmoid p = clamp(½ + z/4, 0, 1) (no exp(): cross-engine
+    // libm ULP under a fixed-dp round is exactly the half-tie trap
+    // round 4 hit on llm_ngram_lm), and every division is integral
+    // `div`, which truncates toward zero in BOTH engines (Spark `div`,
+    // DuckDB `//` — measured on negatives, r16). Training reads only
+    // the DETERMINISTIC 20 % hash sample (doc_id % 5 = 0) — the
+    // production fasttext shape: fit on a sample, score the corpus.
+    // Each step is ONE global partial+final agg collapsing to 7 longs
+    // (no groupBy key, map-side combine, O(1) driver state — the
+    // BPE-argmax collect discipline), on a stage-cut features frame so
+    // the text is tokenized once, not 16×; scoring is one corpus-linear
+    // pass with the learned weights as LITERALS (no broadcast, no
+    // shuffle anywhere in the op). At 100 TB the sample fraction is the
+    // only knob. Oracle: the identical chain unrolled as it0..it16 CTEs
+    // (the PQ epoch-mirror discipline, generated from the same
+    // constants); QualityLogregSpec pins the scored frame against an
+    // independent plain-Scala replay (its own tokenizer + pure-Long
+    // loop), teacher-agreement strictly above the majority class, and
+    // the vote→teacher wiring on crafted flip docs.
+    "llm_quality_logreg" -> ((s, d) => {
+      val feats = AdaptiveCollapse.stageCut(s)(logregFeats(s, d))
+      val train = feats.filter(col("is_train"))
+      val w = Array.fill(LogregK)(0L)
+      for (_ <- 1 to LogregT) {
+        val g = train.withColumn("err", logregErr(w))
+          .agg(sum(expr("(f0 * err) div 1000000")),
+            sum(expr("(f1 * err) div 1000000")),
+            sum(expr("(f2 * err) div 1000000")),
+            sum(expr("(f3 * err) div 1000000")),
+            sum(expr("(f4 * err) div 1000000")),
+            sum(expr("(f5 * err) div 1000000")),
+            count(lit(1)))
+          .head()
+        val n = g.getLong(LogregK)
+        for (j <- 0 until LogregK) w(j) -= g.getLong(j) / n
+      }
+      feats.select(col("doc_id"),
+        logregScore(w).as("score_mu"),
+        (logregScore(w) >= lit(500000L)).as("pred"),
+        (col("y") === 1L).as("teacher"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2954,7 +3069,74 @@ object TrainingDataOps {
        FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
        ORDER BY d.doc_id"""
 
+  /** llm_quality_logreg oracle: the training chain unrolled as
+    * it0..it{LogregT} CTEs (the PQ epoch-mirror discipline), generated
+    * from the SAME LogregK/LogregT constants as the op so the two
+    * cannot drift. DuckDB `//` truncates toward zero exactly like
+    * Spark `div` (measured on negatives, r16), and sum(BIGINT) is
+    * HUGEINT — cast back before the per-count division. */
+  private def logregOracleSql: String = {
+    val featCtes =
+      """WITH t AS (SELECT doc_id,
+              regexp_split_to_array(text, '[ \n]') AS ws
+            FROM documents),
+       sig AS (SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT)
+             AS sum_word_len,
+           CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+             AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(ws, w -> contains(w, '#')
+             OR contains(w, '...'))) AS BIGINT) AS n_sym,
+           CAST(len(list_intersect(list_distinct(ws),
+             ['the','be','to','of','and','that','have','with']))
+             AS BIGINT) AS stop_hits
+         FROM t),
+       feats AS (SELECT doc_id,
+           CAST(1000000 AS BIGINT) AS f0,
+           GREATEST(-1000000, LEAST(1000000,
+             ((LEAST(n_words, 100) - 50) * 1000000) // 50)) AS f1,
+           GREATEST(-1000000, LEAST(1000000,
+             (LEAST(stop_hits, 2) - 1) * 1000000)) AS f2,
+           GREATEST(-1000000, LEAST(1000000,
+             ((9 * n_words - 2 * sum_word_len) * 1000000)
+               // (9 * n_words))) AS f3,
+           GREATEST(-1000000, LEAST(1000000,
+             ((10 * n_alpha - 8 * n_words) * 1000000)
+               // (10 * n_words))) AS f4,
+           GREATEST(-1000000, LEAST(1000000,
+             ((n_words - 10 * n_sym) * 1000000) // n_words)) AS f5,
+           CASE WHEN (CASE WHEN n_words >= 50 THEN 1 ELSE 0 END
+                    + CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END
+                    + CASE WHEN sum_word_len * 2 <= n_words * 9
+                        THEN 1 ELSE 0 END) >= 2
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+           doc_id % 5 = 0 AS is_train
+         FROM sig)"""
+    val js = 0 until LogregK
+    val it0 = s""" it0 AS (SELECT ${js.map(j =>
+      s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})"""
+    val z = js.map(j => s"p.w$j * f.f$j").mkString(" + ")
+    val err = s"((2000000 + GREATEST(-2000000, LEAST(2000000," +
+      s" ($z) // 1000000))) // 4) - f.y * 1000000"
+    val iters = (1 to LogregT).map { k =>
+      val upd = js.map(j =>
+        s"p.w$j - (CAST(sum((f.f$j * ($err)) // 1000000) AS BIGINT)" +
+          s" // count(*)) AS w$j").mkString(", ")
+      s""" it$k AS (SELECT $upd
+         FROM feats f CROSS JOIN it${k - 1} p WHERE f.is_train
+         GROUP BY ${js.map(j => s"p.w$j").mkString(", ")})"""
+    }
+    val score = s"(2000000 + GREATEST(-2000000, LEAST(2000000," +
+      s" ($z) // 1000000))) // 4"
+    featCtes + "," + (it0 +: iters).mkString(",") +
+      s""" SELECT f.doc_id, $score AS score_mu,
+           ($score) >= 500000 AS pred, f.y = 1 AS teacher
+         FROM feats f CROSS JOIN it$LogregT p ORDER BY f.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_quality_logreg" -> logregOracleSql,
     "llm_fingerprint" -> fingerprintOracleSql,
     "llm_embedding_lsh" -> embeddingLshOracleSql,
     "llm_pack_greedy" -> packGreedyOracleSql,
