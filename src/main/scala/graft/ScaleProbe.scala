@@ -262,6 +262,11 @@ object ScaleProbe {
     // broadcast-query corpus streams + shortlist-sized fusion —
     // expected linear in corpus rows, the serving-family floor)
     "mm_phash_clusters", "llm_hybrid_rrf",
+    // round-16: the ANN-backed fusion — the IVF leg's probed cells
+    // grow k×, the BM25 leg's postings collapse to the distinct
+    // vocabulary (identical replicas multiply tf, not terms), the
+    // fusion stays shortlist-sized; expected ~linear
+    "llm_hybrid_rrf_ann",
     // round-15: the selection face — clusters + a min-struct argmax
     // + a cluster-keyed join back; expected the clusters curve + a
     // linear agg
@@ -370,7 +375,14 @@ object ScaleProbe {
       // group table k× — the clusters face's band join runs at that
       // scale, the member agg linear; expected ~linear (keep_best
       // adds one corpus-linear argmax agg on top)
-      "mm_phash_clusters", "mm_phash_keep_best")
+      "mm_phash_clusters", "mm_phash_keep_best",
+      // round-16 (the r15 verdict's item 6 — no empty matrix cells):
+      // the retrieval trio on the DISTINCT-text axis — trainheavy
+      // replicas defeat any text collapse, so the rankers' corpus
+      // streams, the Jaccard token arrays, and the BM25 postings all
+      // grow k× distinct; shortlists and fusion stay query-bounded.
+      // Expected ~linear (the serving-family floor) for all three
+      "llm_hybrid_rrf", "llm_ann_recall", "llm_hybrid_rrf_ann")
 
   // The iterative-graph family (round-8): the loop's claim is O(nodes)
   // shuffled bytes per round HOWEVER MANY EDGES EXIST, so the honest
