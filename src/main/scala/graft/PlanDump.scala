@@ -126,7 +126,9 @@ object PlanDump {
     "llm_hybrid_rrf" ->
       "hybrid RRF retrieval (round-15 op): both ranker stages are the broadcast-query corpus-stream shape (queries broadcast, one corpus pass per ranker, per-query top-50 windows); the fusion is a (q,cand)-keyed join of two shortlists + a top-5 window — the corpus never joins itself",
     "llm_hybrid_rrf_ann" ->
-      "ANN-backed hybrid RRF (round-16 op): the deployment shape — dense leg is the IVF probe core (cells join broadcast probes, no corpus shuffle) cut at ShortK, sparse leg semi-joins the token stream against the broadcast query-term table BEFORE the tf agg (only query-term postings aggregate), per-term 6-dp scores sum as micro-unit longs; fusion identical to llm_hybrid_rrf over two shortlist-sized inputs")
+      "ANN-backed hybrid RRF (round-16 op): the deployment shape — dense leg is the IVF probe core (cells join broadcast probes, no corpus shuffle) cut at ShortK, sparse leg semi-joins the token stream against the broadcast query-term table BEFORE the tf agg (only query-term postings aggregate), per-term 6-dp scores sum as micro-unit longs; fusion identical to llm_hybrid_rrf over two shortlist-sized inputs",
+    "llm_quality_logreg" ->
+      "trained quality classifier (round-16 op): the dumped plan is the SCORING pass — one projection over the scan with the learned weights inlined as bigint literals (no broadcast, no join, no exchange before the contract sort); the 16 training steps each reduce the 20 % hash sample to 7 longs via a keyless partial+final agg (map-side combine, O(1) driver state), invisible here because training happened before this plan was built")
 
   /** The streaming ingest trio's registered queries return a read of the
     * verdict sink (the stream already ran), so their auditable plans are

@@ -63,7 +63,11 @@ object StreamFloorProbe {
     * number). */
   private def isLiveRebuild(op: String): Boolean =
     op.endsWith("_ingest") || op.endsWith("_live") ||
-      op == "stream_ann_query"
+      op == "stream_ann_query" ||
+      // the delta face stages epoch artifacts exactly like its
+      // full-rebuild twin — same lane (r16; `_live_delta` defeats the
+      // suffix test)
+      op == "stream_pq_live_delta"
 
   def main(args: Array[String]): Unit = {
     val family = args.contains("--family")
