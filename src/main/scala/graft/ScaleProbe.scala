@@ -267,6 +267,11 @@ object ScaleProbe {
     // vocabulary (identical replicas multiply tf, not terms), the
     // fusion stays shortlist-sized; expected ~linear
     "llm_hybrid_rrf_ann",
+    // round-16: the trained quality classifier — 16 keyless aggs over
+    // the k×-grown 20 % sample plus one k×-grown scoring projection,
+    // no collapse machinery (features are per-doc folds); expected
+    // ~linear with a per-iteration job floor
+    "llm_quality_logreg",
     // round-15: the selection face — clusters + a min-struct argmax
     // + a cluster-keyed join back; expected the clusters curve + a
     // linear agg
