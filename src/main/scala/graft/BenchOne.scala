@@ -31,9 +31,22 @@ object BenchOne {
       // times two plan shapes of the SAME op differently (round-2 lesson)
       val n = Bench.force(fn(spark, sfDir))
       println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      // drop leftover localCheckpoint RDDs between reps (see Bench)
+      // mirror Bench's hermetic inter-query cleanup (r16): leftover
+      // localCheckpoint RDDs, memory-sink views, state-store providers
+      // and collected-broadcast backlog all inflate later reps, so a
+      // min-of-N here was measuring residue, not the op
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      try {
+        spark.streams.active.foreach(_.stop())
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_mem_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        System.gc()
+      } catch { case e: Throwable =>
+        System.err.println(s"[benchone] cleanup: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
