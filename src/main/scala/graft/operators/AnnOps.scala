@@ -51,6 +51,11 @@ object AnnOps {
   val PqK = 16
   val PqShortlist = 50
 
+  /** Embedding dimensionality — a CORPUS CONTRACT, not a tunable: the
+    * DuckDB mirrors hard-code it (`range(1, 65)` in [[centroidCtesSql]]
+    * and every live-oracle image), so the engine may rely on it too. */
+  val Dim = 64
+
   /** Per-label centroids in MICRO-UNIT integer arithmetic (round-10
     * rework, the llm_ngram_lm discipline): each coordinate sums
     * round(x·10⁶) as a BIGINT (round = half-away-from-zero, identical
@@ -61,17 +66,26 @@ object AnnOps {
     * division precision/scale rules are Spark-specific and blocked the
     * DuckDB oracle; the ≤ 10⁻⁶ quantization is invisible to the
     * recall contract and makes every downstream double (probe csim,
-    * cell sim) a pure function both engines compute bit-identically. */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(round(col("col").cast("double") * 1e6).cast("long"))
-        .as("sm"), count(lit(1)).as("n"))
-      .withColumn("c", expr("sm div n") / lit(1e6))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+    * cell sim) a pure function both engines compute bit-identically.
+    *
+    * r16 optimization (guide §2.3/§2.4): ONE label-keyed aggregate with
+    * [[Dim]] per-coordinate sum columns replaces the posexplode →
+    * (label, pos) agg → (label) collect_list re-agg — the explode
+    * multiplied the pre-aggregation row count by Dim and the second
+    * group-by was a second exchange; the fixed-width agg is legal
+    * because Dim is pinned by the oracle contract (count(*) per label
+    * ≡ the per-(label, pos) count when every array has exactly Dim
+    * elements). Arithmetic and coordinate order are unchanged. */
+  def centroids(emb: DataFrame): DataFrame = {
+    val sums = (0 until Dim).map(j =>
+      sum(round(element_at(col("embedding"), j + 1).cast("double") * 1e6)
+        .cast("long")).as(s"sm$j"))
+    emb.groupBy(col("label"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
       .select(col("label").as("c_label"),
-        transform(col("pc"), x => x.getField("c")).as("centroid"))
+        array((0 until Dim).map(j => expr(s"sm$j div n") / lit(1e6)): _*)
+          .as("centroid"))
+  }
 
   /** The IVF probe + exact-score core over an explicit query frame —
     * shared by `llm_ann_ivf` and the streaming `stream_ann_query` so
@@ -105,13 +119,17 @@ object AnnOps {
         col("rn"))
   }
 
-  /** Per-vector micro-unit sub-vectors: (vec_id, t, xm[PqSubD]) with
-    * xm[j] = round(embedding[t·SubD + j] · 10⁶) as BIGINT — the whole
-    * PQ pipeline (codebook training, code assignment, ADC tables, the
-    * exact re-rank) then runs in EXACT integer arithmetic: every
+  /** Per-vector micro-unit sub-vectors: (vec_id, label, t, xm[PqSubD])
+    * with xm[j] = round(embedding[t·SubD + j] · 10⁶) as BIGINT — the
+    * whole PQ pipeline (codebook training, code assignment, ADC tables,
+    * the exact re-rank) then runs in EXACT integer arithmetic: every
     * distance is a sum of squared long differences (≤ 64·(4·10⁶)² ≪
     * 2⁶³), so no accumulation order or engine can perturb an argmin
-    * and the oracle mirrors the full trainer bit-identically. */
+    * and the oracle mirrors the full trainer bit-identically.
+    * `label` rides the explode (r16 optimization): the code table used
+    * to be re-attached to the corpus by a codes⋈emb join — corpus-sized
+    * on BOTH sides at scale — when the cell label was already on the
+    * row the sub-vectors came from. */
   private def pqSubvecs(emb: DataFrame): DataFrame = {
     val subs = (0 until PqM).map { t =>
       struct(lit(t).as("t"),
@@ -119,34 +137,47 @@ object AnnOps {
           i -> cast(round(cast(element_at(embedding, i) as double) * 1e6)
                     as bigint))""").as("xm"))
     }
-    emb.select(col("vec_id"), explode(array(subs: _*)).as("s"))
-      .select(col("vec_id"), col("s.t").as("t"), col("s.xm").as("xm"))
+    emb.select(col("vec_id"), col("label"),
+        explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("label"), col("s.t").as("t"),
+        col("s.xm").as("xm"))
   }
 
   /** Nearest-code assignment against a broadcast (t, k, cm) codebook:
     * exact-long squared distance, min_by over the unique (d2, k)
     * struct — partial-agg combinable, no per-vector window shuffle
-    * (the semanticCells argmax idiom). */
+    * (the semanticCells argmax idiom). Returns (vec_id, label, t, k,
+    * xm): the argmin row's own sub-vector rides the min_by struct
+    * (all candidate rows of a group share it, so the pick is
+    * value-invariant), which lets [[pqUpdate]] recompute centroids
+    * WITHOUT re-joining the corpus-sized xm table — at 100 TB that
+    * join was a second full shuffle of the corpus per Lloyd round
+    * (guide §2.4: remove shuffles outright). */
   private def pqAssign(xm: DataFrame, cb: DataFrame): DataFrame =
     xm.join(broadcast(cb), Seq("t"))
       .withColumn("d2", aggregate(zip_with(col("xm"), col("cm"),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
-      .groupBy(col("vec_id"), col("t"))
-      .agg(expr("min_by(k, struct(d2, k))").as("k"))
+      .groupBy(col("vec_id"), col("label"), col("t"))
+      .agg(expr("min_by(struct(k, xm), struct(d2, k))").as("ka"))
+      .select(col("vec_id"), col("label"), col("t"),
+        col("ka.k").as("k"), col("ka.xm").as("xm"))
 
-  /** Micro-unit centroid recompute per (t, k): truncating integer
+  /** Micro-unit centroid recompute per (t, k) from an assignment frame
+    * that carries its own xm (see [[pqAssign]]) — truncating integer
     * division (Spark `div` ≡ the oracle's sign-CASE `//`), the
-    * AnnOps.centroids discipline kept in integer space. */
-  private def pqUpdate(xm: DataFrame, a: DataFrame): DataFrame =
-    a.join(xm, Seq("vec_id", "t"))
-      .select(col("t"), col("k"), posexplode(col("xm")))
-      .groupBy(col("t"), col("k"), col("pos"))
-      .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
-      .withColumn("c", expr("sm div n"))
-      .groupBy(col("t"), col("k"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+    * AnnOps.centroids discipline kept in integer space. No corpus
+    * self-join, and (r16) ONE (t, k)-keyed aggregate with [[PqSubD]]
+    * per-coordinate sums instead of posexplode → (t, k, pos) agg →
+    * (t, k) collect_list re-agg — same two-exchange-to-one argument as
+    * [[centroids]] (xm is exactly PqSubD long by construction). */
+  private def pqUpdate(a: DataFrame): DataFrame = {
+    val sums = (0 until PqSubD).map(j =>
+      sum(element_at(col("xm"), j + 1)).as(s"sm$j"))
+    a.groupBy(col("t"), col("k"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
       .select(col("t"), col("k"),
-        transform(col("pc"), x => x.getField("c")).as("cm"))
+        array((0 until PqSubD).map(j => expr(s"sm$j div n")): _*).as("cm"))
+  }
 
   /** The trained PQ model over a corpus: (xm sub-vectors, final
     * codebook c2, per-vector codes).
@@ -174,7 +205,7 @@ object AnnOps {
     val cutF = AdaptiveCollapse.stageCut(s) _
     val xm = cutF(pqSubvecs(emb))
     val c2 = prev match {
-      case Some(cb) => cutF(pqUpdate(xm, pqAssign(xm, cb)))
+      case Some(cb) => cutF(pqUpdate(pqAssign(xm, cb)))
       case None =>
         val mh = pmod(pmod(col("vec_id"), lit(268435456L))
           * lit(2654435761L), lit(1000000007L))
@@ -184,8 +215,12 @@ object AnnOps {
             Window.orderBy(col("h"), col("vec_id"))) - 1).cast("int"))
         val cb0 = sdk.join(xm, Seq("vec_id"))
           .select(col("t"), col("k"), col("xm").as("cm"))
-        val c1 = cutF(pqUpdate(xm, pqAssign(xm, cb0)))
-        cutF(pqUpdate(xm, pqAssign(xm, c1)))
+        // c1 has exactly ONE consumer (the a2 assignment's broadcast
+        // build, which materializes it once anyway) — a stage cut here
+        // was pure overhead (r16 optimization); c2 keeps its cut (codes
+        // assignment + serving/staging both read it)
+        val c1 = pqUpdate(pqAssign(xm, cb0))
+        cutF(pqUpdate(pqAssign(xm, c1)))
     }
     val codes = pqAssign(xm, c2)
     (xm, c2, codes)
@@ -282,8 +317,9 @@ object AnnOps {
       prev: Option[DataFrame] = None): Unit = {
     val (_, c2, codes) = pqModel(s, emb, prev)
     c2.write.mode("overwrite").parquet(cbDir)
-    codes.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
+    // codes carries its row's label from pqSubvecs (r16) — no corpus
+    // re-join to recover it
+    codes.select(col("vec_id").as("vec_id2"), col("t"), col("k"),
         col("label"))
       .write.mode("overwrite").parquet(codesDir)
     centroids(emb).write.mode("overwrite").parquet(centDir)
@@ -306,7 +342,6 @@ object AnnOps {
       StructField("label", IntegerType)))
     val cb = s.read.schema(pqCbSchema).parquet(cbDir)
     val newCodes = pqAssign(pqSubvecs(newEmb), cb)
-      .join(newEmb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
         col("label"))
     s.read.schema(codesSchema).parquet(prevCodesDir)
@@ -368,7 +403,6 @@ object AnnOps {
       val emb = graft.Tables.embeddings(s, d)
       val (_, c2, codes) = pqModel(s, emb)
       val codesL = codes
-        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
         .select(col("vec_id").as("vec_id2"), col("t"), col("k"),
           col("label"))
       pqServe(emb, centroids(emb), c2, codesL)
