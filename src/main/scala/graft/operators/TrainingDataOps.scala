@@ -2126,27 +2126,88 @@ object TrainingDataOps {
           .as("lam"))
   }
 
-  /** The head-tercile TARGET doc ids — exactly
-    * `llm_perplexity_bucket`'s head verdicts (identical stage-cut base
-    * + cutoff histogram). */
-  private[graft] def dsirHeads(s: SparkSession, d: String): DataFrame = {
-    val base = AdaptiveCollapse.stageCut(s)(ngramLmPerDoc(s, d))
-    val usBin =
-      expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
-    base.crossJoin(broadcast(perplexityCutsOf(base)))
-      .filter(col("n_bigrams") > lit(0L) && usBin <= col("b1"))
-      .select(col("doc_id"))
+  /** k-weighted tercile cutoffs: [[perplexityCutsOf]]'s histogram with
+    * each row counted `k` times — identical (b1, b2) when the base rows
+    * are collapse reps of k identical docs (identical text ⇒ identical
+    * score ⇒ same bin, so the per-DOC histogram is the per-rep
+    * histogram weighted by k). k = 1 everywhere reduces to the plain
+    * version. */
+  private[graft] def perplexityCutsWeighted(base: DataFrame): DataFrame = {
+    val us = expr("(2 * p + n_bigrams) div (2 * n_bigrams)")
+    val hist = base.filter(col("n_bigrams") > 0)
+      .select(us.as("us"), col("k"))
+      .groupBy(expr("us div 10000").as("bin"))
+      .agg(sum(col("k")).as("cnt"))
+    val wcum = Window.orderBy(col("bin"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wcum))
+    val nn = hist.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(nn))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("bin"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("bin"))).as("b2"))
   }
 
-  /** The (doc_id, text, k=1, hk) direct-path DSIR source frame over
-    * the full corpus — what the λ artifact trains on. */
-  private[graft] def dsirDirectSrc(s: SparkSession, d: String)
-      : DataFrame =
-    documents(s, d).select(col("doc_id"), col("text"))
-      .join(dsirHeads(s, d).withColumn("hk", lit(1L)),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"), lit(1L).as("k"),
-        coalesce(col("hk"), lit(0L)).as("hk"))
+  /** The shared DSIR core (r16 restructure, guide §2.4): ONE corpus
+    * bigram explode feeds the whole pipeline. Before, the head-tercile
+    * target ran its own complete bigram-LM pipeline (`ngramLmPerDoc`,
+    * with a second independent collapse decision inside) and the
+    * bucketed tf then RE-exploded the corpus — two full corpus bigram
+    * explodes + two text-keyed exchanges per invocation, three in the
+    * streaming staging path. Now: reps (collapse or k=1 identity) →
+    * stage-cut per-rep bigram tf → (a) k-weighted add-1 grid + per-rep
+    * LM scores → k-weighted cutoffs → head reps (hk = k for a head
+    * rep: replicas of a head text are each target members), and
+    * (b) the SAME tf hashed into DSIR buckets → λ. Outputs are
+    * bit-identical to the old composition: the k-weighted grid equals
+    * the full-corpus k=1 grid by exact integer equality (the
+    * collapse-theorem the both-paths tests pin), identical texts share
+    * scores/buckets, and λ's cq/ct sums regroup the same integer terms.
+    *
+    * Returns (λ grid, per-rep (doc_id, bkt, tf) bucket tf, member map
+    * (doc_id, gid) — None on the direct path where doc ≡ rep). */
+  private def dsirCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    val docs = documents(s, d)
+    val collapse = AdaptiveCollapse.decideByMass(s, docs,
+      "spark.graft.dsirCollapse", xxhash64(col("text")))
+    val cutF = AdaptiveCollapse.stageCut(s) _
+    val (reps, members) =
+      if (!collapse)
+        (docs.select(col("doc_id"), col("text"), lit(1L).as("k")), None)
+      else {
+        val withG = AdaptiveCollapse.withGid(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          Seq("text"), withK = true).localCheckpoint()
+        (AdaptiveCollapse.repsOf(withG, "doc_id")
+          .select(col("doc_id"), col("text"), col("k")),
+          Some(AdaptiveCollapse.membersOf(withG, "doc_id")))
+      }
+    val tf = cutF(ngramLmTfOf(reps.select(col("doc_id"), col("text"))))
+    val tfK = tf.join(reps.select(col("doc_id"), col("k")), Seq("doc_id"))
+    val scores = cutF(tfK.join(ngramLmGrid(reps, tfK), Seq("bg"))
+      .withColumn("c", col("tf") * col("lpm"))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
+      .join(reps.select(col("doc_id"), col("k")), Seq("doc_id")))
+    val usBin =
+      expr("((2 * p + n_bigrams) div (2 * n_bigrams)) div 10000")
+    val headReps = scores
+      .crossJoin(broadcast(perplexityCutsWeighted(scores)))
+      .filter(col("n_bigrams") > lit(0L) && usBin <= col("b1"))
+      .select(col("doc_id"), col("k").as("hk"))
+    val bt = tf.withColumn("bkt", dsirBucket(col("bg")))
+      .groupBy(col("doc_id"), col("bkt")).agg(sum(col("tf")).as("tf"))
+    val btk = bt
+      .join(reps.select(col("doc_id"), col("k")), Seq("doc_id"))
+      .join(headReps, Seq("doc_id"), "left")
+      .withColumn("hk", coalesce(col("hk"), lit(0L)))
+    (dsirLambda(btk), bt, members)
+  }
+
+  /** The λ-grid artifact alone — what `stream_importance_ingest`
+    * stages at stream start (one shared-core pipeline, r16; it used to
+    * re-run the head pipeline AND the bucket explode independently). */
+  private[graft] def dsirLambdaArtifact(s: SparkSession, d: String)
+      : DataFrame = dsirCore(s, d)._1
 
   /** The full-corpus per-doc DSIR weight frame (doc_id, n_bigrams,
     * w_micro, log_weight; w_micro null for bigram-less docs) —
@@ -2155,56 +2216,23 @@ object TrainingDataOps {
     * `llm_dsir_select` (the resampling step). */
   private def importanceWeightsOf(s: SparkSession, d: String)
       : DataFrame = {
-    val docs = documents(s, d)
-    val collapse = AdaptiveCollapse.decideByMass(s, docs,
-      "spark.graft.dsirCollapse", xxhash64(col("text")))
-    val out =
-      if (!collapse)
-        dsirWeights(dsirDirectSrc(s, d))
-          .select(col("gid").as("doc_id"), col("w_micro"),
-            col("n_bigrams"))
-      else {
-        val withG = AdaptiveCollapse.withGid(
-          docs.select(col("doc_id"), col("text")), "doc_id",
-          Seq("text"), withK = true).localCheckpoint()
-        val hkOf = withG.select(col("doc_id"), col("gid"))
-          .join(dsirHeads(s, d), Seq("doc_id"))
-          .groupBy(col("gid")).agg(count(lit(1)).as("hk"))
-        val reps = AdaptiveCollapse.repsOf(withG, "doc_id")
-          .select(col("doc_id"), col("text"), col("k"))
-          .join(hkOf.withColumnRenamed("gid", "doc_id"),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("text"), col("k"),
-            coalesce(col("hk"), lit(0L)).as("hk"))
-        withG.select(col("doc_id"), col("gid"))
-          .join(dsirWeights(reps), Seq("gid"))
+    val (lam, bt, members) = dsirCore(s, d)
+    val perRep = bt.join(broadcast(lam), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("lam")).as("w_micro"),
+        sum(col("tf")).as("n_bigrams"))
+    val out = members match {
+      case None => perRep
+      case Some(m) =>
+        m.join(perRep.withColumnRenamed("doc_id", "gid"), Seq("gid"))
           .select(col("doc_id"), col("w_micro"), col("n_bigrams"))
-      }
+    }
     documents(s, d).select(col("doc_id"))
       .join(out, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("w_micro"),
         (col("w_micro") / lit(1e6)).as("log_weight"))
-  }
-
-  /** DSIR importance-weight core over a (doc_id, text, k, hk) frame,
-    * where `k` is the row's replica multiplicity and `hk` its TARGET
-    * multiplicity (members of the row's group in the head sample; 0/1
-    * on the direct path). Raw grid counts are k-weighted, target grid
-    * counts hk-weighted; per-row scores use the row's own unweighted
-    * tf. Returns (gid = input doc_id, w_micro, n_bigrams) for rows
-    * with ≥ 1 bigram — exact long arithmetic throughout (two micro-nat
-    * ln rounds per bucket, λ differences and Σ tf·λ in bigints). */
-  private def dsirWeights(src: DataFrame): DataFrame = {
-    val bt = dsirBucketTfOf(src)
-    val btk = bt.join(src.select(col("doc_id"), col("k"), col("hk")),
-      Seq("doc_id"))
-    bt.join(broadcast(dsirLambda(btk)), Seq("bkt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("lam")).as("w_micro"),
-        sum(col("tf")).as("n_bigrams"))
-      .select(col("doc_id").as("gid"), col("w_micro"), col("n_bigrams"))
   }
 
   /** The k-weighted add-1 bigram model GRID (bg → lpm micro-nats) over
@@ -2309,27 +2337,34 @@ object TrainingDataOps {
         col("embedding").as("cvec"))
     // argmax assignment against a broadcast (label, j, cvec) table:
     // max_by over the unique (round(cos,6), -j) struct is partial-agg
-    // combinable — no per-vector window shuffle
+    // combinable — no per-vector window shuffle. The row's own
+    // embedding rides the max_by struct (r16: every candidate row of a
+    // (vec_id, label) group shares it, so the pick is value-invariant)
+    // instead of a corpus-sized re-join to recover it — one full
+    // corpus join removed per assignment round (guide §2.4).
     def assignTo(cents: DataFrame): DataFrame =
       mem.join(broadcast(cents), Seq("label"))
         .withColumn("cs", round(expr("cosine_sim(embedding, cvec)"), 6))
         .groupBy(col("vec_id"), col("label"))
-        .agg(expr("max_by(j, struct(cs, -j))").as("j"))
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .agg(expr("max_by(struct(j, embedding), struct(cs, -j))").as("ja"))
+        .select(col("vec_id"), col("label"), col("ja.j").as("j"),
+          col("ja.embedding").as("embedding"))
     // micro-unit subcell centroids — AnnOps.centroids with the extra
     // subcell key, so the oracle's c1/c2 CTEs reuse the proven
-    // arithmetic verbatim
-    def subCent(a: DataFrame): DataFrame =
-      a.select(col("label"), col("j"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("j"), col("pos"))
-        .agg(sum(round(col("col").cast("double") * 1e6).cast("long"))
-          .as("sm"), count(lit(1)).as("cnt"))
-        .withColumn("c", expr("sm div cnt") / lit(1e6))
-        .groupBy(col("label"), col("j"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
-          .as("pc"))
+    // arithmetic verbatim; r16: one (label, j)-keyed agg with
+    // AnnOps.Dim per-coordinate sums replaces posexplode → re-agg
+    // (same contract argument as AnnOps.centroids — the oracle
+    // hard-codes range(1,65))
+    def subCent(a: DataFrame): DataFrame = {
+      val sums = (0 until AnnOps.Dim).map(p =>
+        sum(round(element_at(col("embedding"), p + 1).cast("double")
+          * 1e6).cast("long")).as(s"sm$p"))
+      a.groupBy(col("label"), col("j"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
         .select(col("label"), col("j"),
-          transform(col("pc"), x => x.getField("c")).as("cvec"))
+          array((0 until AnnOps.Dim)
+            .map(p => expr(s"sm$p div cnt") / lit(1e6)): _*).as("cvec"))
+    }
     val cutF = AdaptiveCollapse.stageCut(s) _
     val c1 = cutF(subCent(assignTo(seeds)))
     val a2 = cutF(assignTo(c1))

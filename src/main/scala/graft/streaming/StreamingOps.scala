@@ -1970,22 +1970,33 @@ object StreamingOps {
     // ngramLmScores collapse theorem, and O(distinct texts) under any
     // duplication without an adaptive decision (measured: the direct
     // grid paid 16× the bigram explode on the 16× identical probe)
-    val reps = docs.groupBy(col("text"))
+    val cutF = graft.operators.AdaptiveCollapse.stageCut(s) _
+    val reps = cutF(docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("k"))
-      .select(col("doc_id"), col("text"), col("k"))
-    graft.operators.TrainingDataOps.ngramLmGrid(reps,
-      graft.operators.TrainingDataOps
-        .ngramLmTfOf(reps.select(col("doc_id"), col("text")))
-        .join(reps.select(col("doc_id"), col("k")), Seq("doc_id")))
+      .select(col("doc_id"), col("text"), col("k")))
+    val tfK = cutF(graft.operators.TrainingDataOps
+      .ngramLmTfOf(reps.select(col("doc_id"), col("text")))
+      .join(reps.select(col("doc_id"), col("k")), Seq("doc_id")))
+    graft.operators.TrainingDataOps.ngramLmGrid(reps, tfK)
       .write.mode("overwrite").parquet(modelDir)
-    graft.operators.TrainingDataOps.perplexityCutsOf(
-      graft.operators.TrainingDataOps.ngramLmPerDoc(s, d))
-      .write.mode("overwrite").parquet(cutsDir)
     val gridSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("bg",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("lpm",
         org.apache.spark.sql.types.LongType)))
+    // cutoffs from the SAME rep tf scored against the STAGED grid
+    // (r16): the old path re-ran the entire bigram-LM pipeline
+    // (ngramLmPerDoc — a second corpus explode + a second grid train)
+    // to reproduce scores this staging block already derives; per-rep
+    // scores weighted by k give the identical per-doc histogram
+    // (identical text ⇒ identical score ⇒ same bin)
+    graft.operators.TrainingDataOps.perplexityCutsWeighted(
+      tfK.join(s.read.schema(gridSchema).parquet(modelDir), Seq("bg"))
+        .withColumn("c", col("tf") * col("lpm"))
+        .groupBy(col("doc_id"))
+        .agg((-sum(col("c"))).as("p"), sum(col("tf")).as("n_bigrams"))
+        .join(reps.select(col("doc_id"), col("k")), Seq("doc_id")))
+      .write.mode("overwrite").parquet(cutsDir)
     val cutsSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("b1",
         org.apache.spark.sql.types.LongType),
@@ -2878,15 +2889,10 @@ object StreamingOps {
     val outDir = s"$root/out"
     Files.createDirectories(java.nio.file.Paths.get(outDir))
     // frozen model: the λ grid the batch op trains (idempotent
-    // overwrite of a deterministic table)
-    locally {
-      val src = graft.operators.TrainingDataOps.dsirDirectSrc(s, d)
-      val bt = graft.operators.TrainingDataOps.dsirBucketTfOf(src)
-      val btk = bt.join(src.select(col("doc_id"), col("k"), col("hk")),
-        Seq("doc_id"))
-      graft.operators.TrainingDataOps.dsirLambda(btk)
-        .write.mode("overwrite").parquet(lamDir)
-    }
+    // overwrite of a deterministic table; r16 — one shared-core
+    // pipeline instead of an independent head pipeline + re-explode)
+    graft.operators.TrainingDataOps.dsirLambdaArtifact(s, d)
+      .write.mode("overwrite").parquet(lamDir)
     import org.apache.spark.sql.types._
     val lamSchema = StructType(Seq(StructField("bkt", LongType),
       StructField("lam", LongType)))
