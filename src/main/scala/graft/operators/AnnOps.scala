@@ -76,15 +76,35 @@ object AnnOps {
     * because Dim is pinned by the oracle contract (count(*) per label
     * ≡ the per-(label, pos) count when every array has exactly Dim
     * elements). Arithmetic and coordinate order are unchanged. */
-  def centroids(emb: DataFrame): DataFrame = {
+  def centroids(emb: DataFrame): DataFrame =
+    centroidsKeyed(emb, Seq("label")).withColumnRenamed("label", "c_label")
+
+  /** [[centroids]] generalized over an arbitrary grouping key list —
+    * the one fixed-width implementation shared with the semantic
+    * sub-quantizer's (label, j) centroids. Arrays SHORTER than [[Dim]]
+    * are supported for uniform-dim corpora (specs drive 8-dim frames):
+    * try_element_at pads the per-coordinate sums with nulls and the
+    * final slice trims the centroid to the measured dim; non-uniform
+    * or > Dim inputs raise loudly instead of silently truncating. */
+  private[operators] def centroidsKeyed(emb: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val sums = (0 until Dim).map(j =>
-      sum(round(element_at(col("embedding"), j + 1).cast("double") * 1e6)
-        .cast("long")).as(s"sm$j"))
-    emb.groupBy(col("label"))
-      .agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
-      .select(col("label").as("c_label"),
-        array((0 until Dim).map(j => expr(s"sm$j div n") / lit(1e6)): _*)
-          .as("centroid"))
+      sum(round(expr(s"try_element_at(embedding, ${j + 1})")
+        .cast("double") * 1e6).cast("long")).as(s"sm$j"))
+    val aggs = sums ++ Seq(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax"))
+    val dims = when(col("dmin") === col("dmax")
+        && col("dmax") <= lit(Dim), col("dmax"))
+      .otherwise(raise_error(concat(
+        lit(s"AnnOps.centroids: embedding dims must be uniform and <= " +
+          s"$Dim, got min="), col("dmin"), lit(" max="), col("dmax"))))
+    emb.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keys.map(col) :+
+        slice(array((0 until Dim).map(j =>
+          expr(s"sm$j div n") / lit(1e6)): _*), lit(1), dims)
+          .as("centroid"): _*)
   }
 
   /** The IVF probe + exact-score core over an explicit query frame —

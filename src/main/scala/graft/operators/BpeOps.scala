@@ -89,6 +89,17 @@ object BpeOps {
       capDefault: Option[Int] = None)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val cutF = AdaptiveCollapse.stageCut(s) _
+    // LAZY stage cut for the merge loop (r16): eager localCheckpoint
+    // cost one materialization JOB per round on top of the argmax job;
+    // lazy keeps the identical lineage truncation (the checkpoint
+    // materializes inside the next argmax job's first read) at half
+    // the jobs. Safe here because every cut frame is consumed in-plan
+    // only — no directory-read ordering hazards (the reason other cut
+    // sites stay eager).
+    val lazyCut: DataFrame => DataFrame = df =>
+      if (s.conf.getOption("spark.graft.checkpointStages")
+        .exists(_.equalsIgnoreCase("false"))) df
+      else df.localCheckpoint(false)
     // w <> '' : split keeps empty tokens for consecutive/leading/
     // trailing spaces, and a zero-length word would diverge three ways
     // (Spark's sequence(1,0) DESCENDS to [1,0] → seg ["",""], DuckDB's
@@ -121,6 +132,7 @@ object BpeOps {
     val vocab = cap.fold(vocabAll)(v =>
       vocabAll.orderBy(col("freq").desc, col("w")).limit(v))
     // stage-cut: the corpus explode must run ONCE, not once per round
+    // (eager — the first round has two consumers of it)
     var seg = cutF(vocab.withColumn("seg",
       expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
     val merges = scala.collection.mutable
@@ -142,7 +154,7 @@ object BpeOps {
         val (l, rr, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rr, cnt))
-        seg = cutF(seg.withColumn("seg",
+        seg = lazyCut(seg.withColumn("seg",
           applyMerge(col("seg"), lit(l), lit(rr))))
         r += 1
       }

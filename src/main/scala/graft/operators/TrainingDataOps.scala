@@ -2319,13 +2319,27 @@ object TrainingDataOps {
       : Option[(DataFrame, DataFrame, DataFrame)] = {
     val cap = s.conf.getOption("spark.graft.semanticCellCap")
       .map(_.toLong).getOrElse(16L)
-    val n = emb.count()
+    // ONE bounded driver read replaces emb.count() + the oversized-cell
+    // probe action (r16): the per-label counts imply n, and the label
+    // alphabet is the fixed pretrained coarse-quantizer vocabulary, so
+    // the collect is O(|labels|) at any corpus size — one corpus
+    // aggregate instead of two corpus scans + two actions. The derived
+    // `over` rows are identical (same integer arithmetic as the old
+    // `(p + sN - 1) div sN` column).
+    val cellCounts = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("p")).collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getLong(1)))
+    val n = cellCounts.map(_._2).sum
     if (n == 0) return None
     val sN = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-    val over = emb.groupBy(col("label")).agg(count(lit(1)).as("p"))
-      .filter(col("p") * col("p") > lit(cap) * lit(n))
-      .withColumn("ncells", expr(s"(p + $sN - 1) div $sN"))
-    if (over.limit(1).count() == 0) return None
+    val overRows = cellCounts
+      .filter { case (_, p) => p * p > cap * n }
+      .map { case (l, p) => (l, p, (p + sN - 1) / sN) }
+    if (overRows.isEmpty) return None
+    val over = {
+      import s.implicits._
+      overRows.toSeq.toDF("label", "p", "ncells")
+    }
     val mh = pmod(pmod(col("vec_id"), lit(268435456L)) * lit(2654435761L),
       lit(1000000007L))
     val mem = emb.join(broadcast(over.select(col("label"), col("ncells"))),
@@ -2349,22 +2363,13 @@ object TrainingDataOps {
         .agg(expr("max_by(struct(j, embedding), struct(cs, -j))").as("ja"))
         .select(col("vec_id"), col("label"), col("ja.j").as("j"),
           col("ja.embedding").as("embedding"))
-    // micro-unit subcell centroids — AnnOps.centroids with the extra
-    // subcell key, so the oracle's c1/c2 CTEs reuse the proven
-    // arithmetic verbatim; r16: one (label, j)-keyed agg with
-    // AnnOps.Dim per-coordinate sums replaces posexplode → re-agg
-    // (same contract argument as AnnOps.centroids — the oracle
-    // hard-codes range(1,65))
-    def subCent(a: DataFrame): DataFrame = {
-      val sums = (0 until AnnOps.Dim).map(p =>
-        sum(round(element_at(col("embedding"), p + 1).cast("double")
-          * 1e6).cast("long")).as(s"sm$p"))
-      a.groupBy(col("label"), col("j"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("cnt")): _*)
-        .select(col("label"), col("j"),
-          array((0 until AnnOps.Dim)
-            .map(p => expr(s"sm$p div cnt") / lit(1e6)): _*).as("cvec"))
-    }
+    // micro-unit subcell centroids — AnnOps.centroidsKeyed with the
+    // extra subcell key, so the oracle's c1/c2 CTEs reuse the proven
+    // arithmetic verbatim; r16: one (label, j)-keyed fixed-width agg
+    // replaces posexplode → (label, j, pos) agg → collect_list re-agg
+    def subCent(a: DataFrame): DataFrame =
+      AnnOps.centroidsKeyed(a, Seq("label", "j"))
+        .withColumnRenamed("centroid", "cvec")
     val cutF = AdaptiveCollapse.stageCut(s) _
     val c1 = cutF(subCent(assignTo(seeds)))
     val a2 = cutF(assignTo(c1))
@@ -2603,18 +2608,23 @@ object TrainingDataOps {
   /** Per-doc naive-Bayes argmax of a (doc_id, w, tf) frame against a
     * (m_lang, w, lp) grid — decimal-exact score accumulation so
     * partition order can't flip the argmax, m_lang tie-break. Shared
-    * by [[langIdPredict]] and the streaming per-batch classifier. */
+    * by [[langIdPredict]] and the streaming per-batch classifier.
+    * r16: the per-doc rank window (a doc_id exchange + in-partition
+    * sort over the score table) is replaced by a min_by aggregate over
+    * the unique (−score, m_lang) struct — the same semantics
+    * (row_number ORDER BY score DESC, m_lang ⇒ rn = 1 ≡ min of
+    * (−score, m_lang); decimal negation is exact), but partial-agg
+    * combinable with no sort (the semanticCells argmax idiom). */
   private[graft] def langIdArgmax(tf: DataFrame, grid: DataFrame)
       : DataFrame = {
     val scores = tf.join(grid, Seq("w"))
       .withColumn("c", (col("tf") * col("lp")).cast(Money))
       .groupBy(col("doc_id"), col("m_lang"))
       .agg(sum(col("c")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("m_lang"))
-    scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id").as("gid"), col("m_lang").as("predicted"))
+    scores.groupBy(col("doc_id"))
+      .agg(expr("min_by(m_lang, struct(negative(score), m_lang))")
+        .as("predicted"))
+      .select(col("doc_id").as("gid"), col("predicted"))
   }
 
   /** Per-doc unigram term frequencies (doc_id, w, tf) of a
