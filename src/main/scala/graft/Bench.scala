@@ -71,9 +71,13 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(f)), "UTF-8")
         // minimal extraction (no JSON lib on the unmanaged classpath):
-        // each canary key appears once, as "name":<sec>
+        // each canary key appears once, as "name":<sec>. Whitespace
+        // after the colon is tolerated (r16): merge tooling re-writes
+        // BENCH_r*_local.json with json.dump's ", "/": " separators,
+        // and the strict pattern silently disabled the canary
+        // (ref: null) against such a reference.
         val vals = canaryOps.map { op =>
-          ("\"" + op + "\":([0-9.Ee+-]+)").r
+          ("\"" + op + "\":\\s*([0-9.Ee+-]+)").r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
         }
         if (vals.forall(_.isDefined)) Some((f, vals.flatten.sum)) else None

@@ -455,6 +455,10 @@ object Aggregations {
     // engine-defined on ties. Plan: partial+final hash agg to
     // (user, type, cnt), then one window shuffle on user_id.
     "agg_mode" -> ((s, d) => {
+      // r16 note: a min_by(struct) rewrite was tried and REVERTED —
+      // struct agg buffers fall back to SortAggregate, while the rank-1
+      // window compiles to WindowGroupLimit (top-1 pruned on both sides
+      // of the exchange); measured 0.58 s (window) vs 1.23 s (min_by).
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("cnt").desc, col("event_type"))
       events(s, d)

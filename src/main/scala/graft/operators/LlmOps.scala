@@ -569,14 +569,17 @@ object LlmOps {
 
   private def dedupVerdictsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
-    val base = docs.select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"), sortedToks.as("toks"),
-      floor(col("n_chars") / 10).as("bucket"))
-    val keyed = base.withColumn("keeper",
-      min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    // toks/bucket are derived AFTER the keeper filter (r16, guide
+    // §2.3): computing sortedToks for every doc before the text-keyed
+    // window shipped the tokenized corpus through the exchange when
+    // only survivors ever read it — same values, narrower exchange
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        col("n_chars"), col("text"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
     val surv = keyed.filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-        col("bucket"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
     val nd = Blocking.sizeBlockedPairs(surv, "toks", smallerRight = true)
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
       .filter(col("inter") /
@@ -619,9 +622,11 @@ object LlmOps {
   private def auditVerdicts(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     graft.functions.CosineSimilarity.register(s)
+    // toks/bucket derived after the keeper filter (r16, §2.3 — the
+    // dedupVerdictsOf argument): the text-keyed window exchange and
+    // the keyed stage cut carry text only, not the tokenized corpus
     val base = documents(s, d).select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"), sortedToks.as("toks"),
-      floor(col("n_chars") / 10).as("bucket"))
+      col("n_chars"), col("text"))
     // Stage outputs are MATERIALIZED (eager localCheckpoint) because each
     // is consumed twice — by the next stage's survivor filter AND by the
     // final verdict join. Without truncation the final join re-derives
@@ -642,8 +647,8 @@ object LlmOps {
     val keyed = stageCut(base.withColumn("keeper",
       min(col("doc_id")).over(Window.partitionBy(col("text")))))
     val surv1 = stageCut(keyed.filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-        col("bucket")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket")))
     def jaccardHalf(pairs: DataFrame, out: String): DataFrame = pairs
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
       .filter(col("inter") /
@@ -719,9 +724,11 @@ object LlmOps {
     *  - kept otherwise. */
   private def incrementalVerdicts(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
+    // toks/bucket derived only where consumed (r16, §2.3): the exact
+    // stage's text-keyed groupBys/joins carry text, never the
+    // tokenized corpus
     val docs = documents(s, d).select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"), sortedToks.as("toks"),
-      floor(col("n_chars") / 10).as("bucket"),
+      col("n_chars"), col("text"),
       (pmod(col("doc_id"), lit(100L)) >= 80).as("is_new"))
     val existing = docs.filter(!col("is_new"))
     val newDocs = docs.filter(col("is_new"))
@@ -739,14 +746,15 @@ object LlmOps {
           .when(col("ex_of") < col("nf"), col("ex_of"))
           .otherwise(col("nf")))
     val survNew = staged.filter(col("exact_of").isNull)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-        col("bucket"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"))
     // near stage: candidates = existing exact-REPS ∪ earlier new
     // survivors; the blocked join PROBES with the new batch only
     val exReps = existing.join(
         exMin.select(col("ex_of").as("doc_id")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
-        col("bucket"), lit(false).as("cand_new"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket"),
+        lit(false).as("cand_new"))
     val cand = exReps.unionByName(
       survNew.withColumn("cand_new", lit(true)))
     val right = cand
@@ -781,6 +789,9 @@ object LlmOps {
       incrementalVerdicts(s, d).orderBy(col("doc_id"))),
 
     "llm_exact_dedup" -> ((s, d) => {
+      // r16 note: a min_by keeper rewrite was tried and REVERTED — the
+      // rank-1 window compiles to WindowGroupLimit and measured faster
+      // (0.59 s vs 0.74 s); see agg_mode.
       val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       documents(s, d)
         .withColumn("rn", row_number().over(w))
@@ -1452,6 +1463,9 @@ object LlmOps {
       val cen = withDot.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("vec").as("c_vec"),
           col("self_dot").as("c_dot"))
+      // r16 note: a max_by(struct) rewrite was tried and REVERTED —
+      // WindowGroupLimit beat the SortAggregate fallback (0.61 s vs
+      // 0.75 s); see agg_mode.
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("c_id"))
       withDot.crossJoin(broadcast(cen))

@@ -366,7 +366,8 @@ object Multimodal {
     // (O(log chain) corpus-keyed joins, the llm_dedup_clusters
     // discipline).
     "mm_phash_clusters" -> ((s, d) =>
-      phashClustersDf(s, d).orderBy(col("doc_id"))),
+      phashClustersOf(phashOf(graft.Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
 
     // Perceptual-hash KEEP-BEST (round-15 add): the media modality's
     // selection face, completing the symmetry with
@@ -380,8 +381,13 @@ object Multimodal {
     // pathological giant cluster costs a partial agg, not a
     // single-partition sort).
     "mm_phash_keep_best" -> ((s, d) => {
-      val ph = phashOf(graft.Tables.documents(s, d))
-      val scored = phashClustersDf(s, d)
+      // ONE decode+hash pass (r16, the guide-§8 decode-once rule): the
+      // cluster machinery and the quality join both read the same
+      // stage-cut fingerprint table — before, phashOf ran twice (two
+      // full asset decode scans at 100 TB)
+      val ph = AdaptiveCollapse.stageCut(s)(
+        phashOf(graft.Tables.documents(s, d)))
+      val scored = phashClustersOf(ph)
         .join(ph.select(col("doc_id"), col("n_bytes")), Seq("doc_id"))
       val best = scored.groupBy(col("cluster_id"))
         .agg(min(struct((lit(0) - col("n_bytes")).as("nq"),
@@ -394,13 +400,15 @@ object Multimodal {
     })
   ) ++ incrementalQueries
 
-  /** The phash dup clusters of a corpus — (doc_id, cluster_id), the
-    * transitive closure of the arrival-order dup forest, each cluster
-    * labeled by its minimal member. Shared by `mm_phash_clusters` and
-    * `mm_phash_keep_best`. */
-  private def phashClustersDf(s: SparkSession, d: String,
+  /** The phash dup clusters of a fingerprint frame — (doc_id,
+    * cluster_id), the transitive closure of the arrival-order dup
+    * forest, each cluster labeled by its minimal member. Shared by
+    * `mm_phash_clusters` and `mm_phash_keep_best` (which passes a
+    * stage-cut `ph` so the decode pass runs once across both its
+    * consumers, r16). */
+  private def phashClustersOf(ph: DataFrame,
       blk: PhashBlocking = PhashBlocking()): DataFrame = {
-      val pb = withBlockSize(phashOf(graft.Tables.documents(s, d)), blk)
+      val pb = withBlockSize(ph, blk)
       val groups = pb.groupBy(col("fp"), col("fmt"), col("bsz"))
         .agg(min(col("doc_id")).as("gid"))
       val gsel = groups.select(col("gid"), col("fmt"), col("bsz"),
