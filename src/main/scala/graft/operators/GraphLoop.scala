@@ -71,11 +71,15 @@ object GraphLoop {
     edges.select(col("src").as("node")).distinct().localCheckpoint()
 
   /** Fixed-round iteration (power-iteration shape: the round count IS
-    * the semantics, e.g. pagerank's 10 damped rounds). */
+    * the semantics, e.g. pagerank's 10 damped rounds). Round states
+    * are LAZY localCheckpoints (r16): the next round's broadcast build
+    * is each state's one materializing consumer, so an eager cut paid
+    * a separate job per round for the identical lineage truncation —
+    * the BpeOps merge-loop argument. */
   def iterate(init: DataFrame, rounds: Int)(
       round: DataFrame => DataFrame): DataFrame = {
     var state = init
-    for (_ <- 1 to rounds) state = round(state).localCheckpoint()
+    for (_ <- 1 to rounds) state = round(state).localCheckpoint(false)
     state
   }
 
@@ -115,7 +119,10 @@ object GraphLoop {
     var rounds = 0
     var moving = true
     while (moving && rounds < maxRounds) {
-      val next = round(state).localCheckpoint()
+      // lazy cut (r16): the metric probe right below is the state's
+      // first consumer and materializes the checkpoint inside its own
+      // job — one job per round instead of two
+      val next = round(state).localCheckpoint(false)
       val m = metricSum(next, metricCol)
       moving = m != null && (prev == null || m.compareTo(prev) != 0)
       prev = m
@@ -161,7 +168,7 @@ object GraphLoop {
           coalesce(col("p_lbl"), col(labelCol)).as(labelCol),
           (col("p_lbl").isNotNull && col("p_lbl") =!= col(labelCol))
             .as("changed"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the isEmpty probe
       done = next.filter(col("changed")).isEmpty
       cur = next.select(col("node"), col(labelCol))
     }
@@ -185,7 +192,9 @@ object GraphLoop {
     var prev = metricSum(state, metricCol)
     var moving = prev != null
     while (moving) {
-      val next = jumpClosure(hook(state).localCheckpoint(), metricCol)
+      // lazy: jumpClosure's own first cut is the single materializing
+      // consumer of the hook round's output
+      val next = jumpClosure(hook(state).localCheckpoint(false), metricCol)
       val m = metricSum(next, metricCol)
       moving = m != null && m.compareTo(prev) != 0
       prev = m
