@@ -382,7 +382,7 @@ object AnnOps {
     }
     val h1 = scala.util.hashing.MurmurHash3.stringHash(d, 0x9747b28c)
     val h2 = scala.util.hashing.MurmurHash3.stringHash(d, 0x1b873593)
-    val base = s"${sys.props("java.io.tmpdir")}/graft_pq_${safe}_" +
+    val base = s"${graft.Scratch.base}/graft_pq_${safe}_" +
       java.lang.Long.toHexString(((h1.toLong & 0xffffffffL) << 32)
         | (h2.toLong & 0xffffffffL))
     (s"$base/cb", s"$base/codes", s"$base/cent")

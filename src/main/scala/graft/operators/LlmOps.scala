@@ -139,7 +139,7 @@ object LlmOps {
 
   /** Per-corpus-dir root of all staged epoch state. */
   private def epochBase(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_epoch_" +
+    s"${graft.Scratch.base}/graft_epoch_" +
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
 

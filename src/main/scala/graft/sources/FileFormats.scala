@@ -103,7 +103,7 @@ object FileFormats {
     // column written into the wrong partition) fails the hash.
     "sink_partitioned_prune" -> ((s, d) => {
       val dir = staged.computeIfAbsent(s"partitioned:$d", { _ =>
-        val out = Files.createTempDirectory("graft_part_").toString
+        val out = graft.Scratch.tempDir("graft_part_")
         events(s, d)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))

@@ -281,8 +281,8 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       prep: DataFrame => DataFrame, tsUsCol: String,
       maxFilesPerTrigger: Option[Int]): (DataFrame, DataFrame) = {
-    val onDir = Files.createTempDirectory("graft_ontime_").toString
-    val lateDir = Files.createTempDirectory("graft_late_").toString
+    val onDir = graft.Scratch.tempDir("graft_ontime_")
+    val lateDir = graft.Scratch.tempDir("graft_late_")
     val outSchema =
       prep(s.read.schema(schema).parquet(inputDir)).schema
     val wmUs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -1271,7 +1271,7 @@ object StreamingOps {
     }),
 
     "sink_foreachBatch" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft_fb_").toString
+      val dir = graft.Scratch.tempDir("graft_fb_")
       val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
       val ckpt = tempCheckpointDir()
       try {
@@ -1302,7 +1302,7 @@ object StreamingOps {
     // (torn write, and complete-write-then-crash-before-commit)
     // through this exact pattern and proves no loss/no duplicates.
     "sink_exactly_once" -> ((s, d) => {
-      val dir = Files.createTempDirectory("graft_fb_xo_").toString
+      val dir = graft.Scratch.tempDir("graft_fb_xo_")
       val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
       val ckpt = tempCheckpointDir()
       try {
@@ -1393,7 +1393,7 @@ object StreamingOps {
         val lo = (maxId + 1) * i / k
         val hi =
           if (i == k - 1) Long.MaxValue else (maxId + 1) * (i + 1) / k
-        val slice = Files.createTempDirectory("graft_slice_").toString
+        val slice = graft.Scratch.tempDir("graft_slice_")
         src.filter(col(idCol) >= lo && col(idCol) < hi)
           .coalesce(1).write.mode("overwrite").parquet(slice)
         val part = new java.io.File(slice).listFiles()
@@ -1420,7 +1420,7 @@ object StreamingOps {
     stagedBatchDirs.computeIfAbsent(key, { _ =>
       val dir = registeredScratchDir("graft_ingest_")
       (0 until k).foreach { i =>
-        val slice = Files.createTempDirectory("graft_slice_").toString
+        val slice = graft.Scratch.tempDir("graft_slice_")
         src.filter(pmod(col(idCol), lit(k.toLong)) === i)
           .coalesce(1).write.mode("overwrite").parquet(slice)
         val part = new java.io.File(slice).listFiles()
@@ -1578,7 +1578,7 @@ object StreamingOps {
   }
   private[graft] def registeredScratchDir(prefix: String): String = {
     scratchHookInstalled
-    val d = Files.createTempDirectory(prefix).toString
+    val d = graft.Scratch.tempDir(prefix)
     scratchRegistry.add(d)
     d
   }
