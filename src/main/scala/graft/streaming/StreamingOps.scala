@@ -2291,12 +2291,14 @@ object StreamingOps {
     // identical exact longs (long addition commutes)
     val bxx = graft.operators.PcaOps.gramPartials(arrs)
       .select(col("i"), col("j"), col("cl").as("sxx"))
-    val bn = batch.count()
+    // n rides the same aggregate (r16): count per coordinate ≡ the
+    // batch row count for fixed-dim arrays, so the separate
+    // batch.count() action (one extra batch scan per epoch, two ops ×
+    // k epochs) folds away
     val bsxn = arrs
       .select(posexplode(col("arr")).as(Seq("p", "x")))
       .groupBy((col("p") + 1).cast("int").as("j"))
-      .agg(sum(col("x")).as("sx"))
-      .withColumn("n", lit(bn))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
     val (sxxNew, sxnNew) =
       if (e == 1) (bxx, bsxn)
       else {
