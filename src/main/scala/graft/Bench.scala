@@ -163,16 +163,25 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"canary":$canaryJson,"sf":"$sfDir"}"""
     // The driver tail-captures stdout and has truncated the (one, long)
     // JSON line mid-key before (BENCH_r03.json arrived with
-    // "parsed": null) — so ALSO write the full line to BENCH.json in the
-    // working directory, which survives any stdout capture window.
-    // Never clobber the version-controlled snapshot with a filtered
-    // subset — a bisection run would silently publish a partial map.
+    // "parsed": null; the r15 line was cut the same way and the whole
+    // prev-round PERF comparison was lost) — so ALSO write the full
+    // line to BENCH.json in the working directory, which survives any
+    // stdout capture window, and mirror it to BENCH_LINE.json (r17,
+    // the r16 verdict's item 5: a fixed well-known filename the driver
+    // can read even if BENCH.json is ever repurposed). Never clobber
+    // the version-controlled snapshot with a filtered subset — a
+    // bisection run would silently publish a partial map.
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
+      Seq("BENCH.json", "BENCH_LINE.json").foreach { f =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(f),
+          (line + "\n").getBytes("UTF-8"))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $f write failed: ${e.getMessage}")
+        }
       }
+    // the metric JSON is the FINAL stdout line — spark.stop() runs
+    // after it and must not print; sbt's success banner is suppressed
+    // in build.sbt (showSuccess := false)
     println(line)
     spark.stop()
   }
