@@ -77,6 +77,16 @@ object AdaptiveCollapse {
       .exists(_.equalsIgnoreCase("false"))) df
     else df.localCheckpoint()
 
+  /** LAZY stage cut (r17): same lineage truncation + multi-consumer
+    * dedup, but materialization folds into the FIRST consumer's job
+    * instead of a dedicated eager job — the GraphLoop/BPE round-cut
+    * lesson (r16), applied where the cut frame is tiny and the extra
+    * eager job is pure overhead (pqServe's R·nq-row shortlist). */
+  def stageCutLazy(s: SparkSession)(df: DataFrame): DataFrame =
+    if (s.conf.getOption("spark.graft.checkpointStages")
+      .exists(_.equalsIgnoreCase("false"))) df
+    else df.localCheckpoint(false)
+
   /** Hash-keyed exact grouping: append `gidName` = min(`idCol`) over
     * the `keys` group (and `k` = group size when `withK`). ONE corpus
     * exchange keyed by the 8-byte xxhash64 of the keys — the explicit

@@ -279,9 +279,22 @@ object AnnOps {
       .agg(sum(col("dist")).as("ad"))
     val wa = Window.partitionBy(col("q_id"))
       .orderBy(col("ad"), col("vec_id2"))
-    val short = cand.withColumn("arn", row_number().over(wa))
-      .filter(col("arn") <= PqShortlist)
-      .select(col("q_id"), col("vec_id2"), col("arn"))
+    // r17 (guide §1.2/§2.4 — compute shared stages once): the shortlist
+    // has TWO consumers (the raw-vector fetch's broadcast build and the
+    // re-rank join's broadcast build), and each broadcast build is a
+    // separate job that re-evaluates its whole subtree — so the ADC
+    // aggregation over the probed candidate set (the serve path's only
+    // corpus-probed stage) ran TWICE per invocation, and twice per
+    // stream_pq_live epoch. Cut the R·nq-row shortlist once; both
+    // broadcasts build from the materialized cut. LAZY (A/B'd): the
+    // eager form measured llm_ann_pq 8.50 → 7.62 s mean but paid a
+    // dedicated job per stream_pq_live epoch (means 22.7 → 24.6 s);
+    // the lazy cut keeps the dedup and folds materialization into the
+    // first broadcast build.
+    val short = AdaptiveCollapse.stageCutLazy(emb.sparkSession)(
+      cand.withColumn("arn", row_number().over(wa))
+        .filter(col("arn") <= PqShortlist)
+        .select(col("q_id"), col("vec_id2"), col("arn")))
     val shortVecs = pqSubvecs(emb.join(broadcast(
         short.select(col("vec_id2").as("vec_id")).distinct()),
       Seq("vec_id")))

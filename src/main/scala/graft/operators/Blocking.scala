@@ -90,14 +90,19 @@ object Blocking {
     import org.apache.spark.sql.expressions.Window
     val freq = docs.select(explode(col("toks")).as("tid"))
       .groupBy(col("tid")).agg(count(lit(1)).as("df"))
-    val ranked = docs
+    // r17 (guide §1.2 — compute shared stages once): `ranked` (the
+    // df-join + per-doc prefix window over the corpus token stream) has
+    // TWO consumers (the has_common flags agg and the rare-channel
+    // index), each of which re-evaluated the whole explode+join+window
+    // subtree; the cut materializes the prefix-token table once.
+    val ranked = AdaptiveCollapse.stageCut(docs.sparkSession)(docs
       .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"),
         size(col("toks")).as("n"), explode(col("toks")).as("tid"))
       .join(freq, "tid")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tid"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .withColumn("is_common", col("df") > tau)
+      .withColumn("is_common", col("df") > tau))
     val flags = ranked.groupBy(col("doc_id"))
       .agg(max(col("is_common")).as("has_common"))
     val flagged = docs.join(flags, "doc_id")

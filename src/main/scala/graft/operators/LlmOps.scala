@@ -289,16 +289,24 @@ object LlmOps {
   private[graft] def minhashVerdictsCore(batch: DataFrame,
       bGroups: DataFrame, bBanded: DataFrame, idx: DataFrame)
       : DataFrame = {
-    val idxExp = idx
-      .withColumn("bucket",
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    // r17 (guide §2.3 — explode the SMALL side): the neighbor-bucket
+    // fan-out moves from the INDEX (the corpus-sized side, growing
+    // every epoch) to the batch probe — |Δbucket| ≤ 1 is symmetric, so
+    // "probe explodes ±1 vs index ±1" matches the identical pair set
+    // (each qualifying pair still meets on exactly one key), but the
+    // band-key exchange now ships 1× the index and 3× the batch
+    // instead of 3× the index and 1× the batch.
+    val idxR = idx
       .select(col("rep_id").as("ex_rep"), col("lang").as("lang2"),
         col("n_chars").as("n_chars2"), col("bucket"),
         col("band_sig").as("band_sig2"))
-    val exMin = bBanded.join(idxExp,
+    val bProbe = bBanded
+      .withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val exMin = bProbe.join(idxR,
         col("band_sig") === col("band_sig2") &&
           col("lang") === col("lang2") &&
-          bBanded("bucket") === idxExp("bucket") &&
+          bProbe("bucket") === idxR("bucket") &&
           abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
       .groupBy(col("rep_id")).agg(min(col("ex_rep")).as("ex_min"))
     // batch-vs-batch: the same banded shape restricted to the batch,
@@ -450,15 +458,22 @@ object LlmOps {
         col("bucket"))
       .withColumn("cand_new", lit(false))
       .unionByName(survNew.withColumn("cand_new", lit(true)))
+    // r17 (guide §2.3 — explode the SMALL side): the ±1 bucket fan-out
+    // moves from the candidate index (survivor corpus ∪ new survivors —
+    // the side that grows with the corpus) to the batch probe;
+    // |Δbucket| ≤ 1 is symmetric so the matched pair set is identical,
+    // and the (lang, bucket) exchange ships the survivor index (with
+    // its token arrays) once instead of three times.
     val right = cand
-      .withColumn("bucket",
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
       .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
         col("n_chars").as("n_chars2"), col("toks").as("toks2"),
         col("bucket"), col("cand_new"))
-    val nd = survNew.join(right,
+    val probeNd = survNew
+      .withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val nd = probeNd.join(right,
         col("lang") === col("lang2") &&
-          survNew("bucket") === right("bucket") &&
+          probeNd("bucket") === right("bucket") &&
           (!col("cand_new") || col("doc_id2") < col("doc_id")) &&
           abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
@@ -622,11 +637,25 @@ object LlmOps {
   private def auditVerdicts(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectSize.register(s)
     graft.functions.CosineSimilarity.register(s)
-    // toks/bucket derived after the keeper filter (r16, §2.3 — the
-    // dedupVerdictsOf argument): the text-keyed window exchange and
-    // the keyed stage cut carry text only, not the tokenized corpus
+    // r17 adjudication of the r16 §2.3 projection move (the r16 sweep
+    // read llm_dedup_audit 0.70×): REAL and REVERTED to the exact
+    // pre-r16 shape. Order-alternating interleaved A/Bs (5-6 JVM pairs
+    // each, same session) measured pre-r16 vs r16-final +19 %; vs a
+    // "tokenize post-exchange, cut toks without text" hybrid +20 %; vs
+    // a "scan-stage toks, text dropped from the cut" variant +11 %;
+    // and vs this byte-exact restore +6 % (inside noise — the residual
+    // is stage 4's shared centroidsKeyed planning, an r16 win
+    // elsewhere). The lesson recorded: deriving sortedToks anywhere
+    // AFTER the text-window exchange loses ~20 % on this op (the gap,
+    // not job time, grows — ProfileOne showed identical 1.45 s job
+    // sums), so the lambda stays fused into the parquet scan's
+    // codegen even though the window exchange then carries text+toks.
+    // The same §2.3 move stays IN for the seven other dedup ops where
+    // it measured neutral-to-better (dedupVerdictsOf, incremental,
+    // keep_best family).
     val base = documents(s, d).select(col("doc_id"), col("lang"),
-      col("n_chars"), col("text"))
+      col("n_chars"), col("text"), sortedToks.as("toks"),
+      floor(col("n_chars") / 10).as("bucket"))
     // Stage outputs are MATERIALIZED (eager localCheckpoint) because each
     // is consumed twice — by the next stage's survivor filter AND by the
     // final verdict join. Without truncation the final join re-derives
@@ -647,8 +676,8 @@ object LlmOps {
     val keyed = stageCut(base.withColumn("keeper",
       min(col("doc_id")).over(Window.partitionBy(col("text")))))
     val surv1 = stageCut(keyed.filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        sortedToks.as("toks"), floor(col("n_chars") / 10).as("bucket")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("toks"),
+        col("bucket")))
     def jaccardHalf(pairs: DataFrame, out: String): DataFrame = pairs
       .withColumn("inter", expr("sorted_intersect_size(toks, toks2)"))
       .filter(col("inter") /
@@ -757,15 +786,22 @@ object LlmOps {
         lit(false).as("cand_new"))
     val cand = exReps.unionByName(
       survNew.withColumn("cand_new", lit(true)))
+    // r17 (guide §2.3 — explode the SMALL side): the ±1 bucket fan-out
+    // moves from the candidate index (existing exact-reps ∪ new
+    // survivors, the corpus-sized side) to the batch probe; |Δbucket|
+    // ≤ 1 is symmetric so the matched pair set is identical, and the
+    // (lang, bucket) exchange ships the index (with its token arrays)
+    // once instead of three times.
     val right = cand
-      .withColumn("bucket",
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
       .select(col("doc_id").as("doc_id2"), col("lang").as("lang2"),
         col("n_chars").as("n_chars2"), col("toks").as("toks2"),
         col("bucket"), col("cand_new"))
-    val nd = survNew.join(right,
+    val probeNd = survNew
+      .withColumn("bucket",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val nd = probeNd.join(right,
         col("lang") === col("lang2") &&
-          survNew("bucket") === right("bucket") &&
+          probeNd("bucket") === right("bucket") &&
           (!col("cand_new") || col("doc_id2") < col("doc_id")) &&
           col("doc_id2") =!= col("doc_id") &&
           abs(col("n_chars") - col("n_chars2")) <= 10, "inner")
@@ -1077,13 +1113,18 @@ object LlmOps {
         .select(col("rep_id"), col("lang"), col("n_chars"),
           col("has_new"), floor(col("n_chars") / 10).as("bucket"),
           explode(bandsUdf(toks)).as("band_sig"))
-      // asymmetric probe: only groups that carry a new doc ever probe
+      // asymmetric probe: only groups that carry a new doc ever probe.
+      // r17 (guide §2.3 — explode the SMALL side): the ±1 bucket
+      // fan-out rides the probe (new-carrying groups), not the full
+      // banded index; |Δbucket| ≤ 1 is symmetric so the matched pair
+      // set is identical and the band-key exchange ships the index
+      // once instead of three times
       val probe = banded.filter(col("has_new"))
+        .withColumn("bucket",
+          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
         .select(col("rep_id"), col("lang"), col("n_chars"),
           col("bucket"), col("band_sig"))
       val index = banded
-        .withColumn("bucket",
-          explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
         .select(col("rep_id").as("rep_id2"), col("lang").as("lang2"),
           col("n_chars").as("n_chars2"), col("bucket"),
           col("band_sig").as("band_sig2"))

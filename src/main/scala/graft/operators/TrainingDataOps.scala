@@ -158,9 +158,24 @@ object TrainingDataOps {
       : (DataFrame, DataFrame, DataFrame) = {
     val bGroups = batch.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("brep"))
+    // r17 (guide §3.2 — reduce the big side before shuffling it): the
+    // exact stage's left join probes the REP INDEX, the corpus-sized
+    // side that grows every epoch, with the (small) batch. A broadcast
+    // semi-join on the batch's embedding hashes prunes the index to
+    // ≤ batch-distinct rows BEFORE the equality join — lossless
+    // (embedding equality implies hash equality; false positives only
+    // add rows the exact join drops) — and the survivor set is
+    // batch-bounded, so it BROADCASTS: nothing corpus-sized is ever
+    // shuffled or collected in the exact stage, at any corpus size.
+    val bKeys = bGroups
+      .select(xxhash64(col("embedding")).as("beh")).distinct()
+    val repExact = repVecs
+      .join(broadcast(bKeys),
+        xxhash64(col("embedding")) === col("beh"), "left_semi")
     val staged = batch.select(col("vec_id"), col("embedding"))
       .join(bGroups, Seq("embedding"))
-      .join(repVecs.select(col("vec_id").as("ex_of"), col("embedding")),
+      .join(broadcast(repExact
+          .select(col("vec_id").as("ex_of"), col("embedding"))),
         Seq("embedding"), "left")
       // mirror of candEx's ordering guard on the EXACT stage: on a
       // mid-epoch replay (crash after the newReps append landed but
@@ -180,8 +195,14 @@ object TrainingDataOps {
       graft.functions.CosineLsh.bandKeys(v, bands, bits))
     val nrBands = newReps
       .select(col("vec_id"), explode(bkU(col("embedding"))).as("bk"))
-    val candEx = nrBands
-      .join(repBands.select(col("vec_id").as("cand"), col("bk")), Seq("bk"))
+    // r17 (guide §2.3/§3 — the asymmetric-probe posture, stated in the
+    // plan): the batch's band rows broadcast and the STAGED index (the
+    // corpus-sized side) streams past them — without the hint the
+    // planner picks a build side from size estimates, and a UDF-derived
+    // probe frame estimates large enough to flip the corpus index into
+    // the exchange at scale.
+    val candEx = repBands.select(col("vec_id").as("cand"), col("bk"))
+      .join(broadcast(nrBands), Seq("bk"))
       // defensive mirror of candNw's ordering guard: the index holds
       // strictly-smaller ids by construction, but a partially-failed or
       // replayed index append (band rows landing before their epoch
@@ -194,12 +215,16 @@ object TrainingDataOps {
         nrBands.select(col("vec_id").as("cand"), col("bk").as("bk2")),
         col("bk") === col("bk2") && col("cand") < col("vec_id"))
       .select(col("vec_id"), col("cand"))
-    val scored = candEx.unionAll(candNw).distinct()
+    // r17 (§2.3): the verify's v2 attach streams the REP INDEX past the
+    // broadcast batch-bounded candidate-pair frame (pairs + their v1),
+    // instead of shuffling the index by id — same asymmetric posture as
+    // the band probe above.
+    val pairs = candEx.unionAll(candNw).distinct()
       .join(newReps.select(col("vec_id"), col("embedding").as("v1")),
         Seq("vec_id"))
-      .join(repVecs.unionByName(newReps)
-          .select(col("vec_id").as("cand"), col("embedding").as("v2")),
-        Seq("cand"))
+    val scored = repVecs.unionByName(newReps)
+      .select(col("vec_id").as("cand"), col("embedding").as("v2"))
+      .join(broadcast(pairs), Seq("cand"))
       .withColumn("sim", round(expr("cosine_sim(v1, v2)"), 6))
       .filter(col("sim") >= 0.4)
     val bandOf = scored.groupBy(col("vec_id"))
@@ -425,6 +450,15 @@ object TrainingDataOps {
     // the substring explode runs once (stageCut idiom; corpus-position-
     // sized, the op's natural stage boundary at 100 TB too).
     def spansRaw(src: DataFrame): DataFrame = {
+      // r17 TRIED AND REVERTED (the r16 verdict's item 6): cutting
+      // (doc_id, p, h) only — 24 B/position, no 50-char window text —
+      // and re-deriving the substring for candidate positions by an
+      // id-keyed join back to the text measured 4.98 → 6.18 s min /
+      // 5.65 → 6.85 s mean (interleaved A/B, 3 JVM pairs): on this
+      // corpus the candidate set is a large fraction of all positions,
+      // so the re-join + re-substring costs more than the narrower cut
+      // saves, locally AND at scale (the re-join is a second corpus
+      // text scan + a candidate-sized shuffle). The fat cut stays.
       val pos = cut(src.filter(length(col("text")) >= W)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), length(col("text")) - W)).as("p"))
@@ -593,13 +627,18 @@ object TrainingDataOps {
         .agg(min(col("doc_id")).as("rep_id"),
           max(col("is_new")).as("has_new"))
         .withColumn("bucket", floor(col("n_chars") / 10))
+      // r17 (guide §2.3 — explode the SMALL side): the ±1 bucket
+      // fan-out rides the probe (new-carrying groups), not the full
+      // group index; |Δbucket| ≤ 1 is symmetric so the matched pair
+      // set is identical and the block-key exchange ships the index
+      // once instead of three times
       val probe = groups.filter(col("has_new"))
-        .select(col("rep_id"), col("lang"), col("n_chars"),
-          col("bucket"), col("fp"), explode(bkU(col("fp"))).as("bk"))
-      val index = groups
         .withColumn("bucket",
           explode(array(col("bucket") - 1, col("bucket"),
             col("bucket") + 1)))
+        .select(col("rep_id"), col("lang"), col("n_chars"),
+          col("bucket"), col("fp"), explode(bkU(col("fp"))).as("bk"))
+      val index = groups
         .select(col("rep_id").as("rep_id2"), col("lang").as("lang2"),
           col("n_chars").as("n_chars2"), col("bucket"),
           col("fp").as("fp2"), explode(bkU(col("fp"))).as("bk2"))
