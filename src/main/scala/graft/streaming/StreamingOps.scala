@@ -2705,11 +2705,16 @@ object StreamingOps {
               batchIdx.persist()
               try {
                 val prior =
-                  ss.read.schema(idxSchema).parquet(memberDir).distinct()
+                  ss.read.schema(idxSchema).parquet(memberDir)
                 val affected = batchIdx.select(col("cell")).distinct()
-                // distinct: a replayed epoch finds its own members in
-                // the index — full-row duplicates fold away, so the
-                // recompute sees exactly the union membership
+                // distinct AFTER the affected-cell semi-join (r17,
+                // guide §2.3): the replay-dedup distinct used to run
+                // over the FULL member index before the filter — a
+                // whole-index exchange per epoch that grows with the
+                // corpus; folding it into the post-union distinct
+                // dedups exactly the same rows (rows outside affected
+                // cells never reach the recompute either way, and a
+                // replayed epoch's full-row duplicates still fold)
                 val members = prior
                   .join(affected, Seq("cell"), "left_semi")
                   .unionByName(batchIdx).distinct()
@@ -3460,7 +3465,21 @@ object StreamingOps {
           batch.persist()
           try monotoneBatchBounds(batch, "doc_id",
               "stream_ccnet_ingest", prevMax).foreach { case (_, hi) =>
+            // r17 (guide §3.2 — reduce the big side before shuffling
+            // it): the keeper fold used to aggregate the WHOLE
+            // append-only survivor index per epoch; only batch texts
+            // can ever match the left join below, so a broadcast
+            // semi-join on the batch's text hashes prunes the index to
+            // ≤ batch-distinct rows first — lossless (text equality ⇒
+            // hash equality; a replayed epoch still finds its own
+            // survivors through the same prune)
+            // no distinct: the broadcast hash build dedups keys anyway,
+            // and the batch is already persisted — one cached scan
+            val bTexts = batch
+              .select(xxhash64(col("text")).as("th"))
             val seen = ss.read.schema(seenSchema).parquet(seenDir)
+              .join(broadcast(bTexts),
+                xxhash64(col("text")) === col("th"), "left_semi")
               .groupBy(col("text")).agg(min(col("keeper")).as("prev"))
             val bGroups = batch.groupBy(col("text"))
               .agg(min(col("doc_id")).as("brep"))
